@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline at sf0.001; ``queries()``
+exposes one callable per implemented operator (SURVEY.md §2) and
+``oracle_sql()`` the matching DuckDB SQL over the same deterministic fixture
+parquet. The driver initialises Ray itself — nothing here calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The engine input is the ``BASELINE.json`` input_hint table shape
+``(doc_id: string, spans: list<struct<kind,text,media_ref,offset>>)``,
+synthesized deterministically from each sf dir's ``documents.parquet``
+doc_ids (see ``fhir_data_validation_ray/sources/generator.py``); both the
+nested table (Ray input) and its exploded view + registry (oracle input) are
+cached under /tmp, so Ray pipeline and SQL read the same bytes.
 """
 
 from __future__ import annotations
@@ -18,27 +19,26 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: read -> fused validator actor pool -> violations
+    (unioned with the cross-document uniqueness check)."""
+    from fhir_data_validation_ray.pipelines.validate import run_validation
+
+    return run_validation(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fhir_data_validation_ray.pipelines.queries import validation_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return validation_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fhir_data_validation_ray.pipelines.queries import validation_oracles
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+
+    return validation_oracles(fixture_paths(SF_ORACLE))

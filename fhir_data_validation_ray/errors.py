@@ -1,0 +1,109 @@
+"""Unified error model: codes, severities, sources, and the violations schema.
+
+Mirrors the reference's unified error model
+(``Models/ValidationError.cs:9-100``, ``docs/08_unified_error_model.md:16-31``)
+and the fixed error-code-per-rule-type contract
+(``RuleEngines/FhirPathRuleEngine.cs:1036-1051``, ``Validation/ErrorCodes.cs``).
+
+The engine emits *codes + structured details*, never prose (reference
+guardrail test ``Validation/NoProseEnforcementTests.cs``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------- severities
+SEV_ERROR = "error"
+SEV_WARNING = "warning"
+SEV_INFO = "info"
+SEVERITIES = (SEV_ERROR, SEV_WARNING, SEV_INFO)
+
+# ------------------------------------------------------------------- sources
+# Reference sources: LINT / FHIR / Business / CodeMaster / Reference
+# (``Core/ValidationPipeline.cs:755-770``). STRUCTURE is the primary
+# structural authority (``Core/ValidationPipeline.cs:131-141``).
+SRC_STRUCTURE = "STRUCTURE"
+SRC_BUSINESS = "Business"
+SRC_REFERENCE = "Reference"
+SRC_CODEMASTER = "CodeMaster"
+SRC_PIPELINE = "Pipeline"
+
+# Stage rank reproduces the reference's pipeline-stage ordering of errors
+# (``docs/05_validation_pipeline.md:20-31``): STRUCTURE first, then business
+# rules, then CodeMaster, then Reference.
+SOURCE_STAGE_RANK = {
+    SRC_STRUCTURE: 0,
+    SRC_BUSINESS: 1,
+    SRC_CODEMASTER: 2,
+    SRC_REFERENCE: 3,
+    SRC_PIPELINE: 9,
+}
+
+# ----------------------------------------------------------------- validation classes
+# ``Models/ValidationClass.cs:14-44`` + ``Validation/SeverityResolver.cs:36-78``:
+# Contract/Structural severities are never downgraded; Advisory downgrades
+# error -> warning.
+CLASS_STRUCTURAL = "Structural"
+CLASS_CONTRACT = "Contract"
+CLASS_ADVISORY = "Advisory"
+
+
+def resolve_severity(configured: str, validation_class: str) -> str:
+    """Pure severity-resolution function (``SeverityResolver.cs:36-78``)."""
+    if validation_class == CLASS_ADVISORY and configured == SEV_ERROR:
+        return SEV_WARNING
+    return configured
+
+
+# --------------------------------------------------------------- error codes
+# Rule-engine codes (fixed per rule type, ``FhirPathRuleEngine.cs:1036-1051``)
+REQUIRED_FIELD_MISSING = "REQUIRED_FIELD_MISSING"
+FIXED_VALUE_MISMATCH = "FIXED_VALUE_MISMATCH"
+VALUE_NOT_ALLOWED = "VALUE_NOT_ALLOWED"
+PATTERN_MISMATCH = "PATTERN_MISMATCH"
+ARRAY_LENGTH_OUT_OF_RANGE = "ARRAY_LENGTH_OUT_OF_RANGE"
+CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
+CODE_NOT_IN_VALUESET = "CODE_NOT_IN_VALUESET"
+CUSTOM_PREDICATE_FAILED = "CUSTOMFHIRPATH_CONDITION_FAILED"
+RESOURCE_REQUIREMENT_VIOLATION = "RESOURCE_REQUIREMENT_VIOLATION"
+RULE_CONFIGURATION_ERROR = "RULE_CONFIGURATION_ERROR"
+RULE_EXECUTION_ERROR = "RULE_EXECUTION_ERROR"
+
+# Reference resolution (``RuleEngines/ReferenceResolver.cs``)
+REFERENCE_NOT_FOUND = "REFERENCE_NOT_FOUND"
+REFERENCE_TYPE_MISMATCH = "REFERENCE_TYPE_MISMATCH"
+
+# Structural / grammar codes (``Validation/JsonNodeStructuralValidator.cs``)
+FHIR_INVALID_PRIMITIVE = "FHIR_INVALID_PRIMITIVE"
+INVALID_ENUM_VALUE = "INVALID_ENUM_VALUE"
+SPAN_SEQUENCE_INVALID = "SPAN_SEQUENCE_INVALID"  # offset monotonicity per row
+
+# Cross-document checks (north_star additions; no reference analogue)
+DUPLICATE_DOC_ID = "DUPLICATE_DOC_ID"
+DISTRIBUTION_DRIFT = "DISTRIBUTION_DRIFT"
+
+PIPELINE_ERROR = "PIPELINE_ERROR"
+
+# ------------------------------------------------------------ violations schema
+# One row per violation (FIXTURES.md §4). ``span_index`` is -1 for
+# document-level errors; ``json_pointer`` follows the reference pointer shape
+# ``/entry/{i}/resource/...`` (``FhirPathRuleEngine.cs:359``) adapted to
+# ``/spans/{i}/<field>``.
+VIOLATIONS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_index", pa.int32()),
+        ("source", pa.string()),
+        ("severity", pa.string()),
+        ("rule_id", pa.string()),
+        ("error_code", pa.string()),
+        ("path", pa.string()),
+        ("json_pointer", pa.string()),
+        ("details", pa.string()),
+    ]
+)
+
+
+def empty_violations() -> pa.Table:
+    return VIOLATIONS_SCHEMA.empty_table()

@@ -1,0 +1,707 @@
+"""Vectorized rule kernels — one pass over a flattened Arrow batch.
+
+Each reference rule engine becomes a pure function ``(CompiledRule, FlatSpans,
+ViolationSink) -> None`` evaluating a numpy/Arrow boolean mask over the flat
+span arrays. Reference semantics per kernel are cited inline
+(``RuleEngines/FhirPathRuleEngine.cs`` unless noted).
+
+Error-isolation contract: a kernel that raises is caught by the caller and
+converted to a single RULE_EXECUTION_ERROR row per batch — the pipeline never
+crashes on one bad rule (reference ``Core/ValidationPipeline.cs:290-294``,
+``FhirPathRuleEngine.cs:941-966``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import errors as E
+from ..profile import Condition, Profile, RuleDef, SpanRequirement
+from .flatten import FlatSpans, first_per_doc_mask
+
+# FHIR id grammar (``JsonNodeStructuralValidator.cs:100-101``)
+ID_GRAMMAR = r"^[A-Za-z0-9.\-]{1,64}$"
+_ID_RE = re.compile(ID_GRAMMAR)
+
+# media_ref shapes (``ReferenceResolver.cs:48-76``): local = "<Kind>/<doc_id>.<offset>",
+# external = anything else (canonically "urn:uuid:<id>").
+LOCAL_REF_RE = re.compile(r"^([A-Za-z]+)/(.+)\.([0-9]+)$")
+
+# Registered Python-lane predicates (the CustomFHIRPath escape hatch,
+# ``RuleEngines/FhirPathRuleEngine.cs:1714-1768``): name -> fn(FlatSpans,
+# idx ndarray) -> bool ndarray (True = passes).
+PREDICATE_REGISTRY: dict[str, Callable[[FlatSpans, np.ndarray], np.ndarray]] = {}
+
+
+def register_predicate(name: str, fn: Callable[[FlatSpans, np.ndarray], np.ndarray]) -> None:
+    PREDICATE_REGISTRY[name] = fn
+
+
+def _canon_details(d: dict[str, Any]) -> str:
+    """Canonical JSON details (``Models/RuleValidationError.cs:36-52``
+    canonical-schema contract)."""
+    return json.dumps(d, sort_keys=True, separators=(",", ":"), default=str)
+
+
+# --------------------------------------------------------------------- sink
+class ViolationSink:
+    """Accumulates violation rows; ``finalize`` emits one Arrow table in
+    pipeline-stage order (``docs/05_validation_pipeline.md:20-31``)."""
+
+    def __init__(self, emit_details: bool = True):
+        self.emit_details = emit_details
+        self._parts: list[dict[str, Any]] = []
+
+    def add_spans(
+        self,
+        fs: FlatSpans,
+        flat_idx: np.ndarray,
+        *,
+        source: str,
+        severity: str,
+        rule_id: str,
+        error_code: str,
+        pointer_field: str,
+        details: list[str] | None = None,
+    ) -> None:
+        if flat_idx.size == 0:
+            return
+        si = fs.span_index[flat_idx]
+        kinds = fs.kind_np[flat_idx]
+        self._parts.append(
+            {
+                "doc_id": fs.flat_doc_ids[flat_idx],
+                "span_index": si.astype(np.int32),
+                "source": source,
+                "severity": severity,
+                "rule_id": rule_id,
+                "error_code": error_code,
+                "path": np.array([f"{k}.{pointer_field}" for k in kinds], dtype=object),
+                "json_pointer": np.array(
+                    [f"/spans/{i}/{pointer_field}" for i in si], dtype=object
+                ),
+                "details": details if (details and self.emit_details) else None,
+            }
+        )
+
+    def add_docs(
+        self,
+        fs: FlatSpans,
+        doc_idx: np.ndarray,
+        *,
+        source: str,
+        severity: str,
+        rule_id: str,
+        error_code: str,
+        path: str,
+        details: list[str] | None = None,
+    ) -> None:
+        if doc_idx.size == 0:
+            return
+        n = doc_idx.size
+        self._parts.append(
+            {
+                "doc_id": fs.doc_id_at(doc_idx),
+                "span_index": np.full(n, -1, dtype=np.int32),
+                "source": source,
+                "severity": severity,
+                "rule_id": rule_id,
+                "error_code": error_code,
+                "path": path,
+                "json_pointer": "",
+                "details": details if (details and self.emit_details) else None,
+            }
+        )
+
+    def finalize(self, dedup_structure: bool = True) -> pa.Table:
+        if not self._parts:
+            return E.empty_violations()
+        cols: dict[str, list] = {name: [] for name in E.VIOLATIONS_SCHEMA.names}
+        for p in self._parts:
+            n = len(p["doc_id"])
+            cols["doc_id"].append(np.asarray(p["doc_id"], dtype=object))
+            cols["span_index"].append(p["span_index"])
+            for k in ("source", "severity", "rule_id", "error_code"):
+                cols[k].append(np.full(n, p[k], dtype=object))
+            for k in ("path", "json_pointer"):
+                v = p[k]
+                cols[k].append(
+                    np.asarray(v, dtype=object) if isinstance(v, np.ndarray) else np.full(n, v, dtype=object)
+                )
+            d = p["details"]
+            cols["details"].append(
+                np.asarray(d, dtype=object) if d is not None else np.full(n, "", dtype=object)
+            )
+        arrs = {k: np.concatenate(v) for k, v in cols.items()}
+
+        if dedup_structure:
+            arrs = _dedup_structure_priority(arrs)
+
+        return pa.table(
+            {
+                "doc_id": pa.array(arrs["doc_id"], type=pa.string()),
+                "span_index": pa.array(arrs["span_index"], type=pa.int32()),
+                "source": pa.array(arrs["source"], type=pa.string()),
+                "severity": pa.array(arrs["severity"], type=pa.string()),
+                "rule_id": pa.array(arrs["rule_id"], type=pa.string()),
+                "error_code": pa.array(arrs["error_code"], type=pa.string()),
+                "path": pa.array(arrs["path"], type=pa.string()),
+                "json_pointer": pa.array(arrs["json_pointer"], type=pa.string()),
+                "details": pa.array(arrs["details"], type=pa.string()),
+            },
+            schema=E.VIOLATIONS_SCHEMA,
+        )
+
+
+def _dedup_structure_priority(arrs: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Suppress non-STRUCTURE rows whose ``(doc_id, error_code, json_pointer)``
+    key is already claimed by a STRUCTURE row — STRUCTURE wins
+    (``Core/ValidationPipeline.cs:783-827``). Rows with an empty pointer are
+    kept (reference keeps errors missing either key)."""
+    src = arrs["source"]
+    is_struct = src == E.SRC_STRUCTURE
+    if not is_struct.any() or is_struct.all():
+        return arrs
+    ptr = arrs["json_pointer"]
+    keys = np.char.add(
+        np.char.add(np.char.add(arrs["doc_id"].astype("U"), "\x00"),
+                    np.char.add(arrs["error_code"].astype("U"), "\x00")),
+        ptr.astype("U"),
+    )
+    struct_keys = keys[is_struct & (ptr != "")]
+    drop = (~is_struct) & (ptr != "") & np.isin(keys, struct_keys)
+    if not drop.any():
+        return arrs
+    keep = ~drop
+    return {k: v[keep] for k, v in arrs.items()}
+
+
+# ---------------------------------------------------------------- conditions
+def eval_condition(cond: Condition, fs: FlatSpans) -> np.ndarray:
+    """Boolean mask over all spans; nulls compare as non-matching."""
+    if cond.fld == "offset":
+        arr = fs.offset
+        if cond.op == "==":
+            m = pc.equal(arr, cond.value)
+        elif cond.op == "!=":
+            m = pc.not_equal(arr, cond.value)
+        else:
+            raise ValueError(f"offset supports ==/!= only, got {cond.op}")
+        return m.fill_null(False).to_numpy(zero_copy_only=False)
+
+    arr = {"kind": fs.kind, "text": fs.text, "media_ref": fs.media_ref}[cond.fld]
+    if cond.op == "==":
+        m = pc.equal(arr, cond.value)
+    elif cond.op == "!=":
+        m = pc.not_equal(arr, cond.value)
+    elif cond.op == "contains":
+        m = pc.match_substring(arr, cond.value)
+    elif cond.op == "startswith":
+        m = pc.starts_with(arr, cond.value)
+    elif cond.op == "matches":
+        m = pc.match_substring_regex(arr, cond.value)
+    elif cond.op == "in":
+        m = pc.is_in(arr, value_set=pa.array(cond.value, type=pa.string()))
+    else:
+        raise ValueError(f"unknown op {cond.op}")
+    return m.fill_null(False).to_numpy(zero_copy_only=False)
+
+
+def selection_mask(rule: RuleDef, fs: FlatSpans) -> np.ndarray:
+    """Instance selection (``Services/ResourceSelector.cs:36-64``): kind match,
+    then scope. Filter-evaluation failures FAIL OPEN — the span is validated
+    anyway (``FhirPathRuleEngine.cs:2409-2415``)."""
+    if rule.kind == "*":
+        mask = np.ones(fs.n_spans, dtype=bool)
+    else:
+        mask = pc.equal(fs.kind, rule.kind).fill_null(False).to_numpy(zero_copy_only=False)
+    sc = rule.scope
+    if sc.kind == "first":
+        mask = first_per_doc_mask(mask, fs.parent)
+    elif sc.kind == "filter":
+        for cond in sc.conditions:
+            try:
+                mask &= eval_condition(cond, fs)
+            except Exception:
+                pass  # fail-open: validate anyway
+    return mask
+
+
+def _empty_mask(arr: pa.Array) -> np.ndarray:
+    """True where the value is null or all-whitespace — the reference's
+    'missing or whitespace' emptiness (``FhirPathRuleEngine.cs:995-999``)."""
+    trimmed = pc.utf8_trim_whitespace(arr.cast(pa.string()))
+    return pc.or_kleene(
+        pc.is_null(arr), pc.equal(pc.binary_length(trimmed), 0)
+    ).fill_null(True).to_numpy(zero_copy_only=False)
+
+
+def _field_array(fs: FlatSpans, fp: str) -> pa.Array:
+    return {"kind": fs.kind, "text": fs.text, "media_ref": fs.media_ref, "offset": fs.offset}[fp]
+
+
+# ------------------------------------------------------------- rule kernels
+def k_required(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
+    """Required: value must be present and non-whitespace
+    (``FhirPathRuleEngine.cs:971-1033``)."""
+    arr = _field_array(fs, rule.field_path)
+    bad = sel & _empty_mask(arr)
+    idx = np.flatnonzero(bad)
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_BUSINESS,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.REQUIRED_FIELD_MISSING,
+        pointer_field=rule.field_path,
+        details=[_canon_details({"field": rule.field_path})] * idx.size,
+    )
+
+
+def k_fixed_value(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
+    """FixedValue: every present value must equal params.value
+    (``FhirPathRuleEngine.cs:1053-1127``); empty values pass."""
+    arr = _field_array(fs, rule.field_path)
+    expected = str(rule.params["value"])
+    ne = pc.not_equal(arr, expected).fill_null(False).to_numpy(zero_copy_only=False)
+    bad = sel & ne & ~_empty_mask(arr)
+    idx = np.flatnonzero(bad)
+    vals = np.asarray(arr)[idx] if idx.size else []
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_BUSINESS,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.FIXED_VALUE_MISMATCH,
+        pointer_field=rule.field_path,
+        details=[_canon_details({"actual": v, "expected": expected}) for v in vals],
+    )
+
+
+def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
+    """AllowedValues: set membership; empty values pass
+    (``FhirPathRuleEngine.cs:1144-1220``)."""
+    arr = _field_array(fs, rule.field_path)
+    allowed = [str(v) for v in rule.params["values"]]
+    out = pc.invert(pc.is_in(arr, value_set=pa.array(allowed, type=pa.string())))
+    bad = sel & out.fill_null(False).to_numpy(zero_copy_only=False) & ~_empty_mask(arr)
+    idx = np.flatnonzero(bad)
+    vals = np.asarray(arr)[idx] if idx.size else []
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_BUSINESS,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.VALUE_NOT_ALLOWED,
+        pointer_field=rule.field_path,
+        details=[_canon_details({"actual": v, "allowed": allowed}) for v in vals],
+    )
+
+
+def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
+    """Regex: search semantics (.NET ``IsMatch`` ≈ RE2 ``match_substring_regex``,
+    ``FhirPathRuleEngine.cs:1222-1291``); empty values pass. Patterns outside
+    the RE2 subset fall back to Python ``re`` on the selected values only."""
+    arr = _field_array(fs, rule.field_path)
+    pattern = rule.params["pattern"]
+    nonempty = ~_empty_mask(arr)
+    try:
+        miss = pc.invert(pc.match_substring_regex(arr, pattern))
+        bad = sel & miss.fill_null(False).to_numpy(zero_copy_only=False) & nonempty
+        idx = np.flatnonzero(bad)
+    except pa.ArrowInvalid:  # non-RE2 construct -> Python lane
+        cand = np.flatnonzero(sel & nonempty)
+        rx = re.compile(pattern)
+        vals = np.asarray(arr)[cand]
+        idx = cand[np.array([rx.search(v) is None for v in vals], dtype=bool)] if cand.size else cand
+    vals = np.asarray(arr)[idx] if idx.size else []
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_BUSINESS,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.PATTERN_MISMATCH,
+        pointer_field=rule.field_path,
+        details=[_canon_details({"actual": v, "pattern": pattern}) for v in vals],
+    )
+
+
+def k_array_length(rule: RuleDef, fs: FlatSpans, sel_unused: np.ndarray, sink: ViolationSink) -> None:
+    """ArrayLength on ``spans``: per-document span count vs min/max, one error
+    per violated bound (``FhirPathRuleEngine.cs:1322-1447``). ``kind`` other
+    than "*" restricts the count to spans of that kind."""
+    if rule.kind == "*":
+        counts = fs.lengths
+    else:
+        kmask = pc.equal(fs.kind, rule.kind).fill_null(False).to_numpy(zero_copy_only=False)
+        counts = np.bincount(fs.parent[kmask], minlength=fs.n_docs)
+    lo = rule.params.get("min")
+    hi = rule.params.get("max")
+    code = rule.error_code or E.ARRAY_LENGTH_OUT_OF_RANGE
+    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    for bound, bad in (
+        ("min", np.flatnonzero(counts < lo) if lo is not None else np.empty(0, np.int64)),
+        ("max", np.flatnonzero(counts > hi) if hi is not None else np.empty(0, np.int64)),
+    ):
+        sink.add_docs(
+            fs, bad,
+            source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+            path="spans",
+            details=[
+                _canon_details({"actual": int(counts[d]), "bound": bound,
+                                "limit": lo if bound == "min" else hi})
+                for d in bad
+            ],
+        )
+
+
+def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink,
+                  concepts: np.ndarray) -> None:
+    """CodeSystem: value is ``code`` or ``system|code``. A present system must
+    equal params.system (else CODESYSTEM_MISMATCH); the code must be in the
+    concept set (else CODE_NOT_IN_VALUESET). Empty values pass.
+    (``FhirPathRuleEngine.cs:1467-1698``.)"""
+    arr = _field_array(fs, rule.field_path)
+    expected_sys = str(rule.params["system"])
+    cand = np.flatnonzero(sel & ~_empty_mask(arr))
+    if cand.size == 0:
+        return
+    vals = np.asarray(arr)[cand].astype("U")
+    parts = np.char.partition(vals, "|")  # (n, 3): before, sep, after
+    has_sys = parts[:, 1] == "|"
+    sys_bad = has_sys & (parts[:, 0] != expected_sys)
+    codes = np.where(has_sys, parts[:, 2], parts[:, 0])
+    code_bad = ~np.isin(codes, concepts) & ~sys_bad
+    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    idx = cand[sys_bad]
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id,
+        error_code=E.CODESYSTEM_MISMATCH, pointer_field=rule.field_path,
+        details=[_canon_details({"actual": s, "expected": expected_sys})
+                 for s in parts[sys_bad, 0]],
+    )
+    idx = cand[code_bad]
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id,
+        error_code=E.CODE_NOT_IN_VALUESET, pointer_field=rule.field_path,
+        details=[_canon_details({"code": c, "system": expected_sys})
+                 for c in codes[code_bad]],
+    )
+
+
+def k_custom_predicate(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
+    """CustomPredicate: passes iff the expression holds for the span — the
+    CustomFHIRPath analogue (``FhirPathRuleEngine.cs:1714-1768``). ``expr``
+    runs on the vectorized lane; ``predicate`` names a registered Python
+    function (the dual-lane split of ``RuleEvaluationPlanner.cs:19-146``)."""
+    idx_sel = np.flatnonzero(sel)
+    if idx_sel.size == 0:
+        return
+    if rule.params.get("expr"):
+        from ..profile import parse_condition
+
+        ok = np.ones(fs.n_spans, dtype=bool)
+        for part in str(rule.params["expr"]).split(" and "):
+            ok &= eval_condition(parse_condition(part), fs)
+        bad_idx = idx_sel[~ok[idx_sel]]
+    else:
+        fn = PREDICATE_REGISTRY[rule.params["predicate"]]
+        passes = np.asarray(fn(fs, idx_sel), dtype=bool)
+        bad_idx = idx_sel[~passes]
+    sink.add_spans(
+        fs, bad_idx,
+        source=E.SRC_BUSINESS,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.CUSTOM_PREDICATE_FAILED,
+        pointer_field=rule.field_path,
+        details=[_canon_details({"expr": rule.params.get("expr", rule.params.get("predicate"))})] * bad_idx.size,
+    )
+
+
+def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
+                     kind_codes: np.ndarray, kind_dict: list[str]) -> None:
+    """RequiredSpans: per-document composition check
+    (``FhirPathRuleEngine.cs:1794-2152``). One violation row per violated
+    requirement per document (the reference consolidates into one error per
+    rule; we keep one row per requirement so details stay flat/columnar —
+    same information, stated divergence). ``rejectUndeclared`` flags span
+    kinds not declared in any requirement."""
+    reqs: list[SpanRequirement] = rule.params["requirements"]
+    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    code = rule.error_code or E.RESOURCE_REQUIREMENT_VIOLATION
+    declared = set()
+    for req in reqs:
+        declared.add(req.kind)
+        mask = kind_codes == (kind_dict.index(req.kind) if req.kind in kind_dict else -1)
+        for cond in req.where:
+            mask &= eval_condition(cond, fs)
+        counts = np.bincount(fs.parent[mask], minlength=fs.n_docs)
+        bad = counts < req.min
+        if req.max is not None:
+            bad |= counts > req.max
+        doc_idx = np.flatnonzero(bad)
+        sink.add_docs(
+            fs, doc_idx,
+            source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+            path=req.kind,
+            details=[
+                _canon_details({"kind": req.kind, "expected_min": req.min,
+                                "expected_max": req.max, "actual": int(counts[d])})
+                for d in doc_idx
+            ],
+        )
+    if rule.params.get("rejectUndeclared"):
+        undecl = ~np.isin(np.array(kind_dict, dtype=object), list(declared))
+        bad_span = undecl[kind_codes]
+        counts = np.bincount(fs.parent[bad_span], minlength=fs.n_docs)
+        doc_idx = np.flatnonzero(counts > 0)
+        sink.add_docs(
+            fs, doc_idx,
+            source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+            path="*",
+            details=[_canon_details({"undeclared_count": int(counts[d])}) for d in doc_idx],
+        )
+
+
+def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink,
+                registry_keys: np.ndarray | None) -> None:
+    """Reference resolution (``RuleEngines/ReferenceResolver.cs:22-364``).
+
+    A local ref ``<Kind>/<doc_id>.<offset>`` resolves against the document's
+    own span identities (the per-row analogue of BuildResourceLookup,
+    ``:48-76``); any other non-empty ref is external and resolves against the
+    broadcast registry key set. Policies (``Models/ValidationSettings.cs:10-19``):
+
+    - InBundleOnly      : unresolved local ref OR any external ref -> error
+    - AllowExternal     : unresolved (local+registry) -> WARNING (``:111-141``)
+    - RequireResolution : unresolved (local+registry) -> error
+
+    A local ref that resolves but whose claimed Kind differs from the target
+    span's kind -> REFERENCE_TYPE_MISMATCH (``:313-343``). Repeated identical
+    refs within one document are deduplicated — first occurrence only
+    (``:89-103``).
+    """
+    policy = rule.params.get("policy", "InBundleOnly")
+    arr = fs.media_ref
+    nonempty = ~_empty_mask(arr)
+    cand = np.flatnonzero(sel & nonempty)
+    if cand.size == 0:
+        return
+    refs = np.asarray(arr)[cand].astype("U")
+
+    # per-document first-occurrence dedup of identical ref strings
+    dockeys = np.char.add(fs.flat_doc_ids[cand].astype("U"), np.char.add("\x00", refs))
+    _, first_pos = np.unique(dockeys, return_index=True)
+    keep = np.zeros(cand.size, dtype=bool)
+    keep[first_pos] = True
+    cand, refs = cand[keep], refs[keep]
+
+    # parse local shape "<Kind>/<rest>.<offset>"
+    slash = np.char.find(refs, "/")
+    dot = np.char.rfind(refs, ".")
+    is_urn = np.char.startswith(refs, "urn:")
+    local_shape = (slash > 0) & (dot > slash) & ~is_urn
+
+    # build per-batch identity index: key = parent * 2^32 + offset -> kind code
+    offs = np.asarray(fs.offset).astype(np.int64)
+    identity = fs.parent.astype(np.int64) * (1 << 32) + offs
+    order = np.argsort(identity, kind="stable")
+    sorted_ids = identity[order]
+
+    claimed_kind = np.empty(cand.size, dtype=object)
+    target_key = np.full(cand.size, -1, dtype=np.int64)
+    own_doc = fs.flat_doc_ids[cand]
+    li = np.flatnonzero(local_shape)
+    for j in li:  # parse loop over local-shaped refs only (sparse)
+        m = LOCAL_REF_RE.match(refs[j])
+        if m is None:
+            local_shape[j] = False
+            continue
+        kind_j, doc_j, off_j = m.group(1), m.group(2), int(m.group(3))
+        claimed_kind[j] = kind_j
+        if doc_j == own_doc[j]:
+            target_key[j] = fs.parent[cand[j]] * (1 << 32) + off_j
+
+    pos = np.searchsorted(sorted_ids, target_key)
+    pos_ok = (pos < len(sorted_ids)) & (target_key >= 0)
+    resolved_local = np.zeros(cand.size, dtype=bool)
+    target_flat = np.zeros(cand.size, dtype=np.int64)
+    safe_pos = np.clip(pos, 0, max(len(sorted_ids) - 1, 0))
+    if len(sorted_ids):
+        hit = pos_ok & (sorted_ids[safe_pos] == target_key)
+        resolved_local = hit
+        target_flat = order[safe_pos]
+
+    type_mismatch = np.zeros(cand.size, dtype=bool)
+    if resolved_local.any():
+        tk = fs.kind_np[target_flat[resolved_local]]
+        cm = np.array([claimed_kind[j] for j in np.flatnonzero(resolved_local)], dtype=object)
+        type_mismatch[np.flatnonzero(resolved_local)] = tk != cm
+
+    in_registry = np.zeros(cand.size, dtype=bool)
+    if registry_keys is not None and registry_keys.size:
+        in_registry = np.isin(refs, registry_keys)
+
+    ext = ~local_shape
+    if policy == "InBundleOnly":
+        not_found = (local_shape & ~resolved_local) | ext
+        nf_sev = E.SEV_ERROR
+    elif policy == "AllowExternal":
+        not_found = (local_shape & ~resolved_local & ~in_registry) | (ext & ~in_registry)
+        nf_sev = E.SEV_WARNING
+    else:  # RequireResolution
+        not_found = (local_shape & ~resolved_local & ~in_registry) | (ext & ~in_registry)
+        nf_sev = E.SEV_ERROR
+
+    idx = cand[not_found]
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_REFERENCE, severity=nf_sev, rule_id=rule.id,
+        error_code=E.REFERENCE_NOT_FOUND, pointer_field="media_ref",
+        details=[_canon_details({"ref": r, "policy": policy}) for r in refs[not_found]],
+    )
+    idx = cand[type_mismatch]
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_REFERENCE,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=E.REFERENCE_TYPE_MISMATCH, pointer_field="media_ref",
+        details=[
+            _canon_details({"ref": r, "expected": str(c), "actual": str(a)})
+            for r, c, a in zip(
+                refs[type_mismatch],
+                claimed_kind[type_mismatch],
+                fs.kind_np[target_flat[type_mismatch]],
+            )
+        ],
+    )
+
+
+# -------------------------------------------------------- structural kernels
+def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
+    """STRUCTURE stage — the primary structural authority
+    (``Core/ValidationPipeline.cs:131-141``; kernels from
+    ``Validation/JsonNodeStructuralValidator.cs``):
+
+    - doc_id must match the FHIR id grammar (``:100-101``, ``:829-857``)
+    - spans.kind must be in the profile's allowed-kind enum binding
+      (``:500-548``; required binding -> error)
+    - span offsets strictly increasing within a row (the span-sequence
+      invariant ``(kind, text, media_ref, order)``)
+    """
+    settings = profile.settings
+    if settings.get("checkDocId", True):
+        ids = fs.doc_ids
+        ok = pc.match_substring_regex(ids, ID_GRAMMAR).fill_null(False)
+        bad = np.flatnonzero(pc.invert(ok).to_numpy(zero_copy_only=False))
+        sink.add_docs(
+            fs, bad,
+            source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
+            error_code=E.FHIR_INVALID_PRIMITIVE, path="doc_id",
+            details=[_canon_details({"field": "doc_id", "actual": str(v)})
+                     for v in fs.doc_ids_np[bad]],
+        )
+    if profile.allowed_kinds:
+        m = pc.is_in(fs.kind, value_set=pa.array(profile.allowed_kinds, type=pa.string()))
+        bad = np.flatnonzero(pc.invert(m).fill_null(True).to_numpy(zero_copy_only=False))
+        sink.add_spans(
+            fs, bad,
+            source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
+            error_code=E.INVALID_ENUM_VALUE, pointer_field="kind",
+            details=[_canon_details({"actual": str(v), "allowed": list(profile.allowed_kinds)})
+                     for v in fs.kind_np[bad]],
+        )
+    if settings.get("checkSpanOrder", True) and fs.n_spans:
+        offs = np.asarray(fs.offset).astype(np.int64)
+        same_doc = np.zeros(fs.n_spans, dtype=bool)
+        same_doc[1:] = fs.parent[1:] == fs.parent[:-1]
+        nonincreasing = np.zeros(fs.n_spans, dtype=bool)
+        nonincreasing[1:] = offs[1:] <= offs[:-1]
+        bad = np.flatnonzero(same_doc & nonincreasing)
+        sink.add_spans(
+            fs, bad,
+            source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
+            error_code=E.SPAN_SEQUENCE_INVALID, pointer_field="offset",
+            details=[_canon_details({"offset": int(o), "prev": int(p)})
+                     for o, p in zip(offs[bad], offs[bad - 1])],
+        )
+
+
+# ------------------------------------------------------------ compiled profile
+@dataclass
+class CompiledProfile:
+    """Profile compiled to kernel-ready state. Built ONCE per validator actor
+    (vs per-evaluation compilation in the reference,
+    ``FhirPathRuleEngine.cs:2163``)."""
+
+    profile: Profile
+    concept_sets: dict[str, np.ndarray] = field(default_factory=dict)
+    registry_keys: np.ndarray | None = None
+    emit_details: bool = True
+
+    def __post_init__(self):
+        for url, cs in self.profile.code_systems.items():
+            self.concept_sets[url] = np.array(cs.concepts, dtype="U")
+
+    def validate_batch(self, batch: pa.Table) -> pa.Table:
+        from .flatten import flatten_batch
+
+        fs = flatten_batch(batch)
+        sink = ViolationSink(emit_details=self.emit_details)
+
+        # stage 1: STRUCTURE (primary authority — runs before business rules)
+        k_structural(self.profile, fs, sink)
+
+        # kind dictionary shared by RequiredSpans kernels
+        kind_codes = kind_dict = None
+
+        # stages 4-6: business rules / CodeMaster analogues / references —
+        # strict pipeline order by source rank, then profile order
+        ordered = sorted(
+            self.profile.rules,
+            key=lambda r: 1 if r.type != "Reference" else 3,
+        )
+        for rule in ordered:
+            try:
+                if rule.type == "RequiredSpans":
+                    if kind_codes is None:
+                        dict_arr = pc.dictionary_encode(fs.kind)
+                        kind_codes = np.asarray(dict_arr.indices)
+                        kind_dict = [str(v) for v in dict_arr.dictionary.to_pylist()]
+                    k_required_spans(rule, fs, sink, kind_codes, kind_dict)
+                    continue
+                if rule.type == "ArrayLength":
+                    k_array_length(rule, fs, np.empty(0, bool), sink)
+                    continue
+                sel = selection_mask(rule, fs)
+                if rule.type == "Required":
+                    k_required(rule, fs, sel, sink)
+                elif rule.type == "FixedValue":
+                    k_fixed_value(rule, fs, sel, sink)
+                elif rule.type == "AllowedValues":
+                    k_allowed_values(rule, fs, sel, sink)
+                elif rule.type == "Regex":
+                    k_regex(rule, fs, sel, sink)
+                elif rule.type == "CodeSystem":
+                    k_code_system(rule, fs, sel, sink,
+                                  self.concept_sets[rule.params["system"]])
+                elif rule.type == "CustomPredicate":
+                    k_custom_predicate(rule, fs, sel, sink)
+                elif rule.type == "Reference":
+                    k_reference(rule, fs, sel, sink, self.registry_keys)
+            except Exception as exc:  # error isolation per rule
+                sink.add_docs(
+                    fs, np.arange(0, 1) if fs.n_docs else np.empty(0, np.int64),
+                    source=E.SRC_PIPELINE, severity=E.SEV_ERROR, rule_id=rule.id,
+                    error_code=E.RULE_EXECUTION_ERROR, path="",
+                    details=[_canon_details({"error": type(exc).__name__, "msg": str(exc)[:200]})],
+                )
+
+        return sink.finalize(
+            dedup_structure=self.profile.settings.get("dedupStructure", True)
+        )

@@ -1,0 +1,225 @@
+"""DuckDB oracle SQL for every validation operator.
+
+Each engine kernel has an equivalent ANSI-SQL formulation over the FLATTENED
+fixture parquet (``spans_flat.parquet``) — the driver runs both sides and
+compares row count + schema + order-insensitive value hash. Column names and
+dtypes match the Ray side exactly: ``span_index`` is INTEGER (int32),
+everything else VARCHAR except counts (BIGINT).
+
+SQL templates use placeholders {flat} {docs} {dup} {registry} filled with the
+fixture paths for the scale factor under test.
+"""
+
+from __future__ import annotations
+
+EMPTY = "(text IS NULL OR trim(text) = '')"
+
+ALLOWED_KINDS_SQL = "('Patient','Observation','Coding','Encounter','text','image','audio')"
+
+V_REQUIRED = f"""
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REQUIRED_FIELD_MISSING' AS error_code, 'error' AS severity
+FROM read_parquet('{{flat}}')
+WHERE kind = 'Patient' AND {EMPTY}
+"""
+
+V_FIXED_VALUE = f"""
+WITH e AS (
+  SELECT doc_id, span_index, text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY span_index) AS rn
+  FROM read_parquet('{{flat}}') WHERE kind = 'Encounter')
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'FIXED_VALUE_MISMATCH' AS error_code, 'error' AS severity
+FROM e WHERE rn = 1 AND NOT {EMPTY} AND text <> 'ambulatory'
+"""
+
+V_ALLOWED_VALUES = f"""
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'VALUE_NOT_ALLOWED' AS error_code, 'error' AS severity
+FROM read_parquet('{{flat}}')
+WHERE kind = 'Observation' AND NOT {EMPTY} AND text NOT IN ('final','amended')
+"""
+
+V_REGEX = f"""
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'PATTERN_MISMATCH' AS error_code, 'error' AS severity
+FROM read_parquet('{{flat}}')
+WHERE kind = 'Patient' AND NOT {EMPTY}
+  AND NOT regexp_matches(text, '^[STFG]\\d{{7}}[A-Z]$')
+"""
+
+V_ARRAY_LENGTH = """
+SELECT doc_id, CAST(-1 AS INTEGER) AS span_index,
+       'ARRAY_LENGTH_OUT_OF_RANGE' AS error_code, 'error' AS severity
+FROM read_parquet('{docs}')
+WHERE len(spans) < 1 OR len(spans) > 100
+"""
+
+V_CODE_SYSTEM = f"""
+WITH c AS (
+  SELECT doc_id, span_index,
+         CASE WHEN strpos(text,'|') > 0 THEN split_part(text,'|',1) END AS sys,
+         CASE WHEN strpos(text,'|') > 0 THEN split_part(text,'|',2) ELSE text END AS code
+  FROM read_parquet('{{flat}}')
+  WHERE kind = 'Coding' AND NOT {EMPTY})
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'CODESYSTEM_MISMATCH' AS error_code, 'error' AS severity
+FROM c WHERE sys IS NOT NULL AND sys <> 'https://example.org/cs/language'
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'CODE_NOT_IN_VALUESET' AS error_code, 'error' AS severity
+FROM c WHERE (sys IS NULL OR sys = 'https://example.org/cs/language')
+  AND code NOT IN ('EN','MS','TA')
+"""
+
+V_REQUIRED_SPANS = """
+WITH counts AS (
+  SELECT d.doc_id,
+         (SELECT count(*) FROM read_parquet('{flat}') f
+          WHERE f.doc_id = d.doc_id AND f.kind = 'Patient') AS c
+  FROM read_parquet('{docs}') d)
+SELECT doc_id, CAST(-1 AS INTEGER) AS span_index,
+       'RESOURCE_REQUIREMENT_VIOLATION' AS error_code, 'error' AS severity
+FROM counts WHERE c < 1 OR c > 20
+"""
+
+V_CUSTOM_PREDICATE = f"""
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'CUSTOMFHIRPATH_CONDITION_FAILED' AS error_code, 'error' AS severity
+FROM read_parquet('{{flat}}')
+WHERE kind = 'Observation' AND NOT (text IS NOT NULL AND text <> 'cancelled')
+"""
+
+V_STRUCTURE = """
+SELECT doc_id, CAST(-1 AS INTEGER) AS span_index,
+       'FHIR_INVALID_PRIMITIVE' AS error_code, 'error' AS severity
+FROM read_parquet('{docs}')
+WHERE NOT regexp_matches(doc_id, '^[A-Za-z0-9.\\-]{1,64}$')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ENUM_VALUE', 'error'
+FROM read_parquet('{flat}') WHERE kind NOT IN __ALLOWED__
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'SPAN_SEQUENCE_INVALID', 'error'
+FROM (SELECT doc_id, span_index, "offset",
+             lag("offset") OVER (PARTITION BY doc_id ORDER BY span_index) AS prev
+      FROM read_parquet('{flat}'))
+WHERE prev IS NOT NULL AND "offset" <= prev
+""".replace("__ALLOWED__", ALLOWED_KINDS_SQL)
+
+# Shared parse of reference strings: first occurrence per (doc, ref), local
+# shape "<Kind>/<doc>.<offset>" vs external; resolution = join back on the
+# target offset within the SAME document.
+_REFS_CTE = """
+WITH refs AS (
+  SELECT doc_id, min(span_index) AS span_index, media_ref
+  FROM read_parquet('{flat}')
+  WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''
+  GROUP BY doc_id, media_ref),
+parsed AS (
+  SELECT r.*,
+    CASE WHEN media_ref LIKE 'urn:%' THEN ''
+         ELSE regexp_extract(media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 1) END AS claimed,
+    CASE WHEN media_ref LIKE 'urn:%' THEN ''
+         ELSE regexp_extract(media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 2) END AS tdoc,
+    CASE WHEN media_ref LIKE 'urn:%' THEN NULL
+         ELSE try_cast(nullif(regexp_extract(media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 3), '') AS INTEGER) END AS toff
+  FROM refs r),
+resolved AS (
+  SELECT p.*, t.kind AS target_kind,
+         (p.claimed <> '') AS is_local,
+         (t.doc_id IS NOT NULL) AS ok_local
+  FROM parsed p
+  LEFT JOIN read_parquet('{flat}') t
+    ON p.claimed <> '' AND p.tdoc = p.doc_id
+   AND t.doc_id = p.doc_id AND t."offset" = p.toff)
+"""
+
+V_REFERENCE_INBUNDLE = (
+    _REFS_CTE
+    + """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_NOT_FOUND' AS error_code, 'error' AS severity
+FROM resolved WHERE (is_local AND NOT ok_local) OR NOT is_local
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_TYPE_MISMATCH' AS error_code, 'error' AS severity
+FROM resolved WHERE ok_local AND target_kind <> claimed
+"""
+)
+
+V_REFERENCE_REQUIRE = (
+    _REFS_CTE
+    + """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_NOT_FOUND' AS error_code, 'error' AS severity
+FROM resolved
+WHERE NOT ok_local
+  AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{registry}'))
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_TYPE_MISMATCH' AS error_code, 'error' AS severity
+FROM resolved WHERE ok_local AND target_kind <> claimed
+"""
+)
+
+V_REFERENCE_ALLOW_EXTERNAL = (
+    _REFS_CTE
+    + """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_NOT_FOUND' AS error_code, 'warning' AS severity
+FROM resolved
+WHERE NOT ok_local
+  AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{registry}'))
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_TYPE_MISMATCH' AS error_code, 'error' AS severity
+FROM resolved WHERE ok_local AND target_kind <> claimed
+"""
+)
+
+# External refs (non-local-shaped) anti-joined against the registry — the
+# partitioned-hash-join stage. No per-document dedup on this path.
+V_REFERENCE_JOIN = """
+SELECT f.doc_id, CAST(f.span_index AS INTEGER) AS span_index,
+       'REFERENCE_NOT_FOUND' AS error_code, 'error' AS severity
+FROM read_parquet('{flat}') f
+WHERE f.media_ref IS NOT NULL AND trim(f.media_ref) <> ''
+  AND regexp_extract(f.media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 1) = ''
+  AND f.media_ref NOT IN (SELECT media_ref FROM read_parquet('{registry}'))
+"""
+
+V_UNIQUENESS = """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{dup}')
+GROUP BY doc_id HAVING count(*) > 1
+"""
+
+def fill(sql: str, paths: dict[str, str]) -> str:
+    """Substitute {flat}/{docs}/{dup}/{registry} placeholders by literal
+    replacement (NOT str.format — the SQL contains regex quantifier braces)."""
+    for k, v in paths.items():
+        sql = sql.replace("{%s}" % k, v)
+    return sql
+
+
+def summary_sql() -> str:
+    """Summary of the full default profile = union of all per-rule result
+    sets, counted by (error_code, severity). R8 uses RequireResolution (the
+    default profile's policy)."""
+    parts = [
+        V_REQUIRED,
+        V_FIXED_VALUE,
+        V_ALLOWED_VALUES,
+        V_REGEX,
+        V_ARRAY_LENGTH,
+        V_CODE_SYSTEM,
+        V_REQUIRED_SPANS,
+        V_STRUCTURE,
+        V_REFERENCE_REQUIRE,
+    ]
+    body = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+    return (
+        "SELECT error_code, severity, CAST(count(*) AS BIGINT) AS n FROM (\n"
+        + body
+        + "\n) GROUP BY error_code, severity"
+    )

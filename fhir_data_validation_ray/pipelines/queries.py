@@ -1,0 +1,155 @@
+"""Per-operator query callables + their DuckDB oracle SQL.
+
+Each entry runs ONE operator of the engine over the deterministic fixture
+tables for a scale-factor dir and returns a result the driver can compare
+against the matching oracle SQL (same column names, same dtypes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pyarrow as pa
+
+from ..sources.readers import read_documents, read_registry, registry_keys_numpy
+from ..stages.reference import reference_integrity_join
+from ..stages.uniqueness import duplicate_doc_ids
+from ..stages.validator import validate_dataset
+from . import oracle
+from .profiles import default_profile, single_rule_profile
+from .validate import fixture_paths
+
+RESULT_COLS = ["doc_id", "span_index", "error_code", "severity"]
+
+
+def _violations_for(sf_dir: str, profile_obj: dict[str, Any]):
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    reg = registry_keys_numpy(paths["registry"])
+    v = validate_dataset(docs, profile_obj, registry_keys=reg, emit_details=False)
+    return v.select_columns(RESULT_COLS)
+
+
+def _rule_query(rule_id: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        return _violations_for(sf_dir, single_rule_profile(rule_id))
+
+    return run
+
+
+def _reference_query(policy: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        p = single_rule_profile("R8")
+        p["rules"][0]["params"]["policy"] = policy
+        return _violations_for(sf_dir, p)
+
+    return run
+
+
+def _structure_query(sf_dir: str):
+    p = default_profile()
+    p["rules"] = []
+    return _violations_for(sf_dir, p)
+
+
+def _custom_predicate_query(sf_dir: str):
+    p = single_rule_profile("R1")
+    p["rules"] = [
+        {"id": "C1", "type": "CustomPredicate", "kind": "Observation",
+         "fieldPath": "text", "params": {"expr": "text != 'cancelled'"}}
+    ]
+    return _violations_for(sf_dir, p)
+
+
+def _filter_scope_query(sf_dir: str):
+    """Regex rule gated by a filter InstanceScope — exercises the condition
+    mini-language (``Models/InstanceScope.cs:59-89``)."""
+    p = single_rule_profile("R1")
+    p["rules"] = [
+        {"id": "F1", "type": "Regex", "kind": "Patient", "fieldPath": "text",
+         "instanceScope": {"kind": "filter", "condition": "media_ref != ''"},
+         "params": {"pattern": "^[STFG]\\d{7}[A-Z]$"}}
+    ]
+    return _violations_for(sf_dir, p)
+
+
+V_FILTER_SCOPE_SQL = (
+    """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'PATTERN_MISMATCH' AS error_code, 'error' AS severity
+FROM read_parquet('{flat}')
+WHERE kind = 'Patient' AND media_ref IS NOT NULL AND media_ref <> ''
+  AND NOT """
+    + oracle.EMPTY
+    + """
+  AND NOT regexp_matches(text, '^[STFG]\\d{7}[A-Z]$')
+"""
+)
+
+
+def _reference_join_query(sf_dir: str):
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    registry = read_registry(paths["registry"])
+    out = reference_integrity_join(docs, registry, num_buckets=16, salt=2)
+    return out.select_columns(RESULT_COLS)
+
+
+def _uniqueness_query(sf_dir: str):
+    import os
+
+    paths = fixture_paths(sf_dir)
+    dup = read_documents(os.path.join(os.path.dirname(paths["docs"]), "docs_dup.parquet"))
+    return duplicate_doc_ids(dup)
+
+
+def _summary_query(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    v = _violations_for(sf_dir, default_profile())
+    return v.groupby(["error_code", "severity"]).aggregate(Count(alias_name="n"))
+
+
+def validation_queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "v_required": _rule_query("R1"),
+        "v_fixed_value": _rule_query("R2"),
+        "v_allowed_values": _rule_query("R3"),
+        "v_regex": _rule_query("R4"),
+        "v_array_length": _rule_query("R5"),
+        "v_code_system": _rule_query("R6"),
+        "v_required_spans": _rule_query("R7"),
+        "v_custom_predicate": _custom_predicate_query,
+        "v_filter_scope": _filter_scope_query,
+        "v_structure": _structure_query,
+        "v_reference_inbundle": _reference_query("InBundleOnly"),
+        "v_reference_require": _reference_query("RequireResolution"),
+        "v_reference_allow_external": _reference_query("AllowExternal"),
+        "v_reference_join": _reference_join_query,
+        "v_uniqueness": _uniqueness_query,
+        "v_summary": _summary_query,
+    }
+
+
+def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
+    o = {
+        "v_required": oracle.V_REQUIRED,
+        "v_fixed_value": oracle.V_FIXED_VALUE,
+        "v_allowed_values": oracle.V_ALLOWED_VALUES,
+        "v_regex": oracle.V_REGEX,
+        "v_array_length": oracle.V_ARRAY_LENGTH,
+        "v_code_system": oracle.V_CODE_SYSTEM,
+        "v_required_spans": oracle.V_REQUIRED_SPANS,
+        "v_custom_predicate": oracle.V_CUSTOM_PREDICATE,
+        "v_filter_scope": V_FILTER_SCOPE_SQL,
+        "v_structure": oracle.V_STRUCTURE,
+        "v_reference_inbundle": oracle.V_REFERENCE_INBUNDLE,
+        "v_reference_require": oracle.V_REFERENCE_REQUIRE,
+        "v_reference_allow_external": oracle.V_REFERENCE_ALLOW_EXTERNAL,
+        "v_reference_join": oracle.V_REFERENCE_JOIN,
+        "v_uniqueness": oracle.V_UNIQUENESS,
+        "v_summary": oracle.summary_sql(),
+    }
+    full = dict(paths)
+    full.setdefault("dup", paths["docs"].replace("docs_spans.parquet", "docs_dup.parquet"))
+    return {k: oracle.fill(sql, full) for k, sql in o.items()}

@@ -1,0 +1,303 @@
+"""Validation-profile model (the ``rules.json`` analogue).
+
+Shape and vocabulary mirror the reference rule DSL:
+- ``Models/RuleSet.cs:10-129`` (RuleSet / RuleDefinition),
+- ``Models/InstanceScope.cs:9-89`` (all | first | filter),
+- ``docs/03_rule_dsl_spec.md:12-59`` (rule-type vocabulary),
+- ``docs/04_data_inputs_spec.md:26-45`` (codeSystems shape).
+
+A profile is compiled ONCE per validator actor (``__init__``) — an explicit
+improvement over the reference, which recompiles FHIRPath per evaluation
+(``RuleEngines/FhirPathRuleEngine.cs:2163``).
+
+Compile-time validation mirrors ``Services/FieldPathValidator.cs`` and the
+governance contract of fixed error codes per rule type
+(``RuleEngines/FhirPathRuleEngine.cs:1036-1051``): a malformed rule fails at
+profile-compile time on the driver, never inside a worker.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from . import errors as E
+
+RULE_TYPES = (
+    "Required",
+    "FixedValue",
+    "AllowedValues",
+    "Regex",
+    "ArrayLength",
+    "CodeSystem",
+    "CustomPredicate",
+    "RequiredSpans",
+    "Reference",
+)
+
+# Span fields addressable by fieldPath / filter conditions. ``spans`` is the
+# document-level array (ArrayLength target).
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+DOC_FIELDS = ("doc_id", "spans")
+
+SCOPE_KINDS = ("all", "first", "filter")
+
+REFERENCE_POLICIES = ("InBundleOnly", "AllowExternal", "RequireResolution")
+
+# Default validation class per rule type (``Models/ValidationClass.cs:14-44``).
+DEFAULT_CLASS = {t: E.CLASS_CONTRACT for t in RULE_TYPES}
+
+_COND_RE = re.compile(
+    r"""^\s*(kind|text|media_ref|offset)\s*"""
+    r"""(==|!=|=|\bcontains\b|\bstartswith\b|\bmatches\b|\bin\b)\s*(.+?)\s*$""",
+    re.VERBOSE,
+)
+
+
+class ProfileError(ValueError):
+    """Raised at profile-compile time (driver side) for malformed rules."""
+
+
+@dataclass(frozen=True)
+class Condition:
+    """One comparison of the mini filter language: ``field op value``.
+
+    The analogue of the reference's FilteredInstances FHIRPath condition
+    (``Models/InstanceScope.cs:59-89``) and the RequiredResources ``where``
+    operators ``=``, ``!=``, ``contains``, ``in``
+    (``RuleEngines/FhirPathRuleEngine.cs:1888-1923``).
+    """
+
+    fld: str
+    op: str
+    value: Any  # str | int | list[str]
+
+
+@dataclass(frozen=True)
+class InstanceScope:
+    kind: str = "all"  # all | first | filter
+    conditions: tuple[Condition, ...] = ()
+
+    def stable_key(self) -> str:
+        # ``Models/InstanceScope.cs:22-25`` ToStableKey analogue (dup detection)
+        parts = [self.kind] + [f"{c.fld}{c.op}{c.value!r}" for c in self.conditions]
+        return "|".join(parts)
+
+
+@dataclass(frozen=True)
+class SpanRequirement:
+    kind: str
+    min: int = 0
+    max: int | None = None
+    where: tuple[Condition, ...] = ()
+
+
+@dataclass(frozen=True)
+class RuleDef:
+    id: str
+    type: str
+    kind: str = "*"  # target span kind; "*" = any (≈ resourceType)
+    field_path: str = "text"
+    scope: InstanceScope = field(default_factory=InstanceScope)
+    severity: str = E.SEV_ERROR
+    validation_class: str = E.CLASS_CONTRACT
+    error_code: str | None = None  # overridable (ArrayLength only, per reference)
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class CodeSystem:
+    url: str
+    concepts: tuple[str, ...]
+
+
+@dataclass
+class Profile:
+    version: str
+    rules: list[RuleDef]
+    code_systems: dict[str, CodeSystem]
+    allowed_kinds: tuple[str, ...] = ()  # enum binding for spans.kind ("" = open)
+    settings: dict[str, Any] = field(default_factory=dict)
+
+    @staticmethod
+    def from_json(text: str) -> "Profile":
+        return parse_profile(json.loads(text))
+
+    @staticmethod
+    def from_file(path: str) -> "Profile":
+        with open(path) as f:
+            return parse_profile(json.load(f))
+
+
+def parse_condition(expr: str) -> Condition:
+    m = _COND_RE.match(expr)
+    if not m:
+        raise ProfileError(f"unparseable condition: {expr!r}")
+    fld, op, raw = m.group(1), m.group(2), m.group(3)
+    if op == "=":
+        op = "=="
+    value: Any
+    if op == "in":
+        if not (raw.startswith("[") and raw.endswith("]")):
+            raise ProfileError(f"'in' expects a [list]: {expr!r}")
+        value = [_unquote(v.strip()) for v in raw[1:-1].split(",") if v.strip()]
+    elif fld == "offset":
+        try:
+            value = int(raw)
+        except ValueError as e:
+            raise ProfileError(f"offset comparison needs an int: {expr!r}") from e
+    else:
+        value = _unquote(raw)
+    if op == "matches":
+        try:
+            re.compile(str(value))
+        except re.error as e:
+            raise ProfileError(f"bad regex in condition {expr!r}: {e}") from e
+    return Condition(fld, op, value)
+
+
+def _unquote(s: str) -> str:
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
+        return s[1:-1]
+    return s
+
+
+def _parse_scope(obj: Any) -> InstanceScope:
+    if obj is None:
+        return InstanceScope()
+    kind = obj.get("kind", "all")
+    if kind not in SCOPE_KINDS:
+        raise ProfileError(f"unknown instanceScope kind: {kind!r}")
+    conds: tuple[Condition, ...] = ()
+    if kind == "filter":
+        raw = obj.get("condition")
+        if not raw:
+            raise ProfileError("filter scope requires a condition")
+        conds = tuple(parse_condition(p) for p in str(raw).split(" and "))
+    return InstanceScope(kind, conds)
+
+
+def _parse_where(items: Any) -> tuple[Condition, ...]:
+    if not items:
+        return ()
+    out = []
+    for it in items:
+        if isinstance(it, str):
+            out.append(parse_condition(it))
+        else:  # {"field":..,"op":..,"value":..} object form
+            out.append(
+                parse_condition(f"{it['field']} {it.get('op', '==')} {json.dumps(it['value'])}")
+            )
+    return tuple(out)
+
+
+def parse_profile(obj: dict[str, Any]) -> Profile:
+    """Parse + validate a profile dict. Fails fast (ProfileError) on any
+    malformed rule — the compile-time analogue of FieldPathValidator +
+    RULE_CONFIGURATION_ERROR paths."""
+    rules: list[RuleDef] = []
+    seen_ids: set[str] = set()
+    code_systems: dict[str, CodeSystem] = {}
+
+    for cs in obj.get("codeSystems", []) or []:
+        url = cs.get("url") or cs.get("system")
+        if not url:
+            raise ProfileError("codeSystem without url")
+        concepts = tuple(
+            c["code"] if isinstance(c, dict) else str(c) for c in cs.get("concept", cs.get("concepts", []))
+        )
+        code_systems[url] = CodeSystem(url=url, concepts=concepts)
+
+    for r in obj.get("rules", []) or []:
+        rid = r.get("id")
+        rtype = r.get("type")
+        if not rid:
+            raise ProfileError(f"rule without id: {r}")
+        if rid in seen_ids:
+            raise ProfileError(f"duplicate rule id: {rid}")
+        seen_ids.add(rid)
+        if rtype not in RULE_TYPES:
+            raise ProfileError(f"rule {rid}: unknown type {rtype!r}")
+        fp = r.get("fieldPath", "text")
+        params = dict(r.get("params", {}) or {})
+        scope = _parse_scope(r.get("instanceScope"))
+        _validate_rule(rid, rtype, fp, params, code_systems)
+        if rtype == "RequiredSpans":
+            reqs = []
+            for q in params.get("requirements", []):
+                reqs.append(
+                    SpanRequirement(
+                        kind=q["kind"],
+                        min=int(q.get("min", 0)),
+                        max=(int(q["max"]) if q.get("max") is not None else None),
+                        where=_parse_where(q.get("where")),
+                    )
+                )
+            params["requirements"] = reqs
+        rules.append(
+            RuleDef(
+                id=rid,
+                type=rtype,
+                kind=r.get("kind", r.get("resourceType", "*")),
+                field_path=fp,
+                scope=scope,
+                severity=r.get("severity", E.SEV_ERROR),
+                validation_class=r.get("validationClass", DEFAULT_CLASS[rtype]),
+                error_code=r.get("errorCode"),
+                params=params,
+            )
+        )
+
+    return Profile(
+        version=str(obj.get("version", "1.0")),
+        rules=rules,
+        code_systems=code_systems,
+        allowed_kinds=tuple(obj.get("allowedKinds", []) or []),
+        settings=dict(obj.get("settings", {}) or {}),
+    )
+
+
+def _validate_rule(
+    rid: str, rtype: str, fp: str, params: dict[str, Any], code_systems: dict[str, CodeSystem]
+) -> None:
+    if rtype == "ArrayLength":
+        if fp not in ("spans",) and fp not in SPAN_FIELDS:
+            raise ProfileError(f"rule {rid}: ArrayLength fieldPath must be 'spans'")
+        if params.get("min") is None and params.get("max") is None:
+            raise ProfileError(f"rule {rid}: ArrayLength needs min and/or max")
+    elif rtype in ("RequiredSpans", "Reference"):
+        pass
+    elif fp not in SPAN_FIELDS:
+        raise ProfileError(f"rule {rid}: fieldPath must be one of {SPAN_FIELDS}, got {fp!r}")
+
+    if rtype == "FixedValue" and "value" not in params:
+        raise ProfileError(f"rule {rid}: FixedValue needs params.value")
+    if rtype == "AllowedValues" and not params.get("values"):
+        raise ProfileError(f"rule {rid}: AllowedValues needs params.values")
+    if rtype == "Regex":
+        pat = params.get("pattern")
+        if not pat:
+            raise ProfileError(f"rule {rid}: Regex needs params.pattern")
+        try:
+            re.compile(pat)
+        except re.error as e:
+            raise ProfileError(f"rule {rid}: bad pattern: {e}") from e
+    if rtype == "CodeSystem":
+        sys_url = params.get("system")
+        if not sys_url:
+            raise ProfileError(f"rule {rid}: CodeSystem needs params.system")
+        # Unknown system is a RULE_CONFIGURATION_ERROR at runtime in the
+        # reference (``FhirPathRuleEngine.cs:1532-1543``); we fail at compile
+        # time when no terminology fallback is configured.
+        if sys_url not in code_systems:
+            raise ProfileError(f"rule {rid}: unknown code system {sys_url!r}")
+    if rtype == "CustomPredicate" and not params.get("expr") and not params.get("predicate"):
+        raise ProfileError(f"rule {rid}: CustomPredicate needs params.expr or params.predicate")
+    if rtype == "RequiredSpans" and not params.get("requirements"):
+        raise ProfileError(f"rule {rid}: RequiredSpans needs params.requirements")
+    if rtype == "Reference":
+        pol = params.get("policy", "InBundleOnly")
+        if pol not in REFERENCE_POLICIES:
+            raise ProfileError(f"rule {rid}: unknown reference policy {pol!r}")

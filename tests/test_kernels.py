@@ -1,0 +1,315 @@
+"""Per-kernel unit tests — the fixture style of the reference's engine tests
+(``FhirPathRuleEngineTests.cs``, grammar suites, ``ReferenceResolverTests.cs``):
+tiny documents built in code, assertions on (doc_id, span_index, error_code,
+severity) rows."""
+
+import pyarrow as pa
+
+from helpers import make_docs, profile_of, rows, validate
+
+from fhir_data_validation_ray import errors as E
+
+
+def s(kind, text=None, ref="", off=None):
+    return (kind, text, ref, off)
+
+
+def test_required_missing_and_whitespace():
+    docs = make_docs(
+        [
+            ("d1", [s("Patient", "S1234567A", off=0)]),
+            ("d2", [s("Patient", None, off=0)]),
+            ("d3", [s("Patient", "   ", off=0)]),
+            ("d4", [s("Observation", None, off=0)]),  # other kind: not selected
+        ]
+    )
+    p = profile_of({"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text"})
+    v = validate(docs, p)
+    assert rows(v) == [
+        ("d2", 0, "REQUIRED_FIELD_MISSING", "error"),
+        ("d3", 0, "REQUIRED_FIELD_MISSING", "error"),
+    ]
+
+
+def test_fixed_value_first_scope():
+    docs = make_docs(
+        [
+            ("d1", [s("Encounter", "inpatient", off=0), s("Encounter", "ambulatory", off=1)]),
+            ("d2", [s("Encounter", "ambulatory", off=0), s("Encounter", "inpatient", off=1)]),
+            ("d3", [s("Encounter", None, off=0)]),  # empty passes
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "FixedValue", "kind": "Encounter", "fieldPath": "text",
+         "instanceScope": {"kind": "first"}, "params": {"value": "ambulatory"}}
+    )
+    assert rows(validate(docs, p)) == [("d1", 0, "FIXED_VALUE_MISMATCH", "error")]
+
+
+def test_allowed_values_empty_passes():
+    docs = make_docs(
+        [
+            ("d1", [s("Observation", "final", off=0), s("Observation", "bogus", off=1)]),
+            ("d2", [s("Observation", "", off=0)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "AllowedValues", "kind": "Observation", "fieldPath": "text",
+         "params": {"values": ["final", "amended"]}}
+    )
+    assert rows(validate(docs, p)) == [("d1", 1, "VALUE_NOT_ALLOWED", "error")]
+
+
+def test_regex_search_semantics():
+    docs = make_docs(
+        [
+            ("d1", [s("Patient", "S1234567A", off=0)]),
+            ("d2", [s("Patient", "x1234567A", off=0)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "Regex", "kind": "Patient", "fieldPath": "text",
+         "params": {"pattern": "^[STFG]\\d{7}[A-Z]$"}}
+    )
+    assert rows(validate(docs, p)) == [("d2", 0, "PATTERN_MISMATCH", "error")]
+
+
+def test_regex_python_fallback_lane():
+    # lookbehind is not RE2-supported -> Python re lane (RuleEvaluationPlanner
+    # dual-lane analogue)
+    docs = make_docs(
+        [("d1", [s("text", "abcX", off=0)]), ("d2", [s("text", "zzzY", off=0)])]
+    )
+    p = profile_of(
+        {"id": "R", "type": "Regex", "kind": "text", "fieldPath": "text",
+         "params": {"pattern": "(?<=abc)X"}}
+    )
+    assert rows(validate(docs, p)) == [("d2", 0, "PATTERN_MISMATCH", "error")]
+
+
+def test_array_length_bounds_and_kind_restriction():
+    docs = make_docs(
+        [
+            ("d1", []),
+            ("d2", [s("text", "a", off=i) for i in range(3)]),
+            ("d3", [s("text", "a", off=0)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "ArrayLength", "kind": "*", "fieldPath": "spans",
+         "params": {"min": 1, "max": 2}}
+    )
+    assert rows(validate(docs, p)) == [
+        ("d1", -1, "ARRAY_LENGTH_OUT_OF_RANGE", "error"),
+        ("d2", -1, "ARRAY_LENGTH_OUT_OF_RANGE", "error"),
+    ]
+
+
+def test_code_system_mismatch_and_unknown_code():
+    docs = make_docs(
+        [
+            ("d1", [s("Coding", "EN", off=0)]),
+            ("d2", [s("Coding", "XX", off=0)]),
+            ("d3", [s("Coding", "https://cs/lang|EN", off=0)]),
+            ("d4", [s("Coding", "wrong|EN", off=0)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "CodeSystem", "kind": "Coding", "fieldPath": "text",
+         "params": {"system": "https://cs/lang"}},
+        codeSystems=[{"url": "https://cs/lang", "concept": [{"code": "EN"}, {"code": "MS"}]}],
+    )
+    assert rows(validate(docs, p)) == [
+        ("d2", 0, "CODE_NOT_IN_VALUESET", "error"),
+        ("d4", 0, "CODESYSTEM_MISMATCH", "error"),
+    ]
+
+
+def test_required_spans_counts_and_reject_undeclared():
+    docs = make_docs(
+        [
+            ("d1", [s("Patient", "a", off=0)]),
+            ("d2", [s("Observation", "x", off=0)]),
+            ("d3", [s("Patient", "a", off=0), s("Patient", "b", off=1), s("Patient", "c", off=2)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "RequiredSpans", "kind": "*",
+         "params": {"requirements": [{"kind": "Patient", "min": 1, "max": 2}],
+                    "rejectUndeclared": True}}
+    )
+    got = rows(validate(docs, p))
+    assert ("d2", -1, "RESOURCE_REQUIREMENT_VIOLATION", "error") in got  # min
+    assert ("d3", -1, "RESOURCE_REQUIREMENT_VIOLATION", "error") in got  # max
+    # d2's Observation is undeclared
+    assert got.count(("d2", -1, "RESOURCE_REQUIREMENT_VIOLATION", "error")) == 2
+
+
+def test_required_spans_where_filter():
+    docs = make_docs(
+        [
+            ("d1", [s("Observation", "final", off=0)]),
+            ("d2", [s("Observation", "draft", off=0)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "RequiredSpans", "kind": "*",
+         "params": {"requirements": [
+             {"kind": "Observation", "min": 1, "where": ["text == 'final'"]}]}}
+    )
+    assert rows(validate(docs, p)) == [("d2", -1, "RESOURCE_REQUIREMENT_VIOLATION", "error")]
+
+
+def test_reference_local_resolution_and_type_mismatch():
+    docs = make_docs(
+        [
+            ("d1", [s("Patient", "a", off=0), s("Observation", "x", "Patient/d1.0", off=1)]),
+            ("d2", [s("Patient", "a", off=0), s("Observation", "x", "Encounter/d2.0", off=1)]),
+            ("d3", [s("Observation", "x", "Patient/d3.9", off=0)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "Reference", "kind": "*",
+         "params": {"policy": "InBundleOnly"}}
+    )
+    assert rows(validate(docs, p)) == [
+        ("d2", 1, "REFERENCE_TYPE_MISMATCH", "error"),
+        ("d3", 0, "REFERENCE_NOT_FOUND", "error"),
+    ]
+
+
+def test_reference_policies_registry_and_severity():
+    docs = make_docs([("d1", [s("image", "", "urn:uuid:beef", off=0),
+                              s("image", "", "urn:uuid:dead", off=1)])])
+    rule = {"id": "R", "type": "Reference", "kind": "*", "params": {"policy": "AllowExternal"}}
+    v = validate(docs, profile_of(dict(rule)), registry=["urn:uuid:beef"])
+    assert rows(v) == [("d1", 1, "REFERENCE_NOT_FOUND", "warning")]
+
+    rule["params"]["policy"] = "RequireResolution"
+    v = validate(docs, profile_of(dict(rule)), registry=["urn:uuid:beef"])
+    assert rows(v) == [("d1", 1, "REFERENCE_NOT_FOUND", "error")]
+
+    rule["params"]["policy"] = "InBundleOnly"
+    v = validate(docs, profile_of(dict(rule)), registry=["urn:uuid:beef"])
+    assert len(rows(v)) == 2  # external refs are never in-bundle
+
+
+def test_reference_per_doc_dedup():
+    # identical ref twice in one doc -> one violation (ReferenceResolver.cs:89-103)
+    docs = make_docs(
+        [("d1", [s("image", "", "urn:uuid:x", off=0), s("image", "", "urn:uuid:x", off=1)])]
+    )
+    p = profile_of({"id": "R", "type": "Reference", "kind": "*",
+                    "params": {"policy": "RequireResolution"}})
+    assert len(rows(validate(docs, p, registry=["urn:uuid:other"]))) == 1
+
+
+def test_custom_predicate_expr():
+    docs = make_docs(
+        [("d1", [s("Observation", "final", off=0)]),
+         ("d2", [s("Observation", "cancelled", off=0)]),
+         ("d3", [s("Observation", None, off=0)])]
+    )
+    p = profile_of(
+        {"id": "R", "type": "CustomPredicate", "kind": "Observation", "fieldPath": "text",
+         "params": {"expr": "text != 'cancelled'"}}
+    )
+    assert rows(validate(docs, p)) == [
+        ("d2", 0, "CUSTOMFHIRPATH_CONDITION_FAILED", "error"),
+        ("d3", 0, "CUSTOMFHIRPATH_CONDITION_FAILED", "error"),
+    ]
+
+
+def test_custom_predicate_python_lane():
+    from fhir_data_validation_ray.functions.kernels import register_predicate
+    import numpy as np
+
+    register_predicate("text_is_short", lambda fs, idx: np.array(
+        [t is not None and len(t) < 6 for t in np.asarray(fs.text)[idx]], dtype=bool))
+    docs = make_docs([("d1", [s("text", "short", off=0)]),
+                      ("d2", [s("text", "waaaay too long", off=0)])])
+    p = profile_of(
+        {"id": "R", "type": "CustomPredicate", "kind": "text", "fieldPath": "text",
+         "params": {"predicate": "text_is_short"}}
+    )
+    assert rows(validate(docs, p)) == [("d2", 0, "CUSTOMFHIRPATH_CONDITION_FAILED", "error")]
+
+
+def test_structural_checks():
+    docs = make_docs(
+        [
+            ("bad id!", [s("Patient", "a", off=0)]),
+            ("ok1", [s("Wizard", "a", off=0)]),
+            ("ok2", [s("Patient", "a", off=5), s("Patient", "b", off=3)]),
+        ]
+    )
+    p = profile_of(allowedKinds=["Patient"])
+    p["settings"] = {"checkDocId": True, "checkSpanOrder": True}
+    got = rows(validate(docs, p))
+    assert ("bad id!", -1, "FHIR_INVALID_PRIMITIVE", "error") in got
+    assert ("ok1", 0, "INVALID_ENUM_VALUE", "error") in got
+    assert ("ok2", 1, "SPAN_SEQUENCE_INVALID", "error") in got
+
+
+def test_severity_resolution_advisory_downgrade():
+    docs = make_docs([("d1", [s("Patient", None, off=0)])])
+    p = profile_of(
+        {"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text",
+         "severity": "error", "validationClass": "Advisory"}
+    )
+    assert rows(validate(docs, p)) == [("d1", 0, "REQUIRED_FIELD_MISSING", "warning")]
+
+
+def test_fail_open_filter_condition():
+    # an unevaluable filter validates anyway (FhirPathRuleEngine.cs:2409-2415)
+    from fhir_data_validation_ray.profile import Condition, InstanceScope, RuleDef
+    from fhir_data_validation_ray.functions.kernels import selection_mask
+    from fhir_data_validation_ray.functions.flatten import flatten_batch
+
+    docs = make_docs([("d1", [s("Patient", None, off=0)])])
+    fs = flatten_batch(docs)
+    rule = RuleDef(id="R", type="Required", kind="Patient",
+                   scope=InstanceScope("filter", (Condition("offset", "contains", "x"),)))
+    assert selection_mask(rule, fs).tolist() == [True]
+
+
+def test_rule_execution_error_isolation():
+    # a kernel that raises produces RULE_EXECUTION_ERROR, not a crash
+    from fhir_data_validation_ray.functions.kernels import register_predicate
+
+    def boom(fs, idx):
+        raise RuntimeError("kaboom")
+
+    register_predicate("boom", boom)
+    docs = make_docs([("d1", [s("text", "a", off=0)])])
+    p = profile_of(
+        {"id": "RB", "type": "CustomPredicate", "kind": "text", "fieldPath": "text",
+         "params": {"predicate": "boom"}}
+    )
+    v = validate(docs, p)
+    assert v["error_code"].to_pylist() == ["RULE_EXECUTION_ERROR"]
+
+
+def test_dedup_structure_priority():
+    # a Business rule emitting the same (error_code, json_pointer) as a
+    # STRUCTURE row is suppressed (Core/ValidationPipeline.cs:783-827)
+    docs = make_docs([("d1", [s("Wizard", "a", off=0)])])
+    p = profile_of(
+        {"id": "R", "type": "AllowedValues", "kind": "*", "fieldPath": "kind",
+         "errorCode": "INVALID_ENUM_VALUE", "params": {"values": ["Patient"]}},
+        allowedKinds=["Patient"],
+    )
+    p["settings"]["dedupStructure"] = True
+    v = validate(docs, p)
+    got = rows(v, "error_code", "source")
+    assert got == [("INVALID_ENUM_VALUE", "STRUCTURE")]
+
+
+def test_input_not_mutated():
+    # zero-mutation guarantee (docs/01_architecture_spec.md:29): validation
+    # leaves the input batch byte-identical (span-sequence invariant)
+    docs = make_docs([("d1", [s("Patient", "x", "u", 0), s("text", "y", "", 1)])])
+    clone = pa.Table.from_batches(docs.to_batches())
+    p = profile_of({"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text"})
+    validate(docs, p)
+    assert docs.equals(clone)

@@ -1,0 +1,48 @@
+"""Ray-pipeline vs DuckDB-oracle parity at sf0.001 — the local twin of the
+driver's CORRECTNESS gate (same comparison: row count + columns + order-
+insensitive values)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+QUERY_NAMES = None
+
+
+def _query_names():
+    from fhir_data_validation_ray.pipelines.queries import validation_queries
+
+    return sorted(validation_queries().keys())
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = pd.to_numeric(df[c]).astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(ray_session, name):
+    from fhir_data_validation_ray.pipelines.queries import (
+        validation_oracles,
+        validation_queries,
+    )
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths = fixture_paths(sf_dir)
+    q = validation_queries()[name]
+    result = q(sf_dir)
+    got = result.to_pandas() if hasattr(result, "to_pandas") else pd.DataFrame(result)
+
+    sql = validation_oracles(paths)[name]
+    want = duckdb.sql(sql).df()
+
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), f"{name}: columns {g.columns} vs {w.columns}"
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
