@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+--scaling: runs the headline pipeline in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same (pre-generated, page-cache-warmed) input and reports
+both throughputs plus scaling efficiency — the sandbox evidence protocol for
+the N vs 4N cluster-size criterion (BASELINE.md).
+
+The bench corpus replicates the sf dir's base doc ids REPLICAS times
+(deterministic; cached in /tmp) so the workload is large enough that compute
+dominates scheduling overhead: ~1M docs / ~6.7M spans at sf0.1 x200.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "200"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def run_bench() -> dict:
+    import ray
+
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+    from fhir_data_validation_ray.sources.readers import (
+        read_documents,
+        read_registry,
+        registry_keys_numpy,
+    )
+    from fhir_data_validation_ray.stages.reference import reference_integrity_join
+    from fhir_data_validation_ray.stages.uniqueness import duplicate_doc_ids
+    from fhir_data_validation_ray.stages.validator import validate_dataset
+
+    paths = fixture_paths(SF_DIR, replicas=REPLICAS)
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # warm page cache so we measure compute + shuffle, not first disk read
+    docs0 = read_documents(paths["docs"])
+    n_docs = docs0.count()
+
+    reg = registry_keys_numpy(paths["registry"])
+    profile = default_profile()
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full fused validation (structure + 8 rules + references)
+    n_violations = timed(
+        "validate",
+        lambda: validate_dataset(
+            read_documents(paths["docs"]), profile, registry_keys=reg,
+            batch_size=4096, emit_details=False,
+        ).count(),
+    )
+
+    timed(
+        "uniqueness",
+        lambda: duplicate_doc_ids(
+            read_documents(paths["docs"], columns=["doc_id"])
+        ).count(),
+    )
+
+    timed(
+        "ref_join",
+        lambda: reference_integrity_join(
+            read_documents(paths["docs"]), read_registry(paths["registry"]),
+            num_buckets=max(NUM_CPUS * 2, 16), salt=2,
+        ).count(),
+    )
+
+    headline = timings["validate"]
+    result = {
+        "metric": "validated docs/sec (full default profile, fused validator)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+        "n_docs": int(n_docs),
+        "n_violations": int(n_violations),
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # pre-generate fixtures so both runs see a warm cache
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+
+    fixture_paths(SF_DIR, replicas=REPLICAS)
+
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_REPLICAS=str(REPLICAS))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpu, hi_cpu = 8, 32
+    lo = run_at(lo_cpu)
+    hi = run_at(hi_cpu)
+    eff = (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)
+    return {
+        "metric": "scaling efficiency (docs/sec at 8 vs 32 cpus, fresh processes)",
+        "num_cpus_lo": lo_cpu,
+        "num_cpus_hi": hi_cpu,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "replicas": REPLICAS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -56,6 +56,32 @@ class FlatSpans:
     def doc_id_at(self, doc_idx: np.ndarray) -> np.ndarray:
         return self.doc_ids_np[doc_idx]
 
+    # -- memoized per-batch masks shared across rules ----------------------
+    def kind_mask(self, kind: str) -> np.ndarray:
+        cache = self.__dict__.setdefault("_kind_masks", {})
+        m = cache.get(kind)
+        if m is None:
+            m = pc.equal(self.kind, kind).fill_null(False).to_numpy(zero_copy_only=False)
+            cache[kind] = m
+        return m
+
+    def empty_mask(self, fld: str) -> np.ndarray:
+        """True where the field is null or all-whitespace — the reference's
+        'missing or whitespace' emptiness (``FhirPathRuleEngine.cs:995-999``).
+        Computed once per batch per field, shared by every rule."""
+        cache = self.__dict__.setdefault("_empty_masks", {})
+        m = cache.get(fld)
+        if m is None:
+            arr = {"kind": self.kind, "text": self.text, "media_ref": self.media_ref}[fld]
+            trimmed = pc.utf8_trim_whitespace(arr.cast(pa.string()))
+            m = (
+                pc.or_kleene(pc.is_null(arr), pc.equal(pc.binary_length(trimmed), 0))
+                .fill_null(True)
+                .to_numpy(zero_copy_only=False)
+            )
+            cache[fld] = m
+        return m
+
 
 def flatten_batch(batch: pa.Table) -> FlatSpans:
     batch = batch.combine_chunks()

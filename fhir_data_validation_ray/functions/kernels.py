@@ -221,7 +221,7 @@ def selection_mask(rule: RuleDef, fs: FlatSpans) -> np.ndarray:
     if rule.kind == "*":
         mask = np.ones(fs.n_spans, dtype=bool)
     else:
-        mask = pc.equal(fs.kind, rule.kind).fill_null(False).to_numpy(zero_copy_only=False)
+        mask = fs.kind_mask(rule.kind).copy()
     sc = rule.scope
     if sc.kind == "first":
         mask = first_per_doc_mask(mask, fs.parent)
@@ -234,15 +234,6 @@ def selection_mask(rule: RuleDef, fs: FlatSpans) -> np.ndarray:
     return mask
 
 
-def _empty_mask(arr: pa.Array) -> np.ndarray:
-    """True where the value is null or all-whitespace — the reference's
-    'missing or whitespace' emptiness (``FhirPathRuleEngine.cs:995-999``)."""
-    trimmed = pc.utf8_trim_whitespace(arr.cast(pa.string()))
-    return pc.or_kleene(
-        pc.is_null(arr), pc.equal(pc.binary_length(trimmed), 0)
-    ).fill_null(True).to_numpy(zero_copy_only=False)
-
-
 def _field_array(fs: FlatSpans, fp: str) -> pa.Array:
     return {"kind": fs.kind, "text": fs.text, "media_ref": fs.media_ref, "offset": fs.offset}[fp]
 
@@ -252,7 +243,7 @@ def k_required(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSin
     """Required: value must be present and non-whitespace
     (``FhirPathRuleEngine.cs:971-1033``)."""
     arr = _field_array(fs, rule.field_path)
-    bad = sel & _empty_mask(arr)
+    bad = sel & fs.empty_mask(rule.field_path)
     idx = np.flatnonzero(bad)
     sink.add_spans(
         fs, idx,
@@ -260,7 +251,7 @@ def k_required(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSin
         severity=E.resolve_severity(rule.severity, rule.validation_class),
         rule_id=rule.id, error_code=rule.error_code or E.REQUIRED_FIELD_MISSING,
         pointer_field=rule.field_path,
-        details=[_canon_details({"field": rule.field_path})] * idx.size,
+        details=([_canon_details({"field": rule.field_path})] * idx.size) if sink.emit_details else None,
     )
 
 
@@ -270,7 +261,7 @@ def k_fixed_value(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     arr = _field_array(fs, rule.field_path)
     expected = str(rule.params["value"])
     ne = pc.not_equal(arr, expected).fill_null(False).to_numpy(zero_copy_only=False)
-    bad = sel & ne & ~_empty_mask(arr)
+    bad = sel & ne & ~fs.empty_mask(rule.field_path)
     idx = np.flatnonzero(bad)
     vals = np.asarray(arr)[idx] if idx.size else []
     sink.add_spans(
@@ -279,7 +270,7 @@ def k_fixed_value(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
         severity=E.resolve_severity(rule.severity, rule.validation_class),
         rule_id=rule.id, error_code=rule.error_code or E.FIXED_VALUE_MISMATCH,
         pointer_field=rule.field_path,
-        details=[_canon_details({"actual": v, "expected": expected}) for v in vals],
+        details=[_canon_details({"actual": v, "expected": expected}) for v in vals] if sink.emit_details else None,
     )
 
 
@@ -289,7 +280,7 @@ def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violat
     arr = _field_array(fs, rule.field_path)
     allowed = [str(v) for v in rule.params["values"]]
     out = pc.invert(pc.is_in(arr, value_set=pa.array(allowed, type=pa.string())))
-    bad = sel & out.fill_null(False).to_numpy(zero_copy_only=False) & ~_empty_mask(arr)
+    bad = sel & out.fill_null(False).to_numpy(zero_copy_only=False) & ~fs.empty_mask(rule.field_path)
     idx = np.flatnonzero(bad)
     vals = np.asarray(arr)[idx] if idx.size else []
     sink.add_spans(
@@ -298,7 +289,7 @@ def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violat
         severity=E.resolve_severity(rule.severity, rule.validation_class),
         rule_id=rule.id, error_code=rule.error_code or E.VALUE_NOT_ALLOWED,
         pointer_field=rule.field_path,
-        details=[_canon_details({"actual": v, "allowed": allowed}) for v in vals],
+        details=[_canon_details({"actual": v, "allowed": allowed}) for v in vals] if sink.emit_details else None,
     )
 
 
@@ -308,7 +299,7 @@ def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) 
     the RE2 subset fall back to Python ``re`` on the selected values only."""
     arr = _field_array(fs, rule.field_path)
     pattern = rule.params["pattern"]
-    nonempty = ~_empty_mask(arr)
+    nonempty = ~fs.empty_mask(rule.field_path)
     try:
         miss = pc.invert(pc.match_substring_regex(arr, pattern))
         bad = sel & miss.fill_null(False).to_numpy(zero_copy_only=False) & nonempty
@@ -325,7 +316,7 @@ def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) 
         severity=E.resolve_severity(rule.severity, rule.validation_class),
         rule_id=rule.id, error_code=rule.error_code or E.PATTERN_MISMATCH,
         pointer_field=rule.field_path,
-        details=[_canon_details({"actual": v, "pattern": pattern}) for v in vals],
+        details=[_canon_details({"actual": v, "pattern": pattern}) for v in vals] if sink.emit_details else None,
     )
 
 
@@ -354,7 +345,7 @@ def k_array_length(rule: RuleDef, fs: FlatSpans, sel_unused: np.ndarray, sink: V
                 _canon_details({"actual": int(counts[d]), "bound": bound,
                                 "limit": lo if bound == "min" else hi})
                 for d in bad
-            ],
+            ] if sink.emit_details else None,
         )
 
 
@@ -366,7 +357,7 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     (``FhirPathRuleEngine.cs:1467-1698``.)"""
     arr = _field_array(fs, rule.field_path)
     expected_sys = str(rule.params["system"])
-    cand = np.flatnonzero(sel & ~_empty_mask(arr))
+    cand = np.flatnonzero(sel & ~fs.empty_mask(rule.field_path))
     if cand.size == 0:
         return
     vals = np.asarray(arr)[cand].astype("U")
@@ -382,7 +373,7 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
         source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id,
         error_code=E.CODESYSTEM_MISMATCH, pointer_field=rule.field_path,
         details=[_canon_details({"actual": s, "expected": expected_sys})
-                 for s in parts[sys_bad, 0]],
+                 for s in parts[sys_bad, 0]] if sink.emit_details else None,
     )
     idx = cand[code_bad]
     sink.add_spans(
@@ -390,7 +381,7 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
         source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id,
         error_code=E.CODE_NOT_IN_VALUESET, pointer_field=rule.field_path,
         details=[_canon_details({"code": c, "system": expected_sys})
-                 for c in codes[code_bad]],
+                 for c in codes[code_bad]] if sink.emit_details else None,
     )
 
 
@@ -453,7 +444,7 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
                 _canon_details({"kind": req.kind, "expected_min": req.min,
                                 "expected_max": req.max, "actual": int(counts[d])})
                 for d in doc_idx
-            ],
+            ] if sink.emit_details else None,
         )
     if rule.params.get("rejectUndeclared"):
         undecl = ~np.isin(np.array(kind_dict, dtype=object), list(declared))
@@ -464,7 +455,7 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
             fs, doc_idx,
             source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
             path="*",
-            details=[_canon_details({"undeclared_count": int(counts[d])}) for d in doc_idx],
+            details=[_canon_details({"undeclared_count": int(counts[d])}) for d in doc_idx] if sink.emit_details else None,
         )
 
 
@@ -488,24 +479,29 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     """
     policy = rule.params.get("policy", "InBundleOnly")
     arr = fs.media_ref
-    nonempty = ~_empty_mask(arr)
+    nonempty = ~fs.empty_mask('media_ref')
     cand = np.flatnonzero(sel & nonempty)
     if cand.size == 0:
         return
-    refs = np.asarray(arr)[cand].astype("U")
+    refs = np.asarray(arr)[cand]  # object ndarray of str
 
-    # per-document first-occurrence dedup of identical ref strings
-    dockeys = np.char.add(fs.flat_doc_ids[cand].astype("U"), np.char.add("\x00", refs))
-    _, first_pos = np.unique(dockeys, return_index=True)
+    # per-document first-occurrence dedup of identical ref strings — integer
+    # keys (parent row * factorized ref code), no string concatenation
+    uref, ref_code = np.unique(refs, return_inverse=True)
+    keyi = fs.parent[cand].astype(np.int64) * np.int64(len(uref)) + ref_code
+    _, first_pos = np.unique(keyi, return_index=True)
     keep = np.zeros(cand.size, dtype=bool)
     keep[first_pos] = True
-    cand, refs = cand[keep], refs[keep]
+    cand, refs, ref_code = cand[keep], refs[keep], ref_code[keep]
 
-    # parse local shape "<Kind>/<rest>.<offset>"
-    slash = np.char.find(refs, "/")
-    dot = np.char.rfind(refs, ".")
-    is_urn = np.char.startswith(refs, "urn:")
-    local_shape = (slash > 0) & (dot > slash) & ~is_urn
+    # classify local shape "<Kind>/<rest>.<offset>" on the DEDUPED unique ref
+    # strings only (Arrow RE2 kernel), then broadcast via ref_code
+    uref_pa = pa.array(uref, type=pa.string())
+    u_local = pc.match_substring_regex(uref_pa, LOCAL_REF_RE.pattern).to_numpy(
+        zero_copy_only=False
+    )
+    u_urn = pc.starts_with(uref_pa, "urn:").to_numpy(zero_copy_only=False)
+    local_shape = (u_local & ~u_urn)[ref_code]
 
     # build per-batch identity index: key = parent * 2^32 + offset -> kind code
     offs = np.asarray(fs.offset).astype(np.int64)
@@ -545,7 +541,12 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
 
     in_registry = np.zeros(cand.size, dtype=bool)
     if registry_keys is not None and registry_keys.size:
-        in_registry = np.isin(refs, registry_keys)
+        # registry_keys is PRE-SORTED (CompiledProfile); probe only the
+        # UNIQUE ref strings, broadcast via ref_code
+        uref_u = uref.astype("U")
+        pos_r = np.searchsorted(registry_keys, uref_u)
+        pos_r = np.clip(pos_r, 0, registry_keys.size - 1)
+        in_registry = (registry_keys[pos_r] == uref_u)[ref_code]
 
     ext = ~local_shape
     if policy == "InBundleOnly":
@@ -563,7 +564,7 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
         fs, idx,
         source=E.SRC_REFERENCE, severity=nf_sev, rule_id=rule.id,
         error_code=E.REFERENCE_NOT_FOUND, pointer_field="media_ref",
-        details=[_canon_details({"ref": r, "policy": policy}) for r in refs[not_found]],
+        details=[_canon_details({"ref": r, "policy": policy}) for r in refs[not_found]] if sink.emit_details else None,
     )
     idx = cand[type_mismatch]
     sink.add_spans(
@@ -578,7 +579,7 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
                 claimed_kind[type_mismatch],
                 fs.kind_np[target_flat[type_mismatch]],
             )
-        ],
+        ] if sink.emit_details else None,
     )
 
 
@@ -604,7 +605,7 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
             source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
             error_code=E.FHIR_INVALID_PRIMITIVE, path="doc_id",
             details=[_canon_details({"field": "doc_id", "actual": str(v)})
-                     for v in fs.doc_ids_np[bad]],
+                     for v in fs.doc_ids_np[bad]] if sink.emit_details else None,
         )
     if profile.allowed_kinds:
         m = pc.is_in(fs.kind, value_set=pa.array(profile.allowed_kinds, type=pa.string()))
@@ -614,7 +615,7 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
             source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
             error_code=E.INVALID_ENUM_VALUE, pointer_field="kind",
             details=[_canon_details({"actual": str(v), "allowed": list(profile.allowed_kinds)})
-                     for v in fs.kind_np[bad]],
+                     for v in fs.kind_np[bad]] if sink.emit_details else None,
         )
     if settings.get("checkSpanOrder", True) and fs.n_spans:
         offs = np.asarray(fs.offset).astype(np.int64)
@@ -628,7 +629,7 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
             source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
             error_code=E.SPAN_SEQUENCE_INVALID, pointer_field="offset",
             details=[_canon_details({"offset": int(o), "prev": int(p)})
-                     for o, p in zip(offs[bad], offs[bad - 1])],
+                     for o, p in zip(offs[bad], offs[bad - 1])] if sink.emit_details else None,
         )
 
 
@@ -647,6 +648,8 @@ class CompiledProfile:
     def __post_init__(self):
         for url, cs in self.profile.code_systems.items():
             self.concept_sets[url] = np.array(cs.concepts, dtype="U")
+        if self.registry_keys is not None:
+            self.registry_keys = np.sort(np.asarray(self.registry_keys, dtype="U"))
 
     def validate_batch(self, batch: pa.Table) -> pa.Table:
         from .flatten import flatten_batch

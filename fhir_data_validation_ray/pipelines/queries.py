@@ -99,7 +99,10 @@ def _uniqueness_query(sf_dir: str):
     import os
 
     paths = fixture_paths(sf_dir)
-    dup = read_documents(os.path.join(os.path.dirname(paths["docs"]), "docs_dup.parquet"))
+    dup = read_documents(
+        os.path.join(os.path.dirname(paths["docs"]), "docs_dup.parquet"),
+        columns=["doc_id"],
+    )
     return duplicate_doc_ids(dup)
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
-from ..sources.generator import ensure_fixtures
+from ..sources.generator import ensure_fixtures, ensure_fixtures_scaled
 from ..sources.readers import read_documents, registry_keys_numpy
 from ..stages.uniqueness import uniqueness_violations
 from ..stages.validator import validate_dataset
@@ -20,6 +20,13 @@ from .profiles import default_profile
 
 
 def fixture_paths(sf_dir: str, replicas: int = 1) -> dict[str, str]:
+    if replicas > 1:
+        fx = ensure_fixtures_scaled(sf_dir, replicas)
+        return {
+            "docs": os.path.join(fx, "docs_spans"),
+            "flat": "",
+            "registry": os.path.join(fx, "registry.parquet"),
+        }
     fx = ensure_fixtures(sf_dir, replicas)
     return {
         "docs": os.path.join(fx, "docs_spans.parquet"),
@@ -52,7 +59,9 @@ def run_validation(
         emit_details=emit_details,
     )
     if with_uniqueness:
-        violations = violations.union(uniqueness_violations(docs))
+        # separate column-pruned scan: the uniqueness pass never decodes spans
+        ids_only = read_documents(paths["docs"], columns=["doc_id"])
+        violations = violations.union(uniqueness_violations(ids_only))
     return violations
 
 

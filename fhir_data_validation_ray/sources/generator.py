@@ -32,7 +32,7 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = "g8"
+GENERATOR_VERSION = "g9"
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 KINDS = ("Patient", "Observation", "Coding", "Encounter", "text", "image", "audio")
@@ -182,7 +182,9 @@ def gen_doc(base_id: str, replica: int, n_reg: int):
             if rr < 80:
                 sp[2] = f"{spans[t][0]}/{doc_id}.{spans[t][3]}"  # resolves
             elif rr < 90:
-                wrong = KINDS[(KINDS.index(spans[t][0]) + 1) % len(KINDS)]
+                tkind = spans[t][0]
+                ki = KINDS.index(tkind) if tkind in KINDS else 0
+                wrong = KINDS[(ki + 1) % len(KINDS)]  # always != tkind
                 sp[2] = f"{wrong}/{doc_id}.{spans[t][3]}"  # type mismatch
             elif rr < 96:
                 sp[2] = f"{spans[t][0]}/{doc_id}.9999"  # dangling local
@@ -239,6 +241,75 @@ def _write_chunk(base_ids, replicas, n_reg):
         schema=FLAT_SCHEMA,
     )
     return nested, flat_t
+
+
+def _gen_part(args) -> str:
+    """Worker for parallel generation: one replica range -> one parquet part."""
+    sf_dir, out_part, rep_lo, rep_hi, n_reg = args
+    base_ids = [
+        f"doc.{v}"
+        for v in pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    ]
+    writer = pq.ParquetWriter(out_part, DOCS_SCHEMA)
+    for rep in range(rep_lo, rep_hi):
+        docs_ids, docs_spans = [], []
+        for bid in base_ids:
+            doc_id, spans = gen_doc(bid, rep, n_reg)
+            docs_ids.append(doc_id)
+            docs_spans.append(
+                [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in spans]
+            )
+        writer.write_table(
+            pa.table(
+                {"doc_id": pa.array(docs_ids, pa.string()),
+                 "spans": pa.array(docs_spans, pa.list_(SPAN_TYPE))},
+                schema=DOCS_SCHEMA,
+            )
+        )
+    writer.close()
+    return out_part
+
+
+def ensure_fixtures_scaled(sf_dir: str, replicas: int, workers: int = 16) -> str:
+    """Parallel variant for bench-scale fixtures (replicas > 1): writes a
+    DIRECTORY of parquet parts (one per replica range) — the partitioned,
+    resumable output layout — plus the registry. No flattened oracle view
+    (bench doesn't need one)."""
+    out = fixture_dir(sf_dir, replicas)
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+
+    import concurrent.futures as cf
+
+    n_base = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_docs = n_base * replicas
+    n_reg = registry_size(n_docs)
+
+    tmp = out + f".tmp.{os.getpid()}"
+    parts_dir = os.path.join(tmp, "docs_spans")
+    os.makedirs(parts_dir, exist_ok=True)
+
+    step = max(1, replicas // workers)
+    jobs = [
+        (sf_dir, os.path.join(parts_dir, f"part-{lo:05d}.parquet"), lo, min(lo + step, replicas), n_reg)
+        for lo in range(0, replicas, step)
+    ]
+    with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_gen_part, jobs))
+
+    pq.write_table(build_registry(n_docs), os.path.join(tmp, "registry.parquet"))
+    with open(os.path.join(tmp, ".complete"), "w") as f:
+        f.write(GENERATOR_VERSION)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def fixture_dir(sf_dir: str, replicas: int = 1) -> str:

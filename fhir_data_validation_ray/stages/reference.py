@@ -28,22 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import errors as E
-
-
-def _hash_str(arr: np.ndarray) -> np.ndarray:
-    """Deterministic vectorized string hash (FNV-1a over bytes via numpy)."""
-    out = np.zeros(len(arr), dtype=np.uint64)
-    lens = np.char.str_len(arr)
-    maxlen = int(lens.max()) if len(arr) else 0
-    b = arr.astype(f"U{max(maxlen, 1)}").view(np.uint32).reshape(len(arr), -1)
-    fnv = np.uint64(0xCBF29CE484222325)
-    prime = np.uint64(0x100000001B3)
-    out[:] = fnv
-    for j in range(b.shape[1]):
-        col = b[:, j].astype(np.uint64)
-        live = j < lens
-        out[live] = ((out[live] ^ col[live]) * prime) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return out
+from ..functions.hashing import hash_str as _hash_str
 
 
 def extract_external_refs(docs, *, batch_size: int = 4096):

@@ -1,37 +1,74 @@
 """Cross-document uniqueness check (north_star: doc_id uniqueness).
 
-No reference analogue (the reference sees one bundle per request); required
-by ``BASELINE.json`` north_star. Exact variant: pre-aggregated counts per
-batch (combiner) followed by a small ``groupby(doc_id).sum`` shuffle — the
-shuffle moves one row per distinct doc_id per batch, not one row per
-document. Approximate variant (for 10^12-doc scale estimates) lives in
+No reference analogue (the reference sees one bundle per request); required by
+``BASELINE.json`` north_star. Exact two-phase strategy, designed so the
+shuffle moves 8-byte integers instead of strings:
+
+1. **Hash pass** — each batch maps doc_id -> uint64 FNV hash; a
+   ``groupby(h).count`` shuffle (int sort, far cheaper than string sort)
+   yields candidate hashes with count > 1. For a mostly-unique corpus the
+   candidate set is tiny (true duplicates + rare 64-bit collisions).
+2. **Verify pass** — a second streaming scan keeps only rows whose hash is in
+   the candidate set (broadcast as a sorted numpy array) and the exact
+   duplicate doc_ids are counted on the small survivor set.
+
+At 10^12 docs the same plan holds: phase 1 shuffles one int per document
+(pre-aggregated per batch), phase 2 is a filter scan with a broadcast probe
+set. The approximate alternative (HLL distinct-count per partition) lives in
 ``state/hll.py``.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import errors as E
+from ..functions.hashing import hash_str
 
 
-def _partial_counts(batch: pa.Table) -> pa.Table:
-    agg = batch.group_by("doc_id").aggregate([("doc_id", "count")])
-    return agg.rename_columns(["doc_id", "n"])
+def _to_hashes(batch: pa.Table) -> pa.Table:
+    ids = np.asarray(batch["doc_id"])
+    return pa.table({"h": pa.array(hash_str(ids).astype(np.int64))})
 
 
 def duplicate_doc_ids(docs, *, batch_size: int = 65536):
     """Dataset[doc_id, ...] -> Dataset[doc_id, n] of ids appearing more than
-    once. Column-pruned at the source; partial-aggregated before the shuffle."""
-    from ray.data.aggregate import Sum
+    once (exact). ``docs`` should be read with ``columns=["doc_id"]`` so the
+    scan never decodes the spans column."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
 
-    partials = docs.select_columns(["doc_id"]).map_batches(
-        _partial_counts, batch_format="pyarrow", batch_size=batch_size
+    ids_ds = docs.select_columns(["doc_id"])
+    counts = (
+        ids_ds.map_batches(_to_hashes, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("h")
+        .aggregate(Count(alias_name="n"))
     )
-    totals = partials.groupby("doc_id").aggregate(Sum("n", alias_name="n"))
-    return totals.map_batches(
+    suspects_tbl = counts.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).take_all()
+    suspect_hashes = np.sort(np.array([r["h"] for r in suspects_tbl], dtype=np.int64))
+    if suspect_hashes.size == 0:
+        return rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype=str),
+                                            "n": pd.Series([], dtype="int64")}))
+
+    def keep_suspects(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"])
+        h = hash_str(ids).astype(np.int64)
+        pos = np.clip(np.searchsorted(suspect_hashes, h), 0, suspect_hashes.size - 1)
+        m = suspect_hashes[pos] == h
+        return pa.table({"doc_id": pa.array(ids[np.flatnonzero(m)], pa.string())})
+
+    survivors = ids_ds.map_batches(
+        keep_suspects, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()  # bounded: true duplicates + hash collisions only
+    vc = survivors["doc_id"].value_counts()
+    dups = vc[vc > 1]
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": dups.index.astype(str), "n": dups.to_numpy("int64")})
     )
 
 
