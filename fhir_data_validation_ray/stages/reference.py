@@ -119,27 +119,36 @@ def reference_integrity_join(
 
     both = probe_b.union(reg_b)
 
-    def anti_join(g: pd.DataFrame) -> pd.DataFrame:
-        reg_keys = set(g.loc[g["is_reg"], "media_ref"])
-        probes_g = g[~g["is_reg"]]
-        miss = probes_g[~probes_g["media_ref"].isin(reg_keys)]
+    def anti_join(g: pa.Table) -> pa.Table:
         import json
 
-        return pd.DataFrame(
+        is_reg = np.asarray(g["is_reg"])
+        refs = np.asarray(g["media_ref"]).astype("U")
+        reg_keys = np.unique(refs[is_reg])
+        probe_idx = np.flatnonzero(~is_reg)
+        miss_idx = probe_idx[~np.isin(refs[probe_idx], reg_keys)]
+        span_idx = np.asarray(g["span_index"])[miss_idx].astype(np.int32)
+        n = len(miss_idx)
+        return pa.table(
             {
-                "doc_id": miss["doc_id"].astype(str),
-                "span_index": miss["span_index"].astype("int32"),
-                "source": E.SRC_REFERENCE,
-                "severity": E.SEV_ERROR,
-                "rule_id": "",
-                "error_code": E.REFERENCE_NOT_FOUND,
-                "path": "media_ref",
-                "json_pointer": ["/spans/%d/media_ref" % i for i in miss["span_index"]],
-                "details": [
-                    json.dumps({"ref": r, "policy": "registry"}, separators=(",", ":"))
-                    for r in miss["media_ref"]
-                ],
+                "doc_id": pa.array(np.asarray(g["doc_id"]).astype("U")[miss_idx], pa.string()),
+                "span_index": pa.array(span_idx, pa.int32()),
+                "source": pa.array([E.SRC_REFERENCE] * n, pa.string()),
+                "severity": pa.array([E.SEV_ERROR] * n, pa.string()),
+                "rule_id": pa.array([""] * n, pa.string()),
+                "error_code": pa.array([E.REFERENCE_NOT_FOUND] * n, pa.string()),
+                "path": pa.array(["media_ref"] * n, pa.string()),
+                "json_pointer": pa.array(
+                    ["/spans/%d/media_ref" % i for i in span_idx], pa.string()
+                ),
+                "details": pa.array(
+                    [
+                        json.dumps({"ref": r, "policy": "registry"}, separators=(",", ":"))
+                        for r in refs[miss_idx]
+                    ],
+                    pa.string(),
+                ),
             }
         )
 
-    return both.groupby("bucket").map_groups(anti_join, batch_format="pandas")
+    return both.groupby("bucket").map_groups(anti_join, batch_format="pyarrow")

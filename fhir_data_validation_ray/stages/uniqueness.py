@@ -52,8 +52,9 @@ def duplicate_doc_ids(docs, *, batch_size: int = 65536):
     ).take_all()
     suspect_hashes = np.sort(np.array([r["h"] for r in suspects_tbl], dtype=np.int64))
     if suspect_hashes.size == 0:
-        return rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype=str),
-                                            "n": pd.Series([], dtype="int64")}))
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
 
     def keep_suspects(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"])
@@ -67,8 +68,13 @@ def duplicate_doc_ids(docs, *, batch_size: int = 65536):
     ).to_pandas()  # bounded: true duplicates + hash collisions only
     vc = survivors["doc_id"].value_counts()
     dups = vc[vc > 1]
-    return rd.from_pandas(
-        pd.DataFrame({"doc_id": dups.index.astype(str), "n": dups.to_numpy("int64")})
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(dups.index.astype(str), pa.string()),
+                "n": pa.array(dups.to_numpy("int64"), pa.int64()),
+            }
+        )
     )
 
 

@@ -54,30 +54,76 @@ class ValidatorActor:
         return self.compiled.validate_batch(batch)
 
 
+# Per-worker-process compile cache for the stateless-task lane. A worker
+# imports this module once and keeps it loaded across tasks, so the compiled
+# profile (and the ray.get of the broadcast registry) happens once per worker
+# — the same amortization as an actor pool, but the map stage stays a plain
+# task stage and FUSES with the upstream read (no extra object-store hop).
+_COMPILED_CACHE: dict[str, CompiledProfile] = {}
+
+
+def _validate_stateless(profile_json: str, reg_ref: Any, emit_details: bool,
+                        batch: pa.Table) -> pa.Table:
+    import json
+
+    key = f"{hash(profile_json)}:{emit_details}:{reg_ref}"
+    cp = _COMPILED_CACHE.get(key)
+    if cp is None:
+        registry_keys = None
+        if reg_ref is not None:
+            import ray
+
+            keys = ray.get(reg_ref) if isinstance(reg_ref, ray.ObjectRef) else reg_ref
+            registry_keys = np.asarray(keys, dtype="U")
+        cp = CompiledProfile(
+            profile=parse_profile(json.loads(profile_json)),
+            registry_keys=registry_keys,
+            emit_details=emit_details,
+        )
+        _COMPILED_CACHE[key] = cp
+    return cp.validate_batch(batch)
+
+
 def validate_dataset(
     docs,
     profile_obj: dict[str, Any],
     registry_keys=None,
     *,
-    batch_size: int = 4096,
+    batch_size: int | None = 8192,
     concurrency: int | tuple[int, int] | None = None,
     emit_details: bool = True,
+    mode: str = "tasks",
 ):
     """docs Dataset -> violations Dataset (streaming, no materialization).
 
     ``registry_keys``: numpy array / list of external media_ref keys, or an
-    existing ObjectRef. Broadcast via ``ray.put`` so each actor reads it once
+    existing ObjectRef. Broadcast via ``ray.put`` so each worker reads it once
     from the local object store instead of re-shipping per task.
-    """
+
+    ``mode="tasks"`` (default): stateless task stage with a per-worker compile
+    cache — fuses with the read, zero extra materialization. ``mode="actors"``:
+    explicit actor pool (use when profile compilation is genuinely expensive,
+    e.g. thousands of rules or large terminology sets, so pool lifetime
+    control matters)."""
+    import json
+
     import ray
 
+    if mode not in ("tasks", "actors"):
+        raise ValueError(f"mode must be 'tasks' or 'actors', got {mode!r}")
     reg_ref = None
     if registry_keys is not None:
         reg_ref = (
             registry_keys
             if isinstance(registry_keys, ray.ObjectRef)
-            else ray.put(np.asarray(registry_keys, dtype="U"))
+            else ray.put(np.sort(np.asarray(registry_keys, dtype="U")))
         )
+    if mode == "tasks":
+        from functools import partial
+
+        fn = partial(_validate_stateless, json.dumps(profile_obj, sort_keys=True),
+                     reg_ref, emit_details)
+        return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     return docs.map_batches(
