@@ -51,9 +51,21 @@ def _canon_details(d: dict[str, Any]) -> str:
 
 
 # --------------------------------------------------------------------- sink
+def _const_str_array(value: str, n: int) -> pa.Array:
+    """Length-n constant string array built in C++ (one take over a 1-element
+    dictionary) — avoids allocating n Python strings."""
+    return pa.array([value], type=pa.string()).take(np.zeros(n, dtype=np.int32))
+
+
 class ViolationSink:
     """Accumulates violation rows; ``finalize`` emits one Arrow table in
-    pipeline-stage order (``docs/05_validation_pipeline.md:20-31``)."""
+    pipeline-stage order (``docs/05_validation_pipeline.md:20-31``).
+
+    Everything stays in Arrow buffers: doc_id/path/json_pointer columns are
+    built with ``pc.take`` / ``pc.binary_join_element_wise`` (vectorized C++),
+    never per-row Python formatting — at ~1 violation/document the sink is a
+    hot path and Python-object churn here was the dominant multi-core
+    contention source."""
 
     def __init__(self, emit_details: bool = True):
         self.emit_details = emit_details
@@ -73,20 +85,24 @@ class ViolationSink:
     ) -> None:
         if flat_idx.size == 0:
             return
-        si = fs.span_index[flat_idx]
-        kinds = fs.kind_np[flat_idx]
+        si = fs.span_index[flat_idx].astype(np.int32)
+        si_str = pc.cast(pa.array(si), pa.string())
+        json_pointer = pc.binary_join_element_wise(
+            "/spans/", si_str, "/" + pointer_field, ""
+        )
+        path = pc.binary_join_element_wise(
+            pc.take(fs.kind, pa.array(flat_idx)), pointer_field, "."
+        )
         self._parts.append(
             {
-                "doc_id": fs.flat_doc_ids[flat_idx],
-                "span_index": si.astype(np.int32),
+                "doc_id": pc.take(fs.doc_ids, pa.array(fs.parent[flat_idx])),
+                "span_index": si,
                 "source": source,
                 "severity": severity,
                 "rule_id": rule_id,
                 "error_code": error_code,
-                "path": np.array([f"{k}.{pointer_field}" for k in kinds], dtype=object),
-                "json_pointer": np.array(
-                    [f"/spans/{i}/{pointer_field}" for i in si], dtype=object
-                ),
+                "path": path,
+                "json_pointer": json_pointer,
                 "details": details if (details and self.emit_details) else None,
             }
         )
@@ -108,7 +124,7 @@ class ViolationSink:
         n = doc_idx.size
         self._parts.append(
             {
-                "doc_id": fs.doc_id_at(doc_idx),
+                "doc_id": pc.take(fs.doc_ids, pa.array(doc_idx)),
                 "span_index": np.full(n, -1, dtype=np.int32),
                 "source": source,
                 "severity": severity,
@@ -123,64 +139,67 @@ class ViolationSink:
     def finalize(self, dedup_structure: bool = True) -> pa.Table:
         if not self._parts:
             return E.empty_violations()
-        cols: dict[str, list] = {name: [] for name in E.VIOLATIONS_SCHEMA.names}
+        cols: dict[str, list[pa.Array]] = {name: [] for name in E.VIOLATIONS_SCHEMA.names}
         for p in self._parts:
             n = len(p["doc_id"])
-            cols["doc_id"].append(np.asarray(p["doc_id"], dtype=object))
-            cols["span_index"].append(p["span_index"])
+            cols["doc_id"].append(p["doc_id"])
+            cols["span_index"].append(pa.array(p["span_index"]))
             for k in ("source", "severity", "rule_id", "error_code"):
-                cols[k].append(np.full(n, p[k], dtype=object))
+                cols[k].append(_const_str_array(p[k], n))
             for k in ("path", "json_pointer"):
                 v = p[k]
-                cols[k].append(
-                    np.asarray(v, dtype=object) if isinstance(v, np.ndarray) else np.full(n, v, dtype=object)
-                )
+                cols[k].append(v if isinstance(v, pa.Array) else _const_str_array(v, n))
             d = p["details"]
             cols["details"].append(
-                np.asarray(d, dtype=object) if d is not None else np.full(n, "", dtype=object)
+                pa.array(d, type=pa.string()) if d is not None else _const_str_array("", n)
             )
-        arrs = {k: np.concatenate(v) for k, v in cols.items()}
-
-        if dedup_structure:
-            arrs = _dedup_structure_priority(arrs)
-
-        return pa.table(
+        t = pa.table(
             {
-                "doc_id": pa.array(arrs["doc_id"], type=pa.string()),
-                "span_index": pa.array(arrs["span_index"], type=pa.int32()),
-                "source": pa.array(arrs["source"], type=pa.string()),
-                "severity": pa.array(arrs["severity"], type=pa.string()),
-                "rule_id": pa.array(arrs["rule_id"], type=pa.string()),
-                "error_code": pa.array(arrs["error_code"], type=pa.string()),
-                "path": pa.array(arrs["path"], type=pa.string()),
-                "json_pointer": pa.array(arrs["json_pointer"], type=pa.string()),
-                "details": pa.array(arrs["details"], type=pa.string()),
+                "doc_id": pa.concat_arrays([a.cast(pa.string()) for a in cols["doc_id"]]),
+                "span_index": pa.concat_arrays(cols["span_index"]).cast(pa.int32()),
+                "source": pa.concat_arrays(cols["source"]),
+                "severity": pa.concat_arrays(cols["severity"]),
+                "rule_id": pa.concat_arrays(cols["rule_id"]),
+                "error_code": pa.concat_arrays(cols["error_code"]),
+                "path": pa.concat_arrays(cols["path"]),
+                "json_pointer": pa.concat_arrays(cols["json_pointer"]),
+                "details": pa.concat_arrays(cols["details"]),
             },
             schema=E.VIOLATIONS_SCHEMA,
         )
 
+        if dedup_structure:
+            # parts are homogeneous in (source, error_code); collision is only
+            # possible when a STRUCTURE part and a non-STRUCTURE part share an
+            # error code — in the common case the code sets are disjoint and
+            # the quadratic-ish key build is skipped entirely.
+            struct_codes = {p["error_code"] for p in self._parts if p["source"] == E.SRC_STRUCTURE}
+            other_codes = {p["error_code"] for p in self._parts if p["source"] != E.SRC_STRUCTURE}
+            if struct_codes & other_codes:
+                t = _dedup_structure_priority(t)
+        return t
 
-def _dedup_structure_priority(arrs: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+
+def _dedup_structure_priority(t: pa.Table) -> pa.Table:
     """Suppress non-STRUCTURE rows whose ``(doc_id, error_code, json_pointer)``
     key is already claimed by a STRUCTURE row — STRUCTURE wins
     (``Core/ValidationPipeline.cs:783-827``). Rows with an empty pointer are
     kept (reference keeps errors missing either key)."""
-    src = arrs["source"]
-    is_struct = src == E.SRC_STRUCTURE
+    src = t["source"]
+    is_struct = pc.equal(src, E.SRC_STRUCTURE).to_numpy(zero_copy_only=False)
     if not is_struct.any() or is_struct.all():
-        return arrs
-    ptr = arrs["json_pointer"]
-    keys = np.char.add(
-        np.char.add(np.char.add(arrs["doc_id"].astype("U"), "\x00"),
-                    np.char.add(arrs["error_code"].astype("U"), "\x00")),
-        ptr.astype("U"),
-    )
-    struct_keys = keys[is_struct & (ptr != "")]
-    drop = (~is_struct) & (ptr != "") & np.isin(keys, struct_keys)
+        return t
+    ptr = t["json_pointer"]
+    has_ptr = pc.not_equal(ptr, "").fill_null(False).to_numpy(zero_copy_only=False)
+    keys = pc.binary_join_element_wise(
+        t["doc_id"].combine_chunks(), t["error_code"].combine_chunks(),
+        ptr.combine_chunks(), "\x00"
+    ).to_numpy(zero_copy_only=False)
+    struct_keys = keys[is_struct & has_ptr]
+    drop = (~is_struct) & has_ptr & np.isin(keys, struct_keys)
     if not drop.any():
-        return arrs
-    keep = ~drop
-    return {k: v[keep] for k, v in arrs.items()}
+        return t
+    return t.filter(pa.array(~drop))
 
 
 # ---------------------------------------------------------------- conditions
@@ -263,7 +282,7 @@ def k_fixed_value(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     ne = pc.not_equal(arr, expected).fill_null(False).to_numpy(zero_copy_only=False)
     bad = sel & ne & ~fs.empty_mask(rule.field_path)
     idx = np.flatnonzero(bad)
-    vals = np.asarray(arr)[idx] if idx.size else []
+    vals = pc.take(arr, pa.array(idx)).to_pylist() if idx.size and sink.emit_details else []
     sink.add_spans(
         fs, idx,
         source=E.SRC_BUSINESS,
@@ -282,7 +301,7 @@ def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violat
     out = pc.invert(pc.is_in(arr, value_set=pa.array(allowed, type=pa.string())))
     bad = sel & out.fill_null(False).to_numpy(zero_copy_only=False) & ~fs.empty_mask(rule.field_path)
     idx = np.flatnonzero(bad)
-    vals = np.asarray(arr)[idx] if idx.size else []
+    vals = pc.take(arr, pa.array(idx)).to_pylist() if idx.size and sink.emit_details else []
     sink.add_spans(
         fs, idx,
         source=E.SRC_BUSINESS,
@@ -307,9 +326,9 @@ def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) 
     except pa.ArrowInvalid:  # non-RE2 construct -> Python lane
         cand = np.flatnonzero(sel & nonempty)
         rx = re.compile(pattern)
-        vals = np.asarray(arr)[cand]
+        vals = pc.take(arr, pa.array(cand)).to_pylist() if cand.size else []
         idx = cand[np.array([rx.search(v) is None for v in vals], dtype=bool)] if cand.size else cand
-    vals = np.asarray(arr)[idx] if idx.size else []
+    vals = pc.take(arr, pa.array(idx)).to_pylist() if idx.size and sink.emit_details else []
     sink.add_spans(
         fs, idx,
         source=E.SRC_BUSINESS,
@@ -360,12 +379,18 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     cand = np.flatnonzero(sel & ~fs.empty_mask(rule.field_path))
     if cand.size == 0:
         return
-    vals = np.asarray(arr)[cand].astype("U")
-    parts = np.char.partition(vals, "|")  # (n, 3): before, sep, after
+    # parse "system|code" on the dictionary UNIQUES only; the candidate-level
+    # verdicts are integer-code lookups into the tiny unique-level arrays
+    da = pc.dictionary_encode(pc.take(arr, pa.array(cand)))
+    code_of = np.asarray(da.indices).astype(np.int64)
+    uvals = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+    parts = np.char.partition(uvals, "|")  # (n_unique, 3): before, sep, after
     has_sys = parts[:, 1] == "|"
-    sys_bad = has_sys & (parts[:, 0] != expected_sys)
-    codes = np.where(has_sys, parts[:, 2], parts[:, 0])
-    code_bad = ~np.isin(codes, concepts) & ~sys_bad
+    u_sys_bad = has_sys & (parts[:, 0] != expected_sys)
+    ucodes = np.where(has_sys, parts[:, 2], parts[:, 0])
+    u_code_bad = ~np.isin(ucodes, concepts) & ~u_sys_bad
+    sys_bad = u_sys_bad[code_of]
+    code_bad = u_code_bad[code_of]
     sev = E.resolve_severity(rule.severity, rule.validation_class)
     idx = cand[sys_bad]
     sink.add_spans(
@@ -373,7 +398,7 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
         source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id,
         error_code=E.CODESYSTEM_MISMATCH, pointer_field=rule.field_path,
         details=[_canon_details({"actual": s, "expected": expected_sys})
-                 for s in parts[sys_bad, 0]] if sink.emit_details else None,
+                 for s in parts[code_of[sys_bad], 0]] if sink.emit_details else None,
     )
     idx = cand[code_bad]
     sink.add_spans(
@@ -381,7 +406,7 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
         source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id,
         error_code=E.CODE_NOT_IN_VALUESET, pointer_field=rule.field_path,
         details=[_canon_details({"code": c, "system": expected_sys})
-                 for c in codes[code_bad]] if sink.emit_details else None,
+                 for c in ucodes[code_of[code_bad]]] if sink.emit_details else None,
     )
 
 
@@ -478,50 +503,62 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     (``:89-103``).
     """
     policy = rule.params.get("policy", "InBundleOnly")
-    arr = fs.media_ref
     nonempty = ~fs.empty_mask('media_ref')
     cand = np.flatnonzero(sel & nonempty)
     if cand.size == 0:
         return
-    refs = np.asarray(arr)[cand]  # object ndarray of str
+
+    # dictionary-encode candidate refs: all string parsing happens ONCE per
+    # unique ref (Arrow C++); per-candidate work is integer-code indexing.
+    cand_pa = pa.array(cand)
+    da = pc.dictionary_encode(pc.take(fs.media_ref, cand_pa))
+    ref_code = np.asarray(da.indices).astype(np.int64)
+    uref_pa = da.dictionary
 
     # per-document first-occurrence dedup of identical ref strings — integer
-    # keys (parent row * factorized ref code), no string concatenation
-    uref, ref_code = np.unique(refs, return_inverse=True)
-    keyi = fs.parent[cand].astype(np.int64) * np.int64(len(uref)) + ref_code
+    # keys (parent row * unique-ref code), reference ``:89-103``
+    keyi = fs.parent[cand].astype(np.int64) * np.int64(len(uref_pa)) + ref_code
     _, first_pos = np.unique(keyi, return_index=True)
     keep = np.zeros(cand.size, dtype=bool)
     keep[first_pos] = True
-    cand, refs, ref_code = cand[keep], refs[keep], ref_code[keep]
+    cand, ref_code = cand[keep], ref_code[keep]
 
-    # classify local shape "<Kind>/<rest>.<offset>" on the DEDUPED unique ref
-    # strings only (Arrow RE2 kernel), then broadcast via ref_code
-    uref_pa = pa.array(uref, type=pa.string())
-    u_local = pc.match_substring_regex(uref_pa, LOCAL_REF_RE.pattern).to_numpy(
-        zero_copy_only=False
+    # parse local shape "<Kind>/<rest>.<offset>" on uniques via one RE2 pass:
+    # extract_regex yields a struct (kind, rest, off), null where no match
+    ext_groups = pc.extract_regex(
+        uref_pa, r"^(?P<kind>[A-Za-z]+)/(?P<rest>.+)\.(?P<off>[0-9]+)$"
     )
+    u_match = pc.is_valid(ext_groups).to_numpy(zero_copy_only=False)
     u_urn = pc.starts_with(uref_pa, "urn:").to_numpy(zero_copy_only=False)
-    local_shape = (u_local & ~u_urn)[ref_code]
+    u_local = u_match & ~u_urn
+    claimed_kind_u = pc.struct_field(ext_groups, "kind")
+    rest_u = pc.struct_field(ext_groups, "rest")
+    off_u = np.asarray(
+        pc.cast(pc.struct_field(ext_groups, "off"), pa.int64()).fill_null(-1)
+    ).astype(np.int64)
+    local_shape = u_local[ref_code]
 
-    # build per-batch identity index: key = parent * 2^32 + offset -> kind code
+    # same-document check on the candidate level: dictionary-take the parsed
+    # doc part and compare to the owning doc_id — one Arrow equality kernel
+    parent_cand = fs.parent[cand]
+    own_doc_pa = pc.take(fs.doc_ids, pa.array(parent_cand))
+    rest_cand = pc.take(rest_u, pa.array(ref_code))
+    same_doc = (
+        pc.equal(rest_cand, own_doc_pa).fill_null(False).to_numpy(zero_copy_only=False)
+    )
+
+    # per-batch identity index: key = parent * 2^32 + offset -> span position
     offs = np.asarray(fs.offset).astype(np.int64)
     identity = fs.parent.astype(np.int64) * (1 << 32) + offs
     order = np.argsort(identity, kind="stable")
     sorted_ids = identity[order]
 
-    claimed_kind = np.empty(cand.size, dtype=object)
     target_key = np.full(cand.size, -1, dtype=np.int64)
-    own_doc = fs.flat_doc_ids[cand]
-    li = np.flatnonzero(local_shape)
-    for j in li:  # parse loop over local-shaped refs only (sparse)
-        m = LOCAL_REF_RE.match(refs[j])
-        if m is None:
-            local_shape[j] = False
-            continue
-        kind_j, doc_j, off_j = m.group(1), m.group(2), int(m.group(3))
-        claimed_kind[j] = kind_j
-        if doc_j == own_doc[j]:
-            target_key[j] = fs.parent[cand[j]] * (1 << 32) + off_j
+    is_local_same = local_shape & same_doc
+    target_key[is_local_same] = (
+        parent_cand[is_local_same].astype(np.int64) * (1 << 32)
+        + off_u[ref_code[is_local_same]]
+    )
 
     pos = np.searchsorted(sorted_ids, target_key)
     pos_ok = (pos < len(sorted_ids)) & (target_key >= 0)
@@ -534,19 +571,25 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
         target_flat = order[safe_pos]
 
     type_mismatch = np.zeros(cand.size, dtype=bool)
-    if resolved_local.any():
-        tk = fs.kind_np[target_flat[resolved_local]]
-        cm = np.array([claimed_kind[j] for j in np.flatnonzero(resolved_local)], dtype=object)
-        type_mismatch[np.flatnonzero(resolved_local)] = tk != cm
+    res_idx = np.flatnonzero(resolved_local)
+    if res_idx.size:
+        tk = pc.take(fs.kind, pa.array(target_flat[res_idx]))
+        cm = pc.take(claimed_kind_u, pa.array(ref_code[res_idx]))
+        type_mismatch[res_idx] = (
+            pc.not_equal(tk, cm).fill_null(True).to_numpy(zero_copy_only=False)
+        )
 
     in_registry = np.zeros(cand.size, dtype=bool)
     if registry_keys is not None and registry_keys.size:
-        # registry_keys is PRE-SORTED (CompiledProfile); probe only the
-        # UNIQUE ref strings, broadcast via ref_code
-        uref_u = uref.astype("U")
-        pos_r = np.searchsorted(registry_keys, uref_u)
-        pos_r = np.clip(pos_r, 0, registry_keys.size - 1)
-        in_registry = (registry_keys[pos_r] == uref_u)[ref_code]
+        # registry_keys are PRE-HASHED sorted uint64 (CompiledProfile); probe
+        # only the UNIQUE ref strings, broadcast via ref_code. Integer
+        # searchsorted beats string comparison ~10x; a 64-bit FNV collision
+        # against a 10^7-key registry is ~1e-13 per probe — negligible.
+        from .hashing import hash_str
+
+        uh = hash_str(uref_pa.to_numpy(zero_copy_only=False))
+        pos_r = np.clip(np.searchsorted(registry_keys, uh), 0, registry_keys.size - 1)
+        in_registry = (registry_keys[pos_r] == uh)[ref_code]
 
     ext = ~local_shape
     if policy == "InBundleOnly":
@@ -559,12 +602,16 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
         not_found = (local_shape & ~resolved_local & ~in_registry) | (ext & ~in_registry)
         nf_sev = E.SEV_ERROR
 
+    def _refs_at(mask: np.ndarray) -> list[str]:
+        return pc.take(uref_pa, pa.array(ref_code[mask])).to_pylist()
+
     idx = cand[not_found]
     sink.add_spans(
         fs, idx,
         source=E.SRC_REFERENCE, severity=nf_sev, rule_id=rule.id,
         error_code=E.REFERENCE_NOT_FOUND, pointer_field="media_ref",
-        details=[_canon_details({"ref": r, "policy": policy}) for r in refs[not_found]] if sink.emit_details else None,
+        details=[_canon_details({"ref": r, "policy": policy})
+                 for r in _refs_at(not_found)] if sink.emit_details else None,
     )
     idx = cand[type_mismatch]
     sink.add_spans(
@@ -575,9 +622,9 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
         details=[
             _canon_details({"ref": r, "expected": str(c), "actual": str(a)})
             for r, c, a in zip(
-                refs[type_mismatch],
-                claimed_kind[type_mismatch],
-                fs.kind_np[target_flat[type_mismatch]],
+                _refs_at(type_mismatch),
+                pc.take(claimed_kind_u, pa.array(ref_code[type_mismatch])).to_pylist(),
+                pc.take(fs.kind, pa.array(target_flat[type_mismatch])).to_pylist(),
             )
         ] if sink.emit_details else None,
     )
@@ -646,10 +693,18 @@ class CompiledProfile:
     emit_details: bool = True
 
     def __post_init__(self):
+        from .hashing import hash_str
+
         for url, cs in self.profile.code_systems.items():
             self.concept_sets[url] = np.array(cs.concepts, dtype="U")
         if self.registry_keys is not None:
-            self.registry_keys = np.sort(np.asarray(self.registry_keys, dtype="U"))
+            # store as sorted uint64 FNV hashes: 8 bytes/key regardless of
+            # string length, integer searchsorted probes. A uint64 input is
+            # already-hashed (broadcast-side pre-hash in validate_dataset).
+            keys = np.asarray(self.registry_keys)
+            if keys.dtype != np.uint64:
+                keys = np.sort(hash_str(keys))
+            self.registry_keys = keys
 
     def validate_batch(self, batch: pa.Table) -> pa.Table:
         from .flatten import flatten_batch

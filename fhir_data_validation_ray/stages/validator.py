@@ -45,7 +45,7 @@ class ValidatorActor:
             import ray
 
             keys = ray.get(registry_ref) if isinstance(registry_ref, ray.ObjectRef) else registry_ref
-            registry_keys = np.asarray(keys, dtype="U")
+            registry_keys = np.asarray(keys)
         self.compiled = CompiledProfile(
             profile=profile, registry_keys=registry_keys, emit_details=emit_details
         )
@@ -74,7 +74,7 @@ def _validate_stateless(profile_json: str, reg_ref: Any, emit_details: bool,
             import ray
 
             keys = ray.get(reg_ref) if isinstance(reg_ref, ray.ObjectRef) else reg_ref
-            registry_keys = np.asarray(keys, dtype="U")
+            registry_keys = np.asarray(keys)
         cp = CompiledProfile(
             profile=parse_profile(json.loads(profile_json)),
             registry_keys=registry_keys,
@@ -113,11 +113,18 @@ def validate_dataset(
         raise ValueError(f"mode must be 'tasks' or 'actors', got {mode!r}")
     reg_ref = None
     if registry_keys is not None:
-        reg_ref = (
-            registry_keys
-            if isinstance(registry_keys, ray.ObjectRef)
-            else ray.put(np.sort(np.asarray(registry_keys, dtype="U")))
-        )
+        if isinstance(registry_keys, ray.ObjectRef):
+            reg_ref = registry_keys
+        else:
+            # pre-hash driver-side: the broadcast is 8 bytes/key (sorted
+            # uint64 FNV) instead of the raw strings — at a 10^7-key registry
+            # that is ~80 MB shipped once per node vs multiple GB
+            from ..functions.hashing import hash_str
+
+            keys = np.asarray(registry_keys)
+            if keys.dtype != np.uint64:
+                keys = np.sort(hash_str(keys))
+            reg_ref = ray.put(keys)
     if mode == "tasks":
         from functools import partial
 
