@@ -105,15 +105,17 @@ def run_bench() -> dict:
     timed(
         "uniqueness",
         lambda: duplicate_doc_ids(
-            read_documents(paths["docs"], columns=["doc_id"])
+            read_documents(paths["docs"], columns=["doc_id"],
+                           override_num_blocks=READ_BLOCKS)
         ).count(),
     )
 
     timed(
         "ref_join",
         lambda: reference_integrity_join(
-            read_documents(paths["docs"]), read_registry(paths["registry"]),
-            num_buckets=max(NUM_CPUS * 2, 16), salt=2,
+            read_documents(paths["docs"], override_num_blocks=READ_BLOCKS),
+            read_registry(paths["registry"]),
+            num_buckets=max(NUM_CPUS * 2, 16), salt=2, emit_details=False,
         ).count(),
     )
 

@@ -31,6 +31,24 @@ from .. import errors as E
 from ..functions.hashing import hash_str as _hash_str
 
 
+def _chunked(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _const_str(value: str, n: int) -> pa.Array:
+    return pa.array([value], type=pa.string()).take(np.zeros(n, dtype=np.int32))
+
+
+def _hash_col(col) -> np.ndarray:
+    """uint64 hash per element of an Arrow string column, computed on the
+    dictionary uniques only (ref columns repeat heavily — hot keys)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    da = pc.dictionary_encode(col)
+    uh = _hash_str(da.dictionary.to_numpy(zero_copy_only=False))
+    return uh[np.asarray(da.indices)]
+
+
 def extract_external_refs(docs, *, batch_size: int = 4096):
     """Dataset[doc_id, spans] -> Dataset[doc_id, span_index, media_ref] of
     external (non-local-shaped, non-empty) refs — the ``flat_map`` step of
@@ -46,15 +64,22 @@ def extract_external_refs(docs, *, batch_size: int = 4096):
         nonempty = pc.and_kleene(
             pc.is_valid(refs), pc.greater(pc.binary_length(refs), 0)
         )
-        local = pc.match_substring_regex(refs, local_re)
-        ext = pc.and_kleene(nonempty, pc.invert(local)).fill_null(False)
-        m = ext.to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(m)
+        m = nonempty.fill_null(False).to_numpy(zero_copy_only=False)
+        ne_idx = np.flatnonzero(m)
+        if ne_idx.size:
+            # regex only the nonempty minority (refs are sparse in the corpus)
+            ne_refs = pc.take(refs, pa.array(ne_idx))
+            local = pc.match_substring_regex(ne_refs, local_re).to_numpy(
+                zero_copy_only=False
+            )
+            idx = ne_idx[~local]
+        else:
+            idx = ne_idx
         return pa.table(
             {
-                "doc_id": pa.array(fs.flat_doc_ids[idx], pa.string()),
+                "doc_id": pc.take(fs.doc_ids, pa.array(fs.parent[idx])).cast(pa.string()),
                 "span_index": pa.array(fs.span_index[idx].astype(np.int32), pa.int32()),
-                "media_ref": pa.array(np.asarray(refs)[idx], pa.string()),
+                "media_ref": pc.take(refs, pa.array(idx)).cast(pa.string()),
             }
         )
 
@@ -68,9 +93,14 @@ def reference_integrity_join(
     num_buckets: int = 64,
     salt: int = 1,
     batch_size: int = 4096,
+    emit_details: bool = True,
 ):
     """Anti-join probe refs against the registry via an explicit partitioned
     hash join. Returns violation rows (REFERENCE_NOT_FOUND, external policy).
+
+    Both sides pre-hash ``media_ref`` to uint64 BEFORE the shuffle, so the
+    sort-based exchange moves 8-byte keys; with ``emit_details=False`` the
+    probe side drops the ref string entirely (details carry only the hash).
 
     Partitioning assumption: a bucket's registry shard + probe rows fit in one
     worker's heap; size ``num_buckets`` ≈ total_refs / (target rows per
@@ -78,39 +108,42 @@ def reference_integrity_join(
     probes = extract_external_refs(docs, batch_size=batch_size)
 
     def add_probe_bucket(t: pa.Table) -> pa.Table:
-        refs = np.asarray(t["media_ref"]).astype("U")
-        h = _hash_str(refs) % np.uint64(num_buckets)
+        h = _hash_col(t["media_ref"])
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
         if salt > 1:
-            ids = np.asarray(t["doc_id"]).astype("U")
-            s = _hash_str(ids) % np.uint64(salt)
-            h = h * np.uint64(salt) + s
-        return t.append_column("bucket", pa.array(h.astype(np.int64))).append_column(
-            "is_reg", pa.array(np.zeros(t.num_rows, dtype=bool))
-        )
+            s = _hash_col(t["doc_id"]) % np.uint64(salt)
+            b = b * salt + s.astype(np.int64)
+        cols = {
+            "doc_id": t["doc_id"].cast(pa.string()),
+            "span_index": t["span_index"].cast(pa.int32()),
+            "h": pa.array(h.astype(np.int64)),
+            "bucket": pa.array(b),
+            "is_reg": pa.array(np.zeros(t.num_rows, dtype=bool)),
+        }
+        if emit_details:
+            cols["media_ref"] = t["media_ref"].cast(pa.string())
+        return pa.table(cols)
 
     def add_reg_bucket(t: pa.Table) -> pa.Table:
-        refs = np.asarray(t["media_ref"]).astype("U")
-        h = _hash_str(refs) % np.uint64(num_buckets)
+        h = _hash_col(t["media_ref"])
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
         n = t.num_rows
-        base = pa.table(
-            {
-                "doc_id": pa.array([""] * n, pa.string()),
-                "span_index": pa.array([-1] * n, pa.int32()),
-                "media_ref": t["media_ref"].cast(pa.string()),
-            }
-        )
-        if salt <= 1:
-            return base.append_column("bucket", pa.array(h.astype(np.int64))).append_column(
-                "is_reg", pa.array(np.ones(n, dtype=bool))
-            )
-        parts = []  # replicate registry rows across salt sub-buckets
-        for s in range(salt):
-            parts.append(
-                base.append_column(
-                    "bucket", pa.array((h * np.uint64(salt) + np.uint64(s)).astype(np.int64))
-                ).append_column("is_reg", pa.array(np.ones(n, dtype=bool)))
-            )
-        return pa.concat_tables(parts)
+        reps = salt if salt > 1 else 1
+        cols = {
+            "doc_id": _const_str("", n * reps),
+            "span_index": pa.array(np.full(n * reps, -1, dtype=np.int32)),
+            "h": pa.array(np.tile(h.astype(np.int64), reps)),
+            # replicate registry rows across salt sub-buckets (registry is
+            # the small side per bucket, so replication is cheap)
+            "bucket": pa.array(
+                np.concatenate([b * salt + s for s in range(reps)])
+                if salt > 1 else b
+            ),
+            "is_reg": pa.array(np.ones(n * reps, dtype=bool)),
+        }
+        if emit_details:
+            cols["media_ref"] = _const_str("", n * reps)
+        return pa.table(cols)
 
     probe_b = probes.map_batches(add_probe_bucket, batch_format="pyarrow")
     reg_b = registry.select_columns(["media_ref"]).map_batches(
@@ -123,31 +156,34 @@ def reference_integrity_join(
         import json
 
         is_reg = np.asarray(g["is_reg"])
-        refs = np.asarray(g["media_ref"]).astype("U")
-        reg_keys = np.unique(refs[is_reg])
+        h = np.asarray(g["h"])
+        reg_keys = np.unique(h[is_reg])
         probe_idx = np.flatnonzero(~is_reg)
-        miss_idx = probe_idx[~np.isin(refs[probe_idx], reg_keys)]
+        miss_idx = probe_idx[~np.isin(h[probe_idx], reg_keys)]
         span_idx = np.asarray(g["span_index"])[miss_idx].astype(np.int32)
         n = len(miss_idx)
+        if emit_details:
+            refs = pc.take(_chunked(g["media_ref"]), pa.array(miss_idx)).to_pylist()
+            details = pa.array(
+                [json.dumps({"ref": r, "policy": "registry"}, separators=(",", ":"))
+                 for r in refs],
+                pa.string(),
+            )
+        else:
+            details = _const_str("", n)
         return pa.table(
             {
-                "doc_id": pa.array(np.asarray(g["doc_id"]).astype("U")[miss_idx], pa.string()),
+                "doc_id": pc.take(_chunked(g["doc_id"]), pa.array(miss_idx)).cast(pa.string()),
                 "span_index": pa.array(span_idx, pa.int32()),
-                "source": pa.array([E.SRC_REFERENCE] * n, pa.string()),
-                "severity": pa.array([E.SEV_ERROR] * n, pa.string()),
-                "rule_id": pa.array([""] * n, pa.string()),
-                "error_code": pa.array([E.REFERENCE_NOT_FOUND] * n, pa.string()),
-                "path": pa.array(["media_ref"] * n, pa.string()),
-                "json_pointer": pa.array(
-                    ["/spans/%d/media_ref" % i for i in span_idx], pa.string()
+                "source": _const_str(E.SRC_REFERENCE, n),
+                "severity": _const_str(E.SEV_ERROR, n),
+                "rule_id": _const_str("", n),
+                "error_code": _const_str(E.REFERENCE_NOT_FOUND, n),
+                "path": _const_str("media_ref", n),
+                "json_pointer": pc.binary_join_element_wise(
+                    "/spans/", pc.cast(pa.array(span_idx), pa.string()), "/media_ref", ""
                 ),
-                "details": pa.array(
-                    [
-                        json.dumps({"ref": r, "policy": "registry"}, separators=(",", ":"))
-                        for r in refs[miss_idx]
-                    ],
-                    pa.string(),
-                ),
+                "details": details,
             }
         )
 

@@ -29,9 +29,33 @@ from .. import errors as E
 from ..functions.hashing import hash_str
 
 
-def _to_hashes(batch: pa.Table) -> pa.Table:
+_NUM_BUCKETS = 256
+
+
+def _to_hash_buckets(batch: pa.Table) -> pa.Table:
+    """Pre-aggregate per batch: unique (hash, count) pairs + a LOW-cardinality
+    bucket key. The groupby then shuffles at most n_unique rows per batch and
+    produces ``_NUM_BUCKETS`` groups instead of one group per doc_id — a
+    1M-group hash aggregation was the dominant cost of the naive plan."""
     ids = np.asarray(batch["doc_id"])
-    return pa.table({"h": pa.array(hash_str(ids).astype(np.int64))})
+    h, counts = np.unique(hash_str(ids).astype(np.int64), return_counts=True)
+    return pa.table(
+        {
+            "bucket": pa.array((h % _NUM_BUCKETS).astype(np.int32)),
+            "h": pa.array(h),
+            "c": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def _bucket_duplicates(g: pa.Table) -> pa.Table:
+    """Within one bucket: sum partial counts per hash, keep count > 1."""
+    h = np.asarray(g["h"])
+    c = np.asarray(g["c"])
+    uh, inv = np.unique(h, return_inverse=True)
+    totals = np.bincount(inv, weights=c).astype(np.int64)
+    dup = totals > 1
+    return pa.table({"h": pa.array(uh[dup]), "n": pa.array(totals[dup])})
 
 
 def duplicate_doc_ids(docs, *, batch_size: int = 65536):
@@ -39,17 +63,14 @@ def duplicate_doc_ids(docs, *, batch_size: int = 65536):
     once (exact). ``docs`` should be read with ``columns=["doc_id"]`` so the
     scan never decodes the spans column."""
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     ids_ds = docs.select_columns(["doc_id"])
-    counts = (
-        ids_ds.map_batches(_to_hashes, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("h")
-        .aggregate(Count(alias_name="n"))
-    )
-    suspects_tbl = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-    ).take_all()
+    suspects_tbl = (
+        ids_ds.map_batches(_to_hash_buckets, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(_bucket_duplicates, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: true duplicate hashes only
     suspect_hashes = np.sort(np.array([r["h"] for r in suspects_tbl], dtype=np.int64))
     if suspect_hashes.size == 0:
         return rd.from_arrow(
