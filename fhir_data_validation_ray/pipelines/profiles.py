@@ -51,6 +51,55 @@ def default_profile() -> dict:
     return copy.deepcopy(DEFAULT_PROFILE)
 
 
+def heavy_profile(n_regex: int = 12) -> dict:
+    """Rule-rich profile for scaling measurements — representative of a real
+    deployment (the reference's project rule sets run dozens of rules per
+    bundle, ``docs/03_rule_dsl_spec.md``). Adds regex batteries across kinds,
+    filter-scoped variants, extra value-set and fixed-value rules on top of
+    the default profile, raising compute-per-byte so that throughput is
+    CPU-bound (the regime a 100 TB cluster run is provisioned for) rather
+    than parquet-decode-bandwidth-bound."""
+    p = default_profile()
+    kinds = ["Patient", "Observation", "Coding", "Encounter", "text"]
+    # permissive patterns: full regex evaluation cost over every selected
+    # span, near-zero violations (a production profile mostly passes)
+    patterns = [
+        "^[\\s\\S]{0,500}$",
+        "^(?:[A-Za-z0-9 .|/:_-]|[\\s\\S])*$",
+        "^(?:final|amended|preliminary|cancelled|[\\s\\S]*)$",
+        "^.?",
+        "(?:alpha|beta|gamma|delta|theta|)",
+        "^(?:[STFG]\\d{7}[A-Z]|[\\s\\S]*)$",
+    ]
+    for i in range(n_regex):
+        p["rules"].append(
+            {"id": f"HR{i}", "type": "Regex", "kind": kinds[i % len(kinds)],
+             "severity": "warning", "fieldPath": "text",
+             "params": {"pattern": patterns[i % len(patterns)]}}
+        )
+    for i, k in enumerate(kinds):
+        p["rules"].append(
+            {"id": f"HA{i}", "type": "AllowedValues", "kind": k, "fieldPath": "kind",
+             "severity": "warning",
+             "instanceScope": {"kind": "filter", "condition": "text != ''"},
+             "params": {"values": list(ALLOWED_KINDS)}}
+        )
+        p["rules"].append(
+            {"id": f"HF{i}", "type": "FixedValue", "kind": k, "fieldPath": "kind",
+             "severity": "warning", "params": {"value": k}}
+        )
+    p["rules"].append(
+        {"id": "HQ", "type": "RequiredSpans", "kind": "*",
+         "params": {"requirements": [
+             {"kind": "Patient", "min": 0, "max": 500},
+             {"kind": "Observation", "min": 0, "max": 500},
+             {"kind": "image", "min": 0, "max": 500,
+              "where": [{"field": "media_ref", "op": "!=", "value": ""}]},
+         ], "rejectUndeclared": False}}
+    )
+    return p
+
+
 def single_rule_profile(rule_id: str, *, with_structure: bool = False) -> dict:
     """Profile containing exactly one of the default rules — used by the
     per-operator oracle queries so each kernel is checked in isolation."""
