@@ -32,13 +32,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from fhir_data_validation_ray.pipelines.dataops import dataops_queries
     from fhir_data_validation_ray.pipelines.queries import validation_queries
 
-    return validation_queries()
+    return {**validation_queries(), **dataops_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from fhir_data_validation_ray.pipelines.dataops import dataops_oracles
     from fhir_data_validation_ray.pipelines.queries import validation_oracles
     from fhir_data_validation_ray.pipelines.validate import fixture_paths
 
-    return validation_oracles(fixture_paths(SF_ORACLE))
+    return {**validation_oracles(fixture_paths(SF_ORACLE)), **dataops_oracles()}

@@ -1,0 +1,473 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data curation stages, Ray-Data-first:
+
+- **exact_dedup**: hash-bucket shuffle + per-group first-occurrence — the
+  classic exact dedup at corpus scale (shuffle key is the 64-bit text hash,
+  verification against the actual text inside the group, so hash collisions
+  cannot merge distinct documents).
+- **ngram_jaccard_pairs**: EXACT all-pairs n-gram-shingle Jaccard via a
+  shared-shingle inverted index (shingle -> docs) — one shuffle keyed by
+  shingle hash, pair counting per group, Jaccard from broadcast shingle
+  counts. Oracle-checkable 1:1 in SQL.
+- **minhash_lsh_pairs**: MinHash (k permutations) + banded LSH candidate
+  generation, exact-Jaccard verification of candidates. With 32 bands x 4
+  rows the miss probability for a J>=0.8 pair is ~(1-0.8^4)^32 < 1e-7, so
+  the verified output equals ngram_jaccard_pairs with overwhelming
+  probability — it shares the same DuckDB oracle.
+- **simhash_pairs**: 64-bit SimHash banding (4x16-bit bands: any pair within
+  Hamming distance 3 shares at least one exact band by pigeonhole) + exact
+  Hamming verification.
+
+Partitioning assumptions are stated per function; hot-shingle explosion is
+bounded by ``max_shingle_df`` at production scale (disabled for the oracle
+corpus where exactness is checked).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_str
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ------------------------------------------------------------- exact dedup
+def exact_dedup(docs, *, key: str = "text", num_buckets: int = 256,
+                batch_size: int | None = None):
+    """Keep the first occurrence (lowest doc_id) of each distinct ``key``
+    value. Returns Dataset[doc_id] of KEPT rows, suitable for a semi-join
+    back against the corpus. One shuffle of (hash-bucket, hash, key, doc_id);
+    per-group dedup verifies on the actual key value, not just the hash."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = hash_str(keys.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                "h": pa.array(h.astype(np.int64)),
+                "k": keys.cast(pa.string()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    def first_per_key(g: pa.Table) -> pa.Table:
+        doc = np.asarray(g["doc_id"])
+        h = np.asarray(g["h"])
+        # group by hash first (cheap int sort), verify by string inside
+        order = np.lexsort((doc, h))
+        h_s, doc_s = h[order], doc[order]
+        first_of_run = np.ones(len(h_s), dtype=bool)
+        first_of_run[1:] = h_s[1:] != h_s[:-1]
+        if not first_of_run.all():
+            # possible duplicate keys (or rare collisions): verify on strings
+            ks = pc.take(
+                g["k"].combine_chunks() if isinstance(g["k"], pa.ChunkedArray) else g["k"],
+                pa.array(order),
+            )
+            da = pc.dictionary_encode(ks)
+            code = np.asarray(da.indices).astype(np.int64)
+            seen: dict[int, bool] = {}
+            keep = np.zeros(len(code), dtype=bool)
+            run_start = 0
+            for i in range(len(code)):  # only iterates runs with dup hashes
+                if first_of_run[i]:
+                    run_start = i
+                    keep[i] = True
+                    seen = {int(code[i]): True}
+                else:
+                    c = int(code[i])
+                    if c not in seen:
+                        seen[c] = True
+                        keep[i] = True
+        else:
+            keep = first_of_run
+        return pa.table({"doc_id": pa.array(doc_s[keep])})
+
+    b = docs.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
+    return b.groupby("bucket").map_groups(first_per_key, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- shingle utilities
+def _shingle_table(t: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch: (doc_ids_per_shingle, shingle_hash, shingles_per_doc).
+    Word n-gram shingles, DISTINCT per document."""
+    texts = t["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parts = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(parts).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    words = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+    wh = hash_str(words)
+    doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # rolling n-gram hash: combine n consecutive word hashes positionally
+    n_sh = np.maximum(lens - (n - 1), 0)
+    total = int(n_sh.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n_sh
+    sh_parent = np.repeat(np.arange(len(lens)), n_sh)
+    sh_starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(n_sh[:-1], out=sh_starts[1:])
+    offset_in_doc = np.arange(total) - np.repeat(sh_starts, n_sh)
+    base = starts[sh_parent] + offset_in_doc
+    h = np.full(total, np.uint64(0xCBF29CE484222325))
+    for j in range(n):
+        h = (h ^ wh[base + j]) * np.uint64(0x100000001B3)
+    # DISTINCT per doc: unique (parent, h)
+    key = sh_parent.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + h
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    sh_parent, h = sh_parent[first], h[first]
+    counts = np.bincount(sh_parent, minlength=len(lens))
+    return doc_ids[sh_parent], h, counts.astype(np.int64)
+
+
+def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
+                        num_buckets: int = 128, max_shingle_df: int | None = None,
+                        batch_size: int | None = None):
+    """EXACT near-duplicate pairs (doc_a < doc_b) with n-gram-shingle Jaccard
+    >= threshold. Plan: shingle inverted index sharded by shingle hash ->
+    co-occurrence pair counts per shard -> second groupby on the pair ->
+    Jaccard with broadcast per-doc shingle counts.
+
+    ``max_shingle_df`` caps hot-shingle fan-out (drop shingles appearing in
+    more docs) — REQUIRED at web scale, left None for oracle-exact runs.
+    Partitioning assumption: one shingle's posting list fits in a worker."""
+    import ray
+
+    # pass 1 (streaming): per-doc shingle counts, broadcast as two arrays
+    def sh_counts(t: pa.Table) -> pa.Table:
+        _, _, counts = _shingle_table(t, n)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_sh": pa.array(counts)}
+        )
+
+    # per-doc shingle counts: one int per doc, broadcast to the Jaccard
+    # stage. At 10^12 docs this side becomes a join on doc_id instead of a
+    # broadcast — the pair table carries (doc_a, doc_b) keys for it.
+    counts = pa.concat_tables(
+        ray.get(
+            docs.map_batches(
+                sh_counts, batch_format="pyarrow", batch_size=batch_size
+            ).to_arrow_refs()
+        )
+    )
+    doc_order = np.asarray(counts["doc_id"]).astype(np.int64)
+    n_sh_arr = np.asarray(counts["n_sh"]).astype(np.int64)
+    sort_i = np.argsort(doc_order)
+    doc_sorted, nsh_sorted = doc_order[sort_i], n_sh_arr[sort_i]
+    counts_ref = ray.put((doc_sorted, nsh_sorted))
+
+    def postings(t: pa.Table) -> pa.Table:
+        d, h, _ = _shingle_table(t, n)
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                "h": pa.array(h.astype(np.int64)),
+                "doc_id": pa.array(d),
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["h"])
+        d = np.asarray(g["doc_id"])
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        run_id = np.zeros(len(h_s), dtype=np.int64)
+        run_id[1:] = np.cumsum(h_s[1:] != h_s[:-1])
+        run_len = np.bincount(run_id)
+        if max_shingle_df is not None:
+            keepm = run_len[run_id] <= max_shingle_df
+            h_s, d_s, run_id = h_s[keepm], d_s[keepm], run_id[keepm]
+            run_id = np.unique(run_id, return_inverse=True)[1]
+            run_len = np.bincount(run_id)
+        pa_list, pb_list = [], []
+        starts = np.zeros(len(run_len), dtype=np.int64)
+        np.cumsum(run_len[:-1], out=starts[1:])
+        for r in np.flatnonzero(run_len > 1):
+            seg = d_s[starts[r]: starts[r] + run_len[r]]
+            ii, jj = np.triu_indices(len(seg), k=1)
+            pa_list.append(seg[ii])
+            pb_list.append(seg[jj])
+        if not pa_list:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64())})
+        a = np.concatenate(pa_list)
+        b = np.concatenate(pb_list)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        key = lo * np.int64(1 << 32) + hi  # doc ids < 2^32 by assumption
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_a": pa.array(uk >> 32),
+                "doc_b": pa.array(uk & ((1 << 32) - 1)),
+                "inter": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def jaccard_filter(g: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dsorted, nsh = _ray.get(counts_ref) if isinstance(counts_ref, ray.ObjectRef) else counts_ref
+        a = np.asarray(g["doc_a"]).astype(np.int64)
+        b = np.asarray(g["doc_b"]).astype(np.int64)
+        # partial inter counts from different buckets sum here
+        key = a * np.int64(1 << 32) + b
+        uk, inv = np.unique(key, return_inverse=True)
+        inter = np.bincount(inv, weights=np.asarray(g["inter"])).astype(np.int64)
+        ua, ub = (uk >> 32), uk & ((1 << 32) - 1)
+        na = nsh[np.searchsorted(dsorted, ua)]
+        nb = nsh[np.searchsorted(dsorted, ub)]
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        return pa.table({"doc_a": pa.array(ua[keep]), "doc_b": pa.array(ub[keep])})
+
+    posted = docs.map_batches(postings, batch_format="pyarrow", batch_size=batch_size)
+    pair_counts = posted.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        return t.append_column(
+            "pbucket", pa.array(((a * 31 + b) % 64).astype(np.int32))
+        )
+
+    return (
+        pair_counts.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(jaccard_filter, batch_format="pyarrow")
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
+                      num_perm: int = 128, bands: int = 32,
+                      batch_size: int | None = None):
+    """MinHash signatures (k=num_perm universal-hash permutations over n-gram
+    shingle hashes) -> banded LSH buckets -> candidate pairs -> EXACT Jaccard
+    verification (re-shingling the candidate pair's rows). The shuffle moves
+    only (band, bucket-hash, doc_id) triples — num_perm x 8 bytes per doc
+    stays inside the map stage."""
+    import ray
+
+    rows_per_band = num_perm // bands
+    rng = np.random.RandomState(0xC0FFEE)  # fixed seed: deterministic perms
+    A = (rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64) | np.uint64(1))
+    B = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+
+    def signatures(t: pa.Table) -> pa.Table:
+        d, h, counts = _shingle_table(t, n)
+        n_docs = t.num_rows
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(h):
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            nonempty = np.flatnonzero(counts > 0)
+            idx = starts[nonempty]
+            for k in range(num_perm):
+                hk = (A[k] * h + B[k]) % _MERSENNE
+                sig[nonempty, k] = np.minimum.reduceat(hk, idx)
+        # band bucket hashes: fold rows_per_band minhashes per band
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n_docs)
+        out_doc = np.tile(doc_ids, bands)
+        bh = np.zeros((bands, n_docs), dtype=np.uint64)
+        for b_i in range(bands):
+            seg = sig[:, b_i * rows_per_band:(b_i + 1) * rows_per_band]
+            acc = np.full(n_docs, np.uint64(0xCBF29CE484222325))
+            for r in range(rows_per_band):
+                acc = (acc ^ seg[:, r]) * np.uint64(0x100000001B3)
+            bh[b_i] = acc
+        return pa.table(
+            {
+                "band": pa.array(out_band),
+                "bh": pa.array(bh.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(out_doc),
+            }
+        )
+
+    def candidates(g: pa.Table) -> pa.Table:
+        bh = np.asarray(g["bh"])
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        order = np.lexsort((d, bh))
+        bh_s, d_s = bh[order], d[order]
+        run_id = np.zeros(len(bh_s), dtype=np.int64)
+        run_id[1:] = np.cumsum(bh_s[1:] != bh_s[:-1])
+        run_len = np.bincount(run_id)
+        pa_l, pb_l = [], []
+        starts = np.zeros(len(run_len), dtype=np.int64)
+        np.cumsum(run_len[:-1], out=starts[1:])
+        for r in np.flatnonzero(run_len > 1):
+            seg = np.unique(d_s[starts[r]: starts[r] + run_len[r]])
+            if len(seg) > 1:
+                ii, jj = np.triu_indices(len(seg), k=1)
+                pa_l.append(seg[ii]); pb_l.append(seg[jj])
+        if not pa_l:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a = np.concatenate(pa_l); b = np.concatenate(pb_l)
+        key = np.unique(np.minimum(a, b) * np.int64(1 << 32) + np.maximum(a, b))
+        return pa.table({"doc_a": pa.array(key >> 32),
+                         "doc_b": pa.array(key & ((1 << 32) - 1))})
+
+    sigs = docs.map_batches(signatures, batch_format="pyarrow", batch_size=batch_size)
+    cand = (
+        sigs.groupby("band")
+        .map_groups(candidates, batch_format="pyarrow")
+    )
+    # global candidate dedup (same pair can surface from several bands)
+    cand_tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    if cand_tbl.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(cand_tbl)
+    key = (
+        np.asarray(cand_tbl["doc_a"]).astype(np.int64) * np.int64(1 << 32)
+        + np.asarray(cand_tbl["doc_b"]).astype(np.int64)
+    )
+    uk = np.unique(key)
+    cand_ref = ray.put(uk)
+
+    # EXACT verification: stream the corpus once more, shingle only docs that
+    # appear in candidate pairs, compute true Jaccard per pair
+    def verify(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        pairs = _ray.get(cand_ref) if not isinstance(cand_ref, np.ndarray) else cand_ref
+        ua = (pairs >> 32).astype(np.int64)
+        ub = (pairs & ((1 << 32) - 1)).astype(np.int64)
+        need = np.union1d(ua, ub)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        m = np.isin(doc_ids, need)
+        if not m.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        sub = t.filter(pa.array(m))
+        d, h, _ = _shingle_table(sub, n)
+        return pa.table({"doc_id": pa.array(d), "h": pa.array(h.astype(np.int64))})
+
+    sh = pa.concat_tables(
+        ray.get(docs.map_batches(verify, batch_format="pyarrow",
+                                 batch_size=batch_size).to_arrow_refs())
+    )
+    d = np.asarray(sh["doc_id"]).astype(np.int64)
+    h = np.asarray(sh["h"])
+    order = np.argsort(d, kind="stable")
+    d_s, h_s = d[order], h[order]
+    bounds = np.searchsorted(d_s, np.unique(d_s))
+    uniq_docs = np.unique(d_s)
+    sets = {int(ud): h_s[lo:hi] for ud, lo, hi in
+            zip(uniq_docs, bounds, np.append(bounds[1:], len(d_s)))}
+    ua = (uk >> 32).astype(np.int64)
+    ub = (uk & ((1 << 32) - 1)).astype(np.int64)
+    keep_a, keep_b = [], []
+    for x, y in zip(ua, ub):
+        sa, sb = sets.get(int(x)), sets.get(int(y))
+        if sa is None or sb is None:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        if inter / (sa.size + sb.size - inter) >= threshold:
+            keep_a.append(int(x)); keep_b.append(int(y))
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                  "doc_b": pa.array(keep_b, pa.int64())})
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming. 4x16-bit
+    banding: any pair within distance 3 agrees on >= 1 full band (pigeonhole),
+    so one groupby per band finds every candidate; verification is exact
+    Hamming on the 64-bit signatures."""
+    from .textops import simhash_batch
+
+    def sigs(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sh = simhash_batch(texts)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        bands_out, bh_out, doc_out, sig_out = [], [], [], []
+        for b in range(4):
+            bands_out.append(np.full(len(sh), b, dtype=np.int32))
+            bh_out.append(((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            doc_out.append(doc_ids)
+            sig_out.append(sh.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands_out)),
+                "bh": pa.array(np.concatenate(bh_out)),
+                "doc_id": pa.array(np.concatenate(doc_out)),
+                "sig": pa.array(np.concatenate(sig_out)),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        bh = np.asarray(g["bh"])
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        sig = np.asarray(g["sig"]).astype(np.uint64)
+        order = np.lexsort((d, bh))
+        bh_s, d_s, sig_s = bh[order], d[order], sig[order]
+        run_id = np.zeros(len(bh_s), dtype=np.int64)
+        run_id[1:] = np.cumsum(bh_s[1:] != bh_s[:-1])
+        run_len = np.bincount(run_id)
+        out_a, out_b = [], []
+        starts = np.zeros(len(run_len), dtype=np.int64)
+        np.cumsum(run_len[:-1], out=starts[1:])
+        for r in np.flatnonzero(run_len > 1):
+            seg_d = d_s[starts[r]: starts[r] + run_len[r]]
+            seg_s = sig_s[starts[r]: starts[r] + run_len[r]]
+            ii, jj = np.triu_indices(len(seg_d), k=1)
+            x = seg_s[ii] ^ seg_s[jj]
+            ham = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            for _ in range(64):
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+            ok = (ham <= max_hamming) & (seg_d[ii] != seg_d[jj])
+            out_a.append(np.minimum(seg_d[ii][ok], seg_d[jj][ok]))
+            out_b.append(np.maximum(seg_d[ii][ok], seg_d[jj][ok]))
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
+        key = np.unique(a * np.int64(1 << 32) + b)
+        return pa.table({"doc_a": pa.array(key >> 32),
+                         "doc_b": pa.array(key & ((1 << 32) - 1))})
+
+    ds = docs.map_batches(sigs, batch_format="pyarrow", batch_size=batch_size)
+    per_band = ds.groupby("band").map_groups(pairs, batch_format="pyarrow")
+
+    # cross-band pair dedup: tiny result set, one more small groupby
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["doc_a"]).astype(np.int64)
+        b = np.asarray(g["doc_b"]).astype(np.int64)
+        key = np.unique(a * np.int64(1 << 32) + b)
+        return pa.table({"doc_a": pa.array(key >> 32),
+                         "doc_b": pa.array(key & ((1 << 32) - 1))})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        return t.append_column("pbucket", pa.array(((a ^ b) % 32).astype(np.int32)))
+
+    return (
+        per_band.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .select_columns(["doc_a", "doc_b"])
+    )

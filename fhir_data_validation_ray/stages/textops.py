@@ -1,0 +1,162 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline stages: token counting, quality scoring,
+language ID and document fingerprinting — each a vectorized Arrow/numpy
+``map_batches`` kernel over ``(doc_id, text, ...)`` rows, with a DuckDB
+oracle mirroring the exact same computation in SQL (integer / exact-division
+outputs only, so value hashes compare bitwise).
+
+No analogue in the reference repo (it validates hierarchical documents);
+these extend the engine to corpus curation at the same Ray-Data-first shape:
+stateless task stages, per-worker compiled state, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_str
+
+# BPE-ish tokenization: alnum runs OR single non-space symbol. RE2 dialect —
+# identical semantics in pyarrow (count_substring_regex) and DuckDB
+# (regexp_extract_all), so oracle parity is exact.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+PUNCT_RE = r"[^A-Za-z0-9_\s]"
+
+# per-language stopword marker sets for the n-gram/stopword-voting language
+# ID heuristic (deterministic; ties resolve by list order)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "de", "que", "y", "los", "en"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _split_counts(texts: pa.Array, words: list[str]) -> np.ndarray:
+    """Count whole-word occurrences of ``words`` per text (space-separated
+    corpus): split -> flatten -> set membership -> per-doc bincount. RE2-free
+    (no lookahead in RE2); SQL mirror is
+    ``len(list_filter(string_split(text, ' '), w -> w IN (...)))``."""
+    parts = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    hit = (
+        pc.is_in(flat, value_set=pa.array(words, pa.string()))
+        .to_numpy(zero_copy_only=False)
+    )
+    return np.bincount(parent[hit], minlength=len(texts)).astype(np.int64)
+
+
+def text_features(docs, *, batch_size: int | None = None):
+    """(doc_id, text) -> per-doc token counts + quality flags.
+
+    Columns (all integers / exact divisions for oracle parity):
+    ``n_ws_tokens`` whitespace tokens; ``n_bpe_tokens`` BPE-ish regex tokens;
+    ``n_chars``; ``n_punct``; ``n_stop`` stopword hits; ``quality_ok``
+    length/stopword/punctuation gate.
+    """
+
+    def feats(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_chars = pc.utf8_length(texts).fill_null(0)
+        # whitespace tokens = split on single space (corpus is single-spaced)
+        n_ws = pc.list_value_length(pc.split_pattern(texts, " ")).fill_null(0)
+        n_bpe = pc.count_substring_regex(texts, BPE_TOKEN_RE).fill_null(0)
+        n_punct = pc.count_substring_regex(texts, PUNCT_RE).fill_null(0)
+        n_stop = _split_counts(texts, STOPWORDS)
+        ws = n_ws.to_numpy(zero_copy_only=False).astype(np.int64)
+        quality = (
+            (ws >= 5)
+            & (n_stop * 10 >= ws)  # stopword ratio >= 0.1, integer form
+            & (n_punct.to_numpy(zero_copy_only=False).astype(np.int64) * 5 <= ws)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(n_ws, pa.int64()),
+                "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_punct": pc.cast(n_punct, pa.int64()),
+                "n_stop": pa.array(n_stop.astype(np.int64)),
+                "quality_ok": pa.array(quality),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow", batch_size=batch_size)
+
+
+def language_id(docs, *, batch_size: int | None = None):
+    """Stopword-voting language ID: per-language marker hit counts, predict
+    the argmax (ties -> first language in LANG_MARKERS order; zero hits ->
+    'und'). Deterministic and expressible 1:1 in SQL."""
+    langs = list(LANG_MARKERS)
+
+    def lid(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        scores = np.stack([_split_counts(texts, LANG_MARKERS[l]) for l in langs])
+        best = np.argmax(scores, axis=0)  # first max wins — matches SQL tie-break
+        none = scores.max(axis=0) == 0
+        pred = np.array(langs, dtype=object)[best]
+        pred[none] = "und"
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred_lang": pa.array(pred, pa.string()),
+                "score": pa.array(scores.max(axis=0).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(lid, batch_format="pyarrow", batch_size=batch_size)
+
+
+def fingerprints(docs, *, batch_size: int | None = None):
+    """Order-sensitive 64-bit document fingerprint (FNV-1a over the full
+    text) + order-insensitive SimHash over word features. Vectorized; no SQL
+    oracle (FNV/SimHash are not DuckDB-expressible) — rows-only check."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(
+                    hash_str(texts.to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+                "simhash": pa.array(simhash_batch(texts).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow", batch_size=batch_size)
+
+
+def simhash_batch(texts: pa.Array) -> np.ndarray:
+    """64-bit SimHash per text from word-unigram features (Arrow split +
+    flatten, per-bit +/-1 votes via reduceat over the flat word-hash array)."""
+    parts = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(parts).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    n = len(texts)
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    h = hash_str(flat.to_numpy(zero_copy_only=False))
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = np.flatnonzero(lens > 0)  # reduceat over nonempty docs only:
+    idx = starts[nonempty]               # strictly increasing, ends at len(h)
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        votes = (((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+        sums = np.add.reduceat(votes, idx)
+        out[nonempty] |= (sums > 0).astype(np.uint64) << np.uint64(b)
+    return out

@@ -1,0 +1,99 @@
+"""Training-data operators vs DuckDB oracles at sf0.001 (+ behavior checks
+for the approximate operators that have no SQL equivalent)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    return con
+
+
+def _oracle_names():
+    from fhir_data_validation_ray.pipelines.dataops import dataops_oracles
+
+    return sorted(dataops_oracles().keys())
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = pd.to_numeric(df[c]).astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_dataop_matches_oracle(ray_session, name):
+    from fhir_data_validation_ray.pipelines.dataops import (
+        dataops_oracles,
+        dataops_queries,
+    )
+
+    result = dataops_queries()[name](SF_DIR)
+    got = result.to_pandas() if hasattr(result, "to_pandas") else pd.DataFrame(result)
+    want = _con().execute(dataops_oracles()[name]).df()
+
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), f"{name}: {g.columns} vs {w.columns}"
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_fingerprints_deterministic(ray_session):
+    from fhir_data_validation_ray.pipelines.dataops import q_fingerprints
+
+    a = q_fingerprints(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = q_fingerprints(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # order-sensitive: full-text FNV separates all distinct docs
+    assert a.fingerprint.nunique() == len(a)
+
+
+def test_simhash_pairs_are_near_duplicates(ray_session):
+    """Every emitted pair must actually be within the Hamming bound, and the
+    planted bigram near-dups should be heavily represented."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fhir_data_validation_ray.pipelines.dataops import q_simhash_pairs
+    from fhir_data_validation_ray.stages.textops import simhash_batch
+
+    pairs = q_simhash_pairs(SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    sh = simhash_batch(t["text"].combine_chunks())
+    by_id = dict(zip(t["doc_id"].to_pylist(), sh))
+    for a, b in pairs[["doc_a", "doc_b"]].itertuples(index=False):
+        x = int(by_id[a]) ^ int(by_id[b])
+        assert bin(x).count("1") <= 3
+
+
+def test_lsh_topk_recall(ray_session):
+    """LSH is approximate: assert structural validity + minimum recall vs the
+    exact top-k (recall target is loose — random 64-d vectors are a hard case
+    for hyperplane LSH; the knob is num_planes)."""
+    from fhir_data_validation_ray.pipelines.dataops import (
+        ANN_K,
+        q_cosine_topk,
+        q_lsh_topk,
+    )
+
+    exact = q_cosine_topk(SF_DIR).to_pandas()
+    approx = q_lsh_topk(SF_DIR).to_pandas()
+    assert set(approx.columns) == {"qid", "vec_id", "rank"}
+    assert approx.groupby("qid")["rank"].max().max() <= ANN_K
+    e = set(map(tuple, exact[["qid", "vec_id"]].values))
+    a = set(map(tuple, approx[["qid", "vec_id"]].values))
+    assert len(e & a) / len(e) >= 0.2
