@@ -95,8 +95,79 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(_emb(sf_dir), qids, qm, k=ANN_K, num_planes=5)
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0, 600, 20
+
+
+def q_stats_nchars(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.stats import numeric_stats_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return numeric_stats_exact(ds, "n_chars")
+
+
+def q_histogram_nchars(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.stats import histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return histogram(ds, "n_chars", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS)
+
+
+def q_column_profile(sf_dir: str):
+    """t-digest quantiles + HLL distinct of n_chars — approximate sketches,
+    rows-only check (floats)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.stats import column_profile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    prof = column_profile(ds, "n_chars")
+    return pd.DataFrame(
+        [
+            {
+                "col": prof["col"],
+                "n": prof["n"],
+                "p50": prof["quantiles"]["0.5"],
+                "p95": prof["quantiles"]["0.95"],
+                "p99": prof["quantiles"]["0.99"],
+                "distinct_hll": prof["distinct_hll"],
+            }
+        ]
+    )
+
+
+def q_drift_by_source(sf_dir: str):
+    """Per-source drift of n_chars vs the whole-corpus snapshot — the
+    per-partition KS/PSI check of the north_star (rows-only: float scores)."""
+    import ray.data as rd
+
+    from ..stages.drift import drift_scores, take_snapshot
+
+    full = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    snap = take_snapshot(full, ["n_chars"])
+    import pandas as pd
+
+    rows = []
+    for src in sorted(s["source"] for s in full.groupby("source").count().take_all()):
+        part = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        ).filter(expr=f"source == '{src}'")
+        d = drift_scores(part, snap).to_pandas()
+        d.insert(0, "source", src)
+        rows.append(d)
+    return pd.concat(rows, ignore_index=True)
+
+
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "a_stats_nchars": q_stats_nchars,
+        "a_histogram_nchars": q_histogram_nchars,
+        "a_column_profile": q_column_profile,
+        "a_drift_by_source": q_drift_by_source,
         "t_text_features": q_text_features,
         "t_language_id": q_language_id,
         "t_fingerprints": q_fingerprints,
@@ -190,12 +261,32 @@ WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list
 """
 
 
+STATS_NCHARS_SQL = """
+SELECT 'n_chars' AS col, count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min,
+       max(n_chars)::BIGINT AS max, sum(n_chars)::BIGINT AS sum
+FROM documents
+"""
+
+HISTOGRAM_NCHARS_SQL = f"""
+WITH bins AS (SELECT unnest(range(0, {HIST_BINS})) AS bin),
+h AS (
+  SELECT least(greatest(floor((n_chars - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS})::BIGINT, 0),
+               {HIST_BINS - 1}) AS bin, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1)
+SELECT bins.bin::BIGINT AS bin, coalesce(h.c, 0)::BIGINT AS count
+FROM bins LEFT JOIN h ON bins.bin = h.bin
+"""
+
+
 def dataops_oracles() -> dict[str, str]:
     """SQL oracles. Approximate/sketch operators (fingerprints, simhash,
-    lsh_topk) are deliberately absent — the driver records the weaker
-    rows-only check for them; minhash_lsh shares the exact Jaccard oracle
-    (miss probability < 1e-7 per pair at 32x4 bands, verified exactly)."""
+    lsh_topk, column_profile, drift) are deliberately absent — the driver
+    records the weaker rows-only check for them; minhash_lsh shares the
+    exact Jaccard oracle (miss probability < 1e-7 per pair at 32x4 bands,
+    verified exactly)."""
     return {
+        "a_stats_nchars": STATS_NCHARS_SQL,
+        "a_histogram_nchars": HISTOGRAM_NCHARS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,
         "t_language_id": LANGUAGE_ID_SQL,
         "d_exact_dedup": EXACT_DEDUP_SQL,

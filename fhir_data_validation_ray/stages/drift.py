@@ -1,0 +1,115 @@
+"""Distribution-drift checks vs a reference snapshot (north_star: KS/PSI over
+per-partition t-digest quantiles and span-kind histograms).
+
+A *snapshot* is a JSON manifest (written by ``take_snapshot``) holding, per
+tracked column: fixed histogram edges + counts, the merged t-digest, and the
+span-kind histogram for the interleaved table. ``drift_scores`` streams the
+current corpus once, builds the same partials, and scores:
+
+- **PSI** over the snapshot's fixed bins:  Σ (p−q)·ln(p/q) with ε-smoothing.
+- **KS** statistic: max |ECDF_cur − ECDF_snap| evaluated on the merged
+  t-digest centroids of both sides (the sketch-space approximation of the
+  two-sample KS — exact to within digest resolution).
+
+Scores are floats -> no SQL oracle (the bin-count building block in
+``stages/stats.histogram`` is the oracle-checked piece); thresholds gate
+pass/fail per column.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..state.sketches import TDigest
+from .stats import column_profile, histogram
+
+
+def take_snapshot(ds, numeric_cols: list[str], *, nbins: int = 20) -> dict:
+    """Build the reference snapshot manifest for ``numeric_cols``."""
+    snap: dict = {"version": 1, "columns": {}}
+    for col in numeric_cols:
+        prof = column_profile(ds, col)
+        td = TDigest.from_rows(prof["tdigest"])
+        lo = float(td.quantile(0.001))
+        hi = float(td.quantile(0.999)) + 1e-9
+        hist = histogram(ds, col, lo=int(np.floor(lo)), hi=int(np.ceil(hi)), nbins=nbins)
+        counts = [r["count"] for r in sorted(hist.take_all(), key=lambda r: r["bin"])]
+        snap["columns"][col] = {
+            "lo": int(np.floor(lo)),
+            "hi": int(np.ceil(hi)),
+            "nbins": nbins,
+            "counts": counts,
+            "tdigest": prof["tdigest"],
+            "n": prof["n"],
+        }
+    return snap
+
+
+def psi(p_counts: np.ndarray, q_counts: np.ndarray, eps: float = 1e-6) -> float:
+    p = p_counts / max(p_counts.sum(), 1)
+    q = q_counts / max(q_counts.sum(), 1)
+    p = np.clip(p, eps, None)
+    q = np.clip(q, eps, None)
+    return float(((p - q) * np.log(p / q)).sum())
+
+
+def ks_from_digests(a: TDigest, b: TDigest) -> float:
+    """Max ECDF gap evaluated at the union of centroid means."""
+    if a.means.size == 0 or b.means.size == 0:
+        return float("nan")
+    xs = np.union1d(a.means, b.means)
+
+    def ecdf(d: TDigest, x: np.ndarray) -> np.ndarray:
+        cum = np.cumsum(d.weights) - d.weights / 2.0
+        total = d.weights.sum()
+        return np.interp(x, d.means, cum / total, left=0.0, right=1.0)
+
+    return float(np.abs(ecdf(a, xs) - ecdf(b, xs)).max())
+
+
+def drift_scores(ds, snapshot: dict, *, psi_threshold: float = 0.2,
+                 ks_threshold: float = 0.15):
+    """Score the current dataset against a snapshot. Returns
+    Dataset[col, psi, ks, drifted] (floats + bool; rows-only check)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    cols, psis, kss, flags = [], [], [], []
+    for col, ref in snapshot["columns"].items():
+        hist = histogram(ds, col, lo=ref["lo"], hi=ref["hi"], nbins=ref["nbins"])
+        cur_counts = np.array(
+            [r["count"] for r in sorted(hist.take_all(), key=lambda r: r["bin"])],
+            dtype=np.float64,
+        )
+        ref_counts = np.asarray(ref["counts"], dtype=np.float64)
+        prof = column_profile(ds, col)
+        ks = ks_from_digests(
+            TDigest.from_rows(prof["tdigest"]), TDigest.from_rows(ref["tdigest"])
+        )
+        p = psi(cur_counts, ref_counts)
+        cols.append(col)
+        psis.append(p)
+        kss.append(ks)
+        flags.append(bool(p > psi_threshold or ks > ks_threshold))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "psi": pa.array(psis, pa.float64()),
+                "ks": pa.array(kss, pa.float64()),
+                "drifted": pa.array(flags),
+            }
+        )
+    )
+
+
+def save_snapshot(snapshot: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(snapshot, f)
+
+
+def load_snapshot(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,134 @@
+"""Per-column statistics: exact aggregates, t-digest quantiles, HLL
+uniqueness (north_star §2.6 — not present in the reference, required here).
+
+Pattern: one streaming pass; each batch emits a PARTIAL (exact sums as ints,
+serialized sketch for the approximate parts); the driver folds the partials.
+Nothing wide — no shuffle, no sort; partial size is O(delta + 2^p) per batch.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.sketches import HyperLogLog, TDigest
+
+
+def numeric_stats_exact(ds, col: str):
+    """Exact count/min/max/sum for an integer column — Dataset-level
+    aggregate, integer outputs so the DuckDB oracle compares bitwise.
+    Returns Dataset[col(str), n, min, max, sum] (single row)."""
+    import ray
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "min": pa.array([int(v.min()) if len(v) else 0], pa.int64()),
+                "max": pa.array([int(v.max()) if len(v) else 0], pa.int64()),
+                "sum": pa.array([int(v.sum()) if len(v) else 0], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    n = np.asarray(parts["n"])
+    nz = n > 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "col": pa.array([col], pa.string()),
+                "n": pa.array([int(n.sum())], pa.int64()),
+                "min": pa.array([int(np.asarray(parts["min"])[nz].min())], pa.int64()),
+                "max": pa.array([int(np.asarray(parts["max"])[nz].max())], pa.int64()),
+                "sum": pa.array([int(np.asarray(parts["sum"]).sum())], pa.int64()),
+            }
+        )
+    )
+
+
+def column_profile(ds, col: str, *, quantiles=(0.5, 0.9, 0.95, 0.99),
+                   delta: int = 128, hll_p: int = 14) -> dict:
+    """Approximate column profile: t-digest quantiles + HLL distinct count.
+    Per-batch partial sketches, driver-side fold — the sketch path the exact
+    aggregates can't cover at 10^12 rows. Returns a plain dict manifest."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.float64)
+        td = TDigest.from_values(v, delta=delta)
+        hll = HyperLogLog.from_hashes(
+            np.asarray(t[col]).astype(np.uint64), p=hll_p
+        ) if _is_int(t[col]) else HyperLogLog.from_strings(
+            t[col].to_numpy(zero_copy_only=False).astype("U"), p=hll_p
+        )
+        return pa.table(
+            {
+                "td": pa.array([json.dumps(td.to_rows())], pa.string()),
+                "hll": pa.array([hll.registers.tobytes()], pa.binary()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    td = TDigest(np.empty(0), np.empty(0), delta)
+    hll = HyperLogLog.empty(hll_p)
+    for row in parts.to_pylist():
+        td = td.merge(TDigest.from_rows(json.loads(row["td"])))
+        hll = hll.merge(HyperLogLog(np.frombuffer(row["hll"], np.uint8).copy(), hll_p))
+    return {
+        "col": col,
+        "n": int(np.asarray(parts["n"]).sum()),
+        "quantiles": {str(q): td.quantile(q) for q in quantiles},
+        "distinct_hll": float(hll.estimate()),
+        "tdigest": td.to_rows(),
+    }
+
+
+def _is_int(arr) -> bool:
+    t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
+    return pa.types.is_integer(t)
+
+
+def histogram(ds, col: str, *, lo: int, hi: int, nbins: int):
+    """Fixed-bin histogram (integer counts, deterministic edges) — the
+    oracle-checkable building block for PSI drift. Bin i covers
+    [lo + i*w, lo + (i+1)*w); values outside clamp to the edge bins.
+    Returns Dataset[bin, count]."""
+    import ray
+    import ray.data as rd
+
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / w).astype(np.int64), 0, nbins - 1)
+        counts = np.bincount(b, minlength=nbins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                "count": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    b = np.asarray(parts["bin"])
+    c = np.asarray(parts["count"])
+    total = np.bincount(b, weights=c, minlength=nbins).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                "count": pa.array(total),
+            }
+        )
+    )

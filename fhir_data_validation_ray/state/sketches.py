@@ -1,0 +1,150 @@
+"""Mergeable sketches for distributed column statistics.
+
+Both sketches follow the partial-aggregate pattern (SURVEY.md §2.6): each
+``map_batches`` task builds a partial from its batch; partials are tiny,
+deterministic, and merge associatively — so the final reduce is a driver-side
+fold over per-batch sketch rows, never a shuffle of raw values.
+
+- **TDigest**: fixed-boundary merging digest. Values are clustered into at
+  most ``delta`` centroids whose quantile spans follow the k1 (arcsine)
+  scale function — fine resolution at the tails, coarse in the middle.
+  Deterministic (no randomness, no insertion-order dependence beyond float
+  summation within a cluster) and fully vectorized. Divergence from
+  Dunning's canonical algorithm: cluster boundaries are the FIXED k-scale
+  grid rather than greedy size-limited merging — same asymptotic accuracy,
+  simpler merge.
+- **HyperLogLog**: p-bit register HLL (default p=14 -> 16 KiB, ~0.8% error)
+  over 64-bit FNV hashes, with linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.hashing import hash_str
+
+
+# ------------------------------------------------------------------ t-digest
+@dataclass
+class TDigest:
+    means: np.ndarray    # centroid means, ascending
+    weights: np.ndarray  # centroid weights (float64)
+    delta: int = 128
+
+    @staticmethod
+    def _boundaries(delta: int) -> np.ndarray:
+        """Quantile boundaries of the fixed k-scale grid: k(q) = δ/2π·asin(2q−1)."""
+        j = np.arange(delta + 1, dtype=np.float64)
+        return (np.sin(np.pi * (j / delta) - np.pi / 2) + 1.0) / 2.0
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, delta: int = 128) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return cls(np.empty(0), np.empty(0), delta)
+        v = np.sort(v)
+        return cls._compress(v, np.ones(v.size), delta)
+
+    @classmethod
+    def _compress(cls, means: np.ndarray, weights: np.ndarray, delta: int) -> "TDigest":
+        """means must be ascending. Cluster by fixed k-scale quantile bins."""
+        total = weights.sum()
+        cum = np.cumsum(weights) - weights / 2.0  # centroid mid-quantile mass
+        q = cum / total
+        bins = np.searchsorted(cls._boundaries(delta), q, side="right") - 1
+        bins = np.clip(bins, 0, delta - 1)
+        # merge per bin: weighted mean (deterministic given sorted input)
+        uniq, inv = np.unique(bins, return_inverse=True)
+        w = np.bincount(inv, weights=weights)
+        m = np.bincount(inv, weights=means * weights) / w
+        return cls(m, w, delta)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if self.means.size == 0:
+            return other
+        if other.means.size == 0:
+            return self
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        order = np.argsort(m, kind="stable")
+        return TDigest._compress(m[order], w[order], self.delta)
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * total
+        return float(np.interp(target, cum, self.means))
+
+    def to_rows(self) -> dict:
+        return {"means": self.means.tolist(), "weights": self.weights.tolist(),
+                "delta": self.delta}
+
+    @classmethod
+    def from_rows(cls, d: dict) -> "TDigest":
+        return cls(np.asarray(d["means"], np.float64),
+                   np.asarray(d["weights"], np.float64), int(d["delta"]))
+
+
+# -------------------------------------------------------------- HyperLogLog
+@dataclass
+class HyperLogLog:
+    registers: np.ndarray  # uint8[2^p]
+    p: int = 14
+
+    @classmethod
+    def empty(cls, p: int = 14) -> "HyperLogLog":
+        return cls(np.zeros(1 << p, dtype=np.uint8), p)
+
+    @classmethod
+    def from_hashes(cls, h: np.ndarray, p: int = 14) -> "HyperLogLog":
+        hll = cls.empty(p)
+        hll.add_hashes(h)
+        return hll
+
+    @classmethod
+    def from_strings(cls, arr: np.ndarray, p: int = 14) -> "HyperLogLog":
+        return cls.from_hashes(hash_str(arr), p)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = np.asarray(h, dtype=np.uint64)
+        if h.size == 0:
+            return
+        # FNV-1a avalanches poorly in the bits HLL slices on; run the values
+        # through a splitmix64-style finalizer first (pure function of the
+        # hash, so merges stay consistent across batches)
+        h = h.copy()
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        p = self.p
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - p)) - 1)
+        # rho = leading-zero count of the (64-p)-bit suffix + 1
+        # = (64-p) - bit_length(w) + 1; w < 2^50 so float64 log2 is exact
+        bl = np.zeros(h.size, dtype=np.int64)
+        nz = w > 0
+        bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rho = ((64 - p) - bl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(np.maximum(self.registers, other.registers), self.p)
+
+    def estimate(self) -> float:
+        m = float(len(self.registers))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return e

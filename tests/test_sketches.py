@@ -1,0 +1,97 @@
+"""Sketches (t-digest, HLL), drift scoring and checkpoint/resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tdigest_quantile_accuracy():
+    from fhir_data_validation_ray.state.sketches import TDigest
+
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(3, 1, size=100_000)
+    td = TDigest.from_values(v)
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(v, q)
+        est = td.quantile(q)
+        assert abs(est - exact) / exact < 0.05, (q, est, exact)
+
+
+def test_tdigest_merge_matches_whole():
+    from fhir_data_validation_ray.state.sketches import TDigest
+
+    rng = np.random.RandomState(11)
+    v = rng.standard_normal(60_000) * 10 + 50
+    parts = np.array_split(v, 7)
+    merged = TDigest.from_values(parts[0])
+    for p in parts[1:]:
+        merged = merged.merge(TDigest.from_values(p))
+    whole = TDigest.from_values(v)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(merged.quantile(q) - whole.quantile(q)) < 1.0
+
+
+def test_hll_estimate_and_merge():
+    from fhir_data_validation_ray.state.sketches import HyperLogLog
+
+    a = np.array([f"k{i}" for i in range(30_000)])
+    b = np.array([f"k{i}" for i in range(20_000, 50_000)])  # 20k overlap
+    ha = HyperLogLog.from_strings(a)
+    hb = HyperLogLog.from_strings(b)
+    assert abs(ha.estimate() - 30_000) / 30_000 < 0.03
+    union = ha.merge(hb)
+    assert abs(union.estimate() - 50_000) / 50_000 < 0.03
+
+
+def test_drift_same_corpus_is_clean_and_shift_detected(ray_session):
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.drift import drift_scores, take_snapshot
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["n_chars"])
+    snap = take_snapshot(ds, ["n_chars"])
+    clean = drift_scores(ds, snap).to_pandas()
+    assert not clean["drifted"].any()
+    assert (clean["psi"] < 0.01).all()
+
+    # shifted population: only the long documents -> must flag
+    shifted = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["n_chars"]).filter(
+        expr="n_chars > 300"
+    )
+    hot = drift_scores(shifted, snap).to_pandas()
+    assert hot["drifted"].all()
+
+
+def test_checkpoint_run_and_resume(ray_session, tmp_path):
+    from fhir_data_validation_ray.pipelines.checkpointed import run_checkpointed
+
+    out = str(tmp_path / "run1")
+    run1 = run_checkpointed(SF_DIR, out, emit_details=False)
+    assert run1["n_processed_this_run"] == run1["n_partitions"] > 0
+    assert run1["n_docs"] == 500
+
+    # full resume: nothing recomputed
+    run2 = run_checkpointed(SF_DIR, out, emit_details=False)
+    assert run2["n_processed_this_run"] == 0
+    assert run2["n_resumed_skips"] == run1["n_partitions"]
+    assert run2["n_violations"] == run1["n_violations"]
+
+    # simulate a crashed partition: drop one manifest -> only it recomputes
+    manifests = sorted(os.listdir(os.path.join(out, "_manifests")))
+    victim = os.path.join(out, "_manifests", manifests[0])
+    before = json.load(open(victim))
+    os.remove(victim)
+    run3 = run_checkpointed(SF_DIR, out, emit_details=False)
+    assert run3["n_processed_this_run"] == 1
+    assert run3["n_violations"] == run1["n_violations"]
+    after = json.load(open(victim))
+    assert after["n_violations"] == before["n_violations"]
+    assert after["pass"] == before["pass"]
+
+    # per-partition verdicts + lineage present
+    assert {"input_file", "row_group", "counts_by_severity", "pass",
+            "profile_hash", "duration_s"} <= set(after)
