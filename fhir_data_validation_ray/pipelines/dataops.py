@@ -162,8 +162,39 @@ def q_drift_by_source(sf_dir: str):
     return pd.concat(rows, ignore_index=True)
 
 
+def q_image_meta(sf_dir: str):
+    from ..stages.multimodal import ImageMetaStage, media_pipeline
+    from .validate import fixture_paths
+
+    return media_pipeline(
+        fixture_paths(sf_dir)["registry"], kind="image", stage=(ImageMetaStage, {})
+    )
+
+
+def q_audio_meta(sf_dir: str):
+    from ..stages.multimodal import AudioMetaStage, media_pipeline
+    from .validate import fixture_paths
+
+    return media_pipeline(
+        fixture_paths(sf_dir)["registry"], kind="audio", stage=(AudioMetaStage, {})
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    from ..stages.multimodal import FrameSampleStage, media_pipeline
+    from .validate import fixture_paths
+
+    return media_pipeline(
+        fixture_paths(sf_dir)["registry"], kind="video",
+        stage=(FrameSampleStage, {"every_k": 4}),
+    ).select_columns(["media_ref", "frame_index"])
+
+
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "m_image_meta": q_image_meta,
+        "m_audio_meta": q_audio_meta,
+        "m_frame_sample": q_frame_sample,
         "a_stats_nchars": q_stats_nchars,
         "a_histogram_nchars": q_histogram_nchars,
         "a_column_profile": q_column_profile,

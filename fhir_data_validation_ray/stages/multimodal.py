@@ -1,0 +1,252 @@
+"""Multimodal columns: image / audio / video as opaque ``binary`` payloads
+with typed metadata, processed by ACTOR-POOL ``map_batches`` stages.
+
+The container has no image/audio libraries, so the codec layer is split:
+
+- ``RealCodec`` — used automatically when ``PIL`` is importable; otherwise
+  every real decode raises ``NotImplementedError`` (clearly marked STUB
+  boundary, per the build brief).
+- ``FakeCodec`` — deterministic stand-in for tests/bench: payloads generated
+  by ``synth_media`` carry a tiny self-describing header
+  (``FIMG``/``FAUD``/``FVID`` + packed metadata), so decode/resize/
+  frame-sample are real Arrow-shaped transforms with fake pixels.
+
+The RAY side is fully real: schema (``media_ref: string, kind: string,
+payload: binary``), stateful actor construction (codec chosen once per actor
+in ``__init__``), batch-size guidance for large binaries (payloads make
+rows heavy — size ``batch_size`` so batch x concurrency fits the heap), and
+flat_map-style row expansion for frame sampling.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash_str
+
+MEDIA_SCHEMA = pa.schema(
+    [("media_ref", pa.string()), ("kind", pa.string()), ("payload", pa.binary())]
+)
+
+
+# ---------------------------------------------------------------- synthesis
+def synth_media(registry_path: str, *, max_body: int = 4096) -> pa.Table:
+    """Deterministic fake media payloads for every registry row. Header
+    formats:  FIMG + u16 width + u16 height + u8 channels;
+              FAUD + u32 duration_ms + u16 sample_rate;
+              FVID + u16 n_frames + u16 frame_bytes."""
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(registry_path)
+    refs = reg["media_ref"].to_numpy(zero_copy_only=False)
+    kinds = reg["kind"].to_numpy(zero_copy_only=False)
+    h = hash_str(refs)
+    payloads = []
+    out_kinds = []
+    for i, (r, k) in enumerate(zip(refs, kinds)):
+        x = int(h[i])
+        body = (x.to_bytes(8, "little") * ((max_body // 8) + 1))[: 64 + x % max_body]
+        if k == "image":
+            w, ht, c = 16 + x % 1024, 16 + (x >> 10) % 1024, 1 + x % 4
+            payloads.append(b"FIMG" + struct.pack("<HHB", w, ht, c) + body)
+            out_kinds.append("image")
+        elif k == "audio":
+            dur, rate = 100 + x % 600_000, 8000 + (x % 5) * 8000
+            payloads.append(b"FAUD" + struct.pack("<IH", dur, rate) + body)
+            out_kinds.append("audio")
+        else:
+            nf, fb = 1 + x % 64, 16 + (x >> 6) % 240
+            frames = (body * ((nf * fb) // max(len(body), 1) + 1))[: nf * fb]
+            payloads.append(b"FVID" + struct.pack("<HH", nf, fb) + frames)
+            out_kinds.append("video")
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(out_kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+# ------------------------------------------------------------------- codecs
+class FakeCodec:
+    """Parses the synth headers. Deterministic; no pixel work."""
+
+    def image_meta(self, payload: bytes) -> tuple[int, int, int]:
+        if payload[:4] != b"FIMG":
+            raise ValueError("not a fake image payload")
+        w, h, c = struct.unpack_from("<HHB", payload, 4)
+        return w, h, c
+
+    def image_resize(self, payload: bytes, w: int, h: int) -> bytes:
+        _, _, c = self.image_meta(payload)
+        body = payload[9:]
+        need = max(w * h // 64, 1)
+        out = (body * (need // max(len(body), 1) + 1))[:need]
+        return b"FIMG" + struct.pack("<HHB", w, h, c) + out
+
+    def audio_meta(self, payload: bytes) -> tuple[int, int]:
+        if payload[:4] != b"FAUD":
+            raise ValueError("not a fake audio payload")
+        return struct.unpack_from("<IH", payload, 4)
+
+    def video_frames(self, payload: bytes) -> list[bytes]:
+        if payload[:4] != b"FVID":
+            raise ValueError("not a fake video payload")
+        nf, fb = struct.unpack_from("<HH", payload, 4)
+        body = payload[8:]
+        return [body[i * fb:(i + 1) * fb] for i in range(nf)]
+
+
+class RealCodec:
+    """Real decode via PIL/ffmpeg — NOT AVAILABLE in this container.
+
+    STUB: every method raises NotImplementedError unless PIL imports. The
+    actor plumbing (construction, batching, schemas) is identical to the
+    fake path, so swapping in the real codec is a one-line change where the
+    libraries exist."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def image_meta(self, payload: bytes):
+        if self._pil is None:
+            raise NotImplementedError("real image decode requires PIL (not in container)")
+        import io
+
+        with self._pil.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands())
+
+    def image_resize(self, payload: bytes, w: int, h: int):
+        if self._pil is None:
+            raise NotImplementedError("real image resize requires PIL (not in container)")
+        import io
+
+        with self._pil.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.resize((w, h)).save(buf, format=im.format or "PNG")
+            return buf.getvalue()
+
+    def audio_meta(self, payload: bytes):
+        raise NotImplementedError("real audio decode requires ffmpeg (not in container)")
+
+    def video_frames(self, payload: bytes):
+        raise NotImplementedError("real video decode requires ffmpeg (not in container)")
+
+
+def _pick_codec(codec: str):
+    if codec == "fake":
+        return FakeCodec()
+    rc = RealCodec()
+    return rc if rc._pil is not None else FakeCodec() if codec == "auto" else rc
+
+
+# -------------------------------------------------------------- actor stages
+class ImageMetaStage:
+    """Actor: decode image metadata. Codec chosen ONCE per actor."""
+
+    def __init__(self, codec: str = "auto"):
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [self.codec.image_meta(p) for p in batch["payload"].to_pylist()]
+        w, h, c = (np.array(x, dtype=np.int64) for x in zip(*metas)) if metas else (
+            np.empty(0, np.int64),) * 3
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "width": pa.array(w),
+                "height": pa.array(h),
+                "channels": pa.array(c),
+                "payload_bytes": pa.array(
+                    np.array([len(p) for p in batch["payload"].to_pylist()], dtype=np.int64)
+                ),
+            }
+        )
+
+
+class ImageResizeStage:
+    def __init__(self, width: int, height: int, codec: str = "auto"):
+        self.w, self.h = width, height
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self.codec.image_resize(p, self.w, self.h)
+               for p in batch["payload"].to_pylist()]
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "kind": batch["kind"],
+                "payload": pa.array(out, pa.binary()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+
+class AudioMetaStage:
+    def __init__(self, codec: str = "auto"):
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [self.codec.audio_meta(p) for p in batch["payload"].to_pylist()]
+        dur, rate = (np.array(x, dtype=np.int64) for x in zip(*metas)) if metas else (
+            np.empty(0, np.int64),) * 2
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "duration_ms": pa.array(dur),
+                "sample_rate": pa.array(rate),
+                "n_samples": pa.array(dur * rate // 1000),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor: sample every k-th video frame; expands one row per frame."""
+
+    def __init__(self, every_k: int = 4, codec: str = "auto"):
+        self.k = every_k
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, frames = [], [], []
+        for r, p in zip(batch["media_ref"].to_pylist(), batch["payload"].to_pylist()):
+            fr = self.codec.video_frames(p)
+            for i in range(0, len(fr), self.k):
+                refs.append(r)
+                idxs.append(i)
+                frames.append(fr[i])
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "frame_index": pa.array(np.array(idxs, dtype=np.int64)),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def media_pipeline(registry_path: str, *, kind: str, stage, concurrency: int = 2,
+                   batch_size: int = 64):
+    """read synth media -> filter kind -> actor-pool stage. Small batch_size:
+    binary payloads make rows heavy (batch x concurrency must fit the heap)."""
+    import ray.data as rd
+
+    media = rd.from_arrow(synth_media(registry_path))
+    sub = media.filter(expr=f"kind == '{kind}'")
+    cls, kwargs = stage
+    return sub.map_batches(
+        cls,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,87 @@
+"""Multimodal actor-pool stages (fake codec; real codec is a marked stub)."""
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _registry():
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+
+    return fixture_paths(SF_DIR)["registry"]
+
+
+def test_synth_media_schema_and_determinism():
+    from fhir_data_validation_ray.stages.multimodal import MEDIA_SCHEMA, synth_media
+
+    a = synth_media(_registry())
+    b = synth_media(_registry())
+    assert a.schema == MEDIA_SCHEMA
+    assert a.equals(b)
+    kinds = set(a["kind"].to_pylist())
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_image_meta_actor_pool(ray_session):
+    from fhir_data_validation_ray.stages.multimodal import ImageMetaStage, media_pipeline
+
+    out = media_pipeline(_registry(), kind="image", stage=(ImageMetaStage, {})).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"media_ref", "width", "height", "channels", "payload_bytes"}
+    assert (out.width >= 16).all() and (out.channels.between(1, 4)).all()
+
+
+def test_resize_then_meta_roundtrip(ray_session):
+    from fhir_data_validation_ray.stages.multimodal import (
+        ImageMetaStage,
+        ImageResizeStage,
+        media_pipeline,
+    )
+
+    # chained actor pools must leave CPUs for the upstream task stage in the
+    # 4-CPU test session (2 pools x 2 actors would deadlock the scheduler)
+    resized = media_pipeline(
+        _registry(), kind="image",
+        stage=(ImageResizeStage, {"width": 32, "height": 24}), concurrency=1,
+    )
+    meta = resized.map_batches(
+        ImageMetaStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert (meta.width == 32).all() and (meta.height == 24).all()
+
+
+def test_audio_meta_and_frame_sampling(ray_session):
+    from fhir_data_validation_ray.stages.multimodal import (
+        AudioMetaStage,
+        FrameSampleStage,
+        media_pipeline,
+        synth_media,
+    )
+
+    audio = media_pipeline(_registry(), kind="audio", stage=(AudioMetaStage, {})).to_pandas()
+    assert (audio.n_samples == audio.duration_ms * audio.sample_rate // 1000).all()
+
+    frames = media_pipeline(
+        _registry(), kind="video", stage=(FrameSampleStage, {"every_k": 4})
+    ).to_pandas()
+    assert (frames.frame_index % 4 == 0).all()
+    # expected count: sum over videos of ceil(n_frames / 4)
+    import struct
+
+    media = synth_media(_registry())
+    vids = [p for k, p in zip(media["kind"].to_pylist(), media["payload"].to_pylist())
+            if k == "video"]
+    expect = sum(-(-struct.unpack_from("<HH", p, 4)[0] // 4) for p in vids)
+    assert len(frames) == expect
+
+
+def test_real_codec_is_marked_stub():
+    from fhir_data_validation_ray.stages.multimodal import RealCodec
+
+    rc = RealCodec()
+    if rc._pil is None:  # container has no PIL
+        with pytest.raises(NotImplementedError):
+            rc.image_meta(b"anything")
+    with pytest.raises(NotImplementedError):
+        rc.audio_meta(b"anything")
