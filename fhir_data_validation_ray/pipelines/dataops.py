@@ -142,24 +142,17 @@ def q_column_profile(sf_dir: str):
 
 def q_drift_by_source(sf_dir: str):
     """Per-source drift of n_chars vs the whole-corpus snapshot — the
-    per-partition KS/PSI check of the north_star (rows-only: float scores)."""
+    per-partition KS/PSI check of the north_star (rows-only: float scores).
+    One streaming pass over the corpus per column, grouped partials."""
     import ray.data as rd
 
-    from ..stages.drift import drift_scores, take_snapshot
+    from ..stages.drift import drift_by_group, take_snapshot
 
     full = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
-    snap = take_snapshot(full, ["n_chars"])
-    import pandas as pd
-
-    rows = []
-    for src in sorted(s["source"] for s in full.groupby("source").count().take_all()):
-        part = rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
-        ).filter(expr=f"source == '{src}'")
-        d = drift_scores(part, snap).to_pandas()
-        d.insert(0, "source", src)
-        rows.append(d)
-    return pd.concat(rows, ignore_index=True)
+    # coarse bins + KS threshold sized for small per-source samples (the KS
+    # critical value at n=25, alpha=0.05 is ~0.27)
+    snap = take_snapshot(full, ["n_chars"], nbins=8)
+    return drift_by_group(full, "source", snap, psi_threshold=0.25, ks_threshold=0.27)
 
 
 def q_image_meta(sf_dir: str):

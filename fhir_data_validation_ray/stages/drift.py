@@ -47,11 +47,12 @@ def take_snapshot(ds, numeric_cols: list[str], *, nbins: int = 20) -> dict:
     return snap
 
 
-def psi(p_counts: np.ndarray, q_counts: np.ndarray, eps: float = 1e-6) -> float:
-    p = p_counts / max(p_counts.sum(), 1)
-    q = q_counts / max(q_counts.sum(), 1)
-    p = np.clip(p, eps, None)
-    q = np.clip(q, eps, None)
+def psi(p_counts: np.ndarray, q_counts: np.ndarray) -> float:
+    """PSI with add-one (Laplace) smoothing. Epsilon-clipping instead would
+    charge ~0.5 PSI per empty bin, falsely flagging every small partition
+    (25 samples over 20 bins leave half the bins empty by chance)."""
+    p = (p_counts + 1.0) / (p_counts.sum() + len(p_counts))
+    q = (q_counts + 1.0) / (q_counts.sum() + len(q_counts))
     return float(((p - q) * np.log(p / q)).sum())
 
 
@@ -100,6 +101,84 @@ def drift_scores(ds, snapshot: dict, *, psi_threshold: float = 0.2,
                 "psi": pa.array(psis, pa.float64()),
                 "ks": pa.array(kss, pa.float64()),
                 "drifted": pa.array(flags),
+            }
+        )
+    )
+
+
+def drift_by_group(ds, group_col: str, snapshot: dict, *,
+                   psi_threshold: float = 0.2, ks_threshold: float = 0.15):
+    """Per-group drift vs the snapshot in ONE streaming pass per tracked
+    column (not one filtered scan per group): each batch emits per-group
+    (bin-count, digest) partials; the driver folds n_groups x nbins ints +
+    n_groups digests. The per-partition KS/PSI check of the north_star.
+    Returns Dataset[group, col, psi, ks, drifted]."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..state.sketches import TDigest
+
+    out_rows = []
+    for col, ref in snapshot["columns"].items():
+        lo, hi, nbins = ref["lo"], ref["hi"], ref["nbins"]
+        w = (hi - lo) / nbins
+
+        def partial(t: pa.Table, col=col, lo=lo, w=w, nbins=nbins) -> pa.Table:
+            groups = t[group_col]
+            if isinstance(groups, pa.ChunkedArray):
+                groups = groups.combine_chunks()
+            import pyarrow.compute as pc
+
+            da = pc.dictionary_encode(groups)
+            codes = np.asarray(da.indices).astype(np.int64)
+            gnames = da.dictionary.to_pylist()
+            v = np.asarray(t[col]).astype(np.float64)
+            b = np.clip(np.floor((v - lo) / w).astype(np.int64), 0, nbins - 1)
+            counts = np.bincount(codes * nbins + b,
+                                 minlength=len(gnames) * nbins).reshape(len(gnames), nbins)
+            tds = []
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order], np.arange(len(gnames)))
+            ends = np.append(bounds[1:], len(codes))
+            for gi in range(len(gnames)):
+                tds.append(json.dumps(
+                    TDigest.from_values(v[order[bounds[gi]:ends[gi]]]).to_rows()))
+            return pa.table(
+                {
+                    "grp": pa.array(gnames, pa.string()),
+                    "counts": pa.array(list(counts.astype(np.int64))),
+                    "td": pa.array(tds, pa.string()),
+                }
+            )
+
+        parts = pa.concat_tables(
+            ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        )
+        hist: dict[str, np.ndarray] = {}
+        digests: dict[str, TDigest] = {}
+        for row in parts.to_pylist():
+            g = row["grp"]
+            hist[g] = hist.get(g, np.zeros(nbins)) + np.asarray(row["counts"], np.float64)
+            td = TDigest.from_rows(json.loads(row["td"]))
+            digests[g] = digests[g].merge(td) if g in digests else td
+        ref_counts = np.asarray(ref["counts"], dtype=np.float64)
+        ref_td = TDigest.from_rows(ref["tdigest"])
+        for g in sorted(hist):
+            p = psi(hist[g], ref_counts)
+            ks = ks_from_digests(digests[g], ref_td)
+            out_rows.append(
+                {"group": g, "col": col, "psi": p, "ks": ks,
+                 "drifted": bool(p > psi_threshold or ks > ks_threshold)}
+            )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "group": pa.array([r["group"] for r in out_rows], pa.string()),
+                "col": pa.array([r["col"] for r in out_rows], pa.string()),
+                "psi": pa.array([r["psi"] for r in out_rows], pa.float64()),
+                "ks": pa.array([r["ks"] for r in out_rows], pa.float64()),
+                "drifted": pa.array([r["drifted"] for r in out_rows]),
             }
         )
     )
