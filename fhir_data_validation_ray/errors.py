@@ -71,6 +71,12 @@ RULE_CONFIGURATION_ERROR = "RULE_CONFIGURATION_ERROR"
 RULE_EXECUTION_ERROR = "RULE_EXECUTION_ERROR"
 
 # Reference resolution (``RuleEngines/ReferenceResolver.cs``)
+# QuestionAnswer codes (``Validation/ErrorCodes.cs:198-218``)
+INVALID_ANSWER_VALUE = "INVALID_ANSWER_VALUE"
+ANSWER_NOT_IN_VALUESET = "ANSWER_NOT_IN_VALUESET"
+ANSWER_OUT_OF_RANGE = "ANSWER_OUT_OF_RANGE"
+UNKNOWN_QUESTION = "UNKNOWN_QUESTION"
+
 REFERENCE_NOT_FOUND = "REFERENCE_NOT_FOUND"
 REFERENCE_TYPE_MISMATCH = "REFERENCE_TYPE_MISMATCH"
 

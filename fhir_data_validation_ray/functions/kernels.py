@@ -630,6 +630,118 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     )
 
 
+_INT_RE = r"^-?[0-9]+$"
+_DEC_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+
+
+def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
+                      sink: ViolationSink) -> None:
+    """QuestionAnswer: per-span Q/A contract — span text is
+    ``<question-code>=<answer>``; each configured question dispatches a typed
+    check (``Validation/QuestionAnswer/QuestionAnswerValidator.cs:54-1250``,
+    per-type dispatch at ``:498 :585 :736 :833 :930 :1041``):
+
+    - boolean: answer ∈ {true, false}                 -> INVALID_ANSWER_VALUE
+    - integer/decimal: lexical parse + min/max range  -> INVALID / OUT_OF_RANGE
+    - code: single unless multiValue; set membership  -> ANSWER_NOT_IN_VALUESET
+      with binding strength -> severity (required=error, extensible=warning)
+    - string: regex pattern                            -> INVALID_ANSWER_VALUE
+    - unknown question code                            -> UNKNOWN_QUESTION
+    - malformed (no '=')                               -> INVALID_ANSWER_VALUE
+    """
+    questions = {q.code: q for q in rule.params["questions"]}
+    cand = np.flatnonzero(sel & ~fs.empty_mask(rule.field_path))
+    if cand.size == 0:
+        return
+    texts = pc.take(_field_array(fs, rule.field_path), pa.array(cand))
+    parts = pc.split_pattern(texts, "=", max_splits=1)
+    n_parts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    qcode_arr = pc.list_element(parts, 0)
+    qcodes = qcode_arr.to_numpy(zero_copy_only=False)
+    malformed = n_parts < 2
+    sev = E.resolve_severity(rule.severity, rule.validation_class)
+
+    def emit(mask: np.ndarray, code: str, severity: str, detail: dict) -> None:
+        idx = cand[np.flatnonzero(mask)]
+        sink.add_spans(
+            fs, idx,
+            source=E.SRC_BUSINESS, severity=severity, rule_id=rule.id,
+            error_code=code, pointer_field=rule.field_path,
+            details=[_canon_details(detail)] * idx.size if sink.emit_details else None,
+        )
+
+    emit(malformed, rule.error_code or E.INVALID_ANSWER_VALUE, sev,
+         {"reason": "malformed"})
+
+    wellformed = ~malformed
+    known = np.isin(qcodes, np.array(list(questions), dtype=object))
+    emit(wellformed & ~known, E.UNKNOWN_QUESTION, sev, {"reason": "unknown question"})
+
+    # answers only exist for well-formed rows; align via a full-length array
+    answers_full = np.full(cand.size, "", dtype=object)
+    if wellformed.any():
+        ans = pc.list_element(pc.split_pattern(
+            pc.take(texts, pa.array(np.flatnonzero(wellformed))), "=", max_splits=1), 1)
+        answers_full[wellformed] = ans.to_numpy(zero_copy_only=False)
+
+    a = pa.array(answers_full, type=pa.string())
+    for q in questions.values():
+        qm = wellformed & (qcodes == q.code)
+        if not qm.any():
+            continue
+        if q.type == "boolean":
+            bad = qm & ~np.isin(answers_full, np.array(["true", "false"], dtype=object))
+            emit(bad, E.INVALID_ANSWER_VALUE, sev, {"question": q.code, "type": "boolean"})
+        elif q.type in ("integer", "decimal"):
+            pat = _INT_RE if q.type == "integer" else _DEC_RE
+            ok_lex = pc.match_substring_regex(a, pat).fill_null(False).to_numpy(
+                zero_copy_only=False
+            )
+            emit(qm & ~ok_lex, E.INVALID_ANSWER_VALUE, sev,
+                 {"question": q.code, "type": q.type})
+            num_idx = np.flatnonzero(qm & ok_lex)
+            if num_idx.size:
+                vals = np.array([float(answers_full[i]) for i in num_idx])
+                out = np.zeros(cand.size, dtype=bool)
+                bad_range = np.zeros(num_idx.size, dtype=bool)
+                if q.min is not None:
+                    bad_range |= vals < q.min
+                if q.max is not None:
+                    bad_range |= vals > q.max
+                out[num_idx[bad_range]] = True
+                emit(out, E.ANSWER_OUT_OF_RANGE, sev,
+                     {"question": q.code, "min": q.min, "max": q.max})
+        elif q.type == "code":
+            has_comma = pc.match_substring(a, ",").fill_null(False).to_numpy(
+                zero_copy_only=False
+            )
+            vs_sev = E.SEV_WARNING if q.binding == "extensible" else sev
+            allowed = np.array(q.allowed, dtype=object)
+            if q.multi_value:
+                check = qm
+                bad = np.zeros(cand.size, dtype=bool)
+                for i in np.flatnonzero(check):
+                    vals = answers_full[i].split(",")
+                    if any(v not in q.allowed for v in vals):
+                        bad[i] = True
+                emit(bad, E.ANSWER_NOT_IN_VALUESET, vs_sev,
+                     {"question": q.code, "allowed": list(q.allowed)})
+            else:
+                emit(qm & has_comma, E.INVALID_ANSWER_VALUE, sev,
+                     {"question": q.code, "reason": "multiple answers"})
+                single = qm & ~has_comma
+                bad = single & ~np.isin(answers_full, allowed)
+                emit(bad, E.ANSWER_NOT_IN_VALUESET, vs_sev,
+                     {"question": q.code, "allowed": list(q.allowed)})
+        elif q.type == "string":
+            if q.pattern:
+                ok = pc.match_substring_regex(a, q.pattern).fill_null(False).to_numpy(
+                    zero_copy_only=False
+                )
+                emit(qm & ~ok, E.INVALID_ANSWER_VALUE, sev,
+                     {"question": q.code, "pattern": q.pattern})
+
+
 # -------------------------------------------------------- structural kernels
 def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
     """STRUCTURE stage — the primary structural authority
@@ -750,6 +862,8 @@ class CompiledProfile:
                                   self.concept_sets[rule.params["system"]])
                 elif rule.type == "CustomPredicate":
                     k_custom_predicate(rule, fs, sel, sink)
+                elif rule.type == "QuestionAnswer":
+                    k_question_answer(rule, fs, sel, sink)
                 elif rule.type == "Reference":
                     k_reference(rule, fs, sel, sink, self.registry_keys)
             except Exception as exc:  # error isolation per rule

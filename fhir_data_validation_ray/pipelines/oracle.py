@@ -14,7 +14,9 @@ from __future__ import annotations
 
 EMPTY = "(text IS NULL OR trim(text) = '')"
 
-ALLOWED_KINDS_SQL = "('Patient','Observation','Coding','Encounter','text','image','audio')"
+ALLOWED_KINDS_SQL = (
+    "('Patient','Observation','Coding','Encounter','text','image','audio','Question')"
+)
 
 V_REQUIRED = f"""
 SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
@@ -188,6 +190,59 @@ WHERE f.media_ref IS NOT NULL AND trim(f.media_ref) <> ''
   AND f.media_ref NOT IN (SELECT media_ref FROM read_parquet('{registry}'))
 """
 
+# QuestionAnswer (R9): text = "<qcode>=<answer>"; typed per-question checks.
+# Mirrors k_question_answer's dispatch order and exclusivity exactly.
+V_QUESTION_ANSWER = f"""
+WITH qa AS (
+  SELECT doc_id, span_index,
+         CASE WHEN strpos(text, '=') > 0 THEN split_part(text, '=', 1) END AS q,
+         CASE WHEN strpos(text, '=') > 0 THEN substr(text, strpos(text, '=') + 1) END AS a
+  FROM read_parquet('{{flat}}')
+  WHERE kind = 'Question' AND NOT {EMPTY})
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'INVALID_ANSWER_VALUE' AS error_code, 'error' AS severity
+FROM qa WHERE q IS NULL
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'UNKNOWN_QUESTION', 'error'
+FROM qa WHERE q IS NOT NULL AND q NOT IN ('Q1','Q2','Q3','Q4','Q5','Q6','Q7')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q1' AND a NOT IN ('true','false')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q2' AND NOT regexp_matches(a, '^-?[0-9]+$')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_OUT_OF_RANGE', 'error'
+FROM qa WHERE q = 'Q2' AND regexp_matches(a, '^-?[0-9]+$')
+  AND (CAST(a AS DOUBLE) < 0 OR CAST(a AS DOUBLE) > 120)
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q3' AND strpos(a, ',') > 0
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'error'
+FROM qa WHERE q = 'Q3' AND strpos(a, ',') = 0 AND a NOT IN ('mild','moderate','severe')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q4' AND NOT regexp_matches(a, '^[A-Z]{{2}}[0-9]{{4}}$')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'error'
+FROM qa WHERE q = 'Q5'
+  AND len(list_filter(string_split(a, ','), x -> x NOT IN ('a','b','c'))) > 0
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q6' AND NOT regexp_matches(a, '^-?[0-9]+(\\.[0-9]+)?$')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_OUT_OF_RANGE', 'error'
+FROM qa WHERE q = 'Q6' AND regexp_matches(a, '^-?[0-9]+(\\.[0-9]+)?$')
+  AND (CAST(a AS DOUBLE) < 0 OR CAST(a AS DOUBLE) > 40.5)
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q7' AND strpos(a, ',') > 0
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'warning'
+FROM qa WHERE q = 'Q7' AND strpos(a, ',') = 0 AND a NOT IN ('x','y')
+"""
+
 V_UNIQUENESS = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n
 FROM read_parquet('{dup}')
@@ -214,6 +269,7 @@ def summary_sql() -> str:
         V_ARRAY_LENGTH,
         V_CODE_SYSTEM,
         V_REQUIRED_SPANS,
+        V_QUESTION_ANSWER,
         V_STRUCTURE,
         V_REFERENCE_REQUIRE,
     ]

@@ -12,6 +12,18 @@ from ..sources.generator import ALLOWED_KINDS
 # NRIC pattern from the reference fixture ``Fixtures/sample-rules.json:35``.
 NRIC_PATTERN = "^[STFG]\\d{7}[A-Z]$"
 
+# Question catalog for the QuestionAnswer engine — mirrors the deterministic
+# fixture generator's QA payloads (``sources/generator.py:_gen_qa_text``).
+QA_QUESTIONS = [
+    {"code": "Q1", "type": "boolean"},
+    {"code": "Q2", "type": "integer", "min": 0, "max": 120},
+    {"code": "Q3", "type": "code", "allowed": ["mild", "moderate", "severe"]},
+    {"code": "Q4", "type": "string", "pattern": "^[A-Z]{2}[0-9]{4}$"},
+    {"code": "Q5", "type": "code", "allowed": ["a", "b", "c"], "multiValue": True},
+    {"code": "Q6", "type": "decimal", "min": 0, "max": 40.5},
+    {"code": "Q7", "type": "code", "allowed": ["x", "y"], "binding": "extensible"},
+]
+
 DEFAULT_PROFILE: dict = {
     "version": "1.0",
     "allowedKinds": list(ALLOWED_KINDS),
@@ -43,6 +55,8 @@ DEFAULT_PROFILE: dict = {
                     "rejectUndeclared": False}},
         {"id": "R8", "type": "Reference", "kind": "*", "fieldPath": "media_ref",
          "params": {"policy": "RequireResolution"}},
+        {"id": "R9", "type": "QuestionAnswer", "kind": "Question",
+         "fieldPath": "text", "params": {"questions": QA_QUESTIONS}},
     ],
 }
 

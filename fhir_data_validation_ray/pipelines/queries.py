@@ -122,6 +122,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_array_length": _rule_query("R5"),
         "v_code_system": _rule_query("R6"),
         "v_required_spans": _rule_query("R7"),
+        "v_question_answer": _rule_query("R9"),
         "v_custom_predicate": _custom_predicate_query,
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
@@ -143,6 +144,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_array_length": oracle.V_ARRAY_LENGTH,
         "v_code_system": oracle.V_CODE_SYSTEM,
         "v_required_spans": oracle.V_REQUIRED_SPANS,
+        "v_question_answer": oracle.V_QUESTION_ANSWER,
         "v_custom_predicate": oracle.V_CUSTOM_PREDICATE,
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,

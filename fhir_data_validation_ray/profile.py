@@ -35,7 +35,11 @@ RULE_TYPES = (
     "CustomPredicate",
     "RequiredSpans",
     "Reference",
+    "QuestionAnswer",
 )
+
+QA_TYPES = ("boolean", "integer", "decimal", "code", "string")
+QA_BINDINGS = ("required", "extensible")
 
 # Span fields addressable by fieldPath / filter conditions. ``spans`` is the
 # document-level array (ArrayLength target).
@@ -84,6 +88,26 @@ class InstanceScope:
         # ``Models/InstanceScope.cs:22-25`` ToStableKey analogue (dup detection)
         parts = [self.kind] + [f"{c.fld}{c.op}{c.value!r}" for c in self.conditions]
         return "|".join(parts)
+
+
+@dataclass(frozen=True)
+class Question:
+    """One question contract of the QuestionAnswer engine — the analogue of
+    the reference's per-question typed answer checks
+    (``Validation/QuestionAnswer/QuestionAnswerValidator.cs:54-1250``):
+    type-dispatched validation (boolean / integer / decimal / code / string)
+    with ranges, patterns, value sets, multiValue and ValueSet binding
+    strength (required -> error, extensible -> warning,
+    ``JsonNodeStructuralValidator.cs:500-548``)."""
+
+    code: str
+    type: str  # boolean | integer | decimal | code | string
+    allowed: tuple[str, ...] = ()
+    min: float | None = None
+    max: float | None = None
+    pattern: str | None = None
+    multi_value: bool = False
+    binding: str = "required"  # required | extensible
 
 
 @dataclass(frozen=True)
@@ -236,6 +260,22 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
                     )
                 )
             params["requirements"] = reqs
+        if rtype == "QuestionAnswer":
+            qs = []
+            for q in params.get("questions", []):
+                qs.append(
+                    Question(
+                        code=str(q["code"]),
+                        type=q["type"],
+                        allowed=tuple(str(v) for v in q.get("allowed", []) or []),
+                        min=(float(q["min"]) if q.get("min") is not None else None),
+                        max=(float(q["max"]) if q.get("max") is not None else None),
+                        pattern=q.get("pattern"),
+                        multi_value=bool(q.get("multiValue", False)),
+                        binding=q.get("binding", "required"),
+                    )
+                )
+            params["questions"] = qs
         rules.append(
             RuleDef(
                 id=rid,
@@ -301,3 +341,27 @@ def _validate_rule(
         pol = params.get("policy", "InBundleOnly")
         if pol not in REFERENCE_POLICIES:
             raise ProfileError(f"rule {rid}: unknown reference policy {pol!r}")
+    if rtype == "QuestionAnswer":
+        qs = params.get("questions")
+        if not qs:
+            raise ProfileError(f"rule {rid}: QuestionAnswer needs params.questions")
+        for q in qs:
+            if q.get("type") not in QA_TYPES:
+                raise ProfileError(
+                    f"rule {rid}: question {q.get('code')!r} has unknown type {q.get('type')!r}"
+                )
+            if q.get("binding", "required") not in QA_BINDINGS:
+                raise ProfileError(
+                    f"rule {rid}: question {q.get('code')!r} has unknown binding"
+                )
+            if q["type"] == "code" and not q.get("allowed"):
+                raise ProfileError(
+                    f"rule {rid}: code question {q.get('code')!r} needs allowed[]"
+                )
+            if q["type"] == "string" and q.get("pattern"):
+                try:
+                    re.compile(q["pattern"])
+                except re.error as e:
+                    raise ProfileError(
+                        f"rule {rid}: question {q.get('code')!r} bad pattern: {e}"
+                    ) from e

@@ -32,10 +32,11 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = "g9"
+GENERATOR_VERSION = "g10"
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
-KINDS = ("Patient", "Observation", "Coding", "Encounter", "text", "image", "audio")
+KINDS = ("Patient", "Observation", "Coding", "Encounter", "text", "image", "audio",
+         "Question")
 ALLOWED_KINDS = KINDS  # profile enum binding; "Unknown" is injected as a violation
 
 _MASK = (1 << 64) - 1
@@ -193,11 +194,56 @@ def gen_doc(base_id: str, replica: int, n_reg: int):
         else:
             sp[2] = ""
 
+    # question/answer spans (text = "<qcode>=<answer>"), appended after the
+    # base spans so base-span indices/targets are untouched; ~10% defect rate
+    # exercising every QuestionAnswer error path
+    nq = _mix(h, 61) % 4
+    for i in range(nq):
+        s = _mix(h, 67, i)
+        offset += 1 + _mix(s, 3) % 3
+        spans.append(["Question", _gen_qa_text(s), "", offset])
+
     # offset-order violation: swap first two offsets
     if h % 157 == 11 and len(spans) >= 2:
         spans[0][3], spans[1][3] = spans[1][3], spans[0][3]
 
     return doc_id, [tuple(sp) for sp in spans]
+
+
+_QA_SEVERITY_CODES = ("mild", "moderate", "severe")
+_QA_MULTI = ("a", "b", "c")
+
+
+def _gen_qa_text(s: int) -> str:
+    """One deterministic 'code=answer' QA payload; s selects question + defect."""
+    q = _mix(s, 5) % 8
+    bad = _mix(s, 7) % 100 < 10
+    if q == 0:  # boolean
+        return "Q1=" + (("yes" if _mix(s, 9) % 2 else "maybe") if bad
+                        else ("true" if _mix(s, 9) % 2 else "false"))
+    if q == 1:  # integer range [0,120]
+        return "Q2=" + (("150" if _mix(s, 9) % 2 else "abc") if bad
+                        else str(_mix(s, 9) % 121))
+    if q == 2:  # code, required binding
+        if bad:
+            return "Q3=" + ("unknownx" if _mix(s, 9) % 2 else "mild,severe")
+        return "Q3=" + _QA_SEVERITY_CODES[_mix(s, 9) % 3]
+    if q == 3:  # string pattern ^[A-Z]{2}[0-9]{4}$
+        if bad:
+            return "Q4=A1"
+        a = chr(65 + _mix(s, 9) % 26) + chr(65 + _mix(s, 11) % 26)
+        return f"Q4={a}{1000 + _mix(s, 13) % 9000}"
+    if q == 4:  # multi-valued code
+        if bad:
+            return "Q5=a,z"
+        k = 1 + _mix(s, 9) % 2
+        return "Q5=" + ",".join(_QA_MULTI[(_mix(s, 11) + j) % 3] for j in range(k))
+    if q == 5:  # decimal range [0,40.5]
+        return "Q6=" + ("99.9" if bad else f"{_mix(s, 9) % 40}.{_mix(s, 11) % 10}")
+    if q == 6:  # code, EXTENSIBLE binding -> warning on miss
+        return "Q7=" + ("zz" if bad else ("x" if _mix(s, 9) % 2 else "y"))
+    # unknown question code
+    return "Q9=whatever"
 
 
 def _first(kinds: list[str], k: str) -> int:

@@ -351,3 +351,64 @@ def test_registry_probe_with_wide_local_refs():
     v = validate(docs, p, registry=np.array(["urn:uuid:feedfacecafebeef"]))
     # d1's registry ref resolves; only d2's dangling local ref is flagged
     assert rows(v, "doc_id", "error_code") == [("d2", "REFERENCE_NOT_FOUND")]
+
+
+def test_question_answer_typed_dispatch():
+    # per-type Q/A checks (QuestionAnswerValidator.cs:54-1250 analogue)
+    docs = make_docs([
+        ("d1", [s("Question", "Q1=true", "", 0),      # ok
+                s("Question", "Q1=maybe", "", 1),     # INVALID_ANSWER_VALUE
+                s("Question", "Q2=150", "", 2),       # ANSWER_OUT_OF_RANGE
+                s("Question", "Q2=abc", "", 3),       # INVALID_ANSWER_VALUE
+                s("Question", "Q3=mild,severe", "", 4),  # multi on single -> INVALID
+                s("Question", "Q3=unknownx", "", 5),  # ANSWER_NOT_IN_VALUESET
+                s("Question", "Q5=a,z", "", 6),       # multi NOT_IN_VALUESET
+                s("Question", "Q7=zz", "", 7),        # extensible -> WARNING
+                s("Question", "Q9=x", "", 8),         # UNKNOWN_QUESTION
+                s("Question", "noequals", "", 9)]),   # malformed -> INVALID
+    ])
+    p = profile_of(
+        {"id": "QA", "type": "QuestionAnswer", "kind": "Question", "fieldPath": "text",
+         "params": {"questions": [
+             {"code": "Q1", "type": "boolean"},
+             {"code": "Q2", "type": "integer", "min": 0, "max": 120},
+             {"code": "Q3", "type": "code", "allowed": ["mild", "moderate", "severe"]},
+             {"code": "Q5", "type": "code", "allowed": ["a", "b", "c"], "multiValue": True},
+             {"code": "Q7", "type": "code", "allowed": ["x", "y"], "binding": "extensible"},
+         ]}}
+    )
+    v = validate(docs, p)
+    got = rows(v, "span_index", "error_code", "severity")
+    assert got == [
+        (1, "INVALID_ANSWER_VALUE", "error"),
+        (2, "ANSWER_OUT_OF_RANGE", "error"),
+        (3, "INVALID_ANSWER_VALUE", "error"),
+        (4, "INVALID_ANSWER_VALUE", "error"),
+        (5, "ANSWER_NOT_IN_VALUESET", "error"),
+        (6, "ANSWER_NOT_IN_VALUESET", "error"),
+        (7, "ANSWER_NOT_IN_VALUESET", "warning"),
+        (8, "UNKNOWN_QUESTION", "error"),
+        (9, "INVALID_ANSWER_VALUE", "error"),
+    ]
+
+
+def test_question_answer_decimal_and_pattern():
+    docs = make_docs([
+        ("d1", [s("Question", "Q6=40.5", "", 0),   # boundary ok
+                s("Question", "Q6=99.9", "", 1),   # out of range
+                s("Question", "Q6=4x", "", 2),     # lexical
+                s("Question", "Q4=AB1234", "", 3),  # ok
+                s("Question", "Q4=A1", "", 4)]),   # pattern miss
+    ])
+    p = profile_of(
+        {"id": "QA", "type": "QuestionAnswer", "kind": "Question", "fieldPath": "text",
+         "params": {"questions": [
+             {"code": "Q6", "type": "decimal", "min": 0, "max": 40.5},
+             {"code": "Q4", "type": "string", "pattern": "^[A-Z]{2}[0-9]{4}$"},
+         ]}}
+    )
+    v = validate(docs, p)
+    assert rows(v, "span_index", "error_code") == [
+        (1, "ANSWER_OUT_OF_RANGE"), (2, "INVALID_ANSWER_VALUE"),
+        (4, "INVALID_ANSWER_VALUE"),
+    ]
