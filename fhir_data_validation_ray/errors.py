@@ -79,6 +79,7 @@ UNKNOWN_QUESTION = "UNKNOWN_QUESTION"
 
 REFERENCE_NOT_FOUND = "REFERENCE_NOT_FOUND"
 REFERENCE_TYPE_MISMATCH = "REFERENCE_TYPE_MISMATCH"
+ENTRY_REFERENCE_MISMATCH = "ENTRY_REFERENCE_MISMATCH"
 
 # Structural / grammar codes (``Validation/JsonNodeStructuralValidator.cs``)
 FHIR_INVALID_PRIMITIVE = "FHIR_INVALID_PRIMITIVE"

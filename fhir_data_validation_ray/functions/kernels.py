@@ -630,8 +630,58 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     )
 
 
+def k_full_url_id_match(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
+                        sink: ViolationSink) -> None:
+    """FullUrlIdMatch: a local-shaped ref ("<Kind>/<doc>.<offset>") must name
+    its OWN document — the ``resource.id == fullUrl`` id-consistency check
+    (spec ``docs/03_rule_dsl_spec.md:54-56``; the reference declares the rule
+    type but no-ops its dispatch at ``FhirPathRuleEngine.cs:931-933`` — we
+    implement the documented semantic). Cross-document local refs emit
+    ENTRY_REFERENCE_MISMATCH."""
+    nonempty = ~fs.empty_mask("media_ref")
+    cand = np.flatnonzero(sel & nonempty)
+    if cand.size == 0:
+        return
+    cand_pa = pa.array(cand)
+    refs = pc.take(fs.media_ref, cand_pa)
+    ext = pc.extract_regex(refs, r"^(?P<kind>[A-Za-z]+)/(?P<rest>.+)\.(?P<off>[0-9]+)$")
+    is_local = (
+        pc.and_kleene(pc.is_valid(ext), pc.invert(pc.starts_with(refs, "urn:")))
+        .fill_null(False)
+        .to_numpy(zero_copy_only=False)
+    )
+    own = pc.take(fs.doc_ids, pa.array(fs.parent[cand]))
+    same = pc.equal(pc.struct_field(ext, "rest"), own).fill_null(True).to_numpy(
+        zero_copy_only=False
+    )
+    bad = is_local & ~same
+    idx = cand[bad]
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_REFERENCE,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.ENTRY_REFERENCE_MISMATCH,
+        pointer_field="media_ref",
+        details=[
+            _canon_details({"ref": r})
+            for r in pc.take(refs, pa.array(np.flatnonzero(bad))).to_pylist()
+        ] if sink.emit_details else None,
+    )
+
+
 _INT_RE = r"^-?[0-9]+$"
 _DEC_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+
+
+def _qa_answers(parts: pa.Array, wellformed: np.ndarray) -> pa.Array:
+    """Second element of each split pair as a flat Arrow string array ("" for
+    malformed rows) — one take over the flattened values, no Python objects."""
+    flat = pc.list_flatten(parts)
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    idx = np.where(wellformed, starts + 1, 0)
+    return pc.if_else(pa.array(wellformed), pc.take(flat, pa.array(idx)), "")
 
 
 def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
@@ -657,8 +707,11 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     parts = pc.split_pattern(texts, "=", max_splits=1)
     n_parts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
     qcode_arr = pc.list_element(parts, 0)
-    qcodes = qcode_arr.to_numpy(zero_copy_only=False)
     malformed = n_parts < 2
+    wellformed = ~malformed
+    # answer column aligned to cand: second split element where present,
+    # "" where malformed (never matched against a question anyway)
+    a = _qa_answers(parts, wellformed)
     sev = E.resolve_severity(rule.severity, rule.validation_class)
 
     def emit(mask: np.ndarray, code: str, severity: str, detail: dict) -> None:
@@ -673,24 +726,22 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     emit(malformed, rule.error_code or E.INVALID_ANSWER_VALUE, sev,
          {"reason": "malformed"})
 
-    wellformed = ~malformed
-    known = np.isin(qcodes, np.array(list(questions), dtype=object))
+    known = (
+        pc.is_in(qcode_arr, value_set=pa.array(list(questions), pa.string()))
+        .fill_null(False)
+        .to_numpy(zero_copy_only=False)
+    )
     emit(wellformed & ~known, E.UNKNOWN_QUESTION, sev, {"reason": "unknown question"})
 
-    # answers only exist for well-formed rows; align via a full-length array
-    answers_full = np.full(cand.size, "", dtype=object)
-    if wellformed.any():
-        ans = pc.list_element(pc.split_pattern(
-            pc.take(texts, pa.array(np.flatnonzero(wellformed))), "=", max_splits=1), 1)
-        answers_full[wellformed] = ans.to_numpy(zero_copy_only=False)
-
-    a = pa.array(answers_full, type=pa.string())
     for q in questions.values():
-        qm = wellformed & (qcodes == q.code)
+        qm = wellformed & (
+            pc.equal(qcode_arr, q.code).fill_null(False).to_numpy(zero_copy_only=False)
+        )
         if not qm.any():
             continue
         if q.type == "boolean":
-            bad = qm & ~np.isin(answers_full, np.array(["true", "false"], dtype=object))
+            ok = pc.is_in(a, value_set=pa.array(["true", "false"], pa.string()))
+            bad = qm & ~ok.fill_null(False).to_numpy(zero_copy_only=False)
             emit(bad, E.INVALID_ANSWER_VALUE, sev, {"question": q.code, "type": "boolean"})
         elif q.type in ("integer", "decimal"):
             pat = _INT_RE if q.type == "integer" else _DEC_RE
@@ -701,37 +752,45 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
                  {"question": q.code, "type": q.type})
             num_idx = np.flatnonzero(qm & ok_lex)
             if num_idx.size:
-                vals = np.array([float(answers_full[i]) for i in num_idx])
-                out = np.zeros(cand.size, dtype=bool)
+                vals = np.asarray(
+                    pc.cast(pc.take(a, pa.array(num_idx)), pa.float64())
+                )
                 bad_range = np.zeros(num_idx.size, dtype=bool)
                 if q.min is not None:
                     bad_range |= vals < q.min
                 if q.max is not None:
                     bad_range |= vals > q.max
+                out = np.zeros(cand.size, dtype=bool)
                 out[num_idx[bad_range]] = True
                 emit(out, E.ANSWER_OUT_OF_RANGE, sev,
                      {"question": q.code, "min": q.min, "max": q.max})
         elif q.type == "code":
-            has_comma = pc.match_substring(a, ",").fill_null(False).to_numpy(
-                zero_copy_only=False
-            )
             vs_sev = E.SEV_WARNING if q.binding == "extensible" else sev
-            allowed = np.array(q.allowed, dtype=object)
+            allowed_pa = pa.array(list(q.allowed), pa.string())
             if q.multi_value:
-                check = qm
-                bad = np.zeros(cand.size, dtype=bool)
-                for i in np.flatnonzero(check):
-                    vals = answers_full[i].split(",")
-                    if any(v not in q.allowed for v in vals):
-                        bad[i] = True
-                emit(bad, E.ANSWER_NOT_IN_VALUESET, vs_sev,
+                # split multi answers; per-candidate "any element outside the
+                # set" via parent-index bincount — no Python per-row loop
+                multi = pc.split_pattern(a, ",")
+                flat_vals = pc.list_flatten(multi)
+                parent = pc.list_parent_indices(multi).to_numpy(zero_copy_only=False)
+                miss = (
+                    pc.invert(pc.is_in(flat_vals, value_set=allowed_pa))
+                    .fill_null(True)
+                    .to_numpy(zero_copy_only=False)
+                )
+                bad_counts = np.bincount(parent[miss], minlength=cand.size)
+                emit(qm & (bad_counts > 0), E.ANSWER_NOT_IN_VALUESET, vs_sev,
                      {"question": q.code, "allowed": list(q.allowed)})
             else:
+                has_comma = pc.match_substring(a, ",").fill_null(False).to_numpy(
+                    zero_copy_only=False
+                )
                 emit(qm & has_comma, E.INVALID_ANSWER_VALUE, sev,
                      {"question": q.code, "reason": "multiple answers"})
-                single = qm & ~has_comma
-                bad = single & ~np.isin(answers_full, allowed)
-                emit(bad, E.ANSWER_NOT_IN_VALUESET, vs_sev,
+                ok = pc.is_in(a, value_set=allowed_pa).fill_null(False).to_numpy(
+                    zero_copy_only=False
+                )
+                emit(qm & ~has_comma & ~ok, E.ANSWER_NOT_IN_VALUESET, vs_sev,
                      {"question": q.code, "allowed": list(q.allowed)})
         elif q.type == "string":
             if q.pattern:
@@ -864,6 +923,8 @@ class CompiledProfile:
                     k_custom_predicate(rule, fs, sel, sink)
                 elif rule.type == "QuestionAnswer":
                     k_question_answer(rule, fs, sel, sink)
+                elif rule.type == "FullUrlIdMatch":
+                    k_full_url_id_match(rule, fs, sel, sink)
                 elif rule.type == "Reference":
                     k_reference(rule, fs, sel, sink, self.registry_keys)
             except Exception as exc:  # error isolation per rule

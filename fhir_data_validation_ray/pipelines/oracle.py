@@ -243,6 +243,17 @@ SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'warning'
 FROM qa WHERE q = 'Q7' AND strpos(a, ',') = 0 AND a NOT IN ('x','y')
 """
 
+# FullUrlIdMatch: local-shaped refs must name their own document.
+V_FULLURL_ID = """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'ENTRY_REFERENCE_MISMATCH' AS error_code, 'error' AS severity
+FROM read_parquet('{flat}')
+WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''
+  AND media_ref NOT LIKE 'urn:%'
+  AND regexp_extract(media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 1) <> ''
+  AND regexp_extract(media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 2) <> doc_id
+"""
+
 V_UNIQUENESS = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n
 FROM read_parquet('{dup}')

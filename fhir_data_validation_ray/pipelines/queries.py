@@ -46,6 +46,14 @@ def _reference_query(policy: str) -> Callable[[str], Any]:
     return run
 
 
+def _fullurl_query(sf_dir: str):
+    p = single_rule_profile("R1")
+    p["rules"] = [
+        {"id": "U1", "type": "FullUrlIdMatch", "kind": "*", "fieldPath": "media_ref"}
+    ]
+    return _violations_for(sf_dir, p)
+
+
 def _structure_query(sf_dir: str):
     p = default_profile()
     p["rules"] = []
@@ -123,6 +131,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_code_system": _rule_query("R6"),
         "v_required_spans": _rule_query("R7"),
         "v_question_answer": _rule_query("R9"),
+        "v_fullurl_id": _fullurl_query,
         "v_custom_predicate": _custom_predicate_query,
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
@@ -145,6 +154,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_code_system": oracle.V_CODE_SYSTEM,
         "v_required_spans": oracle.V_REQUIRED_SPANS,
         "v_question_answer": oracle.V_QUESTION_ANSWER,
+        "v_fullurl_id": oracle.V_FULLURL_ID,
         "v_custom_predicate": oracle.V_CUSTOM_PREDICATE,
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,

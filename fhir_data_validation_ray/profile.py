@@ -36,6 +36,7 @@ RULE_TYPES = (
     "RequiredSpans",
     "Reference",
     "QuestionAnswer",
+    "FullUrlIdMatch",
 )
 
 QA_TYPES = ("boolean", "integer", "decimal", "code", "string")
@@ -307,7 +308,7 @@ def _validate_rule(
             raise ProfileError(f"rule {rid}: ArrayLength fieldPath must be 'spans'")
         if params.get("min") is None and params.get("max") is None:
             raise ProfileError(f"rule {rid}: ArrayLength needs min and/or max")
-    elif rtype in ("RequiredSpans", "Reference"):
+    elif rtype in ("RequiredSpans", "Reference", "FullUrlIdMatch"):
         pass
     elif fp not in SPAN_FIELDS:
         raise ProfileError(f"rule {rid}: fieldPath must be one of {SPAN_FIELDS}, got {fp!r}")

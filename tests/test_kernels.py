@@ -412,3 +412,17 @@ def test_question_answer_decimal_and_pattern():
         (1, "ANSWER_OUT_OF_RANGE"), (2, "INVALID_ANSWER_VALUE"),
         (4, "INVALID_ANSWER_VALUE"),
     ]
+
+
+def test_full_url_id_match():
+    # local-shaped ref naming another document -> ENTRY_REFERENCE_MISMATCH
+    # (spec docs/03_rule_dsl_spec.md:54-56)
+    docs = make_docs([
+        ("d1", [s("Patient", "a", off=0),
+                s("Observation", "x", "Patient/d1.0", off=1),   # own doc: ok
+                s("Observation", "x", "Patient/d2.0", off=2),   # other doc: flag
+                s("image", "", "urn:uuid:beef", off=3)]),       # external: ok
+    ])
+    p = profile_of({"id": "U", "type": "FullUrlIdMatch", "kind": "*",
+                    "fieldPath": "media_ref"})
+    assert rows(validate(docs, p)) == [("d1", 2, "ENTRY_REFERENCE_MISMATCH", "error")]
