@@ -329,6 +329,7 @@ def ensure_fixtures_scaled(sf_dir: str, replicas: int, workers: int = 16) -> str
         return out
 
     import concurrent.futures as cf
+    import multiprocessing as mp
 
     n_base = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     n_docs = n_base * replicas
@@ -343,7 +344,11 @@ def ensure_fixtures_scaled(sf_dir: str, replicas: int, workers: int = 16) -> str
         (sf_dir, os.path.join(parts_dir, f"part-{lo:05d}.parquet"), lo, min(lo + step, replicas), n_reg)
         for lo in range(0, replicas, step)
     ]
-    with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+    # spawn, not fork: forking a process that holds a live Ray session (e.g.
+    # a pytest worker) deadlocks in Ray's internal threads
+    with cf.ProcessPoolExecutor(
+        max_workers=workers, mp_context=mp.get_context("spawn")
+    ) as ex:
         list(ex.map(_gen_part, jobs))
 
     pq.write_table(build_registry(n_docs), os.path.join(tmp, "registry.parquet"))

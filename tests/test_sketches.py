@@ -70,12 +70,14 @@ def test_checkpoint_run_and_resume(ray_session, tmp_path):
     from fhir_data_validation_ray.pipelines.checkpointed import run_checkpointed
 
     out = str(tmp_path / "run1")
-    run1 = run_checkpointed(SF_DIR, out, emit_details=False)
-    assert run1["n_processed_this_run"] == run1["n_partitions"] > 0
-    assert run1["n_docs"] == 500
+    # replicas=20 -> a DIRECTORY of parquet parts = many partitions, so the
+    # resume path is exercised across real partition boundaries
+    run1 = run_checkpointed(SF_DIR, out, replicas=20, emit_details=False)
+    assert run1["n_processed_this_run"] == run1["n_partitions"] > 1
+    assert run1["n_docs"] == 10_000
 
     # full resume: nothing recomputed
-    run2 = run_checkpointed(SF_DIR, out, emit_details=False)
+    run2 = run_checkpointed(SF_DIR, out, replicas=20, emit_details=False)
     assert run2["n_processed_this_run"] == 0
     assert run2["n_resumed_skips"] == run1["n_partitions"]
     assert run2["n_violations"] == run1["n_violations"]
@@ -85,7 +87,7 @@ def test_checkpoint_run_and_resume(ray_session, tmp_path):
     victim = os.path.join(out, "_manifests", manifests[0])
     before = json.load(open(victim))
     os.remove(victim)
-    run3 = run_checkpointed(SF_DIR, out, emit_details=False)
+    run3 = run_checkpointed(SF_DIR, out, replicas=20, emit_details=False)
     assert run3["n_processed_this_run"] == 1
     assert run3["n_violations"] == run1["n_violations"]
     after = json.load(open(victim))
