@@ -65,6 +65,43 @@ def run_validation(
     return violations
 
 
+def validation_response(
+    sf_dir: str,
+    profile_obj: dict[str, Any] | None = None,
+    *,
+    replicas: int = 1,
+    max_errors: int = 100,
+) -> dict[str, Any]:
+    """The ``ValidationResponse`` analogue (``Models/ValidationResponse.cs:
+    9-85``): errors sample + summary counts + metadata + the IsValid verdict
+    (``Playground.Api/Controllers/ValidateController.cs:69``: no error-severity
+    rows). Corpus-level: the summary aggregates stream, only ``max_errors``
+    violation rows materialize."""
+    import time
+
+    t0 = time.perf_counter()
+    profile_obj = profile_obj or default_profile()
+    violations = run_validation(sf_dir, profile_obj, replicas=replicas)
+    summary = summarize(violations)
+    errors = violations.limit(max_errors).to_pandas().to_dict("records")
+    n_error = int(summary.loc[summary["severity"] == "error", "n"].sum())
+    n_warning = int(summary.loc[summary["severity"] == "warning", "n"].sum())
+    return {
+        "isValid": n_error == 0,
+        "errors": errors,
+        "summary": {
+            "totalErrors": n_error,
+            "totalWarnings": n_warning,
+            "bySeveritySource": summary.to_dict("records"),
+        },
+        "metadata": {
+            "rulesVersion": str(profile_obj.get("version", "1.0")),
+            "engine": "fhir_data_validation_ray",
+            "processingTimeMs": round((time.perf_counter() - t0) * 1000, 1),
+        },
+    }
+
+
 def summarize(violations):
     """Summary counts by (severity, source) — the ValidationSummary analogue
     (``Core/ValidationPipeline.cs:755-770``). Small result; safe to collect."""

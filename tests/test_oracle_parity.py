@@ -46,3 +46,15 @@ def test_query_matches_oracle(ray_session, name):
     assert list(g.columns) == list(w.columns), f"{name}: columns {g.columns} vs {w.columns}"
     assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_validation_response_shape(ray_session):
+    from fhir_data_validation_ray.pipelines.validate import validation_response
+
+    resp = validation_response("/root/testdata/sf0.001", max_errors=10)
+    assert set(resp) == {"isValid", "errors", "summary", "metadata"}
+    assert resp["isValid"] is False  # fixture corpus has injected defects
+    assert len(resp["errors"]) == 10
+    assert {"doc_id", "span_index", "error_code", "severity"} <= set(resp["errors"][0])
+    assert resp["summary"]["totalErrors"] > 0
+    assert resp["metadata"]["processingTimeMs"] > 0
