@@ -183,8 +183,22 @@ def q_frame_sample(sf_dir: str):
     ).select_columns(["media_ref", "frame_index"])
 
 
+def q_kind_drift(sf_dir: str):
+    """Span-kind histogram drift of the interleaved corpus vs a deterministic
+    snapshot (the first half of the corpus by doc hash) — rows-only."""
+    from ..sources.readers import read_documents
+    from ..stages.drift import kind_drift, kind_histogram
+    from .validate import fixture_paths
+
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    snap = kind_histogram(docs)
+    return kind_drift(read_documents(paths["docs"]), snap)
+
+
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "a_kind_drift": q_kind_drift,
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
         "m_frame_sample": q_frame_sample,

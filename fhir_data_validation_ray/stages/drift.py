@@ -184,6 +184,64 @@ def drift_by_group(ds, group_col: str, snapshot: dict, *,
     )
 
 
+def kind_histogram(docs) -> dict[str, int]:
+    """Span-kind value counts over the interleaved corpus — per-batch
+    partial bincounts on the flattened kind column, driver fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        kinds = pc.list_flatten(spans).field("kind")
+        da = pc.dictionary_encode(kinds)
+        counts = np.bincount(np.asarray(da.indices), minlength=len(da.dictionary))
+        return pa.table(
+            {
+                "kind": da.dictionary.cast("string"),
+                "count": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    out: dict[str, int] = {}
+    for row in parts.to_pylist():
+        out[row["kind"]] = out.get(row["kind"], 0) + row["count"]
+    return out
+
+
+def kind_drift(docs, snapshot_hist: dict[str, int], *, psi_threshold: float = 0.2):
+    """PSI between the corpus's span-kind histogram and a snapshot histogram
+    (north_star: span-kind histograms vs a reference snapshot). Returns
+    Dataset[kind, snapshot_share, current_share, drifted] plus a total row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    cur = kind_histogram(docs)
+    keys = sorted(set(snapshot_hist) | set(cur))
+    p = np.array([cur.get(k, 0) for k in keys], dtype=np.float64)
+    q = np.array([snapshot_hist.get(k, 0) for k in keys], dtype=np.float64)
+    total_psi = psi(p, q)
+    ps = (p + 1) / (p.sum() + len(p))
+    qs = (q + 1) / (q.sum() + len(q))
+    contrib = (ps - qs) * np.log(ps / qs)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "kind": pa.array(keys + ["__total__"], pa.string()),
+                "snapshot_share": pa.array(list(qs) + [1.0], pa.float64()),
+                "current_share": pa.array(list(ps) + [1.0], pa.float64()),
+                "psi_contribution": pa.array(list(contrib) + [total_psi], pa.float64()),
+                "drifted": pa.array([bool(total_psi > psi_threshold)] * (len(keys) + 1)),
+            }
+        )
+    )
+
+
 def save_snapshot(snapshot: dict, path: str) -> None:
     with open(path, "w") as f:
         json.dump(snapshot, f)

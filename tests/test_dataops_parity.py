@@ -97,3 +97,29 @@ def test_lsh_topk_recall(ray_session):
     e = set(map(tuple, exact[["qid", "vec_id"]].values))
     a = set(map(tuple, approx[["qid", "vec_id"]].values))
     assert len(e & a) / len(e) >= 0.2
+
+
+def test_exact_dedup_at_scale_with_duplicates(ray_session, tmp_path):
+    """100k-doc corpus = 200 verbatim replicas of the base 500 docs: exact
+    dedup must keep exactly one (lowest doc_id) per text group, with no
+    pair explosion (first-per-key, not pairwise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import exact_dedup
+
+    src = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    reps = []
+    for r in range(200):
+        t = src.set_column(
+            0, "doc_id", pa.compute.add(src["doc_id"], r * 1000)
+        )
+        reps.append(t)
+    big = pa.concat_tables(reps)
+    p = str(tmp_path / "docs100k.parquet")
+    pq.write_table(big, p)
+
+    kept = exact_dedup(rd.read_parquet(p)).to_pandas()
+    assert len(kept) == 500                      # one survivor per distinct text
+    assert sorted(kept.doc_id) == sorted(range(500))  # lowest id wins

@@ -97,3 +97,25 @@ def test_checkpoint_run_and_resume(ray_session, tmp_path):
     # per-partition verdicts + lineage present
     assert {"input_file", "row_group", "counts_by_severity", "pass",
             "profile_hash", "duration_s"} <= set(after)
+
+
+def test_kind_histogram_drift(ray_session):
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+    from fhir_data_validation_ray.sources.readers import read_documents
+    from fhir_data_validation_ray.stages.drift import kind_drift, kind_histogram
+
+    paths = fixture_paths(SF_DIR)
+    docs = read_documents(paths["docs"])
+    snap = kind_histogram(docs)
+    assert snap and "Patient" in snap
+
+    # same corpus vs itself: not drifted, zero total PSI
+    clean = kind_drift(read_documents(paths["docs"]), snap).to_pandas()
+    assert not clean["drifted"].any()
+    total = clean[clean["kind"] == "__total__"]["psi_contribution"].iloc[0]
+    assert abs(total) < 1e-9
+
+    # skewed snapshot (drop all Patient spans) -> drift flagged
+    skew = {k: v for k, v in snap.items() if k != "Patient"}
+    hot = kind_drift(read_documents(paths["docs"]), skew).to_pandas()
+    assert hot["drifted"].all()
