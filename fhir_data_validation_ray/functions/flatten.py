@@ -45,6 +45,16 @@ class FlatSpans:
         return np.asarray(self.kind)
 
     @cached_property
+    def offset_np(self) -> np.ndarray:
+        """Offsets as int64 with nulls -> -1 (a null offset can never equal a
+        parsed local-ref target, and sorts before all real offsets)."""
+        import pyarrow.compute as pc
+
+        return np.asarray(
+            pc.fill_null(self.offset, -1), dtype=np.int64
+        )
+
+    @cached_property
     def doc_ids_np(self) -> np.ndarray:
         return np.asarray(self.doc_ids)
 

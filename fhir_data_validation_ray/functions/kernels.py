@@ -548,7 +548,7 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     )
 
     # per-batch identity index: key = parent * 2^32 + offset -> span position
-    offs = np.asarray(fs.offset).astype(np.int64)
+    offs = fs.offset_np
     identity = fs.parent.astype(np.int64) * (1 << 32) + offs
     order = np.argsort(identity, kind="stable")
     sorted_ids = identity[order]
@@ -836,7 +836,7 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
                      for v in fs.kind_np[bad]] if sink.emit_details else None,
         )
     if settings.get("checkSpanOrder", True) and fs.n_spans:
-        offs = np.asarray(fs.offset).astype(np.int64)
+        offs = fs.offset_np
         same_doc = np.zeros(fs.n_spans, dtype=bool)
         same_doc[1:] = fs.parent[1:] == fs.parent[:-1]
         nonincreasing = np.zeros(fs.n_spans, dtype=bool)

@@ -426,3 +426,48 @@ def test_full_url_id_match():
     p = profile_of({"id": "U", "type": "FullUrlIdMatch", "kind": "*",
                     "fieldPath": "media_ref"})
     assert rows(validate(docs, p)) == [("d1", 2, "ENTRY_REFERENCE_MISMATCH", "error")]
+
+
+def test_edge_cases_null_spans_unicode_huge_offsets():
+    """Robustness: null spans list, empty doc_id, null struct fields, unicode
+    text, near-int32-max offsets — no crashes, no numeric-cast warnings, and
+    the defects that ARE present get flagged."""
+    import warnings
+
+    import numpy as np
+
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+    from fhir_data_validation_ray.profile import parse_profile
+    from fhir_data_validation_ray.sources.generator import DOCS_SCHEMA, SPAN_TYPE
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d1", "", "d3", "d4"], pa.string()),
+            "spans": pa.array(
+                [
+                    None,
+                    [{"kind": "Patient", "text": "héllo 👋 世界", "media_ref": "", "offset": 0}],
+                    [{"kind": None, "text": None, "media_ref": None, "offset": None}],
+                    [{"kind": "Patient", "text": "S1234567A",
+                      "media_ref": "Patient/d4.2147483646", "offset": 2147483646}],
+                ],
+                pa.list_(SPAN_TYPE),
+            ),
+        },
+        schema=DOCS_SCHEMA,
+    )
+    cp = CompiledProfile(
+        profile=parse_profile(default_profile()),
+        registry_keys=np.array(["urn:uuid:x"]), emit_details=True,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = cp.validate_batch(t)
+    codes = set(zip(out["doc_id"].to_pylist(), out["error_code"].to_pylist()))
+    assert ("", "FHIR_INVALID_PRIMITIVE") in codes      # empty doc_id grammar
+    assert ("d3", "INVALID_ENUM_VALUE") in codes        # null kind
+    assert ("", "PATTERN_MISMATCH") in codes            # unicode non-NRIC
+    assert ("d1", "ARRAY_LENGTH_OUT_OF_RANGE") in codes  # null spans -> 0
+    # d4's near-max-offset local self-ref resolves cleanly
+    assert not any(c == "REFERENCE_NOT_FOUND" and d == "d4" for d, c in codes)
