@@ -71,6 +71,10 @@ RULE_CONFIGURATION_ERROR = "RULE_CONFIGURATION_ERROR"
 RULE_EXECUTION_ERROR = "RULE_EXECUTION_ERROR"
 
 # Reference resolution (``RuleEngines/ReferenceResolver.cs``)
+# CodeMaster codes (``RuleEngines/CodeMasterEngine.cs``)
+CODEMASTER_SCREENING_UNKNOWN = "CODEMASTER_SCREENING_UNKNOWN"
+CODEMASTER_QUESTION_UNKNOWN = "CODEMASTER_QUESTION_UNKNOWN"
+
 # QuestionAnswer codes (``Validation/ErrorCodes.cs:198-218``)
 INVALID_ANSWER_VALUE = "INVALID_ANSWER_VALUE"
 ANSWER_NOT_IN_VALUESET = "ANSWER_NOT_IN_VALUESET"

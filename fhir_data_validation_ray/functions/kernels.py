@@ -801,6 +801,98 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
                      {"question": q.code, "pattern": q.pattern})
 
 
+def k_code_master(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
+                  sink: ViolationSink) -> None:
+    """CodeMaster screening lookup (``RuleEngines/CodeMasterEngine.cs:12-235``):
+    span text is ``<screening>|<question>=<answer>``; the screening resolves a
+    question set, the question resolves an allowed-answer list, membership +
+    multiValue are checked. Spans without a '|' are not screening-shaped and
+    are skipped (the reference skips Observations without a screening-type
+    coding). Source = CodeMaster (stage rank 2)."""
+    screenings = rule.params["screenings"]
+    cand = np.flatnonzero(sel & ~fs.empty_mask(rule.field_path))
+    if cand.size == 0:
+        return
+    texts = pc.take(_field_array(fs, rule.field_path), pa.array(cand))
+    top = pc.split_pattern(texts, "|", max_splits=1)
+    shaped = pc.list_value_length(top).to_numpy(zero_copy_only=False) >= 2
+    if not shaped.any():
+        return
+    scr_arr = pc.list_element(top, 0)
+    rest = _qa_answers(top, shaped)  # second element ("" where unshaped)
+    qa = pc.split_pattern(rest, "=", max_splits=1)
+    has_answer = shaped & (pc.list_value_length(qa).to_numpy(zero_copy_only=False) >= 2)
+    qcode_arr = pc.list_element(qa, 0)
+    answer = _qa_answers(qa, has_answer)
+    sev = E.resolve_severity(rule.severity, rule.validation_class)
+
+    def emit(mask: np.ndarray, code: str, detail: dict) -> None:
+        idx = cand[np.flatnonzero(mask)]
+        sink.add_spans(
+            fs, idx,
+            source=E.SRC_CODEMASTER, severity=sev, rule_id=rule.id,
+            error_code=code, pointer_field=rule.field_path,
+            details=[_canon_details(detail)] * idx.size if sink.emit_details else None,
+        )
+
+    known_scr = (
+        pc.is_in(scr_arr, value_set=pa.array(list(screenings), pa.string()))
+        .fill_null(False)
+        .to_numpy(zero_copy_only=False)
+    )
+    emit(shaped & ~known_scr, E.CODEMASTER_SCREENING_UNKNOWN,
+         {"reason": "unknown screening"})
+    emit(shaped & known_scr & ~has_answer, E.INVALID_ANSWER_VALUE,
+         {"reason": "malformed"})
+
+    for scr in screenings.values():
+        sm = has_answer & known_scr & (
+            pc.equal(scr_arr, scr.code).fill_null(False).to_numpy(zero_copy_only=False)
+        )
+        if not sm.any():
+            continue
+        known_q = (
+            pc.is_in(qcode_arr, value_set=pa.array(list(scr.questions), pa.string()))
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        emit(sm & ~known_q, E.CODEMASTER_QUESTION_UNKNOWN,
+             {"screening": scr.code, "reason": "unknown question"})
+        for q in scr.questions.values():
+            qm = sm & known_q & (
+                pc.equal(qcode_arr, q.code).fill_null(False).to_numpy(zero_copy_only=False)
+            )
+            if not qm.any():
+                continue
+            allowed_pa = pa.array(list(q.allowed_answers), pa.string())
+            if q.multi_value:
+                multi = pc.split_pattern(answer, ",")
+                flat_vals = pc.list_flatten(multi)
+                parent = pc.list_parent_indices(multi).to_numpy(zero_copy_only=False)
+                miss = (
+                    pc.invert(pc.is_in(flat_vals, value_set=allowed_pa))
+                    .fill_null(True)
+                    .to_numpy(zero_copy_only=False)
+                )
+                bad_counts = np.bincount(parent[miss], minlength=cand.size)
+                emit(qm & (bad_counts > 0), E.ANSWER_NOT_IN_VALUESET,
+                     {"screening": scr.code, "question": q.code,
+                      "allowed": list(q.allowed_answers)})
+            else:
+                has_comma = pc.match_substring(answer, ",").fill_null(False).to_numpy(
+                    zero_copy_only=False
+                )
+                emit(qm & has_comma, E.INVALID_ANSWER_VALUE,
+                     {"screening": scr.code, "question": q.code,
+                      "reason": "multiple answers"})
+                ok = pc.is_in(answer, value_set=allowed_pa).fill_null(False).to_numpy(
+                    zero_copy_only=False
+                )
+                emit(qm & ~has_comma & ~ok, E.ANSWER_NOT_IN_VALUESET,
+                     {"screening": scr.code, "question": q.code,
+                      "allowed": list(q.allowed_answers)})
+
+
 # -------------------------------------------------------- structural kernels
 def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
     """STRUCTURE stage — the primary structural authority
@@ -893,7 +985,7 @@ class CompiledProfile:
         # strict pipeline order by source rank, then profile order
         ordered = sorted(
             self.profile.rules,
-            key=lambda r: 1 if r.type != "Reference" else 3,
+            key=lambda r: {"CodeMaster": 2, "Reference": 3}.get(r.type, 1),
         )
         for rule in ordered:
             try:
@@ -925,6 +1017,8 @@ class CompiledProfile:
                     k_question_answer(rule, fs, sel, sink)
                 elif rule.type == "FullUrlIdMatch":
                     k_full_url_id_match(rule, fs, sel, sink)
+                elif rule.type == "CodeMaster":
+                    k_code_master(rule, fs, sel, sink)
                 elif rule.type == "Reference":
                     k_reference(rule, fs, sel, sink, self.registry_keys)
             except Exception as exc:  # error isolation per rule

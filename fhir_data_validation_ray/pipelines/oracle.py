@@ -15,7 +15,8 @@ from __future__ import annotations
 EMPTY = "(text IS NULL OR trim(text) = '')"
 
 ALLOWED_KINDS_SQL = (
-    "('Patient','Observation','Coding','Encounter','text','image','audio','Question')"
+    "('Patient','Observation','Coding','Encounter','text','image','audio',"
+    "'Question','Screening')"
 )
 
 V_REQUIRED = f"""
@@ -254,6 +255,47 @@ WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''
   AND regexp_extract(media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 2) <> doc_id
 """
 
+# CodeMaster (R10): text = "<screening>|<question>=<answer>".
+V_CODE_MASTER = f"""
+WITH cm AS (
+  SELECT doc_id, span_index,
+         split_part(text, '|', 1) AS scr,
+         substr(text, strpos(text, '|') + 1) AS rest
+  FROM read_parquet('{{flat}}')
+  WHERE kind = 'Screening' AND NOT {EMPTY} AND strpos(text, '|') > 0),
+qa AS (
+  SELECT doc_id, span_index, scr,
+         CASE WHEN strpos(rest, '=') > 0 THEN split_part(rest, '=', 1) END AS q,
+         CASE WHEN strpos(rest, '=') > 0 THEN substr(rest, strpos(rest, '=') + 1) END AS a
+  FROM cm)
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'CODEMASTER_SCREENING_UNKNOWN' AS error_code, 'error' AS severity
+FROM qa WHERE scr NOT IN ('SCR1','SCR2')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE scr IN ('SCR1','SCR2') AND q IS NULL
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'CODEMASTER_QUESTION_UNKNOWN', 'error'
+FROM qa WHERE (scr = 'SCR1' AND q IS NOT NULL AND q NOT IN ('Q1','Q2'))
+   OR (scr = 'SCR2' AND q IS NOT NULL AND q NOT IN ('Q3'))
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE scr = 'SCR1' AND q = 'Q1' AND strpos(a, ',') > 0
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'error'
+FROM qa WHERE scr = 'SCR1' AND q = 'Q1' AND strpos(a, ',') = 0 AND a NOT IN ('yes','no')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'error'
+FROM qa WHERE scr = 'SCR1' AND q = 'Q2'
+  AND len(list_filter(string_split(a, ','), x -> x NOT IN ('a','b','c'))) > 0
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE scr = 'SCR2' AND q = 'Q3' AND strpos(a, ',') > 0
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'error'
+FROM qa WHERE scr = 'SCR2' AND q = 'Q3' AND strpos(a, ',') = 0 AND a NOT IN ('low','high')
+"""
+
 V_UNIQUENESS = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n
 FROM read_parquet('{dup}')
@@ -281,6 +323,7 @@ def summary_sql() -> str:
         V_CODE_SYSTEM,
         V_REQUIRED_SPANS,
         V_QUESTION_ANSWER,
+        V_CODE_MASTER,
         V_STRUCTURE,
         V_REFERENCE_REQUIRE,
     ]

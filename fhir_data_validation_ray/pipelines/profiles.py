@@ -14,6 +14,18 @@ NRIC_PATTERN = "^[STFG]\\d{7}[A-Z]$"
 
 # Question catalog for the QuestionAnswer engine — mirrors the deterministic
 # fixture generator's QA payloads (``sources/generator.py:_gen_qa_text``).
+# Screening catalog for the CodeMaster engine — mirrors the fixture
+# generator's screening payloads (``sources/generator.py:_gen_cm_text``).
+CM_SCREENINGS = [
+    {"code": "SCR1", "questions": [
+        {"code": "Q1", "allowedAnswers": ["yes", "no"]},
+        {"code": "Q2", "allowedAnswers": ["a", "b", "c"], "multiValue": True},
+    ]},
+    {"code": "SCR2", "questions": [
+        {"code": "Q3", "allowedAnswers": ["low", "high"]},
+    ]},
+]
+
 QA_QUESTIONS = [
     {"code": "Q1", "type": "boolean"},
     {"code": "Q2", "type": "integer", "min": 0, "max": 120},
@@ -57,6 +69,8 @@ DEFAULT_PROFILE: dict = {
          "params": {"policy": "RequireResolution"}},
         {"id": "R9", "type": "QuestionAnswer", "kind": "Question",
          "fieldPath": "text", "params": {"questions": QA_QUESTIONS}},
+        {"id": "R10", "type": "CodeMaster", "kind": "Screening",
+         "fieldPath": "text", "params": {"screenings": CM_SCREENINGS}},
     ],
 }
 

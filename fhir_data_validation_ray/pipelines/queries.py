@@ -131,6 +131,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_code_system": _rule_query("R6"),
         "v_required_spans": _rule_query("R7"),
         "v_question_answer": _rule_query("R9"),
+        "v_code_master": _rule_query("R10"),
         "v_fullurl_id": _fullurl_query,
         "v_custom_predicate": _custom_predicate_query,
         "v_filter_scope": _filter_scope_query,
@@ -154,6 +155,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_code_system": oracle.V_CODE_SYSTEM,
         "v_required_spans": oracle.V_REQUIRED_SPANS,
         "v_question_answer": oracle.V_QUESTION_ANSWER,
+        "v_code_master": oracle.V_CODE_MASTER,
         "v_fullurl_id": oracle.V_FULLURL_ID,
         "v_custom_predicate": oracle.V_CUSTOM_PREDICATE,
         "v_filter_scope": V_FILTER_SCOPE_SQL,

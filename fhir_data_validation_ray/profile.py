@@ -37,6 +37,7 @@ RULE_TYPES = (
     "Reference",
     "QuestionAnswer",
     "FullUrlIdMatch",
+    "CodeMaster",
 )
 
 QA_TYPES = ("boolean", "integer", "decimal", "code", "string")
@@ -109,6 +110,22 @@ class Question:
     pattern: str | None = None
     multi_value: bool = False
     binding: str = "required"  # required | extensible
+
+
+@dataclass(frozen=True)
+class CodeMasterQuestion:
+    """One question of a CodeMaster screening: allowed-answer membership +
+    multiValue contract (``RuleEngines/CodeMasterEngine.cs:12-235``)."""
+
+    code: str
+    allowed_answers: tuple[str, ...]
+    multi_value: bool = False
+
+
+@dataclass(frozen=True)
+class Screening:
+    code: str
+    questions: dict[str, CodeMasterQuestion]
 
 
 @dataclass(frozen=True)
@@ -261,6 +278,19 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
                     )
                 )
             params["requirements"] = reqs
+        if rtype == "CodeMaster":
+            scr = {}
+            for sdef in params.get("screenings", []):
+                qmap = {
+                    str(q["code"]): CodeMasterQuestion(
+                        code=str(q["code"]),
+                        allowed_answers=tuple(str(v) for v in q.get("allowedAnswers", [])),
+                        multi_value=bool(q.get("multiValue", False)),
+                    )
+                    for q in sdef.get("questions", [])
+                }
+                scr[str(sdef["code"])] = Screening(code=str(sdef["code"]), questions=qmap)
+            params["screenings"] = scr
         if rtype == "QuestionAnswer":
             qs = []
             for q in params.get("questions", []):
@@ -342,6 +372,17 @@ def _validate_rule(
         pol = params.get("policy", "InBundleOnly")
         if pol not in REFERENCE_POLICIES:
             raise ProfileError(f"rule {rid}: unknown reference policy {pol!r}")
+    if rtype == "CodeMaster":
+        if not params.get("screenings"):
+            raise ProfileError(f"rule {rid}: CodeMaster needs params.screenings")
+        for sdef in params["screenings"]:
+            if not sdef.get("code"):
+                raise ProfileError(f"rule {rid}: screening without code")
+            for q in sdef.get("questions", []):
+                if not q.get("allowedAnswers"):
+                    raise ProfileError(
+                        f"rule {rid}: screening question {q.get('code')!r} needs allowedAnswers"
+                    )
     if rtype == "QuestionAnswer":
         qs = params.get("questions")
         if not qs:

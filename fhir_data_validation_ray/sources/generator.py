@@ -32,11 +32,11 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = "g10"
+GENERATOR_VERSION = "g11"
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 KINDS = ("Patient", "Observation", "Coding", "Encounter", "text", "image", "audio",
-         "Question")
+         "Question", "Screening")
 ALLOWED_KINDS = KINDS  # profile enum binding; "Unknown" is injected as a violation
 
 _MASK = (1 << 64) - 1
@@ -203,6 +203,13 @@ def gen_doc(base_id: str, replica: int, n_reg: int):
         offset += 1 + _mix(s, 3) % 3
         spans.append(["Question", _gen_qa_text(s), "", offset])
 
+    # CodeMaster screening spans (text = "<screening>|<question>=<answer>")
+    ns = _mix(h, 71) % 3
+    for i in range(ns):
+        s = _mix(h, 73, i)
+        offset += 1 + _mix(s, 3) % 3
+        spans.append(["Screening", _gen_cm_text(s), "", offset])
+
     # offset-order violation: swap first two offsets
     if h % 157 == 11 and len(spans) >= 2:
         spans[0][3], spans[1][3] = spans[1][3], spans[0][3]
@@ -244,6 +251,32 @@ def _gen_qa_text(s: int) -> str:
         return "Q7=" + ("zz" if bad else ("x" if _mix(s, 9) % 2 else "y"))
     # unknown question code
     return "Q9=whatever"
+
+
+def _gen_cm_text(s: int) -> str:
+    """One deterministic CodeMaster screening payload; ~10% defect rate
+    across unknown-screening / unknown-question / bad-answer /
+    multi-on-single / bad-multi-element paths."""
+    r = _mix(s, 5) % 100
+    if r < 2:
+        return "SCR9|Q1=yes"                  # unknown screening
+    if r < 4:
+        return "SCR1|Q8=yes"                  # unknown question in screening
+    if r < 6:
+        return "SCR1|Q1=maybe"                # answer not allowed
+    if r < 8:
+        return "SCR1|Q1=yes,no"               # multiple answers, single-valued
+    if r < 10:
+        return "SCR1|Q2=a,z"                  # bad element in multi answer
+    pick = _mix(s, 9) % 4
+    if pick == 0:
+        return "SCR1|Q1=" + ("yes" if _mix(s, 11) % 2 else "no")
+    if pick == 1:
+        k = 1 + _mix(s, 11) % 2
+        return "SCR1|Q2=" + ",".join(("a", "b", "c")[(_mix(s, 13) + j) % 3] for j in range(k))
+    if pick == 2:
+        return "SCR2|Q3=" + ("low" if _mix(s, 11) % 2 else "high")
+    return "SCR2|Q3=high"
 
 
 def _first(kinds: list[str], k: str) -> int:

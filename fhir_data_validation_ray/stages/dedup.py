@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.collect import collect_table
 from ..functions.hashing import hash_str
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -154,12 +155,8 @@ def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
     # per-doc shingle counts: one int per doc, broadcast to the Jaccard
     # stage. At 10^12 docs this side becomes a join on doc_id instead of a
     # broadcast — the pair table carries (doc_a, doc_b) keys for it.
-    counts = pa.concat_tables(
-        ray.get(
-            docs.map_batches(
-                sh_counts, batch_format="pyarrow", batch_size=batch_size
-            ).to_arrow_refs()
-        )
+    counts = collect_table(
+        docs.map_batches(sh_counts, batch_format="pyarrow", batch_size=batch_size)
     )
     doc_order = np.asarray(counts["doc_id"]).astype(np.int64)
     n_sh_arr = np.asarray(counts["n_sh"]).astype(np.int64)
@@ -327,7 +324,10 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         .map_groups(candidates, batch_format="pyarrow")
     )
     # global candidate dedup (same pair can surface from several bands)
-    cand_tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    cand_tbl = collect_table(
+        cand,
+        empty_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
     if cand_tbl.num_rows == 0:
         import ray.data as rd
 
@@ -357,9 +357,9 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         d, h, _ = _shingle_table(sub, n)
         return pa.table({"doc_id": pa.array(d), "h": pa.array(h.astype(np.int64))})
 
-    sh = pa.concat_tables(
-        ray.get(docs.map_batches(verify, batch_format="pyarrow",
-                                 batch_size=batch_size).to_arrow_refs())
+    sh = collect_table(
+        docs.map_batches(verify, batch_format="pyarrow", batch_size=batch_size),
+        empty_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
     )
     d = np.asarray(sh["doc_id"]).astype(np.int64)
     h = np.asarray(sh["h"])

@@ -22,6 +22,7 @@ import json
 
 import numpy as np
 
+from ..functions.collect import collect_table
 from ..state.sketches import TDigest
 from .stats import column_profile, histogram
 
@@ -152,9 +153,7 @@ def drift_by_group(ds, group_col: str, snapshot: dict, *,
                 }
             )
 
-        parts = pa.concat_tables(
-            ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-        )
+        parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
         hist: dict[str, np.ndarray] = {}
         digests: dict[str, TDigest] = {}
         for row in parts.to_pylist():
@@ -205,9 +204,7 @@ def kind_histogram(docs) -> dict[str, int]:
             }
         )
 
-    parts = pa.concat_tables(
-        ray.get(docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-    )
+    parts = collect_table(docs.map_batches(partial, batch_format="pyarrow"))
     out: dict[str, int] = {}
     for row in parts.to_pylist():
         out[row["kind"]] = out.get(row["kind"], 0) + row["count"]

@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.collect import collect_table
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = m.astype(np.float64, copy=False)
@@ -82,7 +84,7 @@ def cosine_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
     cand = embeddings.map_batches(local_topk, batch_format="pyarrow",
                                   batch_size=batch_size)
     # global merge: k rows per query per batch — tiny; driver-side exact top-k
-    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    tbl = collect_table(cand)
     q = np.asarray(tbl["qid"]).astype(np.int64)
     v = np.asarray(tbl["vec_id"]).astype(np.int64)
     s = np.asarray(tbl["sim"])
@@ -113,9 +115,7 @@ def cosine_pairs(embeddings, threshold: float = 0.9, *,
     import ray.data as rd
 
     # driver-side one-pass load of the (small) corpus matrix for broadcast
-    full = pa.concat_tables(
-        ray.get(embeddings.select_columns(["vec_id", "embedding"]).to_arrow_refs())
-    )
+    full = collect_table(embeddings.select_columns(["vec_id", "embedding"]))
     all_ids, all_m = _batch_matrix(full)
     order = np.argsort(all_ids)
     all_ids, all_m = all_ids[order], _normalize(all_m[order])
@@ -202,8 +202,8 @@ def lsh_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
         .groupby("code")
         .map_groups(probe_bucket, batch_format="pyarrow")
     )
-    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
-    if tbl.num_rows == 0:
+    tbl = collect_table(cand)
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
         return rd.from_arrow(pa.table({"qid": pa.array([], pa.int64()),
                                        "vec_id": pa.array([], pa.int64()),
                                        "rank": pa.array([], pa.int64())}))

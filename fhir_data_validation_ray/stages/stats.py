@@ -13,6 +13,7 @@ import json
 import numpy as np
 import pyarrow as pa
 
+from ..functions.collect import collect_table
 from ..state.sketches import HyperLogLog, TDigest
 
 
@@ -34,9 +35,7 @@ def numeric_stats_exact(ds, col: str):
             }
         )
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-    )
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
     n = np.asarray(parts["n"])
     nz = n > 0
     return rd.from_arrow(
@@ -75,9 +74,7 @@ def column_profile(ds, col: str, *, quantiles=(0.5, 0.9, 0.95, 0.99),
             }
         )
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-    )
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
     td = TDigest(np.empty(0), np.empty(0), delta)
     hll = HyperLogLog.empty(hll_p)
     for row in parts.to_pylist():
@@ -118,9 +115,7 @@ def histogram(ds, col: str, *, lo: int, hi: int, nbins: int):
             }
         )
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-    )
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
     b = np.asarray(parts["bin"])
     c = np.asarray(parts["count"])
     total = np.bincount(b, weights=c, minlength=nbins).astype(np.int64)

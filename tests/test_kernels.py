@@ -471,3 +471,34 @@ def test_edge_cases_null_spans_unicode_huge_offsets():
     assert ("d1", "ARRAY_LENGTH_OUT_OF_RANGE") in codes  # null spans -> 0
     # d4's near-max-offset local self-ref resolves cleanly
     assert not any(c == "REFERENCE_NOT_FOUND" and d == "d4" for d, c in codes)
+
+
+def test_code_master_screening_lookup():
+    # CodeMasterEngine analogue: screening -> question -> allowedAnswers
+    docs = make_docs([
+        ("d1", [s("Screening", "SCR1|Q1=yes", "", 0),     # ok
+                s("Screening", "SCR9|Q1=yes", "", 1),     # unknown screening
+                s("Screening", "SCR1|Q8=yes", "", 2),     # unknown question
+                s("Screening", "SCR1|Q1=maybe", "", 3),   # bad answer
+                s("Screening", "SCR1|Q1=yes,no", "", 4),  # multi on single
+                s("Screening", "SCR1|Q2=a,z", "", 5),     # bad multi element
+                s("Screening", "SCR1|Q2=a,b", "", 6),     # ok multi
+                s("Screening", "noseparator", "", 7)]),   # not screening-shaped: skip
+    ])
+    p = profile_of(
+        {"id": "CM", "type": "CodeMaster", "kind": "Screening", "fieldPath": "text",
+         "params": {"screenings": [
+             {"code": "SCR1", "questions": [
+                 {"code": "Q1", "allowedAnswers": ["yes", "no"]},
+                 {"code": "Q2", "allowedAnswers": ["a", "b", "c"], "multiValue": True}]},
+         ]}}
+    )
+    v = validate(docs, p)
+    got = rows(v, "span_index", "error_code", "source")
+    assert got == [
+        (1, "CODEMASTER_SCREENING_UNKNOWN", "CodeMaster"),
+        (2, "CODEMASTER_QUESTION_UNKNOWN", "CodeMaster"),
+        (3, "ANSWER_NOT_IN_VALUESET", "CodeMaster"),
+        (4, "INVALID_ANSWER_VALUE", "CodeMaster"),
+        (5, "ANSWER_NOT_IN_VALUESET", "CodeMaster"),
+    ]
