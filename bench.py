@@ -156,6 +156,22 @@ def run_bench() -> dict:
         ).count(),
     )
 
+    # checkpointed run: validate + write partitioned violations + manifests
+    import shutil
+    import tempfile
+
+    from fhir_data_validation_ray.pipelines.checkpointed import run_checkpointed
+
+    ckpt_dir = tempfile.mkdtemp(prefix="graft_ckpt_")
+    try:
+        timed(
+            "checkpointed_write",
+            lambda: run_checkpointed(SF_DIR, ckpt_dir, replicas=REPLICAS,
+                                     emit_details=False),
+        )
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
     headline = timings["validate"]
     result = {
         "metric": "validated docs/sec (full default profile, fused validator)",
