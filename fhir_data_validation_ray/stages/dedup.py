@@ -134,35 +134,39 @@ def _shingle_table(t: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray, np.ndar
 
 def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
                         num_buckets: int = 128, max_shingle_df: int | None = None,
-                        batch_size: int | None = None):
+                        batch_size: int | None = None, broadcast_counts: bool = True):
     """EXACT near-duplicate pairs (doc_a < doc_b) with n-gram-shingle Jaccard
     >= threshold. Plan: shingle inverted index sharded by shingle hash ->
     co-occurrence pair counts per shard -> second groupby on the pair ->
-    Jaccard with broadcast per-doc shingle counts.
+    Jaccard with per-doc shingle counts.
+
+    ``broadcast_counts=True`` ships the per-doc shingle counts as one
+    ``ray.put`` array (right up to ~10^8 docs). ``False`` switches to
+    bucket-partitioned hash joins of the pair table against the counts
+    dataset — the 10^12-doc path with no driver-side corpus-sized state.
+    Both produce identical results (equivalence-tested).
 
     ``max_shingle_df`` caps hot-shingle fan-out (drop shingles appearing in
     more docs) — REQUIRED at web scale, left None for oracle-exact runs.
     Partitioning assumption: one shingle's posting list fits in a worker."""
     import ray
 
-    # pass 1 (streaming): per-doc shingle counts, broadcast as two arrays
+    # pass 1 (streaming): per-doc shingle counts
     def sh_counts(t: pa.Table) -> pa.Table:
         _, _, counts = _shingle_table(t, n)
         return pa.table(
             {"doc_id": t["doc_id"], "n_sh": pa.array(counts)}
         )
 
-    # per-doc shingle counts: one int per doc, broadcast to the Jaccard
-    # stage. At 10^12 docs this side becomes a join on doc_id instead of a
-    # broadcast — the pair table carries (doc_a, doc_b) keys for it.
-    counts = collect_table(
-        docs.map_batches(sh_counts, batch_format="pyarrow", batch_size=batch_size)
-    )
-    doc_order = np.asarray(counts["doc_id"]).astype(np.int64)
-    n_sh_arr = np.asarray(counts["n_sh"]).astype(np.int64)
-    sort_i = np.argsort(doc_order)
-    doc_sorted, nsh_sorted = doc_order[sort_i], n_sh_arr[sort_i]
-    counts_ref = ray.put((doc_sorted, nsh_sorted))
+    counts_ref = None
+    if broadcast_counts:
+        counts = collect_table(
+            docs.map_batches(sh_counts, batch_format="pyarrow", batch_size=batch_size)
+        )
+        doc_order = np.asarray(counts["doc_id"]).astype(np.int64)
+        n_sh_arr = np.asarray(counts["n_sh"]).astype(np.int64)
+        sort_i = np.argsort(doc_order)
+        counts_ref = ray.put((doc_order[sort_i], n_sh_arr[sort_i]))
 
     def postings(t: pa.Table) -> pa.Table:
         d, h, _ = _shingle_table(t, n)
@@ -239,12 +243,114 @@ def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
             "pbucket", pa.array(((a * 31 + b) % 64).astype(np.int32))
         )
 
-    return (
+    if broadcast_counts:
+        return (
+            pair_counts.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket")
+            .map_groups(jaccard_filter, batch_format="pyarrow")
+            .select_columns(["doc_a", "doc_b"])
+        )
+
+    # ---- join lane: no driver-side corpus-sized state ----
+    def sum_pairs(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["doc_a"]).astype(np.int64)
+        b = np.asarray(g["doc_b"]).astype(np.int64)
+        key = a * np.int64(1 << 32) + b
+        uk, inv = np.unique(key, return_inverse=True)
+        inter = np.bincount(inv, weights=np.asarray(g["inter"])).astype(np.int64)
+        return pa.table(
+            {"doc_a": pa.array(uk >> 32), "doc_b": pa.array(uk & ((1 << 32) - 1)),
+             "inter": pa.array(inter)}
+        )
+
+    summed = (
         pair_counts.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(jaccard_filter, batch_format="pyarrow")
-        .select_columns(["doc_a", "doc_b"])
+        .map_groups(sum_pairs, batch_format="pyarrow")
     )
+    counts_ds = docs.map_batches(sh_counts, batch_format="pyarrow",
+                                 batch_size=batch_size)
+    with_na = _attach_count(summed, counts_ds, side="doc_a", out="n_a")
+    with_nb = _attach_count(with_na, counts_ds, side="doc_b", out="n_b")
+
+    def jfilter(t: pa.Table) -> pa.Table:
+        inter = np.asarray(t["inter"]).astype(np.int64)
+        na = np.asarray(t["n_a"]).astype(np.int64)
+        nb = np.asarray(t["n_b"]).astype(np.int64)
+        keep = inter / (na + nb - inter) >= threshold
+        return pa.table(
+            {
+                "doc_a": pc.take(_col(t, "doc_a"), pa.array(np.flatnonzero(keep))),
+                "doc_b": pc.take(_col(t, "doc_b"), pa.array(np.flatnonzero(keep))),
+            }
+        )
+
+    return with_nb.map_batches(jfilter, batch_format="pyarrow")
+
+
+def _col(t: pa.Table, name: str):
+    c = t[name]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _intmix(v: np.ndarray, buckets: int) -> np.ndarray:
+    x = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((x >> np.uint64(33)) % np.uint64(buckets)).astype(np.int64)
+
+
+def _attach_count(pairs_ds, counts_ds, *, side: str, out: str, buckets: int = 64):
+    """Bucket-partitioned hash join: attach counts_ds.n_sh (keyed doc_id) to
+    pairs_ds rows on ``side``. Both sides bucket by the mixed doc id; one
+    groupby co-locates each bucket's pair rows with its count rows."""
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[side]).astype(np.int64)
+        cols = {c: t[c] for c in t.column_names}
+        cols["jbucket"] = pa.array(_intmix(key, buckets).astype(np.int32))
+        cols["jkey"] = pa.array(key)
+        cols["cnt"] = pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        cols["is_cnt"] = pa.array(np.zeros(t.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    def tag_counts(t: pa.Table, schema_cols: list[str]) -> pa.Table:
+        key = np.asarray(t["doc_id"]).astype(np.int64)
+        nrows = t.num_rows
+        cols: dict[str, Any] = {}
+        for c in schema_cols:  # null-ish fillers so the union schemas match
+            cols[c] = pa.array(np.full(nrows, -1, dtype=np.int64))
+        cols["jbucket"] = pa.array(_intmix(key, buckets).astype(np.int32))
+        cols["jkey"] = pa.array(key)
+        cols["cnt"] = pa.array(np.asarray(t["n_sh"]).astype(np.int64))
+        cols["is_cnt"] = pa.array(np.ones(nrows, dtype=bool))
+        return pa.table(cols)
+
+    base_cols = ["doc_a", "doc_b", "inter"] + (["n_a"] if side == "doc_b" else [])
+
+    tagged_pairs = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+    tagged_counts = counts_ds.map_batches(
+        lambda t: tag_counts(t, base_cols), batch_format="pyarrow"
+    )
+    both = tagged_pairs.union(tagged_counts)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        is_cnt = np.asarray(g["is_cnt"])
+        jkey = np.asarray(g["jkey"]).astype(np.int64)
+        cnt = np.asarray(g["cnt"]).astype(np.int64)
+        ckeys = jkey[is_cnt]
+        cvals = cnt[is_cnt]
+        order = np.argsort(ckeys)
+        ckeys, cvals = ckeys[order], cvals[order]
+        p_idx = np.flatnonzero(~is_cnt)
+        pos = np.clip(np.searchsorted(ckeys, jkey[p_idx]), 0, max(len(ckeys) - 1, 0))
+        hit = len(ckeys) > 0
+        vals = cvals[pos] if hit else np.zeros(p_idx.size, dtype=np.int64)
+        cols = {
+            c: pc.take(_col(g, c), pa.array(p_idx)) for c in base_cols
+        }
+        cols[out] = pa.array(vals)
+        return pa.table(cols)
+
+    return both.groupby("jbucket").map_groups(join_group, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ MinHash + LSH

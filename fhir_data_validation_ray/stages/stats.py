@@ -74,15 +74,35 @@ def column_profile(ds, col: str, *, quantiles=(0.5, 0.9, 0.95, 0.99),
             }
         )
 
-    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
-    td = TDigest(np.empty(0), np.empty(0), delta)
-    hll = HyperLogLog.empty(hll_p)
-    for row in parts.to_pylist():
-        td = td.merge(TDigest.from_rows(json.loads(row["td"])))
-        hll = hll.merge(HyperLogLog(np.frombuffer(row["hll"], np.uint8).copy(), hll_p))
+    def _merge_rows(t: pa.Table) -> tuple[TDigest, HyperLogLog, int]:
+        td = TDigest(np.empty(0), np.empty(0), delta)
+        hll = HyperLogLog.empty(hll_p)
+        for row in t.to_pylist():
+            td = td.merge(TDigest.from_rows(json.loads(row["td"])))
+            hll = hll.merge(HyperLogLog(np.frombuffer(row["hll"], np.uint8).copy(), hll_p))
+        return td, hll, int(np.asarray(t["n"]).sum()) if t.num_rows else 0
+
+    def combine(t: pa.Table) -> pa.Table:
+        td, hll, n = _merge_rows(t)
+        return pa.table(
+            {
+                "td": pa.array([json.dumps(td.to_rows())], pa.string()),
+                "hll": pa.array([hll.registers.tobytes()], pa.binary()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    # two-level fold: per-batch partials -> per-TASK combine over many
+    # partials (batch_size=64) -> driver merges the few survivors. At 10^12
+    # rows the driver sees ~n_batches/64 sketches instead of n_batches.
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64)
+    )
+    td, hll, n = _merge_rows(parts)
     return {
         "col": col,
-        "n": int(np.asarray(parts["n"]).sum()),
+        "n": n,
         "quantiles": {str(q): td.quantile(q) for q in quantiles},
         "distinct_hll": float(hll.estimate()),
         "tdigest": td.to_rows(),

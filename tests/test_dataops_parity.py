@@ -123,3 +123,19 @@ def test_exact_dedup_at_scale_with_duplicates(ray_session, tmp_path):
     kept = exact_dedup(rd.read_parquet(p)).to_pandas()
     assert len(kept) == 500                      # one survivor per distinct text
     assert sorted(kept.doc_id) == sorted(range(500))  # lowest id wins
+
+
+def test_ngram_jaccard_join_lane_matches_broadcast(ray_session):
+    """The 10^12-doc join lane (no driver-side corpus-sized state) must
+    produce the same pairs as the broadcast lane."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+    a = ngram_jaccard_pairs(docs(), broadcast_counts=True).to_pandas()
+    b = ngram_jaccard_pairs(docs(), broadcast_counts=False).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b"]].values))
+    assert key(a) == key(b)
+    assert len(a) > 0
