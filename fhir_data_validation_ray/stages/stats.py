@@ -135,15 +135,21 @@ def histogram(ds, col: str, *, lo: int, hi: int, nbins: int):
             }
         )
 
-    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
-    b = np.asarray(parts["bin"])
-    c = np.asarray(parts["count"])
-    total = np.bincount(b, weights=c, minlength=nbins).astype(np.int64)
-    return rd.from_arrow(
-        pa.table(
+    def combine(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["bin"])
+        c = np.asarray(t["count"])
+        total = np.bincount(b, weights=c, minlength=nbins).astype(np.int64)
+        return pa.table(
             {
                 "bin": pa.array(np.arange(nbins, dtype=np.int64)),
                 "count": pa.array(total),
             }
         )
+
+    # per-task combine before the driver fold: the driver sums a handful of
+    # nbins-row tables regardless of batch count
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64 * nbins)
     )
+    return rd.from_arrow(combine(parts))
