@@ -1,0 +1,24 @@
+"""Driver-side fold of a small Dataset into one Arrow table.
+
+``Dataset.to_arrow_refs`` can yield zero-row blocks whose schema is empty
+(Ray Data emits them between groups under some schedules); concatenating
+those raises ``ArrowInvalid: Schema at index N was different``. This helper
+drops empty blocks and concatenates the rest with schema promotion — use it
+wherever per-batch partials / candidate sets are folded on the driver."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def collect_table(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0 and t.num_columns > 0]
+    if not tabs:
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        return pa.table({})
+    if len(tabs) == 1:
+        return tabs[0]
+    return pa.concat_tables(tabs, promote_options="default")
