@@ -95,6 +95,13 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(_emb(sf_dir), qids, qm, k=ANN_K, num_planes=5)
 
 
+def q_ivf_topk(sf_dir: str):
+    from ..stages.similarity import ivf_topk, load_queries
+
+    qids, qm = load_queries(f"{sf_dir}/embeddings.parquet", ANN_QUERY_IDS)
+    return ivf_topk(_emb(sf_dir), qids, qm, k=ANN_K, n_clusters=16, nprobe=4)
+
+
 HIST_LO, HIST_HI, HIST_BINS = 0, 600, 20
 
 
@@ -216,6 +223,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "s_cosine_topk": q_cosine_topk,
         "s_cosine_pairs": q_cosine_pairs,
         "s_lsh_topk": q_lsh_topk,
+        "s_ivf_topk": q_ivf_topk,
     }
 
 

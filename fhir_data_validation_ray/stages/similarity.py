@@ -136,6 +136,119 @@ def cosine_pairs(embeddings, threshold: float = 0.9, *,
                                   batch_size=batch_size)
 
 
+def ivf_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
+             k: int = 5, *, n_clusters: int = 16, nprobe: int = 4,
+             sample_size: int = 4096, kmeans_iters: int = 8,
+             batch_size: int | None = None):
+    """IVF (inverted-file) approximate top-k: deterministic k-means centroids
+    trained on a driver-side sample, vectors assigned to their nearest
+    centroid (one groupby co-locates each cluster), queries brute-force only
+    their ``nprobe`` nearest clusters. The standard scale path for ANN —
+    recall depends on nprobe/n_clusters, typically far above hyperplane LSH
+    at equal probe cost."""
+    import ray
+    import ray.data as rd
+
+    # train centroids on a deterministic sample (first sample_size rows)
+    sample = collect_table(embeddings.select_columns(["vec_id", "embedding"]).limit(sample_size))
+    _, sm = _batch_matrix(sample)
+    sm = _normalize(sm)
+    rng = np.random.RandomState(0xFACADE)
+    cent = sm[rng.choice(len(sm), size=min(n_clusters, len(sm)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sm @ cent.T, axis=1)  # cosine on normalized = dot
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sm[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    cent_ref = ray.put(cent)
+
+    # query probe set: nprobe nearest centroids per query
+    q_assign = np.argsort(-(query_matrix @ cent.T), axis=1)[:, :nprobe]
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(query_ids)):
+        for c in q_assign[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    probe_ref = ray.put((probe, query_ids, query_matrix))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        ids, m = _batch_matrix(t)
+        assign = np.argmax(_normalize(m) @ cm.T, axis=1)
+        return pa.table(
+            {
+                "cluster": pa.array(assign.astype(np.int64)),
+                "vec_id": pa.array(ids),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def probe_cluster(g: pa.Table) -> pa.Table:
+        pr, qids, qm = ray.get(probe_ref) if isinstance(probe_ref, ray.ObjectRef) else probe_ref
+        cluster = int(g["cluster"][0].as_py())
+        qlist = pr.get(cluster)
+        if not qlist:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids, m = _batch_matrix(g)
+        sims = _normalize(m) @ qm[qlist].T
+        kk = min(k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for col_j, qi in enumerate(qlist):
+            col = sims[:, col_j]
+            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+            out_q.append(np.full(len(idx), qids[qi], dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(col[idx])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = (
+        embeddings.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("cluster")
+        .map_groups(probe_cluster, batch_format="pyarrow")
+    )
+    tbl = collect_table(cand)
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return rd.from_arrow(pa.table({"qid": pa.array([], pa.int64()),
+                                       "vec_id": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.int64())}))
+    return _rank_topk(tbl, k)
+
+
+def _rank_topk(tbl: pa.Table, k: int):
+    """(qid, vec_id, sim) candidates -> Dataset[qid, vec_id, rank<=k] with
+    deterministic tie-break (sim DESC, vec_id ASC) and (qid, vec_id) dedup."""
+    import ray.data as rd
+
+    q = np.asarray(tbl["qid"]).astype(np.int64)
+    v = np.asarray(tbl["vec_id"]).astype(np.int64)
+    s = np.asarray(tbl["sim"])
+    key = q * np.int64(1 << 32) + v
+    _, first = np.unique(key, return_index=True)
+    q, v, s = q[first], v[first], s[first]
+    order = np.lexsort((v, -s, q))
+    q, v, s = q[order], v[order], s[order]
+    new_q = np.ones(len(q), dtype=bool)
+    new_q[1:] = q[1:] != q[:-1]
+    starts = np.flatnonzero(new_q)
+    rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.append(starts, len(q)))) + 1
+    keep = rank <= k
+    return rd.from_arrow(
+        pa.table({"qid": pa.array(q[keep]), "vec_id": pa.array(v[keep]),
+                  "rank": pa.array(rank[keep].astype(np.int64))})
+    )
+
+
 def lsh_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
              k: int = 5, *, num_planes: int = 12, batch_size: int | None = None):
     """Approximate top-k via random-hyperplane LSH: vectors keyed by sign-bit

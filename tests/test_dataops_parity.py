@@ -139,3 +139,21 @@ def test_ngram_jaccard_join_lane_matches_broadcast(ray_session):
     key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b"]].values))
     assert key(a) == key(b)
     assert len(a) > 0
+
+
+def test_ivf_topk_recall_beats_probe_budget(ray_session):
+    """IVF with nprobe=4 of 16 clusters scans ~25% of the corpus per query;
+    recall vs the exact top-k should be well above that fraction."""
+    from fhir_data_validation_ray.pipelines.dataops import (
+        ANN_K,
+        q_cosine_topk,
+        q_ivf_topk,
+    )
+
+    exact = q_cosine_topk(SF_DIR).to_pandas()
+    approx = q_ivf_topk(SF_DIR).to_pandas()
+    assert set(approx.columns) == {"qid", "vec_id", "rank"}
+    assert approx.groupby("qid")["rank"].max().max() <= ANN_K
+    e = set(map(tuple, exact[["qid", "vec_id"]].values))
+    a = set(map(tuple, approx[["qid", "vec_id"]].values))
+    assert len(e & a) / len(e) >= 0.4
