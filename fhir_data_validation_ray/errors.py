@@ -87,6 +87,8 @@ ENTRY_REFERENCE_MISMATCH = "ENTRY_REFERENCE_MISMATCH"
 
 # Structural / grammar codes (``Validation/JsonNodeStructuralValidator.cs``)
 FHIR_INVALID_PRIMITIVE = "FHIR_INVALID_PRIMITIVE"
+FHIR_INVALID_REFERENCE_FORMAT = "FHIR_INVALID_REFERENCE_FORMAT"
+FHIR_MULTIPLE_VALUE_X = "FHIR_MULTIPLE_VALUE_X"
 INVALID_ENUM_VALUE = "INVALID_ENUM_VALUE"
 SPAN_SEQUENCE_INVALID = "SPAN_SEQUENCE_INVALID"  # offset monotonicity per row
 

@@ -30,6 +30,10 @@ from .flatten import FlatSpans, first_per_doc_mask
 ID_GRAMMAR = r"^[A-Za-z0-9.\-]{1,64}$"
 _ID_RE = re.compile(ID_GRAMMAR)
 
+# reference grammar (``JsonNodeStructuralValidator.cs:943-1015``): a nonempty
+# media_ref must be an urn (no whitespace) or a local "<Kind>/<doc>.<offset>"
+REF_GRAMMAR = r"^(urn:[^ ]+|[A-Za-z]+/.+\.[0-9]+)$"
+
 # media_ref shapes (``ReferenceResolver.cs:48-76``): local = "<Kind>/<doc_id>.<offset>",
 # external = anything else (canonically "urn:uuid:<id>").
 LOCAL_REF_RE = re.compile(r"^([A-Za-z]+)/(.+)\.([0-9]+)$")
@@ -801,6 +805,26 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
                      {"question": q.code, "pattern": q.pattern})
 
 
+def k_exclusivity(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
+                  sink: ViolationSink) -> None:
+    """Exclusivity: at most ONE of ``params.fields`` may be non-empty per
+    selected span — the ``value[x]`` choice-type exclusivity check
+    (``JsonNodeStructuralValidator.cs:858-942``) mapped to flat span fields."""
+    fields = [str(f) for f in rule.params["fields"]]
+    filled = np.zeros(fs.n_spans, dtype=np.int64)
+    for f in fields:
+        filled += (~fs.empty_mask(f)).astype(np.int64)
+    idx = np.flatnonzero(sel & (filled > 1))
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_STRUCTURE,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.FHIR_MULTIPLE_VALUE_X,
+        pointer_field=fields[0],
+        details=[_canon_details({"fields": fields})] * idx.size if sink.emit_details else None,
+    )
+
+
 def k_code_master(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
                   sink: ViolationSink) -> None:
     """CodeMaster screening lookup (``RuleEngines/CodeMasterEngine.cs:12-235``):
@@ -927,6 +951,23 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
             details=[_canon_details({"actual": str(v), "allowed": list(profile.allowed_kinds)})
                      for v in fs.kind_np[bad]] if sink.emit_details else None,
         )
+    if settings.get("checkRefGrammar", False) and fs.n_spans:
+        nonempty = ~fs.empty_mask("media_ref")
+        ok = (
+            pc.match_substring_regex(fs.media_ref, REF_GRAMMAR)
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        bad = np.flatnonzero(nonempty & ~ok)
+        sink.add_spans(
+            fs, bad,
+            source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
+            error_code=E.FHIR_INVALID_REFERENCE_FORMAT, pointer_field="media_ref",
+            details=[
+                _canon_details({"ref": r})
+                for r in pc.take(fs.media_ref, pa.array(bad)).to_pylist()
+            ] if sink.emit_details else None,
+        )
     if settings.get("checkSpanOrder", True) and fs.n_spans:
         offs = fs.offset_np
         same_doc = np.zeros(fs.n_spans, dtype=bool)
@@ -1019,6 +1060,8 @@ class CompiledProfile:
                     k_full_url_id_match(rule, fs, sel, sink)
                 elif rule.type == "CodeMaster":
                     k_code_master(rule, fs, sel, sink)
+                elif rule.type == "Exclusivity":
+                    k_exclusivity(rule, fs, sel, sink)
                 elif rule.type == "Reference":
                     k_reference(rule, fs, sel, sink, self.registry_keys)
             except Exception as exc:  # error isolation per rule

@@ -102,6 +102,11 @@ UNION ALL
 SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ENUM_VALUE', 'error'
 FROM read_parquet('{flat}') WHERE kind NOT IN __ALLOWED__
 UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'FHIR_INVALID_REFERENCE_FORMAT', 'error'
+FROM read_parquet('{flat}')
+WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''
+  AND NOT regexp_matches(media_ref, '^(urn:[^ ]+|[A-Za-z]+/.+\\.[0-9]+)$')
+UNION ALL
 SELECT doc_id, CAST(span_index AS INTEGER), 'SPAN_SEQUENCE_INVALID', 'error'
 FROM (SELECT doc_id, span_index, "offset",
              lag("offset") OVER (PARTITION BY doc_id ORDER BY span_index) AS prev

@@ -39,7 +39,8 @@ QA_QUESTIONS = [
 DEFAULT_PROFILE: dict = {
     "version": "1.0",
     "allowedKinds": list(ALLOWED_KINDS),
-    "settings": {"checkDocId": True, "checkSpanOrder": True, "dedupStructure": True},
+    "settings": {"checkDocId": True, "checkSpanOrder": True,
+                 "checkRefGrammar": True, "dedupStructure": True},
     "codeSystems": [
         {
             "url": "https://example.org/cs/language",
@@ -136,5 +137,6 @@ def single_rule_profile(rule_id: str, *, with_structure: bool = False) -> dict:
     if not with_structure:
         p["settings"]["checkDocId"] = False
         p["settings"]["checkSpanOrder"] = False
+        p["settings"]["checkRefGrammar"] = False
         p["allowedKinds"] = []
     return p

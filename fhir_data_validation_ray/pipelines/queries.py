@@ -46,6 +46,31 @@ def _reference_query(policy: str) -> Callable[[str], Any]:
     return run
 
 
+def _exclusivity_query(sf_dir: str):
+    """value[x]-style exclusivity: Patient spans must not carry BOTH a text
+    payload and a media_ref (``JsonNodeStructuralValidator.cs:858-942``)."""
+    p = single_rule_profile("R1")
+    p["rules"] = [
+        {"id": "X1", "type": "Exclusivity", "kind": "Patient", "fieldPath": "text",
+         "params": {"fields": ["text", "media_ref"]}}
+    ]
+    return _violations_for(sf_dir, p)
+
+
+V_EXCLUSIVITY_SQL = (
+    """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'FHIR_MULTIPLE_VALUE_X' AS error_code, 'error' AS severity
+FROM read_parquet('{flat}')
+WHERE kind = 'Patient'
+  AND NOT """
+    + oracle.EMPTY
+    + """
+  AND media_ref IS NOT NULL AND trim(media_ref) <> ''
+"""
+)
+
+
 def _fullurl_query(sf_dir: str):
     p = single_rule_profile("R1")
     p["rules"] = [
@@ -133,6 +158,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_question_answer": _rule_query("R9"),
         "v_code_master": _rule_query("R10"),
         "v_fullurl_id": _fullurl_query,
+        "v_exclusivity": _exclusivity_query,
         "v_custom_predicate": _custom_predicate_query,
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
@@ -157,6 +183,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_question_answer": oracle.V_QUESTION_ANSWER,
         "v_code_master": oracle.V_CODE_MASTER,
         "v_fullurl_id": oracle.V_FULLURL_ID,
+        "v_exclusivity": V_EXCLUSIVITY_SQL,
         "v_custom_predicate": oracle.V_CUSTOM_PREDICATE,
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,

@@ -38,6 +38,7 @@ RULE_TYPES = (
     "QuestionAnswer",
     "FullUrlIdMatch",
     "CodeMaster",
+    "Exclusivity",
 )
 
 QA_TYPES = ("boolean", "integer", "decimal", "code", "string")
@@ -338,8 +339,13 @@ def _validate_rule(
             raise ProfileError(f"rule {rid}: ArrayLength fieldPath must be 'spans'")
         if params.get("min") is None and params.get("max") is None:
             raise ProfileError(f"rule {rid}: ArrayLength needs min and/or max")
-    elif rtype in ("RequiredSpans", "Reference", "FullUrlIdMatch"):
-        pass
+    elif rtype in ("RequiredSpans", "Reference", "FullUrlIdMatch", "Exclusivity"):
+        if rtype == "Exclusivity":
+            flds = params.get("fields") or []
+            if len(flds) < 2 or any(f not in ("kind", "text", "media_ref") for f in flds):
+                raise ProfileError(
+                    f"rule {rid}: Exclusivity needs >=2 string span fields, got {flds!r}"
+                )
     elif fp not in SPAN_FIELDS:
         raise ProfileError(f"rule {rid}: fieldPath must be one of {SPAN_FIELDS}, got {fp!r}")
 

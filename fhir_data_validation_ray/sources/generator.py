@@ -32,7 +32,7 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = "g11"
+GENERATOR_VERSION = "g12"
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 KINDS = ("Patient", "Observation", "Coding", "Encounter", "text", "image", "audio",
@@ -175,6 +175,8 @@ def gen_doc(base_id: str, replica: int, n_reg: int):
                 sp[2] = hot_registry_key()  # skew: one hot key
             elif r < 92:
                 sp[2] = f"urn:uuid:{_mix(4242, s):016x}"  # dangling external
+            elif r < 94:
+                sp[2] = f"not a valid ref {s % 100}!"  # grammar violation
             else:
                 sp[2] = ""
         elif kind in ("Patient", "Observation", "Encounter") and n > 1 and r < 25:

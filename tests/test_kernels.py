@@ -502,3 +502,23 @@ def test_code_master_screening_lookup():
         (4, "INVALID_ANSWER_VALUE", "CodeMaster"),
         (5, "ANSWER_NOT_IN_VALUESET", "CodeMaster"),
     ]
+
+
+def test_exclusivity_and_ref_grammar():
+    docs = make_docs([
+        ("d1", [s("Patient", "S1234567A", "Patient/d1.1", off=0),  # both set
+                s("Patient", "x", "", off=1),                       # text only
+                s("image", "", "urn:uuid:ok", off=2),
+                s("image", "", "not a valid ref 7!", off=3)]),      # bad grammar
+    ])
+    p = profile_of(
+        {"id": "X", "type": "Exclusivity", "kind": "Patient", "fieldPath": "text",
+         "params": {"fields": ["text", "media_ref"]}}
+    )
+    p["settings"]["checkRefGrammar"] = True
+    v = validate(docs, p)
+    got = rows(v, "span_index", "error_code")
+    assert (0, "FHIR_MULTIPLE_VALUE_X") in got
+    assert (3, "FHIR_INVALID_REFERENCE_FORMAT") in got
+    assert (1, "FHIR_MULTIPLE_VALUE_X") not in got
+    assert (2, "FHIR_INVALID_REFERENCE_FORMAT") not in got
