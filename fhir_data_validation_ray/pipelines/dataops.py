@@ -203,8 +203,68 @@ def q_kind_drift(sf_dir: str):
     return kind_drift(read_documents(paths["docs"]), snap)
 
 
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def q_tumbling(sf_dir: str):
+    from ..stages.windows import tumbling_window_counts
+
+    return tumbling_window_counts(_events(sf_dir))
+
+
+def q_sessionize(sf_dir: str):
+    from ..stages.windows import sessionize
+
+    return sessionize(_events(sf_dir))
+
+
+def q_asof_prev_purchase(sf_dir: str):
+    from ..stages.windows import asof_join_prev_event
+
+    return asof_join_prev_event(_events(sf_dir), right_type="purchase")
+
+
+TUMBLING_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+SESSIONIZE_SQL = """
+WITH o AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+m AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM o),
+ses AS (SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m),
+sz AS (SELECT user_id, sid, count(*) AS c FROM ses GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_sessions, sum(c)::BIGINT AS n_events,
+       max(c)::BIGINT AS max_session_events
+FROM sz GROUP BY 1
+"""
+
+ASOF_SQL = """
+SELECT l.event_id, r.event_id AS matched_id
+FROM events l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts > r.ts
+"""
+
+
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "w_tumbling": q_tumbling,
+        "w_sessionize": q_sessionize,
+        "w_asof_prev_purchase": q_asof_prev_purchase,
         "a_kind_drift": q_kind_drift,
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
@@ -331,6 +391,9 @@ def dataops_oracles() -> dict[str, str]:
     exact Jaccard oracle (miss probability < 1e-7 per pair at 32x4 bands,
     verified exactly)."""
     return {
+        "w_tumbling": TUMBLING_SQL,
+        "w_sessionize": SESSIONIZE_SQL,
+        "w_asof_prev_purchase": ASOF_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,
         "a_histogram_nchars": HISTOGRAM_NCHARS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,
