@@ -227,6 +227,12 @@ def q_asof_prev_purchase(sf_dir: str):
     return asof_join_prev_event(_events(sf_dir), right_type="purchase")
 
 
+def q_range_join(sf_dir: str):
+    from ..stages.windows import range_join_counts
+
+    return range_join_counts(_events(sf_dir))
+
+
 TUMBLING_SQL = """
 SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
        count(*)::BIGINT AS n
@@ -252,6 +258,15 @@ SELECT user_id, count(*)::BIGINT AS n_sessions, sum(c)::BIGINT AS n_events,
 FROM sz GROUP BY 1
 """
 
+RANGE_JOIN_SQL = """
+SELECT a.event_id, count(b.event_id)::BIGINT AS n_nearby
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+LEFT JOIN events b
+  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+GROUP BY a.event_id
+"""
+
 ASOF_SQL = """
 SELECT l.event_id, r.event_id AS matched_id
 FROM events l
@@ -265,6 +280,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_tumbling": q_tumbling,
         "w_sessionize": q_sessionize,
         "w_asof_prev_purchase": q_asof_prev_purchase,
+        "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
@@ -394,6 +410,7 @@ def dataops_oracles() -> dict[str, str]:
         "w_tumbling": TUMBLING_SQL,
         "w_sessionize": SESSIONIZE_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
+        "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,
         "a_histogram_nchars": HISTOGRAM_NCHARS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,

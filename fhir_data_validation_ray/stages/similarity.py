@@ -320,21 +320,4 @@ def lsh_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
         return rd.from_arrow(pa.table({"qid": pa.array([], pa.int64()),
                                        "vec_id": pa.array([], pa.int64()),
                                        "rank": pa.array([], pa.int64())}))
-    q = np.asarray(tbl["qid"]).astype(np.int64)
-    v = np.asarray(tbl["vec_id"]).astype(np.int64)
-    s = np.asarray(tbl["sim"])
-    # same candidate can come from several probed buckets -> dedup (q, v)
-    key = q * np.int64(1 << 32) + v
-    _, first = np.unique(key, return_index=True)
-    q, v, s = q[first], v[first], s[first]
-    order = np.lexsort((v, -s, q))
-    q, v, s = q[order], v[order], s[order]
-    new_q = np.ones(len(q), dtype=bool)
-    new_q[1:] = q[1:] != q[:-1]
-    starts = np.flatnonzero(new_q)
-    rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.append(starts, len(q)))) + 1
-    keep = rank <= k
-    return rd.from_arrow(
-        pa.table({"qid": pa.array(q[keep]), "vec_id": pa.array(v[keep]),
-                  "rank": pa.array(rank[keep].astype(np.int64))})
-    )
+    return _rank_topk(tbl, k)

@@ -98,6 +98,38 @@ def sessionize(events, *, gap_us: int = 30 * 60 * 1_000_000):
     )
 
 
+def range_join_counts(events, *, anchor_type: str = "purchase",
+                      window_us: int = 5 * 60 * 1_000_000):
+    """Range join: for each ``anchor_type`` event, count the same user's
+    events within ``[ts - window, ts + window]`` (inclusive, excluding the
+    anchor itself). One groupby(user_id); within the group a sorted-timestamp
+    searchsorted answers every anchor's interval in O(log n).
+    Returns Dataset[event_id, n_nearby]."""
+
+    def ranges(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = np.asarray(g["event_id"]).astype(np.int64)
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_anchor = pc.equal(et, anchor_type).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        a_idx = np.flatnonzero(is_anchor)
+        lo = np.searchsorted(ts_s, ts[a_idx] - window_us, side="left")
+        hi = np.searchsorted(ts_s, ts[a_idx] + window_us, side="right")
+        n = (hi - lo - 1).astype(np.int64)  # exclude the anchor itself
+        return pa.table(
+            {"event_id": pa.array(eid[a_idx]), "n_nearby": pa.array(n)}
+        )
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(ranges, batch_format="pyarrow")
+    )
+
+
 def asof_join_prev_event(events, *, right_type: str = "purchase"):
     """As-of join of every event against the SAME user's most recent
     strictly-earlier event of ``right_type`` — the "attach latest state as of
