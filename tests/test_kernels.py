@@ -522,3 +522,38 @@ def test_exclusivity_and_ref_grammar():
     assert (3, "FHIR_INVALID_REFERENCE_FORMAT") in got
     assert (1, "FHIR_MULTIPLE_VALUE_X") not in got
     assert (2, "FHIR_INVALID_REFERENCE_FORMAT") not in got
+
+
+def test_reference_join_under_heavy_skew(ray_session):
+    """Partitioned registry anti-join stays correct when 90% of probe refs
+    hit ONE hot key (salting spreads the hot probe rows; replicated registry
+    rows answer every sub-bucket)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.sources.generator import DOCS_SCHEMA, SPAN_TYPE
+    from fhir_data_validation_ray.stages.reference import reference_integrity_join
+
+    hot, cold, dangling = "urn:uuid:hot", "urn:uuid:cold", "urn:uuid:nope"
+    rows_in = []
+    for i in range(2000):
+        ref = hot if i % 10 else (cold if i % 20 else dangling)
+        rows_in.append(
+            (f"doc{i}", [{"kind": "image", "text": "", "media_ref": ref, "offset": 0}])
+        )
+    docs = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows_in], pa.string()),
+         "spans": pa.array([r[1] for r in rows_in], pa.list_(SPAN_TYPE))},
+        schema=DOCS_SCHEMA,
+    )
+    registry = rd.from_arrow(
+        pa.table({"media_ref": pa.array([hot, cold], pa.string())})
+    )
+    out = reference_integrity_join(
+        rd.from_arrow(docs), registry, num_buckets=8, salt=4
+    ).to_pandas()
+    # dangling iff i % 20 == 0 (i % 10 == 0 picks the else arm, i % 20 == 0
+    # picks dangling within it): {0, 20, 40, ...} = 100 docs
+    assert len(out) == 100
+    assert set(out.doc_id) == {f"doc{i}" for i in range(0, 2000, 20)}
