@@ -283,9 +283,18 @@ def k_fixed_value(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     (``FhirPathRuleEngine.cs:1053-1127``); empty values pass."""
     arr = _field_array(fs, rule.field_path)
     expected = str(rule.params["value"])
-    ne = pc.not_equal(arr, expected).fill_null(False).to_numpy(zero_copy_only=False)
-    bad = sel & ne & ~fs.empty_mask(rule.field_path)
-    idx = np.flatnonzero(bad)
+    cand = np.flatnonzero(sel & ~fs.empty_mask(rule.field_path))
+    if cand.size == 0:
+        return
+    if cand.size * 2 < fs.n_spans:  # candidate-first on sparse selections
+        ne = pc.not_equal(pc.take(arr, pa.array(cand)), expected)
+        idx = cand[ne.fill_null(False).to_numpy(zero_copy_only=False)]
+    else:
+        ne = pc.not_equal(arr, expected).fill_null(False).to_numpy(zero_copy_only=False)
+        bad = np.zeros(fs.n_spans, dtype=bool)
+        bad[cand] = True
+        bad &= ne
+        idx = np.flatnonzero(bad)
     vals = pc.take(arr, pa.array(idx)).to_pylist() if idx.size and sink.emit_details else []
     sink.add_spans(
         fs, idx,
@@ -302,9 +311,19 @@ def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violat
     (``FhirPathRuleEngine.cs:1144-1220``)."""
     arr = _field_array(fs, rule.field_path)
     allowed = [str(v) for v in rule.params["values"]]
-    out = pc.invert(pc.is_in(arr, value_set=pa.array(allowed, type=pa.string())))
-    bad = sel & out.fill_null(False).to_numpy(zero_copy_only=False) & ~fs.empty_mask(rule.field_path)
-    idx = np.flatnonzero(bad)
+    allowed_pa = pa.array(allowed, type=pa.string())
+    cand = np.flatnonzero(sel & ~fs.empty_mask(rule.field_path))
+    if cand.size == 0:
+        return
+    if cand.size * 2 < fs.n_spans:  # candidate-first on sparse selections
+        out = pc.invert(pc.is_in(pc.take(arr, pa.array(cand)), value_set=allowed_pa))
+        idx = cand[out.fill_null(False).to_numpy(zero_copy_only=False)]
+    else:
+        out = pc.invert(pc.is_in(arr, value_set=allowed_pa))
+        bad = np.zeros(fs.n_spans, dtype=bool)
+        bad[cand] = True
+        bad &= out.fill_null(False).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(bad)
     vals = pc.take(arr, pa.array(idx)).to_pylist() if idx.size and sink.emit_details else []
     sink.add_spans(
         fs, idx,
@@ -319,16 +338,31 @@ def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violat
 def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
     """Regex: search semantics (.NET ``IsMatch`` ≈ RE2 ``match_substring_regex``,
     ``FhirPathRuleEngine.cs:1222-1291``); empty values pass. Patterns outside
-    the RE2 subset fall back to Python ``re`` on the selected values only."""
+    the RE2 subset fall back to Python ``re`` on the selected values only.
+
+    Candidate-first: when the kind selection is sparse (the common case —
+    one kind of many), the RE2 pass runs over the TAKEN candidate values
+    instead of the whole flat column; rule-rich profiles spend most of their
+    kernel time here, so this is the difference between O(rules x spans) and
+    O(rules x selected)."""
     arr = _field_array(fs, rule.field_path)
     pattern = rule.params["pattern"]
     nonempty = ~fs.empty_mask(rule.field_path)
+    cand = np.flatnonzero(sel & nonempty)
+    if cand.size == 0:
+        return
+    sparse = cand.size * 2 < fs.n_spans
     try:
-        miss = pc.invert(pc.match_substring_regex(arr, pattern))
-        bad = sel & miss.fill_null(False).to_numpy(zero_copy_only=False) & nonempty
-        idx = np.flatnonzero(bad)
+        if sparse:
+            miss = pc.invert(
+                pc.match_substring_regex(pc.take(arr, pa.array(cand)), pattern)
+            ).fill_null(False).to_numpy(zero_copy_only=False)
+            idx = cand[miss]
+        else:
+            miss = pc.invert(pc.match_substring_regex(arr, pattern))
+            bad = sel & miss.fill_null(False).to_numpy(zero_copy_only=False) & nonempty
+            idx = np.flatnonzero(bad)
     except pa.ArrowInvalid:  # non-RE2 construct -> Python lane
-        cand = np.flatnonzero(sel & nonempty)
         rx = re.compile(pattern)
         vals = pc.take(arr, pa.array(cand)).to_pylist() if cand.size else []
         idx = cand[np.array([rx.search(v) is None for v in vals], dtype=bool)] if cand.size else cand
