@@ -207,10 +207,13 @@ def _dedup_structure_priority(t: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------- conditions
-def eval_condition(cond: Condition, fs: FlatSpans) -> np.ndarray:
-    """Boolean mask over all spans; nulls compare as non-matching."""
+def eval_condition(cond: Condition, fs: FlatSpans,
+                   idx: np.ndarray | None = None) -> np.ndarray:
+    """Boolean mask; nulls compare as non-matching. With ``idx`` the kernel
+    evaluates ONLY those candidate positions (returns a mask aligned to
+    ``idx``) — candidate-first evaluation for sparse selections."""
     if cond.fld == "offset":
-        arr = fs.offset
+        arr = fs.offset if idx is None else pc.take(fs.offset, pa.array(idx))
         if cond.op == "==":
             m = pc.equal(arr, cond.value)
         elif cond.op == "!=":
@@ -220,6 +223,8 @@ def eval_condition(cond: Condition, fs: FlatSpans) -> np.ndarray:
         return m.fill_null(False).to_numpy(zero_copy_only=False)
 
     arr = {"kind": fs.kind, "text": fs.text, "media_ref": fs.media_ref}[cond.fld]
+    if idx is not None:
+        arr = pc.take(arr, pa.array(idx))
     if cond.op == "==":
         m = pc.equal(arr, cond.value)
     elif cond.op == "!=":
@@ -240,7 +245,8 @@ def eval_condition(cond: Condition, fs: FlatSpans) -> np.ndarray:
 def selection_mask(rule: RuleDef, fs: FlatSpans) -> np.ndarray:
     """Instance selection (``Services/ResourceSelector.cs:36-64``): kind match,
     then scope. Filter-evaluation failures FAIL OPEN — the span is validated
-    anyway (``FhirPathRuleEngine.cs:2409-2415``)."""
+    anyway (``FhirPathRuleEngine.cs:2409-2415``). Filter conditions evaluate
+    candidate-first over the surviving index set, narrowing as they go."""
     if rule.kind == "*":
         mask = np.ones(fs.n_spans, dtype=bool)
     else:
@@ -249,11 +255,16 @@ def selection_mask(rule: RuleDef, fs: FlatSpans) -> np.ndarray:
     if sc.kind == "first":
         mask = first_per_doc_mask(mask, fs.parent)
     elif sc.kind == "filter":
+        idx = np.flatnonzero(mask)
         for cond in sc.conditions:
+            if idx.size == 0:
+                break
             try:
-                mask &= eval_condition(cond, fs)
+                idx = idx[eval_condition(cond, fs, idx)]
             except Exception:
                 pass  # fail-open: validate anyway
+        mask = np.zeros(fs.n_spans, dtype=bool)
+        mask[idx] = True
     return mask
 
 
