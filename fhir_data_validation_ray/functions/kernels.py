@@ -962,6 +962,119 @@ def k_code_master(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
                       "allowed": list(q.allowed_answers)})
 
 
+# ----------------------------------------------------- primitive grammars
+# Lexical grammars for the 11 FHIR primitive types, mirroring the reference's
+# per-type validators (``Validation/JsonNodeStructuralValidator.cs:84-97``
+# dispatch table; grammar impls ``:738-829`` for boolean/integer/decimal/date/
+# dateTime/id/string/code, ``:1209-1290`` for uri/url/canonical). Single
+# source of truth: the DuckDB oracle SQL is built from these SAME patterns
+# (``pipelines/oracle.py:primitive_valid_expr``), so kernel and oracle cannot
+# drift. Patterns stay inside the RE2 dialect shared by pyarrow and DuckDB.
+#
+# Stated divergences from the .NET implementations (documented, deliberate):
+# - whitespace/control classes are ASCII (RE2 ``\s`` + ``\x00-\x1f\x7f``),
+#   not ``char.IsWhiteSpace``'s Unicode set;
+# - integer/decimal are lexical only (no int32/decimal range check);
+# - dateTime is the FHIR R4 grammar (timezone REQUIRED when a time is
+#   present, hour <= 23) rather than .NET ``DateTimeOffset.TryParse``'s
+#   locale-lenient parse (``:760-765``);
+# - date keeps the reference's exact quirk: partial dates (YYYY / YYYY-MM)
+#   are regex-checked only — "2021-13" passes, as in ``ValidateDate``
+#   (``:738-754``) which calendar-checks ONLY length-10 values.
+PRIM_RE: dict[str, str] = {
+    "boolean": r"^(true|false)$",
+    "integer": r"^[+-]?[0-9]+$",
+    "decimal": r"^[+-]?([0-9]+(\.[0-9]+)?|\.[0-9]+)$",
+    "date": r"^\d{4}(-\d{2}(-\d{2})?)?$",
+    "dateTime": (
+        r"^\d{4}(-\d{2}(-\d{2}(T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?"
+        r"(Z|[+-](0\d|1[0-3]):[0-5]\d))?)?)?$"
+    ),
+    "id": ID_GRAMMAR,
+    "code": r"^[^\s\x00-\x1f\x7f]+$",
+    "uri": r"^[^\s\x00-\x1f\x7f]+$",  # relative-or-absolute: Uri.TryCreate is
+    # near-vacuous for relative URIs, so no-ws/ctrl + nonempty is the grammar
+    "url": r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s\x00-\x1f\x7f]+$",
+    "canonical": r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s|\x00-\x1f\x7f]+(\|[^\s|\x00-\x1f\x7f]+)?$",
+}
+# string is special-cased: valid unless it contains \r or \n (empty string is
+# VALID — ``ValidateFhirString``, ``:779-790``)
+PRIM_STRING_BAD_RE = r"[\r\n]"
+
+# types whose full YYYY-MM-DD prefix must be a real calendar date
+_CALENDAR_TYPES = ("date", "dateTime")
+_FULL_DATE_PREFIX_RE = r"^(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})"
+_DAYS_IN_MONTH = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+
+
+def calendar_ok(arr: pa.Array) -> np.ndarray:
+    """True where the leading ``YYYY-MM-DD`` prefix (if any) is a real
+    proleptic-Gregorian date. Rows without a full-date prefix return True.
+    Vectorized: one RE2 extract + numpy days-in-month / leap-year arithmetic
+    (pc.strptime can't be used — Arrow's parser accepts 2021-02-30)."""
+    g = pc.extract_regex(arr, _FULL_DATE_PREFIX_RE)
+    has = pc.is_valid(g).to_numpy(zero_copy_only=False)
+    if not has.any():
+        return np.ones(len(arr), dtype=bool)
+    y = np.asarray(pc.cast(pc.struct_field(g, "y"), pa.int64()).fill_null(0))
+    m = np.asarray(pc.cast(pc.struct_field(g, "m"), pa.int64()).fill_null(1))
+    d = np.asarray(pc.cast(pc.struct_field(g, "d"), pa.int64()).fill_null(1))
+    ok = (m >= 1) & (m <= 12)
+    dim = _DAYS_IN_MONTH[np.clip(m, 0, 12)]
+    leap = (m == 2) & (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    ok &= (d >= 1) & (d <= dim + leap)
+    return np.where(has, ok, True)
+
+
+def primitive_invalid_mask(primitive: str, arr: pa.Array) -> np.ndarray:
+    """True where a PRESENT value violates the primitive's lexical grammar.
+    Null entries are never flagged (absence is the Required rule's concern,
+    matching the reference where grammar validators see present JSON values
+    only)."""
+    if primitive == "string":
+        return (
+            pc.match_substring_regex(arr, PRIM_STRING_BAD_RE)
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+    bad = (
+        pc.invert(pc.match_substring_regex(arr, PRIM_RE[primitive]))
+        .fill_null(False)
+        .to_numpy(zero_copy_only=False)
+    )
+    if primitive in _CALENDAR_TYPES:
+        present = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        bad |= present & ~calendar_ok(arr)
+    return bad
+
+
+def k_primitive(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
+    """Primitive: the selected spans' field must satisfy the lexical grammar
+    of ``params.primitive`` (one of the 11 FHIR primitive types). Emits
+    FHIR_INVALID_PRIMITIVE with source STRUCTURE — the reference raises these
+    from the structural validator (``JsonNodeStructuralValidator.cs:84-97``),
+    so they participate in STRUCTURE-priority dedup. Candidate-first: the
+    grammar regex runs over the taken candidate values only."""
+    prim = str(rule.params["primitive"])
+    arr = _field_array(fs, rule.field_path)
+    present = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    cand = np.flatnonzero(sel & present)
+    if cand.size == 0:
+        return
+    taken = pc.take(arr, pa.array(cand))
+    bad = primitive_invalid_mask(prim, taken)
+    idx = cand[bad]
+    vals = pc.take(arr, pa.array(idx)).to_pylist() if idx.size and sink.emit_details else []
+    sink.add_spans(
+        fs, idx,
+        source=E.SRC_STRUCTURE,
+        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        rule_id=rule.id, error_code=rule.error_code or E.FHIR_INVALID_PRIMITIVE,
+        pointer_field=rule.field_path,
+        details=[_canon_details({"actual": v, "primitive": prim}) for v in vals] if sink.emit_details else None,
+    )
+
+
 # -------------------------------------------------------- structural kernels
 def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
     """STRUCTURE stage — the primary structural authority
@@ -1107,6 +1220,8 @@ class CompiledProfile:
                     k_code_master(rule, fs, sel, sink)
                 elif rule.type == "Exclusivity":
                     k_exclusivity(rule, fs, sel, sink)
+                elif rule.type == "Primitive":
+                    k_primitive(rule, fs, sel, sink)
                 elif rule.type == "Reference":
                     k_reference(rule, fs, sel, sink, self.registry_keys)
             except Exception as exc:  # error isolation per rule

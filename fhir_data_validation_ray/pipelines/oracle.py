@@ -16,7 +16,7 @@ EMPTY = "(text IS NULL OR trim(text) = '')"
 
 ALLOWED_KINDS_SQL = (
     "('Patient','Observation','Coding','Encounter','text','image','audio',"
-    "'Question','Screening')"
+    "'Question','Screening','date','dateTime','uri')"
 )
 
 V_REQUIRED = f"""
@@ -301,6 +301,35 @@ SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'error'
 FROM qa WHERE scr = 'SCR2' AND q = 'Q3' AND strpos(a, ',') = 0 AND a NOT IN ('low','high')
 """
 
+# Primitive lexical grammars: the SQL validity expression is built from the
+# SAME RE2 patterns the kernel compiles (``functions/kernels.py:PRIM_RE``), so
+# kernel and oracle cannot drift. The calendar check on full YYYY-MM-DD
+# prefixes uses try_strptime (DuckDB rejects 2021-02-30, matching the
+# kernel's numpy days-in-month arithmetic).
+def primitive_valid_expr(primitive: str) -> str:
+    from ..functions.kernels import PRIM_RE, PRIM_STRING_BAD_RE, _CALENDAR_TYPES
+
+    if primitive == "string":
+        return f"NOT regexp_matches(text, '{PRIM_STRING_BAD_RE}')"
+    expr = f"regexp_matches(text, '{PRIM_RE[primitive]}')"
+    if primitive in _CALENDAR_TYPES:
+        expr += (
+            " AND (length(text) < 10"
+            " OR try_strptime(substr(text, 1, 10), '%Y-%m-%d') IS NOT NULL)"
+        )
+    return expr
+
+
+def primitive_sql(kind: str, primitive: str) -> str:
+    return f"""
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'FHIR_INVALID_PRIMITIVE' AS error_code, 'error' AS severity
+FROM read_parquet('{{flat}}')
+WHERE kind = '{kind}' AND text IS NOT NULL
+  AND NOT ({primitive_valid_expr(primitive)})
+"""
+
+
 V_UNIQUENESS = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n
 FROM read_parquet('{dup}')
@@ -331,6 +360,9 @@ def summary_sql() -> str:
         V_CODE_MASTER,
         V_STRUCTURE,
         V_REFERENCE_REQUIRE,
+        primitive_sql("date", "date"),
+        primitive_sql("dateTime", "dateTime"),
+        primitive_sql("uri", "uri"),
     ]
     body = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
     return (

@@ -72,6 +72,12 @@ DEFAULT_PROFILE: dict = {
          "fieldPath": "text", "params": {"questions": QA_QUESTIONS}},
         {"id": "R10", "type": "CodeMaster", "kind": "Screening",
          "fieldPath": "text", "params": {"screenings": CM_SCREENINGS}},
+        {"id": "R11", "type": "Primitive", "kind": "date", "fieldPath": "text",
+         "params": {"primitive": "date"}},
+        {"id": "R12", "type": "Primitive", "kind": "dateTime", "fieldPath": "text",
+         "params": {"primitive": "dateTime"}},
+        {"id": "R13", "type": "Primitive", "kind": "uri", "fieldPath": "text",
+         "params": {"primitive": "uri"}},
     ],
 }
 

@@ -120,6 +120,21 @@ WHERE kind = 'Patient' AND media_ref IS NOT NULL AND media_ref <> ''
 )
 
 
+def _primitive_query(kind: str, primitive: str) -> Callable[[str], Any]:
+    """Primitive lexical grammar on one span kind — the per-type grammar
+    validators (``JsonNodeStructuralValidator.cs:84-97``)."""
+
+    def run(sf_dir: str):
+        p = single_rule_profile("R1")
+        p["rules"] = [
+            {"id": "P1", "type": "Primitive", "kind": kind, "fieldPath": "text",
+             "params": {"primitive": primitive}}
+        ]
+        return _violations_for(sf_dir, p)
+
+    return run
+
+
 def _reference_join_query(sf_dir: str):
     paths = fixture_paths(sf_dir)
     docs = read_documents(paths["docs"])
@@ -162,6 +177,11 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_custom_predicate": _custom_predicate_query,
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
+        "v_primitive_date": _primitive_query("date", "date"),
+        "v_primitive_datetime": _primitive_query("dateTime", "dateTime"),
+        "v_primitive_uri": _primitive_query("uri", "uri"),
+        "v_primitive_url": _primitive_query("uri", "url"),
+        "v_primitive_canonical": _primitive_query("uri", "canonical"),
         "v_reference_inbundle": _reference_query("InBundleOnly"),
         "v_reference_require": _reference_query("RequireResolution"),
         "v_reference_allow_external": _reference_query("AllowExternal"),
@@ -187,6 +207,11 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_custom_predicate": oracle.V_CUSTOM_PREDICATE,
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,
+        "v_primitive_date": oracle.primitive_sql("date", "date"),
+        "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),
+        "v_primitive_uri": oracle.primitive_sql("uri", "uri"),
+        "v_primitive_url": oracle.primitive_sql("uri", "url"),
+        "v_primitive_canonical": oracle.primitive_sql("uri", "canonical"),
         "v_reference_inbundle": oracle.V_REFERENCE_INBUNDLE,
         "v_reference_require": oracle.V_REFERENCE_REQUIRE,
         "v_reference_allow_external": oracle.V_REFERENCE_ALLOW_EXTERNAL,

@@ -39,6 +39,24 @@ RULE_TYPES = (
     "FullUrlIdMatch",
     "CodeMaster",
     "Exclusivity",
+    "Primitive",
+)
+
+# Primitive lexical types validated by the Primitive rule — the reference's
+# per-type grammar validators (``Validation/JsonNodeStructuralValidator.cs:
+# 84-97`` dispatch table; impls ``:738-829``, ``:1209-1262``).
+PRIMITIVE_TYPES = (
+    "boolean",
+    "integer",
+    "decimal",
+    "date",
+    "dateTime",
+    "id",
+    "string",
+    "code",
+    "uri",
+    "url",
+    "canonical",
 )
 
 QA_TYPES = ("boolean", "integer", "decimal", "code", "string")
@@ -370,6 +388,12 @@ def _validate_rule(
         # time when no terminology fallback is configured.
         if sys_url not in code_systems:
             raise ProfileError(f"rule {rid}: unknown code system {sys_url!r}")
+    if rtype == "Primitive":
+        prim = params.get("primitive")
+        if prim not in PRIMITIVE_TYPES:
+            raise ProfileError(
+                f"rule {rid}: Primitive needs params.primitive in {PRIMITIVE_TYPES}, got {prim!r}"
+            )
     if rtype == "CustomPredicate" and not params.get("expr") and not params.get("predicate"):
         raise ProfileError(f"rule {rid}: CustomPredicate needs params.expr or params.predicate")
     if rtype == "RequiredSpans" and not params.get("requirements"):

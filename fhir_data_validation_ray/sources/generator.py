@@ -32,11 +32,11 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = "g12"
+GENERATOR_VERSION = "g13"
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 KINDS = ("Patient", "Observation", "Coding", "Encounter", "text", "image", "audio",
-         "Question", "Screening")
+         "Question", "Screening", "date", "dateTime", "uri")
 ALLOWED_KINDS = KINDS  # profile enum binding; "Unknown" is injected as a violation
 
 _MASK = (1 << 64) - 1
@@ -84,6 +84,24 @@ _CODES = (
     + ["https://example.org/cs/language|ZZ"] * 2
 )
 _WORDS = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+
+# Primitive-grammar span payloads (kinds date / dateTime / uri). "Valid"
+# means valid for the kind's namesake primitive; the uri pool mixes values
+# whose url/canonical validity differs so the three grammars are separable.
+# "2021-13" is deliberately in the VALID date pool — the reference's
+# ValidateDate calendar-checks only length-10 values
+# (``JsonNodeStructuralValidator.cs:738-754``).
+_DATE_VALID = ["2021-03-14", "1999-12-31", "2020-02-29", "2024", "2024-06", "2021-13"]
+_DATE_BAD = ["2021-02-30", "2021-13-05", "21-01-01", "2021/01/01", "2021-04-31",
+             "not-a-date"]
+_DT_VALID = ["2021-03-14T08:30:00Z", "2019-07-01T23:59:59.123+08:00", "2021-03-14",
+             "2024-06", "2038-01-19T03:14:07-05:00"]
+_DT_BAD = ["2021-03-14T24:00:00Z", "2021-03-14T08:30:00", "2021-02-30T08:30:00Z",
+           "14-03-2021T08:30:00Z", "2021-03-14 08:30:00Z"]
+_URI_VALID = ["https://example.org/fhir/Patient", "urn:oid:1.2.3.4", "Patient/123",
+              "https://example.org/ValueSet/vs1|2.0.0", "ftp://files.example.org/x.bin",
+              "https://example.org/vs|1|2", "https://example.org/vs|"]
+_URI_BAD = ["http://example.org/a b", "", "bad\x01ref", "   "]
 
 
 def registry_size(n_docs: int) -> int:
@@ -211,6 +229,18 @@ def gen_doc(base_id: str, replica: int, n_reg: int):
         s = _mix(h, 73, i)
         offset += 1 + _mix(s, 3) % 3
         spans.append(["Screening", _gen_cm_text(s), "", offset])
+
+    # primitive-grammar spans (kinds date / dateTime / uri), ~12% defect rate
+    for kname, tag, good, bad in (
+        ("date", 83, _DATE_VALID, _DATE_BAD),
+        ("dateTime", 87, _DT_VALID, _DT_BAD),
+        ("uri", 89, _URI_VALID, _URI_BAD),
+    ):
+        for i in range(_mix(h, tag) % 3):
+            s = _mix(h, tag, i)
+            pool = bad if _mix(s, 5) % 100 < 12 else good
+            offset += 1 + _mix(s, 3) % 3
+            spans.append([kname, pool[_mix(s, 7) % len(pool)], "", offset])
 
     # offset-order violation: swap first two offsets
     if h % 157 == 11 and len(spans) >= 2:
