@@ -356,12 +356,31 @@ def _attach_count(pairs_ds, counts_ds, *, side: str, out: str, buckets: int = 64
 # ------------------------------------------------------------ MinHash + LSH
 def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
                       num_perm: int = 128, bands: int = 32,
-                      batch_size: int | None = None):
+                      batch_size: int | None = None,
+                      verify_buckets: int = 64,
+                      broadcast_doc_filter: bool = True):
     """MinHash signatures (k=num_perm universal-hash permutations over n-gram
     shingle hashes) -> banded LSH buckets -> candidate pairs -> EXACT Jaccard
-    verification (re-shingling the candidate pair's rows). The shuffle moves
-    only (band, bucket-hash, doc_id) triples — num_perm x 8 bytes per doc
-    stays inside the map stage."""
+    verification. The LSH shuffle moves only (band, bucket-hash, doc_id)
+    triples — num_perm x 8 bytes per doc stays inside the map stage.
+
+    Verification is fully DISTRIBUTED (no driver-held candidate pairs, no
+    per-pair Python loop — the round-1 driver-side verify was the scale
+    bottleneck):
+
+    1. cross-band pair dedup by pair bucket (groupby, same as simhash)
+    2. each pair emits two half-rows keyed by member doc; a bucketed
+       groupby co-locates every half-row with its doc's shingle rows and
+       routes the shingles to the PAIR's verify bucket
+    3. one groupby(vbucket) computes, per pair, |A|, |B| and |A ∩ B| with
+       sort + bincount (a shingle hash appearing under both roles of one
+       pair is an intersection hit) and applies the Jaccard threshold
+
+    ``broadcast_doc_filter=True`` (default) ships the candidate DOC IDS
+    (8 bytes/doc, sorted) via ``ray.put`` so the re-shingle pass touches only
+    candidate docs — right up to ~10^9 candidate docs. ``False`` re-shingles
+    the whole corpus into the routing shuffle: zero driver-side state, the
+    10^12-doc lane (cost equals one ngram-postings exchange)."""
     import ray
 
     rows_per_band = num_perm // bands
@@ -429,68 +448,156 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         sigs.groupby("band")
         .map_groups(candidates, batch_format="pyarrow")
     )
-    # global candidate dedup (same pair can surface from several bands)
-    cand_tbl = collect_table(
-        cand,
-        empty_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+
+    # cross-band candidate dedup — distributed, by pair bucket
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        return t.append_column(
+            "pbucket", pa.array(_intmix(a * 31 + b, verify_buckets).astype(np.int32))
+        )
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["doc_a"]).astype(np.int64)
+        b = np.asarray(g["doc_b"]).astype(np.int64)
+        key = np.unique(a * np.int64(1 << 32) + b)
+        return pa.table({"doc_a": pa.array(key >> 32),
+                         "doc_b": pa.array(key & ((1 << 32) - 1))})
+
+    cand_unique = (
+        cand.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
-    if cand_tbl.num_rows == 0:
-        import ray.data as rd
 
-        return rd.from_arrow(cand_tbl)
-    key = (
-        np.asarray(cand_tbl["doc_a"]).astype(np.int64) * np.int64(1 << 32)
-        + np.asarray(cand_tbl["doc_b"]).astype(np.int64)
-    )
-    uk = np.unique(key)
-    cand_ref = ray.put(uk)
+    # optional sparse-candidate fast path: ship candidate DOC IDS only (the
+    # driver never sees pairs or shingle sets)
+    filter_ref = None
+    if broadcast_doc_filter:
+        cand_docs = collect_table(
+            cand_unique.select_columns(["doc_a", "doc_b"]),
+            empty_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        )
+        if cand_docs.num_rows == 0:
+            import ray.data as rd
 
-    # EXACT verification: stream the corpus once more, shingle only docs that
-    # appear in candidate pairs, compute true Jaccard per pair
-    def verify(t: pa.Table) -> pa.Table:
-        import ray as _ray
+            return rd.from_arrow(
+                pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+            )
+        need = np.union1d(
+            np.asarray(cand_docs["doc_a"]).astype(np.int64),
+            np.asarray(cand_docs["doc_b"]).astype(np.int64),
+        )
+        filter_ref = ray.put(need)
 
-        pairs = _ray.get(cand_ref) if not isinstance(cand_ref, np.ndarray) else cand_ref
-        ua = (pairs >> 32).astype(np.int64)
-        ub = (pairs & ((1 << 32) - 1)).astype(np.int64)
-        need = np.union1d(ua, ub)
-        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
-        m = np.isin(doc_ids, need)
-        if not m.any():
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+    # verification stage 1: shingle rows keyed by member doc
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        if filter_ref is not None:
+            import ray as _ray
+
+            need_ids = _ray.get(filter_ref) if not isinstance(filter_ref, np.ndarray) else filter_ref
+            doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+            pos = np.clip(np.searchsorted(need_ids, doc_ids), 0, need_ids.size - 1)
+            m = need_ids[pos] == doc_ids
+            if not m.any():
+                return pa.table({"dbucket": pa.array([], pa.int32()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "h": pa.array([], pa.int64()),
+                                 "pkey": pa.array([], pa.int64()),
+                                 "role": pa.array([], pa.int8())})
+            t = t.filter(pa.array(m))
+        d, h, _ = _shingle_table(t, n)
+        return pa.table(
+            {
+                "dbucket": pa.array(_intmix(d, verify_buckets).astype(np.int32)),
+                "doc_id": pa.array(d),
+                "h": pa.array(h.astype(np.int64)),
+                "pkey": pa.array(np.full(len(d), -1, dtype=np.int64)),
+                "role": pa.array(np.full(len(d), -1, dtype=np.int8)),
+            }
+        )
+
+    # verification stage 1b: each pair emits one half-row per member doc
+    def pair_halves(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        pkey = a * np.int64(1 << 32) + b
+        doc = np.concatenate([a, b])
+        role = np.concatenate(
+            [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
+        )
+        return pa.table(
+            {
+                "dbucket": pa.array(_intmix(doc, verify_buckets).astype(np.int32)),
+                "doc_id": pa.array(doc),
+                "h": pa.array(np.full(len(doc), -1, dtype=np.int64)),
+                "pkey": pa.array(np.tile(pkey, 2)),
+                "role": pa.array(role),
+            }
+        )
+
+    routed_in = docs.map_batches(
+        shingle_rows, batch_format="pyarrow", batch_size=batch_size
+    ).union(cand_unique.map_batches(pair_halves, batch_format="pyarrow"))
+
+    # verification stage 2: co-locate half-rows with their doc's shingles and
+    # route each doc's shingle set to the PAIR's verify bucket (vectorized
+    # searchsorted range expansion — no per-pair loop)
+    def route(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"])
+        is_sh = role < 0
+        doc = np.asarray(g["doc_id"]).astype(np.int64)
+        sh_doc, sh_h = doc[is_sh], np.asarray(g["h"])[is_sh]
+        order = np.argsort(sh_doc, kind="stable")
+        sh_doc_s, sh_h_s = sh_doc[order], sh_h[order]
+        hv = np.flatnonzero(~is_sh)
+        hv_doc = doc[hv]
+        hv_pkey = np.asarray(g["pkey"])[hv]
+        hv_role = role[hv]
+        lo = np.searchsorted(sh_doc_s, hv_doc, "left")
+        cnt = np.searchsorted(sh_doc_s, hv_doc, "right") - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({"vbucket": pa.array([], pa.int32()),
+                             "pkey": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.int8()),
                              "h": pa.array([], pa.int64())})
-        sub = t.filter(pa.array(m))
-        d, h, _ = _shingle_table(sub, n)
-        return pa.table({"doc_id": pa.array(d), "h": pa.array(h.astype(np.int64))})
+        starts = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        within = np.arange(tot, dtype=np.int64) - np.repeat(starts, cnt)
+        rep_h = sh_h_s[np.repeat(lo, cnt) + within]
+        rep_pkey = np.repeat(hv_pkey, cnt)
+        return pa.table(
+            {
+                "vbucket": pa.array(_intmix(rep_pkey, verify_buckets).astype(np.int32)),
+                "pkey": pa.array(rep_pkey),
+                "role": pa.array(np.repeat(hv_role, cnt)),
+                "h": pa.array(rep_h),
+            }
+        )
 
-    sh = collect_table(
-        docs.map_batches(verify, batch_format="pyarrow", batch_size=batch_size),
-        empty_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
-    )
-    d = np.asarray(sh["doc_id"]).astype(np.int64)
-    h = np.asarray(sh["h"])
-    order = np.argsort(d, kind="stable")
-    d_s, h_s = d[order], h[order]
-    bounds = np.searchsorted(d_s, np.unique(d_s))
-    uniq_docs = np.unique(d_s)
-    sets = {int(ud): h_s[lo:hi] for ud, lo, hi in
-            zip(uniq_docs, bounds, np.append(bounds[1:], len(d_s)))}
-    ua = (uk >> 32).astype(np.int64)
-    ub = (uk & ((1 << 32) - 1)).astype(np.int64)
-    keep_a, keep_b = [], []
-    for x, y in zip(ua, ub):
-        sa, sb = sets.get(int(x)), sets.get(int(y))
-        if sa is None or sb is None:
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        if inter / (sa.size + sb.size - inter) >= threshold:
-            keep_a.append(int(x)); keep_b.append(int(y))
-    import ray.data as rd
+    routed = routed_in.groupby("dbucket").map_groups(route, batch_format="pyarrow")
 
-    return rd.from_arrow(
-        pa.table({"doc_a": pa.array(keep_a, pa.int64()),
-                  "doc_b": pa.array(keep_b, pa.int64())})
-    )
+    # verification stage 3: per pair |A|, |B|, |A ∩ B| by sort + bincount
+    def verify_group(g: pa.Table) -> pa.Table:
+        pkey = np.asarray(g["pkey"]).astype(np.int64)
+        role = np.asarray(g["role"])
+        h = np.asarray(g["h"]).astype(np.int64)
+        order = np.lexsort((h, pkey))
+        pk_s, h_s, r_s = pkey[order], h[order], role[order]
+        u_pk, inv = np.unique(pk_s, return_inverse=True)
+        n0 = np.bincount(inv[r_s == 0], minlength=len(u_pk))
+        n1 = np.bincount(inv[r_s == 1], minlength=len(u_pk))
+        dup = np.zeros(len(pk_s), dtype=bool)  # shingles are distinct per
+        dup[1:] = (pk_s[1:] == pk_s[:-1]) & (h_s[1:] == h_s[:-1])  # doc+role,
+        inter = np.bincount(inv[dup], minlength=len(u_pk))  # so dup = in both
+        union = n0 + n1 - inter
+        keep = (n0 > 0) & (n1 > 0) & (inter >= threshold * union)
+        return pa.table({"doc_a": pa.array(u_pk[keep] >> 32),
+                         "doc_b": pa.array(u_pk[keep] & ((1 << 32) - 1))})
+
+    return routed.groupby("vbucket").map_groups(verify_group, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- SimHash

@@ -144,6 +144,50 @@ def test_ngram_jaccard_join_lane_matches_broadcast(ray_session):
     assert len(a) > 0
 
 
+def test_minhash_verify_lanes_match(ray_session):
+    """The zero-driver-state verify lane (broadcast_doc_filter=False) must
+    produce the same verified pairs as the candidate-doc-filter lane."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+    a = minhash_lsh_pairs(docs(), broadcast_doc_filter=True).to_pandas()
+    b = minhash_lsh_pairs(docs(), broadcast_doc_filter=False).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b"]].values))
+    assert key(a) == key(b)
+    assert len(a) > 0
+
+
+def test_minhash_duplicate_heavy_distributed_verify(ray_session):
+    """Dup-heavy corpus: 100 groups x 20 identical docs -> 19,000 candidate
+    pairs, all Jaccard 1.0. Exercises the distributed bucketed verify at a
+    candidate volume where the round-1 driver-side per-pair loop was the
+    scale bottleneck; every candidate must survive exact verification."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import minhash_lsh_pairs
+
+    n_groups, reps = 100, 20
+    words = ["w%d" % i for i in range(8)]
+    ids, texts = [], []
+    for g in range(n_groups):
+        text = " ".join(f"{w}g{g}" for w in words)
+        for r in range(reps):
+            ids.append(g * reps + r)
+            texts.append(text)
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.8).to_pandas()
+    assert len(pairs) == n_groups * reps * (reps - 1) // 2  # 19,000
+    # pairs never cross groups (distinct texts share no shingles)
+    assert (pairs.doc_a // reps == pairs.doc_b // reps).all()
+
+
 def test_ivf_topk_recall_beats_probe_budget(ray_session):
     """IVF with nprobe=4 of 16 clusters scans ~25% of the corpus per query;
     recall vs the exact top-k should be well above that fraction."""
