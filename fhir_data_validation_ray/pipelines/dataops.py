@@ -83,9 +83,12 @@ def q_cosine_topk(sf_dir: str):
 
 
 def q_cosine_pairs(sf_dir: str):
-    from ..stages.similarity import cosine_pairs
+    """Scale lane: LSH-bucketed candidates + distributed exact-cosine verify
+    (per-pair miss probability <= 1e-6 — checked against the brute-force
+    DuckDB oracle). The broadcast lane stays available for small corpora."""
+    from ..stages.similarity import cosine_pairs_lsh
 
-    return cosine_pairs(_emb(sf_dir), threshold=COSINE_PAIR_THRESHOLD)
+    return cosine_pairs_lsh(_emb(sf_dir), threshold=COSINE_PAIR_THRESHOLD)
 
 
 def q_lsh_topk(sf_dir: str):

@@ -7,9 +7,12 @@ list<float>, label``).
   per-batch candidate sets into the global top-k. SQL oracle via
   ``list_dot_product`` on double-cast lists.
 - **cosine_pairs**: exact near-duplicate pairs with cosine >= threshold —
-  embedding-cosine near-dup detection. Same broadcast shape (the corpus is
-  its own query set, streamed batch x broadcast-matrix); at 10^9+ vectors
-  swap the broadcast for the LSH bucketing below.
+  small-corpus lane (streamed batch x broadcast corpus matrix, ~10^6-vector
+  ceiling).
+- **cosine_pairs_lsh**: the scale lane for the same check — repeated
+  hyperplane-LSH candidate buckets (repetition count computed from the
+  threshold for a <=1e-6 per-pair miss bound) + a routed-shuffle exact
+  float64 verify; nothing corpus-sized is ever broadcast or collected.
 - **lsh_topk**: random-hyperplane LSH variant — the scale path: vectors
   bucket by sign-bit signature (one groupby), queries probe their bucket plus
   Hamming-1 neighbors; recall<1.0 by construction (rows-only check, recall
@@ -134,6 +137,204 @@ def cosine_pairs(embeddings, threshold: float = 0.9, *,
 
     return embeddings.map_batches(pairs, batch_format="pyarrow",
                                   batch_size=batch_size)
+
+
+def _emb_list(m: np.ndarray) -> pa.Array:
+    """(n, d) float64 matrix -> Arrow list<float64> column."""
+    d = m.shape[1] if m.ndim == 2 else 0
+    offsets = np.arange(0, (len(m) + 1) * d, max(d, 1), dtype=np.int32)
+    if d == 0:
+        offsets = np.zeros(len(m) + 1, dtype=np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(m.reshape(-1), pa.float64()))
+
+
+def _empty_lists(n: int) -> pa.Array:
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.float64())
+    )
+
+
+def _list_matrix(col: pa.Array) -> np.ndarray:
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, len(flat) // max(n, 1))
+
+
+def cosine_pairs_lsh(embeddings, threshold: float = 0.9, *,
+                     planes_per_rep: int = 4, target_miss: float = 1e-6,
+                     max_reps: int = 128, verify_buckets: int = 64,
+                     max_bucket_size: int | None = None,
+                     batch_size: int | None = None, seed: int = 0xA11CE):
+    """Near-exact cosine pairs via repeated random-hyperplane LSH candidate
+    generation + DISTRIBUTED exact-cosine verification — the 10^9+-vector
+    lane (the broadcast lane ships the whole corpus matrix; this one never
+    materializes anything corpus-sized anywhere).
+
+    Exactness argument (the MinHash-style bound): a pair at cosine exactly
+    ``threshold`` agrees on one random hyperplane with probability
+    p = 1 - acos(threshold)/pi, so it shares one repetition's full
+    ``planes_per_rep``-bit code with probability p_rep = p^planes_per_rep.
+    ``num_reps`` is chosen so the miss probability (1 - p_rep)^num_reps is
+    <= ``target_miss``; pairs above threshold miss even less. Candidates are
+    then verified with an exact float64 dot product, so false positives are
+    impossible — the output equals the brute-force pair set with probability
+    >= 1 - target_miss per pair.
+
+    ``max_bucket_size`` caps quadratic pair generation in hot buckets (a
+    cluster of near-identical vectors) — set it at web scale, leave None for
+    oracle-exact runs. Verification is the same routed shuffle as
+    ``dedup.minhash_lsh_pairs``: pair half-rows meet their vector in a
+    vec-bucket groupby, both unit vectors meet in a pair-bucket groupby."""
+    from .dedup import _intmix
+
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    p_plane = 1.0 - theta / np.pi
+    p_rep = max(p_plane ** planes_per_rep, 1e-12)
+    num_reps = int(min(max_reps, max(8, np.ceil(
+        np.log(target_miss) / np.log(max(1.0 - p_rep, 1e-12))
+    ))))
+    code_width = 1 << planes_per_rep
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        mn = _normalize(m)
+        rng = np.random.RandomState(seed)  # same planes in every batch
+        planes = rng.standard_normal((num_reps * planes_per_rep, mn.shape[1]))
+        bits = (mn @ planes.T > 0).astype(np.int64)  # (n, R*g)
+        bits = bits.reshape(len(ids), num_reps, planes_per_rep)
+        codes = (bits << np.arange(planes_per_rep, dtype=np.int64)).sum(axis=2)
+        gkey = (np.arange(num_reps, dtype=np.int64) * code_width + codes).reshape(-1)
+        return pa.table(
+            {
+                "gkey": pa.array(gkey),
+                "vec_id": pa.array(np.repeat(ids, num_reps)),
+            }
+        )
+
+    def candidates(g: pa.Table) -> pa.Table:
+        d = np.unique(np.asarray(g["vec_id"]).astype(np.int64))
+        if len(d) < 2 or (max_bucket_size is not None and len(d) > max_bucket_size):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(d), k=1)
+        return pa.table({"doc_a": pa.array(d[ii]), "doc_b": pa.array(d[jj])})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        return t.append_column(
+            "pbucket", pa.array(_intmix(a * 31 + b, verify_buckets).astype(np.int32))
+        )
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["doc_a"]).astype(np.int64)
+        b = np.asarray(g["doc_b"]).astype(np.int64)
+        key = np.unique(a * np.int64(1 << 32) + b)
+        return pa.table({"doc_a": pa.array(key >> 32),
+                         "doc_b": pa.array(key & ((1 << 32) - 1))})
+
+    cand_unique = (
+        embeddings.map_batches(sig_rows, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("gkey")
+        .map_groups(candidates, batch_format="pyarrow")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+
+    def vec_rows(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        return pa.table(
+            {
+                "dbucket": pa.array(_intmix(ids, verify_buckets).astype(np.int32)),
+                "vec_id": pa.array(ids),
+                "emb": _emb_list(_normalize(m)),
+                "pkey": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "role": pa.array(np.full(len(ids), -1, dtype=np.int8)),
+            }
+        )
+
+    def pair_halves(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        pkey = a * np.int64(1 << 32) + b
+        doc = np.concatenate([a, b])
+        role = np.concatenate(
+            [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
+        )
+        return pa.table(
+            {
+                "dbucket": pa.array(_intmix(doc, verify_buckets).astype(np.int32)),
+                "vec_id": pa.array(doc),
+                "emb": _empty_lists(len(doc)),
+                "pkey": pa.array(np.tile(pkey, 2)),
+                "role": pa.array(role),
+            }
+        )
+
+    routed_in = embeddings.map_batches(
+        vec_rows, batch_format="pyarrow", batch_size=batch_size
+    ).union(cand_unique.map_batches(pair_halves, batch_format="pyarrow"))
+
+    def route(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"])
+        is_vec = role < 0
+        vid = np.asarray(g["vec_id"]).astype(np.int64)
+        emb_col = g["emb"]
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        vids = vid[is_vec]
+        empty = pa.table(
+            {"vbucket": pa.array([], pa.int32()), "pkey": pa.array([], pa.int64()),
+             "role": pa.array([], pa.int8()), "emb": _empty_lists(0)}
+        )
+        if len(vids) == 0:
+            return empty
+        order = np.argsort(vids)
+        vec_m = _list_matrix(emb_col.take(pa.array(np.flatnonzero(is_vec)[order])))
+        vids_s = vids[order]
+        hv = np.flatnonzero(~is_vec)
+        hv_vid = vid[hv]
+        pos = np.clip(np.searchsorted(vids_s, hv_vid), 0, len(vids_s) - 1)
+        hit = vids_s[pos] == hv_vid
+        pos, hv = pos[hit], hv[hit]
+        if len(hv) == 0:
+            return empty
+        pk = np.asarray(g["pkey"])[hv]
+        return pa.table(
+            {
+                "vbucket": pa.array(_intmix(pk, verify_buckets).astype(np.int32)),
+                "pkey": pa.array(pk),
+                "role": pa.array(role[hv]),
+                "emb": _emb_list(vec_m[pos]) if len(pos) else _empty_lists(0),
+            }
+        )
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        pkey = np.asarray(g["pkey"]).astype(np.int64)
+        role = np.asarray(g["role"])
+        emb_col = g["emb"]
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        order = np.lexsort((role, pkey))
+        pk_s = pkey[order]
+        m = _list_matrix(emb_col.take(pa.array(order)))
+        # both halves present -> adjacent rows with equal pkey (roles 0 then 1)
+        both = np.zeros(len(pk_s), dtype=bool)
+        both[:-1] = pk_s[:-1] == pk_s[1:]
+        i0 = np.flatnonzero(both)
+        sim = (m[i0] * m[i0 + 1]).sum(axis=1)
+        keep = i0[sim >= threshold]
+        return pa.table({"doc_a": pa.array(pk_s[keep] >> 32),
+                         "doc_b": pa.array(pk_s[keep] & ((1 << 32) - 1))})
+
+    return (
+        routed_in.groupby("dbucket")
+        .map_groups(route, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
 
 
 def ivf_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,

@@ -21,7 +21,6 @@ set. The approximate alternative (HLL distinct-count per partition) lives in
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -61,41 +60,66 @@ def _bucket_duplicates(g: pa.Table) -> pa.Table:
 def duplicate_doc_ids(docs, *, batch_size: int = 65536):
     """Dataset[doc_id, ...] -> Dataset[doc_id, n] of ids appearing more than
     once (exact). ``docs`` should be read with ``columns=["doc_id"]`` so the
-    scan never decodes the spans column."""
+    scan never decodes the spans column.
+
+    The driver holds only the candidate HASH set (8 bytes per duplicated
+    hash, broadcast via ``ray.put``); the survivor count is a second bucketed
+    groupby — all rows of one doc_id share a bucket (keyed by the id hash),
+    so exact string-level counting happens inside the group and the driver
+    only ever sees the final duplicate rows. A dup-heavy corpus therefore
+    costs one more small shuffle, never unbounded driver memory (the round-1
+    ``.to_pandas()``/``value_counts`` fold was the scale flaw here)."""
+    import ray
     import ray.data as rd
 
+    from ..functions.collect import collect_table
+
     ids_ds = docs.select_columns(["doc_id"])
-    suspects_tbl = (
+    suspects_tbl = collect_table(
         ids_ds.map_batches(_to_hash_buckets, batch_format="pyarrow", batch_size=batch_size)
         .groupby("bucket")
-        .map_groups(_bucket_duplicates, batch_format="pyarrow")
-        .take_all()
-    )  # bounded: true duplicate hashes only
-    suspect_hashes = np.sort(np.array([r["h"] for r in suspects_tbl], dtype=np.int64))
-    if suspect_hashes.size == 0:
-        return rd.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-        )
+        .map_groups(_bucket_duplicates, batch_format="pyarrow"),
+        empty_schema=pa.schema([("h", pa.int64()), ("n", pa.int64())]),
+    )  # bounded: duplicated hashes only, 16 bytes each
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if suspects_tbl.num_rows == 0:
+        return rd.from_arrow(empty)
+    suspect_ref = ray.put(np.sort(np.asarray(suspects_tbl["h"], dtype=np.int64)))
 
     def keep_suspects(batch: pa.Table) -> pa.Table:
+        suspect_hashes = ray.get(suspect_ref)
         ids = np.asarray(batch["doc_id"])
         h = hash_str(ids).astype(np.int64)
         pos = np.clip(np.searchsorted(suspect_hashes, h), 0, suspect_hashes.size - 1)
         m = suspect_hashes[pos] == h
-        return pa.table({"doc_id": pa.array(ids[np.flatnonzero(m)], pa.string())})
-
-    survivors = ids_ds.map_batches(
-        keep_suspects, batch_format="pyarrow", batch_size=batch_size
-    ).to_pandas()  # bounded: true duplicates + hash collisions only
-    vc = survivors["doc_id"].value_counts()
-    dups = vc[vc > 1]
-    return rd.from_arrow(
-        pa.table(
+        keep = np.flatnonzero(m)
+        return pa.table(
             {
-                "doc_id": pa.array(dups.index.astype(str), pa.string()),
-                "n": pa.array(dups.to_numpy("int64"), pa.int64()),
+                "sbucket": pa.array((h[keep] % _NUM_BUCKETS).astype(np.int32)),
+                "doc_id": pa.array(ids[keep], pa.string()),
             }
         )
+
+    def count_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        da = pc.dictionary_encode(ids)
+        counts = np.bincount(np.asarray(da.indices), minlength=len(da.dictionary))
+        dup = np.flatnonzero(counts > 1)
+        return pa.table(
+            {
+                "doc_id": pc.take(da.dictionary, pa.array(dup)),
+                "n": pa.array(counts[dup].astype(np.int64)),
+            }
+        )
+
+    return (
+        ids_ds.map_batches(keep_suspects, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("sbucket")
+        .map_groups(count_group, batch_format="pyarrow")
     )
 
 

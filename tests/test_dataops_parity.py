@@ -144,6 +144,25 @@ def test_ngram_jaccard_join_lane_matches_broadcast(ray_session):
     assert len(a) > 0
 
 
+def test_uniqueness_duplicate_heavy(ray_session):
+    """~33% duplicate corpus: 30k rows over 20k distinct ids (10k ids appear
+    twice, plus one hot id x100). The survivor fold is a bucketed groupby —
+    the driver must see only the final duplicate rows, and exact counts must
+    come out right even with every duplicate id surviving phase 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.uniqueness import duplicate_doc_ids
+
+    ids = [f"id{i}" for i in range(20_000)] + [f"id{i}" for i in range(10_000)]
+    ids += ["hot"] * 100
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.string())}))
+    dups = duplicate_doc_ids(docs).to_pandas().set_index("doc_id")["n"]
+    assert len(dups) == 10_001
+    assert dups["hot"] == 100
+    assert (dups.drop("hot") == 2).all()
+
+
 def test_minhash_verify_lanes_match(ray_session):
     """The zero-driver-state verify lane (broadcast_doc_filter=False) must
     produce the same verified pairs as the candidate-doc-filter lane."""
@@ -186,6 +205,22 @@ def test_minhash_duplicate_heavy_distributed_verify(ray_session):
     assert len(pairs) == n_groups * reps * (reps - 1) // 2  # 19,000
     # pairs never cross groups (distinct texts share no shingles)
     assert (pairs.doc_a // reps == pairs.doc_b // reps).all()
+
+
+def test_cosine_pairs_lsh_matches_broadcast(ray_session):
+    """The LSH-bucketed pair lane (no corpus-sized broadcast) must produce
+    the same pairs as the exact broadcast lane at its 1e-6 miss budget."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.dataops import COSINE_PAIR_THRESHOLD
+    from fhir_data_validation_ray.stages.similarity import cosine_pairs, cosine_pairs_lsh
+
+    emb = lambda: rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    a = cosine_pairs(emb(), threshold=COSINE_PAIR_THRESHOLD).to_pandas()
+    b = cosine_pairs_lsh(emb(), threshold=COSINE_PAIR_THRESHOLD).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b"]].values))
+    assert key(a) == key(b)
+    assert len(a) > 0
 
 
 def test_ivf_topk_recall_beats_probe_budget(ray_session):
