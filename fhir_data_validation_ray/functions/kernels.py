@@ -418,15 +418,34 @@ def k_array_length(rule: RuleDef, fs: FlatSpans, sel_unused: np.ndarray, sink: V
 
 
 def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink,
-                  concepts: np.ndarray) -> None:
+                  concepts: np.ndarray | None) -> None:
     """CodeSystem: value is ``code`` or ``system|code``. A present system must
     equal params.system (else CODESYSTEM_MISMATCH); the code must be in the
     concept set (else CODE_NOT_IN_VALUESET). Empty values pass.
-    (``FhirPathRuleEngine.cs:1467-1698``.)"""
+    (``FhirPathRuleEngine.cs:1467-1698``.)
+
+    ``concepts=None`` means the profile references a code system that is not
+    loaded and no terminology fallback resolved it: every selected span gets
+    one RULE_CONFIGURATION_ERROR row and the rule otherwise no-ops — the
+    runtime degradation of ``FhirPathRuleEngine.cs:1564-1583`` (the profile
+    still runs; only this rule is inert)."""
     arr = _field_array(fs, rule.field_path)
     expected_sys = str(rule.params["system"])
     cand = np.flatnonzero(sel & ~fs.empty_mask(rule.field_path))
     if cand.size == 0:
+        return
+    if concepts is None:
+        sink.add_spans(
+            fs, cand,
+            source=E.SRC_BUSINESS,
+            severity=E.SEV_ERROR,
+            rule_id=rule.id, error_code=E.RULE_CONFIGURATION_ERROR,
+            pointer_field=rule.field_path,
+            details=[_canon_details(
+                {"ruleType": "CodeSystem", "system": expected_sys,
+                 "explanation": "code system not found"}
+            )] * cand.size if sink.emit_details else None,
+        )
         return
     # parse "system|code" on the dictionary UNIQUES only; the candidate-level
     # verdicts are integer-code lookups into the tiny unique-level arrays
@@ -491,15 +510,24 @@ def k_custom_predicate(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Viol
 def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
                      kind_codes: np.ndarray, kind_dict: list[str]) -> None:
     """RequiredSpans: per-document composition check
-    (``FhirPathRuleEngine.cs:1794-2152``). One violation row per violated
-    requirement per document (the reference consolidates into one error per
-    rule; we keep one row per requirement so details stay flat/columnar —
-    same information, stated divergence). ``rejectUndeclared`` flags span
-    kinds not declared in any requirement."""
+    (``FhirPathRuleEngine.cs:1794-2152``).
+
+    Default (columnar) shape: one violation row per violated requirement per
+    document — same information as the reference, flat for SQL oracles.
+
+    ``params.consolidate=True`` reproduces the reference's CONSOLIDATED error
+    instead (``FhirPathRuleEngine.cs:1994-2096``): ONE row per violating
+    document whose details carry ``expected`` (the declared requirements),
+    ``actual`` (per-kind counts with up to 3 example span pointers — the
+    reference's ``Take(3)`` example cap) and ``diff`` (``missing`` /
+    ``unexpected``). ``rejectUndeclared`` flags span kinds not declared in
+    any requirement in both shapes."""
     reqs: list[SpanRequirement] = rule.params["requirements"]
+    consolidate = bool(rule.params.get("consolidate"))
     sev = E.resolve_severity(rule.severity, rule.validation_class)
     code = rule.error_code or E.RESOURCE_REQUIREMENT_VIOLATION
     declared = set()
+    per_req: list[tuple[SpanRequirement, np.ndarray, np.ndarray, np.ndarray]] = []
     for req in reqs:
         declared.add(req.kind)
         mask = kind_codes == (kind_dict.index(req.kind) if req.kind in kind_dict else -1)
@@ -509,6 +537,9 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
         bad = counts < req.min
         if req.max is not None:
             bad |= counts > req.max
+        if consolidate:
+            per_req.append((req, mask, counts, bad))
+            continue
         doc_idx = np.flatnonzero(bad)
         sink.add_docs(
             fs, doc_idx,
@@ -520,17 +551,69 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
                 for d in doc_idx
             ] if sink.emit_details else None,
         )
+    undecl_counts = None
     if rule.params.get("rejectUndeclared"):
         undecl = ~np.isin(np.array(kind_dict, dtype=object), list(declared))
         bad_span = undecl[kind_codes]
-        counts = np.bincount(fs.parent[bad_span], minlength=fs.n_docs)
-        doc_idx = np.flatnonzero(counts > 0)
-        sink.add_docs(
-            fs, doc_idx,
-            source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
-            path="*",
-            details=[_canon_details({"undeclared_count": int(counts[d])}) for d in doc_idx] if sink.emit_details else None,
-        )
+        undecl_counts = np.bincount(fs.parent[bad_span], minlength=fs.n_docs)
+        if not consolidate:
+            doc_idx = np.flatnonzero(undecl_counts > 0)
+            sink.add_docs(
+                fs, doc_idx,
+                source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+                path="*",
+                details=[_canon_details({"undeclared_count": int(undecl_counts[d])})
+                         for d in doc_idx] if sink.emit_details else None,
+            )
+    if not consolidate:
+        return
+
+    # ---- consolidated shape: one row per violating document ----
+    viol = np.zeros(fs.n_docs, dtype=bool)
+    for _, _, _, bad in per_req:
+        viol |= bad
+    if undecl_counts is not None:
+        viol |= undecl_counts > 0
+    doc_idx = np.flatnonzero(viol)
+    if doc_idx.size == 0:
+        return
+    expected = [
+        {"kind": r.kind, "min": r.min, "max": r.max} for r, _, _, _ in per_req
+    ]
+    # per-req flat span positions, doc-ordered (flat arrays are doc-ordered),
+    # so a searchsorted range per violating doc yields its first-3 examples
+    req_hits = [
+        (np.flatnonzero(mask), fs.parent[mask]) for _, mask, _, _ in per_req
+    ]
+    details = None
+    if sink.emit_details:
+        details = []
+        for d in doc_idx:
+            actual, missing = [], []
+            for (req, _, counts, bad), (hit_idx, hit_parent) in zip(per_req, req_hits):
+                lo = np.searchsorted(hit_parent, d, "left")
+                hi = np.searchsorted(hit_parent, d, "right")
+                examples = [
+                    f"/spans/{int(fs.span_index[i])}"
+                    for i in hit_idx[lo:min(hi, lo + 3)]  # reference Take(3)
+                ]
+                actual.append({"kind": req.kind, "count": int(counts[d]),
+                               "examples": examples})
+                if bad[d]:
+                    missing.append({"kind": req.kind, "expectedMin": req.min,
+                                    "expectedMax": req.max,
+                                    "actualCount": int(counts[d])})
+            diff: dict[str, Any] = {"missing": missing, "unexpected": []}
+            if undecl_counts is not None and undecl_counts[d] > 0:
+                diff["unexpected"].append({"count": int(undecl_counts[d])})
+            details.append(_canon_details(
+                {"expected": expected, "actual": actual, "diff": diff}
+            ))
+    sink.add_docs(
+        fs, doc_idx,
+        source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+        path="spans", details=details,
+    )
 
 
 def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink,
@@ -1209,7 +1292,7 @@ class CompiledProfile:
                     k_regex(rule, fs, sel, sink)
                 elif rule.type == "CodeSystem":
                     k_code_system(rule, fs, sel, sink,
-                                  self.concept_sets[rule.params["system"]])
+                                  self.concept_sets.get(str(rule.params["system"])))
                 elif rule.type == "CustomPredicate":
                     k_custom_predicate(rule, fs, sel, sink)
                 elif rule.type == "QuestionAnswer":

@@ -270,11 +270,17 @@ LEFT JOIN events b
 GROUP BY a.event_id
 """
 
+# right side deduped to max(event_id) per (user_id, ts) BEFORE the ASOF join
+# so the tie-break is pinned to the engine's semantics (equal timestamps
+# resolve to the highest event_id) — a bare ASOF JOIN leaves equal-ts
+# matches unspecified.
 ASOF_SQL = """
-SELECT l.event_id, r.event_id AS matched_id
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS pid
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, p.pid AS matched_id
 FROM events l
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-  ON l.user_id = r.user_id AND l.ts > r.ts
+ASOF JOIN p ON l.user_id = p.user_id AND l.ts > p.ts
 """
 
 

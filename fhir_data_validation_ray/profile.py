@@ -382,12 +382,11 @@ def _validate_rule(
     if rtype == "CodeSystem":
         sys_url = params.get("system")
         if not sys_url:
+            # empty system is a compile-time error; an UNKNOWN system is NOT —
+            # it degrades to per-span RULE_CONFIGURATION_ERROR rows at runtime
+            # while every other rule keeps running, mirroring the reference's
+            # terminology-fallback-miss path (``FhirPathRuleEngine.cs:1515-1583``)
             raise ProfileError(f"rule {rid}: CodeSystem needs params.system")
-        # Unknown system is a RULE_CONFIGURATION_ERROR at runtime in the
-        # reference (``FhirPathRuleEngine.cs:1532-1543``); we fail at compile
-        # time when no terminology fallback is configured.
-        if sys_url not in code_systems:
-            raise ProfileError(f"rule {rid}: unknown code system {sys_url!r}")
     if rtype == "Primitive":
         prim = params.get("primitive")
         if prim not in PRIMITIVE_TYPES:

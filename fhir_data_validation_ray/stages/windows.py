@@ -3,10 +3,25 @@ family Ray Data has no built-in for (windowed aggregates, sessionization,
 as-of joins), each expressed as a composition of ``map_batches`` +
 ``groupby().map_groups`` per the build brief's custom-operator ladder.
 
-Partitioning assumption (stated per the brief): one key's rows (one user's
-events; one window's partials) fit in a worker. Keys here are ``user_id``;
-hot users would be salted the same way as hot media_refs in
-``stages/reference.py``.
+Skew handling: a HOT user (90%+ of all events) must never require one
+worker to hold all their rows, so every per-user operator shards by
+``(user_id, time-block)`` and merges small per-block summaries in a second,
+cheap per-user groupby:
+
+- ``sessionize``: per-block session partials carry (first/last ts,
+  first/last session size, interior max); a sequential merge over the
+  user's block summaries stitches boundary sessions — the classic
+  segmented-reduce shape.
+- ``range_join_counts``: overlap banding — each row lands in its own block
+  plus a neighbor block when within ``window_us`` of the boundary; anchors
+  count only in their home block, so each group sees a bounded time slice.
+- ``asof_join_prev_event``: two stages — rows with an in-block earlier
+  match resolve locally; unresolved rows + one (latest purchase) summary
+  per block meet in a per-user group whose size is blocks + unresolved
+  rows, not all events.
+
+Pass ``block_us=None`` to fall back to plain ``groupby(user_id)`` (tiny
+corpora / debugging). Defaults shard.
 """
 
 from __future__ import annotations
@@ -16,6 +31,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 US_PER_HOUR = 3_600_000_000
+
+# (user, block) composite group key; user ids and block ids fit comfortably
+_UB = np.int64(1 << 26)
+
+
+def _ts_np(t: pa.Table) -> np.ndarray:
+    return pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def tumbling_window_counts(events, *, window_us: int = US_PER_HOUR):
@@ -68,51 +90,141 @@ def tumbling_window_counts(events, *, window_us: int = US_PER_HOUR):
     )
 
 
-def sessionize(events, *, gap_us: int = 30 * 60 * 1_000_000):
+def sessionize(events, *, gap_us: int = 30 * 60 * 1_000_000,
+               block_us: int | None = 6 * US_PER_HOUR):
     """Gap-based sessionization per user: a new session starts when the gap
-    to the previous event exceeds ``gap_us``. One groupby(user_id) co-locates
-    each user's events; within the group a sort + diff computes sessions.
-    Returns Dataset[user_id, n_sessions, n_events, max_session_events]."""
+    to the previous event exceeds ``gap_us``.
+    Returns Dataset[user_id, n_sessions, n_events, max_session_events].
 
-    def sessions(g: pa.Table) -> pa.Table:
-        ts = np.sort(pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False))
+    Skew-safe plan (default): shard by (user, ts // block_us); each shard
+    computes its local sessions plus the boundary metadata needed to stitch
+    (first/last ts, first/last session size, interior max); a per-user
+    groupby over BLOCK SUMMARIES merges sequentially — a hot user costs one
+    small summary row per block, never all events in one worker.
+    ``block_us=None`` = plain groupby(user_id)."""
+
+    def block_sessions(g: pa.Table) -> pa.Table:
+        """One (user, block) shard -> one summary row."""
+        ts = np.sort(_ts_np(g))
         new = np.ones(len(ts), dtype=np.int64)
         if len(ts) > 1:
             new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sess_id = np.cumsum(new) - 1
-        sizes = np.bincount(sess_id)
+        sizes = np.bincount(np.cumsum(new) - 1)
         uid = int(g["user_id"][0].as_py())
+        interior = int(sizes[1:-1].max()) if sizes.size > 2 else 0
         return pa.table(
             {
                 "user_id": pa.array([uid], pa.int64()),
-                "n_sessions": pa.array([int(sizes.size)], pa.int64()),
+                "first_ts": pa.array([int(ts[0])], pa.int64()),
+                "last_ts": pa.array([int(ts[-1])], pa.int64()),
                 "n_events": pa.array([len(ts)], pa.int64()),
-                "max_session_events": pa.array([int(sizes.max())], pa.int64()),
+                "n_sessions": pa.array([int(sizes.size)], pa.int64()),
+                "first_count": pa.array([int(sizes[0])], pa.int64()),
+                "last_count": pa.array([int(sizes[-1])], pa.int64()),
+                "interior_max": pa.array([interior], pa.int64()),
             }
         )
 
+    def merge_blocks(g: pa.Table) -> pa.Table:
+        """Sequential stitch of one user's block summaries (sorted by time).
+        ``carry`` is the size of the currently-open trailing session."""
+        order = np.argsort(np.asarray(g["first_ts"]), kind="stable")
+        cols = {c: np.asarray(g[c])[order] for c in g.column_names}
+        n_closed = 0
+        max_size = 0
+        carry = 0
+        prev_last = None
+        total_events = 0
+        for i in range(len(order)):
+            k = int(cols["n_sessions"][i])
+            total_events += int(cols["n_events"][i])
+            if prev_last is not None and int(cols["first_ts"][i]) - prev_last <= gap_us:
+                carry += int(cols["first_count"][i])
+                if k > 1:
+                    max_size = max(max_size, carry, int(cols["interior_max"][i]))
+                    n_closed += k - 1  # merged-first + interior sessions close
+                    carry = int(cols["last_count"][i])
+            else:
+                if prev_last is not None:
+                    max_size = max(max_size, carry)
+                    n_closed += 1
+                if k == 1:
+                    carry = int(cols["n_events"][i])
+                else:
+                    n_closed += k - 1
+                    max_size = max(
+                        max_size, int(cols["first_count"][i]), int(cols["interior_max"][i])
+                    )
+                    carry = int(cols["last_count"][i])
+            prev_last = int(cols["last_ts"][i])
+        max_size = max(max_size, carry)
+        return pa.table(
+            {
+                "user_id": pa.array([int(cols["user_id"][0])], pa.int64()),
+                "n_sessions": pa.array([n_closed + 1], pa.int64()),
+                "n_events": pa.array([total_events], pa.int64()),
+                "max_session_events": pa.array([max_size], pa.int64()),
+            }
+        )
+
+    base = events.select_columns(["user_id", "ts"])
+    if block_us is None:
+
+        def sessions(g: pa.Table) -> pa.Table:
+            s = block_sessions(g)
+            return pa.table(
+                {
+                    "user_id": s["user_id"],
+                    "n_sessions": s["n_sessions"],
+                    "n_events": s["n_events"],
+                    "max_session_events": pa.array(
+                        [max(int(s["first_count"][0].as_py()),
+                             int(s["last_count"][0].as_py()),
+                             int(s["interior_max"][0].as_py()))], pa.int64()
+                    ),
+                }
+            )
+
+        return base.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+    def add_ub(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        b = _ts_np(t) // block_us
+        return t.append_column("ub", pa.array(u * _UB + b))
+
     return (
-        events.select_columns(["user_id", "ts"])
+        base.map_batches(add_ub, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(block_sessions, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        .map_groups(merge_blocks, batch_format="pyarrow")
     )
 
 
 def range_join_counts(events, *, anchor_type: str = "purchase",
-                      window_us: int = 5 * 60 * 1_000_000):
+                      window_us: int = 5 * 60 * 1_000_000,
+                      block_us: int | None = US_PER_HOUR):
     """Range join: for each ``anchor_type`` event, count the same user's
     events within ``[ts - window, ts + window]`` (inclusive, excluding the
-    anchor itself). One groupby(user_id); within the group a sorted-timestamp
-    searchsorted answers every anchor's interval in O(log n).
-    Returns Dataset[event_id, n_nearby]."""
+    anchor itself). Returns Dataset[event_id, n_nearby].
+
+    Skew-safe plan (default): OVERLAP BANDING on (user, ts // block_us) —
+    every row lands in its home block and is replicated into the adjacent
+    block when within ``window_us`` of the boundary (replication factor
+    <= 1 + 2*window/block); anchors count only in their home block, so each
+    group holds one bounded time slice of one user, never a hot user's full
+    history. ``block_us=None`` = plain groupby(user_id)."""
+    assert block_us is None or block_us >= window_us, "block must cover the window"
 
     def ranges(g: pa.Table) -> pa.Table:
-        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_np(g)
         eid = np.asarray(g["event_id"]).astype(np.int64)
         et = g["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         is_anchor = pc.equal(et, anchor_type).to_numpy(zero_copy_only=False)
+        if "home" in g.column_names:
+            is_anchor &= np.asarray(g["home"])
         order = np.argsort(ts, kind="stable")
         ts_s = ts[order]
         a_idx = np.flatnonzero(is_anchor)
@@ -123,46 +235,168 @@ def range_join_counts(events, *, anchor_type: str = "purchase",
             {"event_id": pa.array(eid[a_idx]), "n_nearby": pa.array(n)}
         )
 
+    base = events.select_columns(["event_id", "user_id", "ts", "event_type"])
+    if block_us is None:
+        return base.groupby("user_id").map_groups(ranges, batch_format="pyarrow")
+
+    def band(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        ts = _ts_np(t)
+        b = ts // block_us
+        off = ts - b * block_us
+        near_lo = (off < window_us) & (b >= 1)  # replicate into previous block
+        near_hi = off >= block_us - window_us   # replicate into next block
+        parts = [(np.arange(len(u)), b, True)]
+        parts.append((np.flatnonzero(near_lo), b[near_lo] - 1, False))
+        parts.append((np.flatnonzero(near_hi), b[near_hi] + 1, False))
+        idx = np.concatenate([p[0] for p in parts])
+        blk = np.concatenate([p[1] for p in parts])
+        home = np.concatenate(
+            [np.full(len(p[0]), p[2], dtype=bool) for p in parts]
+        )
+        taken = pa.array(idx)
+        return pa.table(
+            {
+                "ub": pa.array(u[idx] * _UB + blk),
+                "home": pa.array(home),
+                "event_id": pc.take(t["event_id"], taken),
+                "user_id": pc.take(t["user_id"], taken),
+                "ts": pc.take(t["ts"], taken),
+                "event_type": pc.take(t["event_type"], taken),
+            }
+        )
+
     return (
-        events.select_columns(["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
+        base.map_batches(band, batch_format="pyarrow")
+        .groupby("ub")
         .map_groups(ranges, batch_format="pyarrow")
     )
 
 
-def asof_join_prev_event(events, *, right_type: str = "purchase"):
+def _asof_local(ts, eid, is_right):
+    """(matched event_ids + matches, unresolved row mask). Tie-break:
+    equal right timestamps resolve to the HIGHEST event_id."""
+    r_order = np.lexsort((eid[is_right], ts[is_right]))
+    r_ts = ts[is_right][r_order]
+    r_id = eid[is_right][r_order]
+    pos = np.searchsorted(r_ts, ts, side="left") - 1  # strictly earlier
+    hit = pos >= 0
+    return r_id[pos[hit]] if r_ts.size else np.empty(0, np.int64), hit
+
+
+def asof_join_prev_event(events, *, right_type: str = "purchase",
+                         block_us: int | None = 6 * US_PER_HOUR):
     """As-of join of every event against the SAME user's most recent
     strictly-earlier event of ``right_type`` — the "attach latest state as of
-    time T" operator. One groupby(user_id); within the group both sides sort
-    by ts and a searchsorted probes the right side. INNER semantics (events
-    with no earlier match are dropped). Returns Dataset[event_id, matched_id].
-    Deterministic tie-break: equal right timestamps resolve to the highest
-    event_id (stable sort by (ts, event_id))."""
+    time T" operator. INNER semantics (events with no earlier match are
+    dropped). Returns Dataset[event_id, matched_id]. Deterministic
+    tie-break: equal right timestamps resolve to the highest event_id.
+
+    Skew-safe plan (default): two stages over (user, ts // block_us) shards.
+    Rows with an in-block earlier match resolve locally and pass through;
+    each block forwards only its UNRESOLVED rows plus one latest-purchase
+    summary to a per-user group — a purchase in any earlier block is
+    strictly earlier than every timestamp of a later block, so the latest
+    earlier-block summary is the correct match. The per-user group holds
+    blocks + unresolved rows, never a hot user's full history (assumption:
+    events cluster so most rows resolve in-block; a user with zero
+    right-type events forwards all rows but emits nothing).
+    ``block_us=None`` = plain groupby(user_id)."""
+    base = events.select_columns(["event_id", "user_id", "ts", "event_type"])
 
     def asof(g: pa.Table) -> pa.Table:
-        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_np(g)
         eid = np.asarray(g["event_id"]).astype(np.int64)
         et = g["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         is_right = pc.equal(et, right_type).to_numpy(zero_copy_only=False)
-        r_order = np.lexsort((eid[is_right], ts[is_right]))
-        r_ts = ts[is_right][r_order]
-        r_id = eid[is_right][r_order]
-        if r_ts.size == 0:
-            return pa.table({"event_id": pa.array([], pa.int64()),
-                             "matched_id": pa.array([], pa.int64())})
-        pos = np.searchsorted(r_ts, ts, side="left") - 1  # strictly earlier
-        hit = pos >= 0
+        matched, hit = _asof_local(ts, eid, is_right)
+        return pa.table(
+            {"event_id": pa.array(eid[hit]), "matched_id": pa.array(matched)}
+        )
+
+    if block_us is None:
+        return base.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+
+    def add_ub(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        b = _ts_np(t) // block_us
+        return t.append_column("ub", pa.array(u * _UB + b))
+
+    # stage-1 output rows, discriminated by ``kind``; ``g2`` routes matched
+    # rows straight through pass-through groups (ub + 1 — always distinct
+    # from the user's merge-group key user * _UB, even at block 0) while
+    # unresolved rows + block summaries meet in the user's merge group
+    K_MATCH, K_UNRES, K_SUMMARY = 0, 1, 2
+
+    def block_asof(g: pa.Table) -> pa.Table:
+        ts = _ts_np(g)
+        eid = np.asarray(g["event_id"]).astype(np.int64)
+        uid = int(g["user_id"][0].as_py())
+        ub = int(g["ub"][0].as_py())
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_right = pc.equal(et, right_type).to_numpy(zero_copy_only=False)
+        matched, hit = _asof_local(ts, eid, is_right)
+        out_g2 = [np.full(int(hit.sum()), ub + 1, dtype=np.int64)]
+        out_kind = [np.zeros(int(hit.sum()), dtype=np.int8)]
+        out_a = [eid[hit]]
+        out_b = [matched]
+        unres = ~hit
+        n_u = int(unres.sum())
+        if n_u:
+            out_g2.append(np.full(n_u, uid * _UB, dtype=np.int64))
+            out_kind.append(np.full(n_u, K_UNRES, dtype=np.int8))
+            out_a.append(eid[unres])
+            out_b.append(ts[unres])
+        if is_right.any():
+            rts, rid = ts[is_right], eid[is_right]
+            best = np.lexsort((rid, rts))[-1]
+            out_g2.append(np.array([uid * _UB], dtype=np.int64))
+            out_kind.append(np.array([K_SUMMARY], dtype=np.int8))
+            out_a.append(np.array([rid[best]], dtype=np.int64))
+            out_b.append(np.array([rts[best]], dtype=np.int64))
         return pa.table(
             {
-                "event_id": pa.array(eid[hit]),
-                "matched_id": pa.array(r_id[pos[hit]]),
+                "g2": pa.array(np.concatenate(out_g2)),
+                "kind": pa.array(np.concatenate(out_kind)),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    def merge_user(g: pa.Table) -> pa.Table:
+        kind = np.asarray(g["kind"])
+        a = np.asarray(g["a"]).astype(np.int64)
+        b = np.asarray(g["b"]).astype(np.int64)
+        if not (kind != K_MATCH).any():  # pass-through group of matched rows
+            return pa.table({"event_id": pa.array(a), "matched_id": pa.array(b)})
+        s = kind == K_SUMMARY
+        u = kind == K_UNRES
+        out_e = [a[kind == K_MATCH]]
+        out_m = [b[kind == K_MATCH]]
+        if s.any() and u.any():
+            # summaries sorted by ts; the latest strictly-earlier purchase for
+            # an unresolved row is the latest summary with ts < row ts
+            order = np.lexsort((a[s], b[s]))
+            s_ts, s_id = b[s][order], a[s][order]
+            pos = np.searchsorted(s_ts, b[u], side="left") - 1
+            hit = pos >= 0
+            out_e.append(a[u][hit])
+            out_m.append(s_id[pos[hit]])
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_e)),
+                "matched_id": pa.array(np.concatenate(out_m)),
             }
         )
 
     return (
-        events.select_columns(["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(asof, batch_format="pyarrow")
+        base.map_batches(add_ub, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(block_asof, batch_format="pyarrow")
+        .groupby("g2")
+        .map_groups(merge_user, batch_format="pyarrow")
     )

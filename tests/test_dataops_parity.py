@@ -239,3 +239,44 @@ def test_ivf_topk_recall_beats_probe_budget(ray_session):
     e = set(map(tuple, exact[["qid", "vec_id"]].values))
     a = set(map(tuple, approx[["qid", "vec_id"]].values))
     assert len(e & a) / len(e) >= 0.4
+
+
+def test_window_operators_under_90pct_hot_user(ray_session):
+    """90% of events belong to ONE user. The sharded (user, time-block) plans
+    must produce exactly the plain groupby(user_id) results — sessions
+    stitched across block boundaries, as-of matches resolved through block
+    summaries, range counts across block edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import (
+        US_PER_HOUR,
+        asof_join_prev_event,
+        range_join_counts,
+        sessionize,
+    )
+
+    rng = np.random.RandomState(0xBEEF)
+    n = 20_000
+    base = 1_700_000_000_000_000  # epoch_us
+    user = np.where(rng.rand(n) < 0.9, 7, rng.randint(0, 100, n)).astype(np.int64)
+    ts = base + rng.randint(0, 3 * 24 * US_PER_HOUR, n).astype(np.int64)
+    etype = np.where(rng.rand(n) < 0.1, "purchase", "view")
+    events = lambda: rd.from_arrow(
+        pa.table({"event_id": pa.array(np.arange(n)), "user_id": pa.array(user),
+                  "ts": pa.array(ts), "event_type": pa.array(etype, pa.string())})
+    )
+
+    def key(df, cols):
+        return sorted(map(tuple, df[cols].values))
+
+    for op, cols in (
+        (sessionize, ["user_id", "n_sessions", "n_events", "max_session_events"]),
+        (asof_join_prev_event, ["event_id", "matched_id"]),
+        (range_join_counts, ["event_id", "n_nearby"]),
+    ):
+        sharded = op(events()).to_pandas()
+        plain = op(events(), block_us=None).to_pandas()
+        assert key(sharded, cols) == key(plain, cols), op.__name__
+        assert len(sharded) > 0, op.__name__

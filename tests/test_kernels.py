@@ -557,3 +557,66 @@ def test_reference_join_under_heavy_skew(ray_session):
     # picks dangling within it): {0, 20, 40, ...} = 100 docs
     assert len(out) == 100
     assert set(out.doc_id) == {f"doc{i}" for i in range(0, 2000, 20)}
+
+
+def test_unknown_code_system_degrades_to_config_error():
+    """A profile referencing an unloaded code system must still RUN: the bad
+    rule emits one RULE_CONFIGURATION_ERROR per selected span and every other
+    rule executes normally (``FhirPathRuleEngine.cs:1515-1583`` runtime
+    degradation — NOT a compile failure)."""
+    docs = make_docs(
+        [
+            ("d1", [s("Coding", "EN", off=0), s("Patient", None, off=1)]),
+            ("d2", [s("Coding", None, off=0)]),  # empty passes -> no config row
+        ]
+    )
+    p = profile_of(
+        {"id": "CS", "type": "CodeSystem", "kind": "Coding", "fieldPath": "text",
+         "params": {"system": "https://example.org/cs/NOT-LOADED"}},
+        {"id": "RQ", "type": "Required", "kind": "Patient", "fieldPath": "text"},
+    )
+    v = validate(docs, p)
+    assert rows(v) == [
+        ("d1", 0, "RULE_CONFIGURATION_ERROR", "error"),
+        ("d1", 1, "REQUIRED_FIELD_MISSING", "error"),
+    ]
+
+
+def test_required_spans_consolidated_shape():
+    """params.consolidate=True reproduces the reference's consolidated error
+    (``FhirPathRuleEngine.cs:1994-2096``): ONE row per violating document,
+    details = expected / actual (with <=3 example pointers) / diff."""
+    import json
+
+    docs = make_docs(
+        [
+            # 4 Patients (max 2 exceeded -> examples capped at 3), 1 undeclared
+            ("d1", [s("Patient", "a", off=0), s("Patient", "b", off=1),
+                    s("Patient", "c", off=2), s("Patient", "d", off=3),
+                    s("Unknown", "x", off=4)]),
+            ("d2", [s("Patient", "a", off=0)]),            # compliant
+            ("d3", [s("Observation", "final", off=0)]),    # missing Patient
+        ]
+    )
+    p = profile_of(
+        {"id": "RS", "type": "RequiredSpans", "kind": "*",
+         "params": {"requirements": [{"kind": "Patient", "min": 1, "max": 2}],
+                    "rejectUndeclared": True, "consolidate": True}}
+    )
+    v = validate(docs, p)
+    assert rows(v) == [
+        ("d1", -1, "RESOURCE_REQUIREMENT_VIOLATION", "error"),
+        ("d3", -1, "RESOURCE_REQUIREMENT_VIOLATION", "error"),
+    ]
+    by_doc = dict(zip(v["doc_id"].to_pylist(), v["details"].to_pylist()))
+    d1 = json.loads(by_doc["d1"])
+    assert d1["expected"] == [{"kind": "Patient", "max": 2, "min": 1}]
+    assert d1["actual"][0]["count"] == 4
+    assert d1["actual"][0]["examples"] == ["/spans/0", "/spans/1", "/spans/2"]  # Take(3)
+    assert d1["diff"]["missing"][0]["actualCount"] == 4
+    assert d1["diff"]["unexpected"] == [{"count": 1}]
+    d3 = json.loads(by_doc["d3"])
+    assert d3["actual"][0] == {"count": 0, "examples": [], "kind": "Patient"}
+    assert d3["diff"]["missing"] == [
+        {"actualCount": 0, "expectedMax": 2, "expectedMin": 1, "kind": "Patient"}
+    ]
