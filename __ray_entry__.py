@@ -43,4 +43,4 @@ def oracle_sql() -> dict[str, str]:
     from fhir_data_validation_ray.pipelines.queries import validation_oracles
     from fhir_data_validation_ray.pipelines.validate import fixture_paths
 
-    return {**validation_oracles(fixture_paths(SF_ORACLE)), **dataops_oracles()}
+    return {**validation_oracles(fixture_paths(SF_ORACLE)), **dataops_oracles(SF_ORACLE)}

@@ -49,9 +49,17 @@ CLASS_CONTRACT = "Contract"
 CLASS_ADVISORY = "Advisory"
 
 
-def resolve_severity(configured: str, validation_class: str) -> str:
-    """Pure severity-resolution function (``SeverityResolver.cs:36-78``)."""
-    if validation_class == CLASS_ADVISORY and configured == SEV_ERROR:
+def resolve_severity(configured: str, validation_class: str,
+                     is_heuristic: bool = False, is_spec_hint: bool = False) -> str:
+    """Pure severity-resolution function (``SeverityResolver.cs:35-76``):
+    Contract/Structural never downgrade; Advisory downgrades error->warning
+    ONLY when the rule is marked heuristic or spec-hint — an unflagged
+    Advisory error stays an error, exactly as in the reference."""
+    if (
+        validation_class == CLASS_ADVISORY
+        and configured == SEV_ERROR
+        and (is_heuristic or is_spec_hint)
+    ):
         return SEV_WARNING
     return configured
 

@@ -282,7 +282,7 @@ def k_required(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSin
     sink.add_spans(
         fs, idx,
         source=E.SRC_BUSINESS,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.REQUIRED_FIELD_MISSING,
         pointer_field=rule.field_path,
         details=([_canon_details({"field": rule.field_path})] * idx.size) if sink.emit_details else None,
@@ -310,7 +310,7 @@ def k_fixed_value(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     sink.add_spans(
         fs, idx,
         source=E.SRC_BUSINESS,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.FIXED_VALUE_MISMATCH,
         pointer_field=rule.field_path,
         details=[_canon_details({"actual": v, "expected": expected}) for v in vals] if sink.emit_details else None,
@@ -339,7 +339,7 @@ def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violat
     sink.add_spans(
         fs, idx,
         source=E.SRC_BUSINESS,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.VALUE_NOT_ALLOWED,
         pointer_field=rule.field_path,
         details=[_canon_details({"actual": v, "allowed": allowed}) for v in vals] if sink.emit_details else None,
@@ -381,7 +381,7 @@ def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) 
     sink.add_spans(
         fs, idx,
         source=E.SRC_BUSINESS,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.PATTERN_MISMATCH,
         pointer_field=rule.field_path,
         details=[_canon_details({"actual": v, "pattern": pattern}) for v in vals] if sink.emit_details else None,
@@ -400,7 +400,7 @@ def k_array_length(rule: RuleDef, fs: FlatSpans, sel_unused: np.ndarray, sink: V
     lo = rule.params.get("min")
     hi = rule.params.get("max")
     code = rule.error_code or E.ARRAY_LENGTH_OUT_OF_RANGE
-    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    sev = E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint)
     for bound, bad in (
         ("min", np.flatnonzero(counts < lo) if lo is not None else np.empty(0, np.int64)),
         ("max", np.flatnonzero(counts > hi) if hi is not None else np.empty(0, np.int64)),
@@ -459,7 +459,7 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     u_code_bad = ~np.isin(ucodes, concepts) & ~u_sys_bad
     sys_bad = u_sys_bad[code_of]
     code_bad = u_code_bad[code_of]
-    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    sev = E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint)
     idx = cand[sys_bad]
     sink.add_spans(
         fs, idx,
@@ -500,7 +500,7 @@ def k_custom_predicate(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Viol
     sink.add_spans(
         fs, bad_idx,
         source=E.SRC_BUSINESS,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.CUSTOM_PREDICATE_FAILED,
         pointer_field=rule.field_path,
         details=[_canon_details({"expr": rule.params.get("expr", rule.params.get("predicate"))})] * bad_idx.size,
@@ -524,7 +524,7 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
     any requirement in both shapes."""
     reqs: list[SpanRequirement] = rule.params["requirements"]
     consolidate = bool(rule.params.get("consolidate"))
-    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    sev = E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint)
     code = rule.error_code or E.RESOURCE_REQUIREMENT_VIOLATION
     declared = set()
     per_req: list[tuple[SpanRequirement, np.ndarray, np.ndarray, np.ndarray]] = []
@@ -630,9 +630,11 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     - RequireResolution : unresolved (local+registry) -> error
 
     A local ref that resolves but whose claimed Kind differs from the target
-    span's kind -> REFERENCE_TYPE_MISMATCH (``:313-343``). Repeated identical
-    refs within one document are deduplicated — first occurrence only
-    (``:89-103``).
+    span's kind -> REFERENCE_TYPE_MISMATCH (``:313-343``). The reference
+    dedups repeated identical refs WITHIN one resource (``:89-103``); a span
+    carries exactly one media_ref in this model, so the faithful mapping is
+    NO cross-span dedup — each span's ref errors independently (cross-entry
+    repeats each get their own error, as in the reference).
     """
     policy = rule.params.get("policy", "InBundleOnly")
     nonempty = ~fs.empty_mask('media_ref')
@@ -646,14 +648,6 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     da = pc.dictionary_encode(pc.take(fs.media_ref, cand_pa))
     ref_code = np.asarray(da.indices).astype(np.int64)
     uref_pa = da.dictionary
-
-    # per-document first-occurrence dedup of identical ref strings — integer
-    # keys (parent row * unique-ref code), reference ``:89-103``
-    keyi = fs.parent[cand].astype(np.int64) * np.int64(len(uref_pa)) + ref_code
-    _, first_pos = np.unique(keyi, return_index=True)
-    keep = np.zeros(cand.size, dtype=bool)
-    keep[first_pos] = True
-    cand, ref_code = cand[keep], ref_code[keep]
 
     # parse local shape "<Kind>/<rest>.<offset>" on uniques via one RE2 pass:
     # extract_regex yields a struct (kind, rest, off), null where no match
@@ -749,7 +743,7 @@ def k_reference(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     sink.add_spans(
         fs, idx,
         source=E.SRC_REFERENCE,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=E.REFERENCE_TYPE_MISMATCH, pointer_field="media_ref",
         details=[
             _canon_details({"ref": r, "expected": str(c), "actual": str(a)})
@@ -791,7 +785,7 @@ def k_full_url_id_match(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     sink.add_spans(
         fs, idx,
         source=E.SRC_REFERENCE,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.ENTRY_REFERENCE_MISMATCH,
         pointer_field="media_ref",
         details=[
@@ -844,7 +838,7 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     # answer column aligned to cand: second split element where present,
     # "" where malformed (never matched against a question anyway)
     a = _qa_answers(parts, wellformed)
-    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    sev = E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint)
 
     def emit(mask: np.ndarray, code: str, severity: str, detail: dict) -> None:
         idx = cand[np.flatnonzero(mask)]
@@ -946,7 +940,7 @@ def k_exclusivity(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     sink.add_spans(
         fs, idx,
         source=E.SRC_STRUCTURE,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.FHIR_MULTIPLE_VALUE_X,
         pointer_field=fields[0],
         details=[_canon_details({"fields": fields})] * idx.size if sink.emit_details else None,
@@ -976,7 +970,7 @@ def k_code_master(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     has_answer = shaped & (pc.list_value_length(qa).to_numpy(zero_copy_only=False) >= 2)
     qcode_arr = pc.list_element(qa, 0)
     answer = _qa_answers(qa, has_answer)
-    sev = E.resolve_severity(rule.severity, rule.validation_class)
+    sev = E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint)
 
     def emit(mask: np.ndarray, code: str, detail: dict) -> None:
         idx = cand[np.flatnonzero(mask)]
@@ -1151,7 +1145,7 @@ def k_primitive(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
     sink.add_spans(
         fs, idx,
         source=E.SRC_STRUCTURE,
-        severity=E.resolve_severity(rule.severity, rule.validation_class),
+        severity=E.resolve_severity(rule.severity, rule.validation_class, rule.is_heuristic, rule.is_spec_hint),
         rule_id=rule.id, error_code=rule.error_code or E.FHIR_INVALID_PRIMITIVE,
         pointer_field=rule.field_path,
         details=[_canon_details({"actual": v, "primitive": prim}) for v in vals] if sink.emit_details else None,

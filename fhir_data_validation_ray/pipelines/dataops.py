@@ -195,15 +195,75 @@ def q_frame_sample(sf_dir: str):
 
 def q_kind_drift(sf_dir: str):
     """Span-kind histogram drift of the interleaved corpus vs a deterministic
-    snapshot (the first half of the corpus by doc hash) — rows-only."""
+    SUBSET snapshot (docs with even crc32(doc_id)) — rows-only. The snapshot
+    deliberately differs from the scored corpus so PSI is nonzero and the
+    drift path is exercised against a real distribution gap (a full-corpus
+    snapshot scores identically-zero forever)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import zlib
+
     from ..sources.readers import read_documents
     from ..stages.drift import kind_drift, kind_histogram
     from .validate import fixture_paths
 
     paths = fixture_paths(sf_dir)
-    docs = read_documents(paths["docs"])
-    snap = kind_histogram(docs)
+
+    def even_half(t: pa.Table) -> pa.Table:
+        keep = [zlib.crc32(d.encode()) % 2 == 0 for d in t["doc_id"].to_pylist()]
+        return t.filter(pa.array(keep))
+
+    snap_docs = read_documents(paths["docs"]).map_batches(
+        even_half, batch_format="pyarrow"
+    )
+    snap = kind_histogram(snap_docs)
     return kind_drift(read_documents(paths["docs"]), snap)
+
+
+def q_kind_hist(sf_dir: str):
+    """Span-kind histogram over the interleaved corpus — the integer core of
+    the kind-drift check, oracle-checked (the PSI float on top is not)."""
+    import pandas as pd
+
+    from ..sources.readers import read_documents
+    from ..stages.drift import kind_histogram
+    from .validate import fixture_paths
+
+    hist = kind_histogram(read_documents(fixture_paths(sf_dir)["docs"]))
+    df = pd.DataFrame(sorted(hist.items()), columns=["kind", "count"])
+    df["count"] = df["count"].astype("int64")
+    return df
+
+
+def q_drift_bins(sf_dir: str):
+    """Per-source fixed-bin n_chars histogram — the integer PSI input of
+    a_drift_by_source, oracle-checked bin by bin."""
+    import ray.data as rd
+
+    from ..stages.stats import histogram_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return histogram_by_group(ds, "n_chars", "source",
+                              lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS)
+
+
+KIND_HIST_SQL = """
+SELECT kind, count(*)::BIGINT AS count
+FROM read_parquet('{flat}') GROUP BY kind
+"""
+
+DRIFT_BINS_SQL = f"""
+WITH bins AS (SELECT unnest(range(0, {HIST_BINS})) AS bin),
+srcs AS (SELECT DISTINCT source FROM documents),
+h AS (
+  SELECT source,
+         least(greatest(floor((n_chars - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS})::BIGINT, 0),
+               {HIST_BINS - 1}) AS bin, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2)
+SELECT srcs.source AS "group", bins.bin::BIGINT AS bin, coalesce(h.c, 0)::BIGINT AS count
+FROM srcs CROSS JOIN bins
+LEFT JOIN h ON h.source = srcs.source AND h.bin = bins.bin
+"""
 
 
 def _events(sf_dir: str):
@@ -291,6 +351,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
+        "a_kind_hist": q_kind_hist,
+        "a_drift_bins": q_drift_bins,
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
         "m_frame_sample": q_frame_sample,
@@ -313,6 +375,96 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ------------------------------------------------------------------ oracles
+# FNV-1a / SimHash expressed in SQL — the SAME fold as functions/hashing.py
+# (FNV-1a over UTF-32 code units), so fingerprint / simhash / synth-media
+# oracles compare bitwise. 64-bit wraparound multiply via HUGEINT modmul.
+def _fnv_sql(expr: str) -> str:
+    return (
+        "CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), "
+        f"list_transform(range(1, length({expr})+1), "
+        f"i -> CAST(unicode(substr({expr}, i, 1)) AS UBIGINT))), "
+        "(acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211) "
+        "% 18446744073709551616 AS UBIGINT)) AS UBIGINT)"
+    )
+
+
+def _s64(expr: str) -> str:
+    """UBIGINT column -> two's-complement BIGINT (numpy .astype(int64))."""
+    return (
+        f"CAST(CASE WHEN {expr} >= 9223372036854775808 "
+        f"THEN CAST({expr} AS HUGEINT) - 18446744073709551616 "
+        f"ELSE CAST({expr} AS HUGEINT) END AS BIGINT)"
+    )
+
+
+def _simhash_ctes() -> str:
+    """CTEs computing each document's 64-bit SimHash (``textops.simhash_batch``
+    mirror: word-unigram FNV hashes, per-bit +/-1 votes, sign -> bit)."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS b{b}"
+        for b in range(64)
+    )
+    bit_add = " + ".join(
+        f"CASE WHEN b{b} THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END"
+        for b in range(64)
+    )
+    return f"""
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+wh AS (SELECT doc_id, {_fnv_sql('word')} AS h FROM w),
+bits AS (SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id),
+sh AS (SELECT doc_id, {bit_add} AS sig FROM bits)
+"""
+
+
+FINGERPRINTS_SQL = f"""
+WITH {_simhash_ctes()},
+f AS (SELECT doc_id, {_fnv_sql('text')} AS fp FROM documents)
+SELECT f.doc_id, {_s64('f.fp')} AS fingerprint, {_s64('sh.sig')} AS simhash
+FROM f JOIN sh USING (doc_id)
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_simhash_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+def _media_oracles(sf_dir: str) -> dict[str, str]:
+    """SQL recomputation of the FakeCodec metadata straight from the fixture
+    registry: ``synth_media`` derives every header field from
+    hash_str(media_ref), which the FNV fold reproduces in SQL — so the
+    actor-pool decode stages get exact oracles despite the codec stub."""
+    from .validate import fixture_paths
+
+    reg = fixture_paths(sf_dir)["registry"]
+    h = _fnv_sql("media_ref")
+    img = f"""
+WITH r AS (SELECT media_ref, {h} AS h FROM read_parquet('{reg}') WHERE kind = 'image')
+SELECT media_ref,
+  CAST(16 + h % 1024 AS BIGINT) AS width,
+  CAST(16 + (h >> 10) % 1024 AS BIGINT) AS height,
+  CAST(1 + h % 4 AS BIGINT) AS channels,
+  CAST(9 + least(64 + h % 4096, 4104) AS BIGINT) AS payload_bytes
+FROM r
+"""
+    aud = f"""
+WITH r AS (SELECT media_ref, {h} AS h FROM read_parquet('{reg}') WHERE kind = 'audio')
+SELECT media_ref,
+  CAST(100 + h % 600000 AS BIGINT) AS duration_ms,
+  CAST(8000 + (h % 5) * 8000 AS BIGINT) AS sample_rate,
+  CAST(((100 + h % 600000) * (8000 + (h % 5) * 8000)) // 1000 AS BIGINT) AS n_samples
+FROM r
+"""
+    vid = f"""
+WITH r AS (SELECT media_ref, CAST(1 + {h} % 64 AS BIGINT) AS nf
+           FROM read_parquet('{reg}') WHERE kind NOT IN ('image', 'audio'))
+SELECT media_ref, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_index FROM r
+"""
+    return {"m_image_meta": img, "m_audio_meta": aud, "m_frame_sample": vid}
+
+
 def _inlist(ws) -> str:
     return ", ".join(f"'{w}'" for w in ws)
 
@@ -409,12 +561,19 @@ FROM bins LEFT JOIN h ON bins.bin = h.bin
 """
 
 
-def dataops_oracles() -> dict[str, str]:
-    """SQL oracles. Approximate/sketch operators (fingerprints, simhash,
-    lsh_topk, column_profile, drift) are deliberately absent — the driver
-    records the weaker rows-only check for them; minhash_lsh shares the
-    exact Jaccard oracle (miss probability < 1e-7 per pair at 32x4 bands,
-    verified exactly)."""
+def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """SQL oracles (``sf_dir`` resolves the fixture registry / flat-span
+    paths the m_* and kind-hist oracles read — it must match the sf the
+    driver compares at). Remaining rows-only operators: a_kind_drift /
+    a_drift_by_source (float PSI/KS scores — their integer bin inputs are
+    oracle-checked via a_kind_hist / a_drift_bins), a_column_profile
+    (sketches), s_lsh_topk / s_ivf_topk (approximate by design, recall-
+    tested); minhash_lsh shares the exact Jaccard oracle (miss probability
+    < 1e-7 per pair at 32x4 bands, then verified exactly)."""
+    from . import oracle
+    from .validate import fixture_paths
+
+    paths = fixture_paths(sf_dir)
     return {
         "w_tumbling": TUMBLING_SQL,
         "w_sessionize": SESSIONIZE_SQL,
@@ -422,11 +581,16 @@ def dataops_oracles() -> dict[str, str]:
         "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,
         "a_histogram_nchars": HISTOGRAM_NCHARS_SQL,
+        "a_kind_hist": oracle.fill(KIND_HIST_SQL, paths),
+        "a_drift_bins": DRIFT_BINS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,
         "t_language_id": LANGUAGE_ID_SQL,
+        "t_fingerprints": FINGERPRINTS_SQL,
         "d_exact_dedup": EXACT_DEDUP_SQL,
         "d_ngram_jaccard": NGRAM_JACCARD_SQL,
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
+        "d_simhash_pairs": SIMHASH_PAIRS_SQL,
         "s_cosine_topk": COSINE_TOPK_SQL,
         "s_cosine_pairs": COSINE_PAIRS_SQL,
+        **_media_oracles(sf_dir),
     }

@@ -114,15 +114,16 @@ FROM (SELECT doc_id, span_index, "offset",
 WHERE prev IS NOT NULL AND "offset" <= prev
 """.replace("__ALLOWED__", ALLOWED_KINDS_SQL)
 
-# Shared parse of reference strings: first occurrence per (doc, ref), local
-# shape "<Kind>/<doc>.<offset>" vs external; resolution = join back on the
-# target offset within the SAME document.
+# Shared parse of reference strings: ONE ROW PER SPAN (each span carries one
+# ref, so there is no within-resource repetition to dedup — matching
+# ``ReferenceResolver.cs:89-103`` faithfully); local shape
+# "<Kind>/<doc>.<offset>" vs external; resolution = join back on the target
+# offset within the SAME document.
 _REFS_CTE = """
 WITH refs AS (
-  SELECT doc_id, min(span_index) AS span_index, media_ref
+  SELECT doc_id, span_index, media_ref
   FROM read_parquet('{flat}')
-  WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''
-  GROUP BY doc_id, media_ref),
+  WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''),
 parsed AS (
   SELECT r.*,
     CASE WHEN media_ref LIKE 'urn:%' THEN ''

@@ -165,6 +165,10 @@ class RuleDef:
     severity: str = E.SEV_ERROR
     validation_class: str = E.CLASS_CONTRACT
     error_code: str | None = None  # overridable (ArrayLength only, per reference)
+    # Advisory downgrade gates (``SeverityResolver.cs:35-76``): error->warning
+    # only when the Advisory rule is heuristic or spec-hint
+    is_heuristic: bool = False
+    is_spec_hint: bool = False
     params: dict[str, Any] = field(default_factory=dict)
 
 
@@ -336,6 +340,8 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
                 severity=r.get("severity", E.SEV_ERROR),
                 validation_class=r.get("validationClass", DEFAULT_CLASS[rtype]),
                 error_code=r.get("errorCode"),
+                is_heuristic=bool(r.get("isHeuristic", False)),
+                is_spec_hint=bool(r.get("isSpecHint", False)),
                 params=params,
             )
         )

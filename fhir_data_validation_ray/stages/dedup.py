@@ -132,9 +132,13 @@ def _shingle_table(t: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray, np.ndar
     return doc_ids[sh_parent], h, counts.astype(np.int64)
 
 
+BROADCAST_COUNTS_MAX_DOCS = 2_000_000
+
+
 def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
                         num_buckets: int = 128, max_shingle_df: int | None = None,
-                        batch_size: int | None = None, broadcast_counts: bool = True):
+                        batch_size: int | None = None,
+                        broadcast_counts: bool | None = None):
     """EXACT near-duplicate pairs (doc_a < doc_b) with n-gram-shingle Jaccard
     >= threshold. Plan: shingle inverted index sharded by shingle hash ->
     co-occurrence pair counts per shard -> second groupby on the pair ->
@@ -144,12 +148,19 @@ def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
     ``ray.put`` array (right up to ~10^8 docs). ``False`` switches to
     bucket-partitioned hash joins of the pair table against the counts
     dataset — the 10^12-doc path with no driver-side corpus-sized state.
-    Both produce identical results (equivalence-tested).
+    Both produce identical results (equivalence-tested). The default
+    (``None``) picks automatically: broadcast below
+    ``BROADCAST_COUNTS_MAX_DOCS`` rows, join lane above — a metadata-only
+    ``docs.count()`` decides, so large corpora never default onto the
+    O(n_docs)-driver-state lane.
 
     ``max_shingle_df`` caps hot-shingle fan-out (drop shingles appearing in
     more docs) — REQUIRED at web scale, left None for oracle-exact runs.
     Partitioning assumption: one shingle's posting list fits in a worker."""
     import ray
+
+    if broadcast_counts is None:
+        broadcast_counts = docs.count() <= BROADCAST_COUNTS_MAX_DOCS
 
     # pass 1 (streaming): per-doc shingle counts
     def sh_counts(t: pa.Table) -> pa.Table:
@@ -342,8 +353,16 @@ def _attach_count(pairs_ds, counts_ds, *, side: str, out: str, buckets: int = 64
         ckeys, cvals = ckeys[order], cvals[order]
         p_idx = np.flatnonzero(~is_cnt)
         pos = np.clip(np.searchsorted(ckeys, jkey[p_idx]), 0, max(len(ckeys) - 1, 0))
-        hit = len(ckeys) > 0
-        vals = cvals[pos] if hit else np.zeros(p_idx.size, dtype=np.int64)
+        # verify the probe actually hit its key (mirrors keep_suspects /
+        # k_reference probes): a pair whose count row is missing must raise,
+        # not silently attach a neighbor's count and emit a wrong Jaccard
+        hit = (ckeys[pos] == jkey[p_idx]) if len(ckeys) else np.zeros(p_idx.size, bool)
+        if not hit.all():
+            raise ValueError(
+                f"_attach_count: {int((~hit).sum())} pair rows have no count row "
+                f"for {side} — counts dataset does not cover the pair table"
+            )
+        vals = cvals[pos] if len(ckeys) else np.zeros(p_idx.size, dtype=np.int64)
         cols = {
             c: pc.take(_col(g, c), pa.array(p_idx)) for c in base_cols
         }

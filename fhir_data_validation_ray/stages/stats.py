@@ -36,8 +36,20 @@ def numeric_stats_exact(ds, col: str):
         )
 
     parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
-    n = np.asarray(parts["n"])
+    n = np.asarray(parts["n"]) if "n" in parts.column_names else np.zeros(0, np.int64)
     nz = n > 0
+    if not nz.any():  # empty dataset: zero row, same schema (no empty-slice min)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "col": pa.array([col], pa.string()),
+                    "n": pa.array([0], pa.int64()),
+                    "min": pa.array([0], pa.int64()),
+                    "max": pa.array([0], pa.int64()),
+                    "sum": pa.array([0], pa.int64()),
+                }
+            )
+        )
     return rd.from_arrow(
         pa.table(
             {
@@ -153,3 +165,52 @@ def histogram(ds, col: str, *, lo: int, hi: int, nbins: int):
         .map_batches(combine, batch_format="pyarrow", batch_size=64 * nbins)
     )
     return rd.from_arrow(combine(parts))
+
+
+def histogram_by_group(ds, col: str, group_col: str, *, lo: int, hi: int,
+                       nbins: int):
+    """Per-group fixed-bin histogram — the oracle-checkable integer core of
+    the per-partition PSI drift check. Per-batch (group, bin) partial
+    bincounts, merged by one low-cardinality groupby on the group value.
+    Returns Dataset[group, bin, count] (all nbins rows per group)."""
+    import pyarrow.compute as pc
+
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        da = pc.dictionary_encode(groups)
+        codes = np.asarray(da.indices).astype(np.int64)
+        gnames = da.dictionary
+        v = np.asarray(t[col]).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / w).astype(np.int64), 0, nbins - 1)
+        counts = np.bincount(codes * nbins + b, minlength=len(gnames) * nbins)
+        gi = np.repeat(np.arange(len(gnames)), nbins)
+        return pa.table(
+            {
+                "group": pc.take(gnames, pa.array(gi)).cast(pa.string()),
+                "bin": pa.array(np.tile(np.arange(nbins, dtype=np.int64), len(gnames))),
+                "count": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        b = np.asarray(g["bin"])
+        c = np.asarray(g["count"])
+        total = np.bincount(b, weights=c, minlength=nbins).astype(np.int64)
+        grp = g["group"][0].as_py()
+        return pa.table(
+            {
+                "group": pa.array([grp] * nbins, pa.string()),
+                "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                "count": pa.array(total),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("group")
+        .map_groups(merge, batch_format="pyarrow")
+    )

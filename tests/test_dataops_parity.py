@@ -25,7 +25,7 @@ def _con():
 def _oracle_names():
     from fhir_data_validation_ray.pipelines.dataops import dataops_oracles
 
-    return sorted(dataops_oracles().keys())
+    return sorted(dataops_oracles(SF_DIR).keys())
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -47,7 +47,7 @@ def test_dataop_matches_oracle(ray_session, name):
 
     result = dataops_queries()[name](SF_DIR)
     got = result.to_pandas() if hasattr(result, "to_pandas") else pd.DataFrame(result)
-    want = _con().execute(dataops_oracles()[name]).df()
+    want = _con().execute(dataops_oracles(SF_DIR)[name]).df()
 
     g, w = _normalize(got), _normalize(want)
     assert list(g.columns) == list(w.columns), f"{name}: {g.columns} vs {w.columns}"

@@ -194,14 +194,19 @@ def test_reference_policies_registry_and_severity():
     assert len(rows(v)) == 2  # external refs are never in-bundle
 
 
-def test_reference_per_doc_dedup():
-    # identical ref twice in one doc -> one violation (ReferenceResolver.cs:89-103)
+def test_reference_cross_span_repeats_error_independently():
+    # the reference dedups repeated refs WITHIN one resource
+    # (ReferenceResolver.cs:89-103); a span holds one ref, so cross-span
+    # repeats of the same ref each get their own error (cross-entry repeats
+    # are NOT deduped in the reference either)
     docs = make_docs(
         [("d1", [s("image", "", "urn:uuid:x", off=0), s("image", "", "urn:uuid:x", off=1)])]
     )
     p = profile_of({"id": "R", "type": "Reference", "kind": "*",
                     "params": {"policy": "RequireResolution"}})
-    assert len(rows(validate(docs, p, registry=["urn:uuid:other"]))) == 1
+    got = rows(validate(docs, p, registry=["urn:uuid:other"]))
+    assert got == [("d1", 0, "REFERENCE_NOT_FOUND", "error"),
+                   ("d1", 1, "REFERENCE_NOT_FOUND", "error")]
 
 
 def test_custom_predicate_expr():
@@ -252,12 +257,27 @@ def test_structural_checks():
 
 
 def test_severity_resolution_advisory_downgrade():
+    """Advisory downgrades error->warning ONLY for heuristic/spec-hint rules
+    (``SeverityResolver.cs:35-76``); a plain Advisory error stays an error."""
     docs = make_docs([("d1", [s("Patient", None, off=0)])])
+    for flag, want in (
+        ({"isHeuristic": True}, "warning"),
+        ({"isSpecHint": True}, "warning"),
+        ({}, "error"),  # unflagged Advisory: NOT downgraded
+    ):
+        p = profile_of(
+            {"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text",
+             "severity": "error", "validationClass": "Advisory", **flag}
+        )
+        assert rows(validate(docs, p)) == [
+            ("d1", 0, "REQUIRED_FIELD_MISSING", want)
+        ], flag
+    # Contract/Structural never downgrade regardless of flags
     p = profile_of(
         {"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text",
-         "severity": "error", "validationClass": "Advisory"}
+         "severity": "error", "validationClass": "Contract", "isHeuristic": True}
     )
-    assert rows(validate(docs, p)) == [("d1", 0, "REQUIRED_FIELD_MISSING", "warning")]
+    assert rows(validate(docs, p)) == [("d1", 0, "REQUIRED_FIELD_MISSING", "error")]
 
 
 def test_fail_open_filter_condition():
