@@ -1230,6 +1230,14 @@ class CompiledProfile:
     concept_sets: dict[str, np.ndarray] = field(default_factory=dict)
     registry_keys: np.ndarray | None = None
     emit_details: bool = True
+    # ValidationMode (``Models/ValidationRequest.cs:76-97``): "standard" runs
+    # blocking checks only; "full"/"debug" additionally run the advisory
+    # layer — rules marked isSpecHint, or Advisory-class rules marked
+    # isHeuristic (the SpecHint / Lint analogues,
+    # ``Core/ValidationPipeline.cs:106-175``). Gated rules are non-blocking
+    # by construction (Advisory errors downgrade to warnings), so both modes
+    # produce identical blocking decisions — the reference's contract.
+    validation_mode: str = "standard"
 
     def __post_init__(self):
         from .hashing import hash_str
@@ -1258,9 +1266,18 @@ class CompiledProfile:
         kind_codes = kind_dict = None
 
         # stages 4-6: business rules / CodeMaster analogues / references —
-        # strict pipeline order by source rank, then profile order
+        # strict pipeline order by source rank, then profile order. Advisory
+        # layer (spec-hint / heuristic-advisory rules) runs in full/debug
+        # mode only (``ValidationPipeline.cs:106-175``).
+        full = self.validation_mode.lower() in ("full", "debug")
+        active = [
+            r for r in self.profile.rules
+            if full or not (
+                r.is_spec_hint or (r.validation_class == E.CLASS_ADVISORY and r.is_heuristic)
+            )
+        ]
         ordered = sorted(
-            self.profile.rules,
+            active,
             key=lambda r: {"CodeMaster": 2, "Reference": 3}.get(r.type, 1),
         )
         for rule in ordered:

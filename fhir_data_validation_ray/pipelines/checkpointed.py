@@ -118,7 +118,7 @@ def run_checkpointed(
             t0 = time.perf_counter()
             pf = pq.ParquetFile(row["file"])
             docs = pf.read_row_group(row["row_group"])
-            violations = _validate_stateless(pj, reg_ref, emit_details, docs)
+            violations = _validate_stateless(pj, reg_ref, emit_details, "standard", docs)
             vio_path = os.path.join(
                 out_dir, "violations", f"part-{row['partition_id']}.parquet"
             )

@@ -135,6 +135,96 @@ def heavy_profile(n_regex: int = 12) -> dict:
     return p
 
 
+class ProfileStore:
+    """Published / versioned profile snapshots — the reference's rule-set
+    publishing surface (``Models/RuleSet.cs:10-46`` carries ``version``; the
+    governance docs require published rule sets to be immutable). Each
+    ``publish`` validates the profile (compile check), writes an immutable
+    content-addressed snapshot ``<version>-<hash12>.json`` plus a manifest
+    entry; re-publishing the same version with DIFFERENT content is an
+    error, re-publishing identical content is a no-op. Atomic writes
+    (tmp + rename), safe for concurrent publishers."""
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest = os.path.join(root, "manifest.json")
+
+    def _read_manifest(self) -> list[dict]:
+        import json
+        import os
+
+        if not os.path.exists(self._manifest):
+            return []
+        with open(self._manifest) as f:
+            return json.load(f)
+
+    @staticmethod
+    def _hash(profile_obj: dict) -> str:
+        import hashlib
+        import json
+
+        canon = json.dumps(profile_obj, sort_keys=True, separators=(",", ":"))
+        return hashlib.sha256(canon.encode()).hexdigest()[:12]
+
+    def publish(self, profile_obj: dict) -> dict:
+        import json
+        import os
+
+        from ..profile import parse_profile
+
+        parse_profile(profile_obj)  # compile check: never publish a broken profile
+        version = str(profile_obj.get("version", "1.0"))
+        h = self._hash(profile_obj)
+        entries = self._read_manifest()
+        for e in entries:
+            if e["version"] == version:
+                if e["hash"] == h:
+                    return e  # identical re-publish: no-op
+                raise ValueError(
+                    f"version {version!r} already published with different "
+                    f"content (hash {e['hash']} != {h}); bump the version"
+                )
+        name = f"{version}-{h}.json"
+        tmp = os.path.join(self.root, f".{name}.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(profile_obj, f, sort_keys=True)
+        os.rename(tmp, os.path.join(self.root, name))
+        entry = {"version": version, "hash": h, "file": name}
+        entries.append(entry)
+        tmp_m = self._manifest + f".tmp.{os.getpid()}"
+        with open(tmp_m, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.rename(tmp_m, self._manifest)
+        return entry
+
+    def versions(self) -> list[str]:
+        return [e["version"] for e in self._read_manifest()]
+
+    def load(self, version: str | None = None) -> dict:
+        """Load a published snapshot (``None`` = latest published)."""
+        import json
+        import os
+
+        entries = self._read_manifest()
+        if not entries:
+            raise FileNotFoundError(f"no published profiles under {self.root}")
+        if version is None:
+            e = entries[-1]
+        else:
+            matches = [x for x in entries if x["version"] == str(version)]
+            if not matches:
+                raise KeyError(f"version {version!r} not published")
+            e = matches[0]
+        with open(os.path.join(self.root, e["file"])) as f:
+            obj = json.load(f)
+        if self._hash(obj) != e["hash"]:
+            raise ValueError(f"snapshot {e['file']} corrupted (hash mismatch)")
+        return obj
+
+
 def single_rule_profile(rule_id: str, *, with_structure: bool = False) -> dict:
     """Profile containing exactly one of the default rules — used by the
     per-operator oracle queries so each kernel is checked in isolation."""

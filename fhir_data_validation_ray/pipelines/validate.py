@@ -44,8 +44,12 @@ def run_validation(
     batch_size: int = 4096,
     concurrency=None,
     emit_details: bool = True,
+    validation_mode: str = "standard",
 ):
-    """Returns the violations Dataset for one scale-factor directory."""
+    """Returns the violations Dataset for one scale-factor directory.
+    ``validation_mode``: "standard" (blocking checks only, default) or
+    "full"/"debug" (adds the advisory spec-hint/heuristic rule layer —
+    identical blocking decisions, ``Models/ValidationRequest.cs:76-97``)."""
     paths = fixture_paths(sf_dir, replicas)
     docs = read_documents(paths["docs"])
     profile_obj = profile_obj or default_profile()
@@ -57,6 +61,7 @@ def run_validation(
         batch_size=batch_size,
         concurrency=concurrency,
         emit_details=emit_details,
+        validation_mode=validation_mode,
     )
     if with_uniqueness:
         # separate column-pruned scan: the uniqueness pass never decodes spans
@@ -100,6 +105,7 @@ def validation_response(
     *,
     replicas: int = 1,
     max_errors: int = 100,
+    validation_mode: str = "standard",
 ) -> dict[str, Any]:
     """The ``ValidationResponse`` analogue (``Models/ValidationResponse.cs:
     9-85``): errors sample + summary counts + metadata + the IsValid verdict
@@ -110,7 +116,8 @@ def validation_response(
 
     t0 = time.perf_counter()
     profile_obj = profile_obj or default_profile()
-    violations = run_validation(sf_dir, profile_obj, replicas=replicas)
+    violations = run_validation(sf_dir, profile_obj, replicas=replicas,
+                                validation_mode=validation_mode)
     summary = summarize(violations)
     errors = violations.limit(max_errors).to_pandas().to_dict("records")
     n_error = int(summary.loc[summary["severity"] == "error", "n"].sum())
@@ -125,6 +132,7 @@ def validation_response(
         },
         "metadata": {
             "rulesVersion": str(profile_obj.get("version", "1.0")),
+            "validationMode": validation_mode,
             "engine": "fhir_data_validation_ray",
             "processingTimeMs": round((time.perf_counter() - t0) * 1000, 1),
         },

@@ -264,6 +264,7 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
     RULE_CONFIGURATION_ERROR paths."""
     rules: list[RuleDef] = []
     seen_ids: set[str] = set()
+    seen_defs: dict[str, str] = {}  # stable definition key -> first rule id
     code_systems: dict[str, CodeSystem] = {}
 
     for cs in obj.get("codeSystems", []) or []:
@@ -285,6 +286,25 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
         seen_ids.add(rid)
         if rtype not in RULE_TYPES:
             raise ProfileError(f"rule {rid}: unknown type {rtype!r}")
+        # scope-level duplicate detection (``Models/InstanceScope.cs:22-25``
+        # ToStableKey): two rules with the same type/kind/fieldPath/scope/
+        # params are the same rule under different ids — a governance error.
+        def_key = json.dumps(
+            {
+                "type": rtype,
+                "kind": r.get("kind", r.get("resourceType", "*")),
+                "fieldPath": r.get("fieldPath", "text"),
+                "scope": r.get("instanceScope"),
+                "params": r.get("params"),
+            },
+            sort_keys=True, default=str,
+        )
+        if def_key in seen_defs:
+            raise ProfileError(
+                f"rule {rid}: duplicate definition of rule {seen_defs[def_key]!r} "
+                "(same type/kind/fieldPath/scope/params)"
+            )
+        seen_defs[def_key] = rid
         fp = r.get("fieldPath", "text")
         params = dict(r.get("params", {}) or {})
         scope = _parse_scope(r.get("instanceScope"))

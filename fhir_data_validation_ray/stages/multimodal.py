@@ -158,7 +158,8 @@ class ImageMetaStage:
         self.codec = _pick_codec(codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        metas = [self.codec.image_meta(p) for p in batch["payload"].to_pylist()]
+        payloads = batch["payload"].to_pylist()  # one materialization per batch
+        metas = [self.codec.image_meta(p) for p in payloads]
         w, h, c = (np.array(x, dtype=np.int64) for x in zip(*metas)) if metas else (
             np.empty(0, np.int64),) * 3
         return pa.table(
@@ -168,7 +169,7 @@ class ImageMetaStage:
                 "height": pa.array(h),
                 "channels": pa.array(c),
                 "payload_bytes": pa.array(
-                    np.array([len(p) for p in batch["payload"].to_pylist()], dtype=np.int64)
+                    np.array([len(p) for p in payloads], dtype=np.int64)
                 ),
             }
         )

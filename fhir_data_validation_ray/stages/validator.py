@@ -38,6 +38,7 @@ class ValidatorActor:
         profile_obj: dict[str, Any],
         registry_ref: Any = None,
         emit_details: bool = True,
+        validation_mode: str = "standard",
     ):
         profile = parse_profile(profile_obj)
         registry_keys = None
@@ -47,7 +48,8 @@ class ValidatorActor:
             keys = ray.get(registry_ref) if isinstance(registry_ref, ray.ObjectRef) else registry_ref
             registry_keys = np.asarray(keys)
         self.compiled = CompiledProfile(
-            profile=profile, registry_keys=registry_keys, emit_details=emit_details
+            profile=profile, registry_keys=registry_keys, emit_details=emit_details,
+            validation_mode=validation_mode,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -63,10 +65,10 @@ _COMPILED_CACHE: dict[str, CompiledProfile] = {}
 
 
 def _validate_stateless(profile_json: str, reg_ref: Any, emit_details: bool,
-                        batch: pa.Table) -> pa.Table:
+                        validation_mode: str, batch: pa.Table) -> pa.Table:
     import json
 
-    key = f"{hash(profile_json)}:{emit_details}:{reg_ref}"
+    key = f"{hash(profile_json)}:{emit_details}:{validation_mode}:{reg_ref}"
     cp = _COMPILED_CACHE.get(key)
     if cp is None:
         registry_keys = None
@@ -79,6 +81,7 @@ def _validate_stateless(profile_json: str, reg_ref: Any, emit_details: bool,
             profile=parse_profile(json.loads(profile_json)),
             registry_keys=registry_keys,
             emit_details=emit_details,
+            validation_mode=validation_mode,
         )
         _COMPILED_CACHE[key] = cp
     return cp.validate_batch(batch)
@@ -93,6 +96,7 @@ def validate_dataset(
     concurrency: int | tuple[int, int] | None = None,
     emit_details: bool = True,
     mode: str = "tasks",
+    validation_mode: str = "standard",
 ):
     """docs Dataset -> violations Dataset (streaming, no materialization).
 
@@ -129,13 +133,13 @@ def validate_dataset(
         from functools import partial
 
         fn = partial(_validate_stateless, json.dumps(profile_obj, sort_keys=True),
-                     reg_ref, emit_details)
+                     reg_ref, emit_details, validation_mode)
         return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     return docs.map_batches(
         ValidatorActor,
-        fn_constructor_args=(profile_obj, reg_ref, emit_details),
+        fn_constructor_args=(profile_obj, reg_ref, emit_details, validation_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

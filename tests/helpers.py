@@ -25,10 +25,12 @@ def make_docs(rows: list[tuple[str, list[tuple]]]) -> pa.Table:
     )
 
 
-def validate(docs: pa.Table, profile_dict: dict, registry=None) -> pa.Table:
+def validate(docs: pa.Table, profile_dict: dict, registry=None,
+             validation_mode: str = "standard") -> pa.Table:
     cp = CompiledProfile(
         parse_profile(profile_dict),
         registry_keys=np.asarray(registry, dtype="U") if registry is not None else None,
+        validation_mode=validation_mode,
     )
     return cp.validate_batch(docs)
 

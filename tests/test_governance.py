@@ -1,0 +1,165 @@
+"""ValidationMode gating, duplicate-rule detection, RFC-6901 pointers, and
+the published-profile snapshot store — the governance/config surfaces of the
+reference (``Models/ValidationRequest.cs:76-97``, ``Models/InstanceScope.cs:
+22-25``, ``Navigation/JsonPointerResolver.cs``, rule-set publishing)."""
+
+import pytest
+
+from helpers import make_docs, profile_of, rows, validate
+
+from fhir_data_validation_ray.profile import ProfileError, parse_profile
+
+
+def s(kind, text=None, ref="", off=None):
+    return (kind, text, ref, off)
+
+
+# ------------------------------------------------------------ ValidationMode
+def _mode_profile():
+    return profile_of(
+        {"id": "BLOCK", "type": "Required", "kind": "Patient", "fieldPath": "text"},
+        {"id": "HINT", "type": "Regex", "kind": "Patient", "fieldPath": "text",
+         "severity": "error", "validationClass": "Advisory", "isSpecHint": True,
+         "params": {"pattern": "^[STFG]"}},
+    )
+
+
+def test_validation_mode_standard_skips_advisory_layer():
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+
+    docs = make_docs([("d1", [s("Patient", None, off=0)]),
+                      ("d2", [s("Patient", "x123", off=0)])])
+    std = CompiledProfile(parse_profile(_mode_profile()), validation_mode="standard")
+    full = CompiledProfile(parse_profile(_mode_profile()), validation_mode="full")
+    got_std = rows(std.validate_batch(docs))
+    got_full = rows(full.validate_batch(docs))
+    # standard: blocking rule only
+    assert got_std == [("d1", 0, "REQUIRED_FIELD_MISSING", "error")]
+    # full: adds the spec-hint row, DOWNGRADED to warning (non-blocking)
+    assert got_full == [
+        ("d1", 0, "REQUIRED_FIELD_MISSING", "error"),
+        ("d2", 0, "PATTERN_MISMATCH", "warning"),
+    ]
+    # identical blocking decisions in both modes (the reference's contract)
+    blocking = lambda g: [r for r in g if r[3] == "error"]
+    assert blocking(got_std) == blocking(got_full)
+
+
+def test_validation_mode_debug_alias():
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+
+    docs = make_docs([("d2", [s("Patient", "x123", off=0)])])
+    dbg = CompiledProfile(parse_profile(_mode_profile()), validation_mode="debug")
+    assert ("d2", 0, "PATTERN_MISMATCH", "warning") in rows(dbg.validate_batch(docs))
+
+
+# ------------------------------------------------------ duplicate definitions
+def test_duplicate_rule_definition_rejected():
+    p = profile_of(
+        {"id": "A", "type": "Required", "kind": "Patient", "fieldPath": "text"},
+        {"id": "B", "type": "Required", "kind": "Patient", "fieldPath": "text"},
+    )
+    with pytest.raises(ProfileError, match="duplicate definition"):
+        parse_profile(p)
+
+
+def test_same_type_different_scope_is_not_duplicate():
+    p = profile_of(
+        {"id": "A", "type": "Required", "kind": "Patient", "fieldPath": "text"},
+        {"id": "B", "type": "Required", "kind": "Patient", "fieldPath": "text",
+         "instanceScope": {"kind": "first"}},
+        {"id": "C", "type": "Required", "kind": "Observation", "fieldPath": "text"},
+    )
+    assert len(parse_profile(p).rules) == 3
+
+
+# ------------------------------------------------------------- JSON pointers
+def test_pointer_parse_resolve_normalize():
+    from fhir_data_validation_ray.functions.pointers import (
+        normalize_pointer,
+        parse_pointer,
+        resolve_pointer,
+    )
+
+    doc = {"doc_id": "d1", "spans": [
+        {"kind": "Patient", "text": "S1234567A", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "urn:uuid:x", "offset": 3},
+    ]}
+    assert parse_pointer("") == []
+    assert parse_pointer("/spans/1/media_ref") == ["spans", "1", "media_ref"]
+    assert parse_pointer("/a~1b/c~0d") == ["a/b", "c~d"]  # RFC 6901 escapes
+    assert resolve_pointer(doc, "") == doc
+    assert resolve_pointer(doc, "/spans/1/media_ref") == "urn:uuid:x"
+    assert resolve_pointer(doc, "/spans/9/text") is None       # out of range
+    assert resolve_pointer(doc, "/spans/x/text") is None       # non-index
+    assert resolve_pointer(doc, "/nope", default="-") == "-"
+    assert normalize_pointer("/a~1b/c~0d") == "/a~1b/c~0d"
+    with pytest.raises(ValueError):
+        parse_pointer("spans/0")  # missing leading /
+
+
+def test_span_pointer_vectorized_roundtrip(ray_session):
+    """Engine-emitted pointers parse back to (span_index, field) in one
+    vectorized pass — the violations -> spans join lane."""
+    import numpy as np
+
+    from fhir_data_validation_ray.functions.pointers import parse_span_pointers
+
+    docs = make_docs([("d1", [s("Patient", None, off=0), s("Patient", "  ", off=1)])])
+    p = profile_of({"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text"})
+    v = validate(docs, p)
+    idx, field, valid = parse_span_pointers(v["json_pointer"])
+    assert valid.all()
+    assert sorted(idx.tolist()) == [0, 1]
+    assert set(field.to_pylist()) == {"text"}
+    assert np.array_equal(np.sort(idx), np.sort(np.asarray(v["span_index"]).astype("int64")))
+
+
+# ------------------------------------------------------------- profile store
+def test_profile_store_publish_load_immutability(tmp_path):
+    from fhir_data_validation_ray.pipelines.profiles import ProfileStore, default_profile
+
+    store = ProfileStore(str(tmp_path / "profiles"))
+    p1 = default_profile()
+    e1 = store.publish(p1)
+    assert store.versions() == ["1.0"]
+    assert store.load() == p1
+    assert store.load("1.0") == p1
+    # identical re-publish: no-op, same entry
+    assert store.publish(default_profile()) == e1
+    # same version, different content: refused
+    p_bad = default_profile()
+    p_bad["rules"] = p_bad["rules"][:3]
+    with pytest.raises(ValueError, match="already published"):
+        store.publish(p_bad)
+    # bumped version: accepted, latest wins for load(None)
+    p2 = default_profile()
+    p2["version"] = "1.1"
+    p2["rules"] = p2["rules"][:3]
+    store.publish(p2)
+    assert store.versions() == ["1.0", "1.1"]
+    assert store.load()["version"] == "1.1"
+    # a broken profile never publishes
+    with pytest.raises(ProfileError):
+        store.publish({"version": "2.0", "rules": [{"id": "X", "type": "Nope"}]})
+
+
+# --------------------------------------------- extension-grammar composition
+def test_extension_analogue_url_plus_exclusivity():
+    """The reference's Extension grammar (url + exactly-one value[x],
+    ``JsonNodeStructuralValidator.cs:1087-1185``) has no dedicated span
+    field; its two constraints map onto existing kernels — url primitive on
+    the extension's reference field + value[x] Exclusivity (SURVEY §8.4
+    documents this mapping)."""
+    docs = make_docs(
+        [
+            ("d1", [s("Extension", "v", "https://example.org/ext/a", off=0)]),  # ok
+            ("d2", [s("Extension", "v", "not a url", off=0)]),   # bad url grammar
+            ("d3", [s("Extension", None, "https://example.org/ext/a", off=0)]),  # ok
+        ]
+    )
+    p = profile_of(
+        {"id": "XU", "type": "Primitive", "kind": "Extension",
+         "fieldPath": "media_ref", "params": {"primitive": "url"}},
+    )
+    assert rows(validate(docs, p)) == [("d2", 0, "FHIR_INVALID_PRIMITIVE", "error")]

@@ -269,7 +269,8 @@ def test_severity_resolution_advisory_downgrade():
             {"id": "R", "type": "Required", "kind": "Patient", "fieldPath": "text",
              "severity": "error", "validationClass": "Advisory", **flag}
         )
-        assert rows(validate(docs, p)) == [
+        # full mode: flagged advisory rules are mode-gated (standard skips them)
+        assert rows(validate(docs, p, validation_mode="full")) == [
             ("d1", 0, "REQUIRED_FIELD_MISSING", want)
         ], flag
     # Contract/Structural never downgrade regardless of flags
