@@ -346,10 +346,13 @@ def k_allowed_values(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violat
     )
 
 
-def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
+def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink,
+            vector_lane: bool = True) -> None:
     """Regex: search semantics (.NET ``IsMatch`` ≈ RE2 ``match_substring_regex``,
-    ``FhirPathRuleEngine.cs:1222-1291``); empty values pass. Patterns outside
-    the RE2 subset fall back to Python ``re`` on the selected values only.
+    ``FhirPathRuleEngine.cs:1222-1291``); empty values pass. ``vector_lane``
+    comes from the compile-time evaluation plan (``build_plan``): patterns
+    outside the RE2 subset run the Python ``re`` lane on the selected values
+    only — the lane is decided ONCE per profile, not per batch.
 
     Candidate-first: when the kind selection is sparse (the common case —
     one kind of many), the RE2 pass runs over the TAKEN candidate values
@@ -363,7 +366,7 @@ def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) 
     if cand.size == 0:
         return
     sparse = cand.size * 2 < fs.n_spans
-    try:
+    if vector_lane:
         if sparse:
             miss = pc.invert(
                 pc.match_substring_regex(pc.take(arr, pa.array(cand)), pattern)
@@ -373,7 +376,7 @@ def k_regex(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) 
             miss = pc.invert(pc.match_substring_regex(arr, pattern))
             bad = sel & miss.fill_null(False).to_numpy(zero_copy_only=False) & nonempty
             idx = np.flatnonzero(bad)
-    except pa.ArrowInvalid:  # non-RE2 construct -> Python lane
+    else:  # non-RE2 construct -> Python lane (planner decision)
         rx = re.compile(pattern)
         vals = pc.take(arr, pa.array(cand)).to_pylist() if cand.size else []
         idx = cand[np.array([rx.search(v) is None for v in vals], dtype=bool)] if cand.size else cand
@@ -1219,6 +1222,45 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
         )
 
 
+# -------------------------------------------------------- evaluation planner
+@dataclass(frozen=True)
+class RulePlan:
+    """Per-rule evaluation plan, built BEFORE execution — the analogue of the
+    reference's dual-lane planner (``RuleEngines/RuleEvaluationPlanner.cs:
+    19-146``: prefer the fast lane only when every safety condition holds,
+    else record the fallback reasons). Here the fast lane is the vectorized
+    Arrow kernel; the fallback is the per-value Python lane."""
+
+    rule_id: str
+    vector_lane: bool
+    fallback_reasons: tuple[str, ...] = ()
+
+
+def build_plan(profile: Profile) -> dict[str, RulePlan]:
+    """Compile-time lane decision per rule. Conditions mirror the planner's
+    shape: a registered Python predicate is explicitly best-effort
+    (CONDITION 3 analogue — CustomFHIRPath never takes the fast lane); a
+    regex outside the RE2 subset cannot run on the Arrow kernel (probed once
+    here with a 1-element array, not per batch)."""
+    plans: dict[str, RulePlan] = {}
+    for rule in profile.rules:
+        reasons: list[str] = []
+        if rule.type == "CustomPredicate" and not rule.params.get("expr"):
+            reasons.append("registered Python predicate — best-effort lane")
+        if rule.type == "Regex":
+            try:
+                pc.match_substring_regex(
+                    pa.array([""], pa.string()), rule.params["pattern"]
+                )
+            except pa.ArrowInvalid:
+                reasons.append("pattern outside the RE2 subset — Python re lane")
+        plans[rule.id] = RulePlan(
+            rule_id=rule.id, vector_lane=not reasons,
+            fallback_reasons=tuple(reasons),
+        )
+    return plans
+
+
 # ------------------------------------------------------------ compiled profile
 @dataclass
 class CompiledProfile:
@@ -1242,6 +1284,7 @@ class CompiledProfile:
     def __post_init__(self):
         from .hashing import hash_str
 
+        self.plans = build_plan(self.profile)
         for url, cs in self.profile.code_systems.items():
             self.concept_sets[url] = np.array(cs.concepts, dtype="U")
         if self.registry_keys is not None:
@@ -1300,7 +1343,8 @@ class CompiledProfile:
                 elif rule.type == "AllowedValues":
                     k_allowed_values(rule, fs, sel, sink)
                 elif rule.type == "Regex":
-                    k_regex(rule, fs, sel, sink)
+                    k_regex(rule, fs, sel, sink,
+                            vector_lane=self.plans[rule.id].vector_lane)
                 elif rule.type == "CodeSystem":
                     k_code_system(rule, fs, sel, sink,
                                   self.concept_sets.get(str(rule.params["system"])))

@@ -641,3 +641,29 @@ def test_required_spans_consolidated_shape():
     assert d3["diff"]["missing"] == [
         {"actualCount": 0, "expectedMax": 2, "expectedMin": 1, "kind": "Patient"}
     ]
+
+
+def test_rule_evaluation_planner_lanes():
+    """Compile-time dual-lane planning (``RuleEvaluationPlanner.cs:19-146``
+    analogue): RE2-compatible regexes and expr predicates take the vector
+    lane; lookbehinds and registered Python predicates fall back, with
+    reasons recorded."""
+    from fhir_data_validation_ray.functions.kernels import build_plan, register_predicate
+    from fhir_data_validation_ray.profile import parse_profile
+
+    register_predicate("always_true", lambda fs, idx: [True] * len(idx))
+    p = parse_profile(profile_of(
+        {"id": "RV", "type": "Regex", "kind": "text", "fieldPath": "text",
+         "params": {"pattern": "^[a-z]+$"}},
+        {"id": "RP", "type": "Regex", "kind": "text", "fieldPath": "text",
+         "params": {"pattern": "(?<=abc)X"}},  # lookbehind: not RE2
+        {"id": "CE", "type": "CustomPredicate", "kind": "text", "fieldPath": "text",
+         "params": {"expr": "text != 'x'"}},
+        {"id": "CP", "type": "CustomPredicate", "kind": "text", "fieldPath": "text",
+         "params": {"predicate": "always_true"}},
+    ))
+    plans = build_plan(p)
+    assert plans["RV"].vector_lane and not plans["RV"].fallback_reasons
+    assert not plans["RP"].vector_lane and "RE2" in plans["RP"].fallback_reasons[0]
+    assert plans["CE"].vector_lane
+    assert not plans["CP"].vector_lane and "predicate" in plans["CP"].fallback_reasons[0]
