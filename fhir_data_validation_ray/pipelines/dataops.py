@@ -69,6 +69,38 @@ def q_minhash_lsh(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pair graph -> connected components (cluster = min doc id of
+    the component) — the keep/drop resolution step after pair detection."""
+    from ..stages.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    return dedup_clusters(
+        ngram_jaccard_pairs(_docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    )
+
+
+SAMPLE_RATE = 0.1
+STRATIFIED_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+STRATIFIED_DEFAULT = 0.2
+
+
+def q_sample(sf_dir: str):
+    from ..stages.sampling import sample_by_hash
+
+    return sample_by_hash(_docs(sf_dir), SAMPLE_RATE).select_columns(["doc_id"])
+
+
+def q_sample_stratified(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.sampling import stratified_sample_by_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return stratified_sample_by_hash(
+        ds, STRATIFIED_RATES, group_col="source", default_rate=STRATIFIED_DEFAULT
+    ).select_columns(["doc_id"])
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
@@ -367,6 +399,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_ngram_jaccard": q_ngram_jaccard,
         "d_minhash_lsh": q_minhash_lsh,
         "d_simhash_pairs": q_simhash_pairs,
+        "d_dedup_clusters": q_dedup_clusters,
+        "t_sample": q_sample,
+        "t_sample_stratified": q_sample_stratified,
         "s_cosine_topk": q_cosine_topk,
         "s_cosine_pairs": q_cosine_pairs,
         "s_lsh_topk": q_lsh_topk,
@@ -510,18 +545,33 @@ SELECT doc_id FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
 
-NGRAM_JACCARD_SQL = f"""
-WITH s AS (
+_NGRAM_CTES = f"""s AS (
   SELECT doc_id, list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) sh
   FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
 ),
 e AS (SELECT doc_id, unnest(sh) shingle FROM s),
 p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
-z AS (SELECT doc_id, len(sh) ns FROM s)
-SELECT da AS doc_a, db AS doc_b FROM p
+z AS (SELECT doc_id, len(sh) ns FROM s),
+edges AS (SELECT da AS doc_a, db AS doc_b FROM p
 JOIN z za ON za.doc_id = da JOIN z zb ON zb.doc_id = db
-WHERE inter::DOUBLE / (za.ns + zb.ns - inter) >= {JACCARD_THRESHOLD}
+WHERE inter::DOUBLE / (za.ns + zb.ns - inter) >= {JACCARD_THRESHOLD})"""
+
+NGRAM_JACCARD_SQL = f"WITH {_NGRAM_CTES}\nSELECT doc_a, doc_b FROM edges"
+
+# connected components over the near-dup pair graph: recursive min-label walk
+# (each node reaches every root of its component; min(root) = cluster id)
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT CASE WHEN w.node = edges.doc_a THEN edges.doc_b ELSE edges.doc_a END,
+         w.root
+  FROM walk w, edges WHERE w.node = edges.doc_a OR w.node = edges.doc_b
+)
+SELECT node AS doc_id, min(root) AS cluster FROM walk GROUP BY node
 """
 
 COSINE_TOPK_SQL = f"""
@@ -543,6 +593,19 @@ WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list
       >= {COSINE_PAIR_THRESHOLD}
 """
 
+
+# hash-threshold sampling: same FNV fold over str(doc_id), same threshold
+_SAMPLE_H = "CAST(" + _fnv_sql("CAST(doc_id AS VARCHAR)") + " % 1000000 AS BIGINT)"
+SAMPLE_SQL = f"""
+SELECT doc_id FROM documents WHERE {_SAMPLE_H} < {int(0.1 * 1_000_000)}
+"""
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id FROM documents
+WHERE {_SAMPLE_H} < CASE source
+  WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000 WHEN 'src2' THEN 0
+  ELSE 200000 END
+"""
 
 STATS_NCHARS_SQL = """
 SELECT 'n_chars' AS col, count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min,
@@ -590,6 +653,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_ngram_jaccard": NGRAM_JACCARD_SQL,
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
+        "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "t_sample": SAMPLE_SQL,
+        "t_sample_stratified": SAMPLE_STRATIFIED_SQL,
         "s_cosine_topk": COSINE_TOPK_SQL,
         "s_cosine_pairs": COSINE_PAIRS_SQL,
         **_media_oracles(sf_dir),

@@ -619,6 +619,167 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
     return routed.groupby("vbucket").map_groups(verify_group, batch_format="pyarrow")
 
 
+# ------------------------------------------------- near-dup cluster resolve
+def dedup_clusters(pairs, *, num_buckets: int = 64, max_iters: int = 16):
+    """Connected components over a near-dup pair graph -> Dataset[doc_id,
+    cluster] where ``cluster`` is the MINIMUM doc id of the component — the
+    keep/drop endgame of near-dup detection (keep ``doc_id == cluster``,
+    drop the rest).
+
+    Distributed hash-to-min label propagation: each iteration ships
+    (edge-endpoint, candidate-label) rows into a doc-bucket groupby and
+    takes the per-node minimum; labels converge in O(component diameter)
+    iterations (near-dup clusters are dense — typically 2-4). Per-iteration
+    state lives in the Dataset, not the driver; the driver sees only the
+    per-iteration change COUNT. Assumption: the label table is bounded by
+    nodes-that-appear-in-pairs (collapsed corpora are the pathological
+    case — then labels ~ corpus and each iteration is one exchange)."""
+    import ray.data as rd
+
+    def to_label_rows(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        node = np.concatenate([a, b])
+        lab = np.concatenate([b, a])  # neighbor's id is a candidate label
+        lab = np.minimum(lab, node)   # plus own id implicitly via min(node, lab)
+        return pa.table(
+            {
+                "nbucket": pa.array(_intmix(node, num_buckets).astype(np.int32)),
+                "node": pa.array(node),
+                "label": pa.array(np.minimum(lab, node)),
+            }
+        )
+
+    def min_label(g: pa.Table) -> pa.Table:
+        node = np.asarray(g["node"]).astype(np.int64)
+        lab = np.asarray(g["label"]).astype(np.int64)
+        order = np.lexsort((lab, node))
+        n_s, l_s = node[order], lab[order]
+        first = np.ones(len(n_s), dtype=bool)
+        first[1:] = n_s[1:] != n_s[:-1]
+        n_f = n_s[first]
+        return pa.table(
+            {
+                "nbucket": pa.array(_intmix(n_f, num_buckets).astype(np.int32)),
+                "node": pa.array(n_f),
+                "label": pa.array(l_s[first]),
+            }
+        )
+
+    labels = (
+        pairs.map_batches(to_label_rows, batch_format="pyarrow")
+        .groupby("nbucket")
+        .map_groups(min_label, batch_format="pyarrow")
+    )
+
+    # edge list reused every iteration: (endpoint, other-endpoint) both ways
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "nbucket": pa.array(_intmix(src, num_buckets).astype(np.int32)),
+                "node": pa.array(src),
+                "other": pa.array(dst),
+            }
+        )
+
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        # join current labels to edges on the SOURCE endpoint, propagate the
+        # label to the other endpoint, re-minimize per node
+        def tag_lab(t: pa.Table) -> pa.Table:
+            node = np.asarray(t["node"]).astype(np.int64)
+            return pa.table(
+                {
+                    "nbucket": pa.array(_intmix(node, num_buckets).astype(np.int32)),
+                    "node": pa.array(node),
+                    "other": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                    "label": pa.array(np.asarray(t["label"]).astype(np.int64)),
+                }
+            )
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "nbucket": t["nbucket"],
+                    "node": t["node"],
+                    "other": t["other"],
+                    "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                }
+            )
+
+        both = labels.map_batches(tag_lab, batch_format="pyarrow").union(
+            edges.map_batches(tag_edge, batch_format="pyarrow")
+        )
+
+        def propagate(g: pa.Table) -> pa.Table:
+            node = np.asarray(g["node"]).astype(np.int64)
+            other = np.asarray(g["other"]).astype(np.int64)
+            lab = np.asarray(g["label"]).astype(np.int64)
+            is_lab = other < 0
+            ln, ll = node[is_lab], lab[is_lab]
+            order = np.argsort(ln)
+            ln_s, ll_s = ln[order], ll[order]
+            e_idx = np.flatnonzero(~is_lab)
+            pos = np.clip(np.searchsorted(ln_s, node[e_idx]), 0, max(len(ln_s) - 1, 0))
+            # every edge endpoint has a label row in this bucket by
+            # construction — verify the probe rather than trusting it
+            if len(ln_s) and e_idx.size and not (ln_s[pos] == node[e_idx]).all():
+                raise ValueError("dedup_clusters: edge endpoint missing its label row")
+            out_node = np.concatenate([ln_s, other[e_idx]])
+            out_lab = np.concatenate([ll_s, ll_s[pos] if len(ln_s) else np.empty(0, np.int64)])
+            return pa.table(
+                {
+                    "nbucket": pa.array(_intmix(out_node, num_buckets).astype(np.int32)),
+                    "node": pa.array(out_node),
+                    "label": pa.array(out_lab),
+                }
+            )
+
+        new_labels = (
+            both.groupby("nbucket")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("nbucket")
+            .map_groups(min_label, batch_format="pyarrow")
+        ).materialize()
+
+        # convergence check: any label changed? join old vs new by node
+        def with_tag(ds, tag):
+            def f(t: pa.Table) -> pa.Table:
+                return t.append_column("src", pa.array(np.full(t.num_rows, tag, np.int8)))
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        def count_changes(g: pa.Table) -> pa.Table:
+            node = np.asarray(g["node"]).astype(np.int64)
+            lab = np.asarray(g["label"]).astype(np.int64)
+            src = np.asarray(g["src"])
+            order = np.lexsort((src, node))
+            n_s, l_s, s_s = node[order], lab[order], src[order]
+            pairm = np.zeros(len(n_s), dtype=bool)
+            pairm[:-1] = (n_s[:-1] == n_s[1:]) & (l_s[:-1] != l_s[1:])
+            return pa.table({"changes": pa.array([int(pairm.sum())], pa.int64())})
+
+        changed_tbl = collect_table(
+            with_tag(labels, 0).union(with_tag(new_labels.select_columns(
+                ["nbucket", "node", "label"]), 1))
+            .groupby("nbucket")
+            .map_groups(count_changes, batch_format="pyarrow"),
+            empty_schema=pa.schema([("changes", pa.int64())]),
+        )
+        labels = new_labels
+        if changed_tbl.num_rows == 0 or int(np.asarray(changed_tbl["changes"]).sum()) == 0:
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster": t["label"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- SimHash
 def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
     """Near-dup pairs with SimHash Hamming distance <= max_hamming. 4x16-bit

@@ -280,3 +280,27 @@ def test_window_operators_under_90pct_hot_user(ray_session):
         plain = op(events(), block_us=None).to_pandas()
         assert key(sharded, cols) == key(plain, cols), op.__name__
         assert len(sharded) > 0, op.__name__
+
+
+def test_dedup_clusters_chain_and_components(ray_session):
+    """Label propagation must converge past one hop: a 6-node chain (diameter
+    5) plus a separate triangle and an isolated pair — every node must land
+    on its component's minimum id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import dedup_clusters
+
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),   # chain
+             (20, 21), (21, 22), (20, 22),                       # triangle
+             (30, 31)]                                           # pair
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    got = dedup_clusters(pairs).to_pandas().set_index("doc_id")["cluster"]
+    assert all(got[n] == 10 for n in range(10, 16))
+    assert all(got[n] == 20 for n in range(20, 23))
+    assert all(got[n] == 30 for n in (30, 31))
+    # keep/drop resolution: keep doc == cluster -> one survivor per component
+    assert sorted(got[got.index == got].index) == [10, 20, 30]
