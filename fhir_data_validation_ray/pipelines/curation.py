@@ -1,0 +1,90 @@
+"""The flagship corpus-curation pipeline: exact dedup -> near-dup cluster
+drop -> quality gate -> deterministic sample, composed into one KEEP-LIST.
+
+This is the "switch your training-data pipeline to this repo" surface: every
+step is an already-oracle-checked operator, and the composition itself has an
+exact DuckDB oracle (``pipelines/dataops.py:CURATION_SQL``) because each
+step's membership rule is a pure function of the corpus.
+
+Plan shape (all distributed, driver holds nothing corpus-sized):
+
+1. ``exact_dedup``      keep lowest doc_id per verbatim text group
+2. ``dedup_clusters``   over ``ngram_jaccard_pairs``: drop non-canonical
+                        members (doc != component min). The component min is
+                        always the min of its own text group, so step 2's
+                        canonical always survives step 1 — ordering the
+                        passes this way never orphans a cluster.
+3. ``text_features``    quality gate (length / stopword / punctuation)
+4. ``sample_by_hash``   deterministic rate-based keep
+
+The four keep/drop id streams fold in ONE bucketed groupby: each stream tags
+its rows, each bucket group checks per doc_id "kept by 1, not dropped by 2,
+kept by 3, kept by 4". No semi-join materialization, no broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def curate_keep_list(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8,
+                     sample_rate: float = 1.0, num_buckets: int = 64):
+    """Dataset[doc_id:int64, text] -> Dataset[doc_id] of curated survivors."""
+    from ..stages.dedup import _intmix, dedup_clusters, exact_dedup, ngram_jaccard_pairs
+    from ..stages.sampling import sample_by_hash
+    from ..stages.textops import text_features
+
+    # stream 0: exact-dedup survivors
+    kept_exact = exact_dedup(docs)
+
+    # stream 1: near-dup cluster DROPS (non-canonical members)
+    clusters = dedup_clusters(
+        ngram_jaccard_pairs(docs, n=jaccard_n, threshold=jaccard_threshold)
+    )
+
+    def cluster_drops(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"]).astype(np.int64)
+        c = np.asarray(t["cluster"]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d[d != c])})
+
+    drops = clusters.map_batches(cluster_drops, batch_format="pyarrow")
+
+    # stream 2: quality-gate survivors
+    quality = text_features(docs).filter(expr="quality_ok == True").select_columns(["doc_id"])
+
+    # stream 3: sample survivors
+    sampled = sample_by_hash(docs.select_columns(["doc_id"]), sample_rate)
+
+    def tag(ds, stream: int):
+        def f(t: pa.Table) -> pa.Table:
+            d = np.asarray(t["doc_id"]).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(_intmix(d, num_buckets).astype(np.int32)),
+                    "doc_id": pa.array(d),
+                    "stream": pa.array(np.full(len(d), stream, dtype=np.int8)),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    merged = (
+        tag(kept_exact, 0)
+        .union(tag(drops, 1))
+        .union(tag(quality, 2))
+        .union(tag(sampled, 3))
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        s = np.asarray(g["stream"]).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        # bitmask of streams present per doc (each stream emits a doc once)
+        mask = np.zeros(len(ud), dtype=np.int64)
+        np.bitwise_or.at(mask, inv, np.int64(1) << s)
+        keep = (mask & 0b1101) == 0b1101  # in streams 0,2,3 ...
+        keep &= (mask & 0b0010) == 0      # ... and NOT in drop stream 1
+        return pa.table({"doc_id": pa.array(ud[keep])})
+
+    return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")

@@ -101,6 +101,18 @@ def q_sample_stratified(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+CURATION_SAMPLE_RATE = 0.9
+
+
+def q_curation(sf_dir: str):
+    """Flagship curation keep-list: exact dedup ∧ quality ∧ sample ∧ NOT
+    near-dup-cluster-dropped — every step oracle-checked individually AND
+    composed (the SQL oracle chains the same four membership rules)."""
+    from .curation import curate_keep_list
+
+    return curate_keep_list(_docs(sf_dir), sample_rate=CURATION_SAMPLE_RATE)
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
@@ -400,6 +412,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_lsh": q_minhash_lsh,
         "d_simhash_pairs": q_simhash_pairs,
         "d_dedup_clusters": q_dedup_clusters,
+        "c_curation": q_curation,
         "t_sample": q_sample,
         "t_sample_stratified": q_sample_stratified,
         "s_cosine_topk": q_cosine_topk,
@@ -594,6 +607,38 @@ WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list
 """
 
 
+# flagship curation keep-list: the same four membership rules as
+# pipelines/curation.py, chained with set operators
+def _curation_sql() -> str:
+    ws = "len(string_split(text, ' '))"
+    quality = (
+        f"({ws} >= 5 AND {_stop_cnt()}*10 >= {ws} "
+        f"AND len(regexp_extract_all(text, '{PUNCT_RE}'))*5 <= {ws})"
+    )
+    return f"""
+WITH RECURSIVE {_NGRAM_CTES},
+nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT CASE WHEN w.node = edges.doc_a THEN edges.doc_b ELSE edges.doc_a END,
+         w.root
+  FROM walk w, edges WHERE w.node = edges.doc_a OR w.node = edges.doc_b
+),
+cc AS (SELECT node AS doc_id, min(root) AS cluster FROM walk GROUP BY node),
+drops AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+kept_exact AS (SELECT doc_id FROM documents
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+quality AS (SELECT doc_id FROM documents WHERE {quality}),
+sampled AS (SELECT doc_id FROM documents
+            WHERE {_SAMPLE_H} < {int(CURATION_SAMPLE_RATE * 1_000_000)})
+(SELECT doc_id FROM kept_exact
+ INTERSECT SELECT doc_id FROM quality
+ INTERSECT SELECT doc_id FROM sampled)
+EXCEPT SELECT doc_id FROM drops
+"""
+
+
 # hash-threshold sampling: same FNV fold over str(doc_id), same threshold
 _SAMPLE_H = "CAST(" + _fnv_sql("CAST(doc_id AS VARCHAR)") + " % 1000000 AS BIGINT)"
 SAMPLE_SQL = f"""
@@ -654,6 +699,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "c_curation": _curation_sql(),
         "t_sample": SAMPLE_SQL,
         "t_sample_stratified": SAMPLE_STRATIFIED_SQL,
         "s_cosine_topk": COSINE_TOPK_SQL,
