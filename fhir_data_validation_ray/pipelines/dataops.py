@@ -322,6 +322,12 @@ def q_tumbling(sf_dir: str):
     return tumbling_window_counts(_events(sf_dir))
 
 
+def q_hopping(sf_dir: str):
+    from ..stages.windows import hopping_window_counts
+
+    return hopping_window_counts(_events(sf_dir))
+
+
 def q_sessionize(sf_dir: str):
     from ..stages.windows import sessionize
 
@@ -344,6 +350,16 @@ TUMBLING_SQL = """
 SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2
+"""
+
+# hopping: window 1h, hop 15m -> each event in 4 windows (w*hop <= ts < w*hop+window)
+HOPPING_SQL = """
+SELECT w AS window_id, event_type, count(*)::BIGINT AS n
+FROM (SELECT unnest(range(epoch_us(ts) // 900000000 - 3,
+                          epoch_us(ts) // 900000000 + 1)) AS w, event_type
+      FROM events)
+WHERE w >= 0
+GROUP BY 1, 2
 """
 
 SESSIONIZE_SQL = """
@@ -391,6 +407,7 @@ ASOF JOIN p ON l.user_id = p.user_id AND l.ts > p.ts
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "w_tumbling": q_tumbling,
+        "w_hopping": q_hopping,
         "w_sessionize": q_sessionize,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
@@ -684,6 +701,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     paths = fixture_paths(sf_dir)
     return {
         "w_tumbling": TUMBLING_SQL,
+        "w_hopping": HOPPING_SQL,
         "w_sessionize": SESSIONIZE_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,

@@ -90,6 +90,68 @@ def tumbling_window_counts(events, *, window_us: int = US_PER_HOUR):
     )
 
 
+def hopping_window_counts(events, *, window_us: int = US_PER_HOUR,
+                          hop_us: int = US_PER_HOUR // 4):
+    """Hopping (sliding) window event counts by type: windows of length
+    ``window_us`` starting every ``hop_us`` (must divide ``window_us``);
+    each event lands in ``window_us / hop_us`` windows. Same plan as
+    tumbling: per-batch partial counts with the replication applied
+    vectorized, then one LOW-cardinality groupby merge — the shuffle moves
+    (window, type, count) partials, never events.
+    Returns Dataset[window_id, event_type, n]; window w covers
+    ``[w * hop, w * hop + window)``."""
+    assert window_us % hop_us == 0, "hop must divide window"
+    k = window_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = _ts_np(t)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        da = pc.dictionary_encode(et)
+        codes = np.asarray(da.indices).astype(np.int64)
+        names = da.dictionary.to_pylist()
+        base = ts // hop_us
+        win = np.concatenate([base - j for j in range(k)])
+        code_r = np.tile(codes, k)
+        keep = win >= 0
+        win, code_r = win[keep], code_r[keep]
+        uw, wi = np.unique(win, return_inverse=True)
+        key = wi * len(names) + code_r
+        counts = np.bincount(key, minlength=len(uw) * len(names))
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "window_id": pa.array(uw[nz // len(names)]),
+                "event_type": pa.array([names[i] for i in nz % len(names)], pa.string()),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        da = pc.dictionary_encode(et)
+        codes = np.asarray(da.indices).astype(np.int64)
+        names = da.dictionary.to_pylist()
+        total = np.bincount(codes, weights=np.asarray(g["n"])).astype(np.int64)
+        wid = int(g["window_id"][0].as_py())
+        return pa.table(
+            {
+                "window_id": pa.array(np.full(len(names), wid, dtype=np.int64)),
+                "event_type": pa.array(names, pa.string()),
+                "n": pa.array(total),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def sessionize(events, *, gap_us: int = 30 * 60 * 1_000_000,
                block_us: int | None = 6 * US_PER_HOUR):
     """Gap-based sessionization per user: a new session starts when the gap

@@ -20,38 +20,56 @@ from fhir_data_validation_ray.functions.kernels import (
 # - "" string: empty is VALID for string (``:779-790``), INVALID for
 #   code/id/uri/url/canonical/date/boolean/integer/decimal
 GRAMMAR_CASES = [
-    ("boolean", ["true", "false"], ["True", "FALSE", "1", "0", "yes", ""]),
-    ("integer", ["0", "42", "-7", "+13", "00120"], ["1.5", "abc", "1e3", " 1", "", "1 "]),
-    ("decimal", ["0", "3.14", "-0.5", "+2.75", ".5"], ["1.", "abc", "1e3", "1,5", ""]),
+    ("boolean", ["true", "false"],
+     ["True", "FALSE", "1", "0", "yes", "", " true", "true ", "truefalse"]),
+    ("integer", ["0", "42", "-7", "+13", "00120", "+0", "-0", "007"],
+     ["1.5", "abc", "1e3", " 1", "", "1 ", "+-1", "4 2", "0x1F"]),
+    ("decimal", ["0", "3.14", "-0.5", "+2.75", ".5", "0.0", ".0", "-.25", "100"],
+     ["1.", "abc", "1e3", "1,5", "", "0..1", "1.2.3", "+", "."]),
     (
         "date",
-        ["2021-03-14", "2020-02-29", "1999-12-31", "2024", "2024-06", "2021-13"],
+        ["2021-03-14", "2020-02-29", "1999-12-31", "2024", "2024-06", "2021-13",
+         "0001", "9999-12-31", "2400-02-29", "2000-02-29", "2023-01-31",
+         "2023-04-30", "2023-12"],
         ["2021-02-30", "2021-13-05", "2021-04-31", "2023-02-29", "21-01-01",
-         "2021/01/01", "2021-1-1", "not-a-date", ""],
+         "2021/01/01", "2021-1-1", "not-a-date", "", "1900-02-29",
+         "2023-06-31", "2023-09-31", "2023-11-31", "2023-00-01", "2023-01-00",
+         "2023-01-32", "202", "20231-01-01"],
     ),
     (
         "dateTime",
         ["2021-03-14T08:30:00Z", "2019-07-01T23:59:59.123+08:00", "2021-03-14",
-         "2024-06", "2024", "2038-01-19T03:14:07-05:00"],
+         "2024-06", "2024", "2038-01-19T03:14:07-05:00",
+         "2024-02-29T23:59:59Z", "2021-03-14T00:00:00+00:00",
+         "2021-03-14T08:30:00.000001Z", "2021-12-31T23:59:59-13:59"],
         ["2021-03-14T24:00:00Z", "2021-03-14T08:30:00", "2021-02-30T08:30:00Z",
-         "14-03-2021T08:30:00Z", "2021-03-14 08:30:00Z", "2021-03-14T08:30Z", ""],
+         "14-03-2021T08:30:00Z", "2021-03-14 08:30:00Z", "2021-03-14T08:30Z", "",
+         "2023-02-29T00:00:00Z", "2021-03-14t08:30:00Z", "2021-03-14T08:30:60Z",
+         "2021-03-14T08:60:00Z", "2021-03-14T08:30:00+14:00",
+         "2021-03-14T08:30:00."],
     ),
-    ("id", ["abc", "a.b-c", "A" * 64, "123"], ["", "A" * 65, "a_b", "a b", "a/b"]),
-    ("string", ["hello world", "", "tabs\tok", "  padded  "], ["line\nbreak", "cr\rhere"]),
-    ("code", ["active", "a-b.c", "x|y"], ["", "a b", " a", "a ", "a\tb", "a\nb", "\x01"]),
-    ("uri", ["https://example.org/x", "Patient/123", "urn:oid:1.2.3", "a|b"],
-     ["", "a b", "with\ttab", "\x01ctl"]),
+    ("id", ["abc", "a.b-c", "A" * 64, "123", "a", "A-1.b"],
+     ["", "A" * 65, "a_b", "a b", "a/b", "a@b", "ümlaut"]),
+    ("string", ["hello world", "", "tabs\tok", "  padded  ", "ünïcode"],
+     ["line\nbreak", "cr\rhere", "both\r\nends"]),
+    ("code", ["active", "a-b.c", "x|y", "日本語", "UPPER_lower-1.2"],
+     ["", "a b", " a", "a ", "a\tb", "a\nb", "\x01", "a\x7fb"]),
+    ("uri", ["https://example.org/x", "Patient/123", "urn:oid:1.2.3", "a|b",
+             "ünïcode-path", "#fragment", "?q=1"],
+     ["", "a b", "with\ttab", "\x01ctl", "two  spaces"]),
     (
         "url",
         ["https://example.org/x", "urn:oid:1.2.3", "ftp://f.example.org/x.bin",
-         "http://example.org/vs|2.0"],
-        ["", "Patient/123", "relative/path", "http://a b", "http:", "1http://x"],
+         "http://example.org/vs|2.0", "HTTPS://UPPER.example", "x+y.z-1:rest"],
+        ["", "Patient/123", "relative/path", "http://a b", "http:", "1http://x",
+         ":noscheme", "-x://y"],
     ),
     (
         "canonical",
-        ["https://example.org/vs", "https://example.org/vs|2.0.0", "urn:oid:1.2.3"],
+        ["https://example.org/vs", "https://example.org/vs|2.0.0", "urn:oid:1.2.3",
+         "https://example.org/vs|2.0.0-beta.1"],
         ["", "Patient/123", "https://example.org/vs|1|2", "https://example.org/vs|",
-         "https://example.org/a b|1"],
+         "https://example.org/a b|1", "urn:oid:1|2|3", "|2.0"],
     ),
 ]
 
