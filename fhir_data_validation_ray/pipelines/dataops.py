@@ -170,6 +170,23 @@ def q_histogram_nchars(sf_dir: str):
     return histogram(ds, "n_chars", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS)
 
 
+def q_distinct_nchars(sf_dir: str):
+    """Exact distinct count — the oracle-checked companion to the HLL
+    estimate in a_column_profile."""
+    import ray.data as rd
+
+    from ..stages.stats import distinct_count_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return distinct_count_exact(ds, "n_chars")
+
+
+DISTINCT_NCHARS_SQL = """
+SELECT 'n_chars' AS col, count(DISTINCT n_chars)::BIGINT AS n_distinct
+FROM documents
+"""
+
+
 def q_column_profile(sf_dir: str):
     """t-digest quantiles + HLL distinct of n_chars — approximate sketches,
     rows-only check (floats)."""
@@ -420,6 +437,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_stats_nchars": q_stats_nchars,
         "a_histogram_nchars": q_histogram_nchars,
         "a_column_profile": q_column_profile,
+        "a_distinct_nchars": q_distinct_nchars,
         "a_drift_by_source": q_drift_by_source,
         "t_text_features": q_text_features,
         "t_language_id": q_language_id,
@@ -709,6 +727,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_histogram_nchars": HISTOGRAM_NCHARS_SQL,
         "a_kind_hist": oracle.fill(KIND_HIST_SQL, paths),
         "a_drift_bins": DRIFT_BINS_SQL,
+        "a_distinct_nchars": DISTINCT_NCHARS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,
         "t_language_id": LANGUAGE_ID_SQL,
         "t_fingerprints": FINGERPRINTS_SQL,

@@ -63,6 +63,48 @@ def numeric_stats_exact(ds, col: str):
     )
 
 
+def distinct_count_exact(ds, col: str, *, num_buckets: int = 256):
+    """Exact COUNT(DISTINCT col) — the exact companion to the HLL estimate.
+    Per-batch local uniques -> bucketed groupby (each value's rows share a
+    bucket) -> per-bucket unique count -> tiny sum. The shuffle moves only
+    the per-batch DISTINCT values, pre-deduplicated, so a low-cardinality
+    column costs almost nothing at any corpus size.
+    Returns Dataset[col, n_distinct] (single row)."""
+    import ray.data as rd
+
+    from ..functions.hashing import hash_str
+
+    def local_uniques(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col])
+        u = np.unique(v)
+        if u.dtype.kind in ("i", "u"):
+            b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 >> np.uint64(33)) % np.uint64(num_buckets)
+        else:
+            b = hash_str(u.astype("U")) % np.uint64(num_buckets)
+        return pa.table(
+            {"bucket": pa.array(b.astype(np.int32)),
+             "v": pa.array(u.astype(np.int64) if u.dtype.kind in ("i", "u") else u.astype("U"))}
+        )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([len(np.unique(np.asarray(g["v"])))], pa.int64())}
+        )
+
+    parts = collect_table(
+        ds.map_batches(local_uniques, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow"),
+        empty_schema=pa.schema([("n", pa.int64())]),
+    )
+    total = int(np.asarray(parts["n"]).sum()) if parts.num_rows else 0
+    return rd.from_arrow(
+        pa.table({"col": pa.array([col], pa.string()),
+                  "n_distinct": pa.array([total], pa.int64())})
+    )
+
+
 def column_profile(ds, col: str, *, quantiles=(0.5, 0.9, 0.95, 0.99),
                    delta: int = 128, hll_p: int = 14) -> dict:
     """Approximate column profile: t-digest quantiles + HLL distinct count.

@@ -152,6 +152,44 @@ def hopping_window_counts(events, *, window_us: int = US_PER_HOUR,
     )
 
 
+def stitch_block_summaries(cols: dict, gap_us: int) -> tuple[int, int, int]:
+    """Sequential stitch of one user's TIME-ORDERED block summaries into
+    (n_sessions, n_events, max_session_events). ``carry`` tracks the size of
+    the currently-open trailing session; a block whose first event is within
+    ``gap_us`` of the previous block's last event merges its first session
+    into the carry. Pure function — property-tested against plain
+    sessionization for arbitrary event multisets."""
+    n_closed = 0
+    max_size = 0
+    carry = 0
+    prev_last = None
+    total_events = 0
+    n = len(cols["first_ts"])
+    for i in range(n):
+        k = int(cols["n_sessions"][i])
+        total_events += int(cols["n_events"][i])
+        if prev_last is not None and int(cols["first_ts"][i]) - prev_last <= gap_us:
+            carry += int(cols["first_count"][i])
+            if k > 1:
+                max_size = max(max_size, carry, int(cols["interior_max"][i]))
+                n_closed += k - 1  # merged-first + interior sessions close
+                carry = int(cols["last_count"][i])
+        else:
+            if prev_last is not None:
+                max_size = max(max_size, carry)
+                n_closed += 1
+            if k == 1:
+                carry = int(cols["n_events"][i])
+            else:
+                n_closed += k - 1
+                max_size = max(
+                    max_size, int(cols["first_count"][i]), int(cols["interior_max"][i])
+                )
+                carry = int(cols["last_count"][i])
+        prev_last = int(cols["last_ts"][i])
+    return n_closed + 1, total_events, max(max_size, carry)
+
+
 def sessionize(events, *, gap_us: int = 30 * 60 * 1_000_000,
                block_us: int | None = 6 * US_PER_HOUR):
     """Gap-based sessionization per user: a new session starts when the gap
@@ -188,43 +226,14 @@ def sessionize(events, *, gap_us: int = 30 * 60 * 1_000_000,
         )
 
     def merge_blocks(g: pa.Table) -> pa.Table:
-        """Sequential stitch of one user's block summaries (sorted by time).
-        ``carry`` is the size of the currently-open trailing session."""
         order = np.argsort(np.asarray(g["first_ts"]), kind="stable")
         cols = {c: np.asarray(g[c])[order] for c in g.column_names}
-        n_closed = 0
-        max_size = 0
-        carry = 0
-        prev_last = None
-        total_events = 0
-        for i in range(len(order)):
-            k = int(cols["n_sessions"][i])
-            total_events += int(cols["n_events"][i])
-            if prev_last is not None and int(cols["first_ts"][i]) - prev_last <= gap_us:
-                carry += int(cols["first_count"][i])
-                if k > 1:
-                    max_size = max(max_size, carry, int(cols["interior_max"][i]))
-                    n_closed += k - 1  # merged-first + interior sessions close
-                    carry = int(cols["last_count"][i])
-            else:
-                if prev_last is not None:
-                    max_size = max(max_size, carry)
-                    n_closed += 1
-                if k == 1:
-                    carry = int(cols["n_events"][i])
-                else:
-                    n_closed += k - 1
-                    max_size = max(
-                        max_size, int(cols["first_count"][i]), int(cols["interior_max"][i])
-                    )
-                    carry = int(cols["last_count"][i])
-            prev_last = int(cols["last_ts"][i])
-        max_size = max(max_size, carry)
+        n_sessions, n_events, max_size = stitch_block_summaries(cols, gap_us)
         return pa.table(
             {
                 "user_id": pa.array([int(cols["user_id"][0])], pa.int64()),
-                "n_sessions": pa.array([n_closed + 1], pa.int64()),
-                "n_events": pa.array([total_events], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([n_events], pa.int64()),
                 "max_session_events": pa.array([max_size], pa.int64()),
             }
         )

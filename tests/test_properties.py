@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) — invariants that hold for ARBITRARY
+inputs, complementing the example-based suites:
+
+- date/dateTime grammar agrees with Python's datetime on every structurally
+  well-formed candidate (the calendar arithmetic is hand-rolled numpy);
+- RFC-6901 pointer escape/parse round-trips for any token content;
+- hash sampling is subset-monotone (rate r1 <= r2 => sample(r1) ⊆ sample(r2))
+  and exactly composable;
+- sessionize block-merge equals the single-group result for arbitrary
+  event-time multisets (the boundary-stitch algebra is the risky part).
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fhir_data_validation_ray.functions.kernels import primitive_invalid_mask
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 9999), st.integers(0, 99), st.integers(0, 99))
+def test_date_grammar_agrees_with_datetime(y, m, d):
+    """For every zero-padded YYYY-MM-DD, validity must equal Python
+    datetime.date's verdict (proleptic Gregorian)."""
+    import datetime
+
+    s = f"{y:04d}-{m:02d}-{d:02d}"
+    try:
+        datetime.date(y, m, d)
+        want_valid = True
+    except ValueError:
+        want_valid = False
+    got_invalid = primitive_invalid_mask("date", pa.array([s]))[0]
+    assert got_invalid == (not want_valid), s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 9999), st.integers(1, 12), st.integers(1, 31),
+       st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
+       st.sampled_from(["Z", "+08:00", "-05:30", "+00:00"]))
+def test_datetime_grammar_agrees_with_datetime(y, m, d, hh, mm, ss, tz):
+    import datetime
+
+    s = f"{y:04d}-{m:02d}-{d:02d}T{hh:02d}:{mm:02d}:{ss:02d}{tz}"
+    try:
+        datetime.date(y, m, d)
+        want_valid = True
+    except ValueError:
+        want_valid = False
+    got_invalid = primitive_invalid_mask("dateTime", pa.array([s]))[0]
+    assert got_invalid == (not want_valid), s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=8), min_size=0, max_size=5))
+def test_pointer_escape_parse_roundtrip(tokens):
+    from fhir_data_validation_ray.functions.pointers import escape_token, parse_pointer
+
+    ptr = "".join("/" + escape_token(t) for t in tokens)
+    assert parse_pointer(ptr) == tokens
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+                min_size=1, max_size=200),
+       st.floats(0.0, 1.0), st.floats(0.0, 1.0))
+def test_hash_sampling_monotone_and_deterministic(keys, r1, r2):
+    """Smaller rate always yields a subset; equal rates yield equal sets."""
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.sampling import SAMPLE_MOD
+
+    h = hash_str(np.array(keys, dtype=object)) % np.uint64(SAMPLE_MOD)
+    lo, hi = sorted([r1, r2])
+    in_lo = set(np.asarray(keys, dtype=object)[h < int(lo * SAMPLE_MOD)])
+    in_hi = set(np.asarray(keys, dtype=object)[h < int(hi * SAMPLE_MOD)])
+    assert in_lo <= in_hi
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=120),
+       st.integers(2, 9), st.integers(3, 20))
+def test_sessionize_block_merge_equals_single_group(offsets, gap, block):
+    """The (user, time-block) partial-session merge must reproduce the plain
+    per-user sessionization for ANY event-time multiset and any block size
+    (scaled to small integers so hypothesis explores dense boundary cases)."""
+    scale = 1_000_000
+    ts = np.array(sorted(offsets), dtype=np.int64) * scale + 10 * block * scale
+    gap_us = gap * scale
+    block_us = block * scale
+
+    # ground truth: plain gap sessionization
+    new = np.ones(len(ts), dtype=np.int64)
+    if len(ts) > 1:
+        new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+    sizes = np.bincount(np.cumsum(new) - 1)
+
+    # block summaries exactly as the per-(user, block) shard computes them,
+    # stitched by the REAL library function
+    from fhir_data_validation_ray.stages.windows import stitch_block_summaries
+
+    blocks: dict[int, list[int]] = {}
+    for t in ts:
+        blocks.setdefault(int(t) // block_us, []).append(int(t))
+    cols: dict[str, list[int]] = {
+        k: [] for k in ("first_ts", "last_ts", "n_events", "n_sessions",
+                        "first_count", "last_count", "interior_max")
+    }
+    for _, bts in sorted(blocks.items()):
+        b = np.array(bts, dtype=np.int64)
+        bnew = np.ones(len(b), dtype=np.int64)
+        if len(b) > 1:
+            bnew[1:] = (np.diff(b) > gap_us).astype(np.int64)
+        bs = np.bincount(np.cumsum(bnew) - 1)
+        cols["first_ts"].append(int(b[0]))
+        cols["last_ts"].append(int(b[-1]))
+        cols["n_events"].append(len(b))
+        cols["n_sessions"].append(int(bs.size))
+        cols["first_count"].append(int(bs[0]))
+        cols["last_count"].append(int(bs[-1]))
+        cols["interior_max"].append(int(bs[1:-1].max()) if bs.size > 2 else 0)
+
+    n_sessions, n_events, max_size = stitch_block_summaries(cols, gap_us)
+    assert n_sessions == sizes.size
+    assert n_events == len(ts)
+    assert max_size == int(sizes.max())
