@@ -163,3 +163,70 @@ def test_extension_analogue_url_plus_exclusivity():
          "fieldPath": "media_ref", "params": {"primitive": "url"}},
     )
     assert rows(validate(docs, p)) == [("d2", 0, "FHIR_INVALID_PRIMITIVE", "error")]
+
+
+# ------------------------------------------------------- question import
+CSV_SAMPLE = """system,conceptCode,questionText,allowedValues,allowMultiple,separator
+https://example.org/terms,blood-type,What is your blood type?,A+|A-|O+|O-,false,|
+https://example.org/terms,marital,What is your marital status?,Single,Married,Widowed,false,,
+https://example.org/terms,employ,Employment?,Employed;Retired;Student,true,;
+"""
+
+JSON_SAMPLE = """[
+  {"system": "https://example.org/terms", "conceptCode": "blood-type",
+   "questionText": "q", "allowedValues": ["A+", "A-", "O+", "O-"],
+   "allowMultiple": false, "separator": ","},
+  {"system": "https://example.org/terms", "conceptCode": "employ",
+   "questionText": "q", "allowedValues": ["Employed", "Retired", "Student"],
+   "allowMultiple": true, "separator": ";"}
+]"""
+
+
+def test_question_import_csv_including_unquoted_comma_quirk():
+    from fhir_data_validation_ray.sources.question_import import questions_from_csv
+
+    out = questions_from_csv(CSV_SAMPLE)
+    by_code = {q["code"]: q for q in out["questions"]}
+    assert by_code["blood-type"]["allowed"] == ["A+", "A-", "O+", "O-"]
+    # unquoted comma-separated values re-joined, then split on ',' (the
+    # reference sample's quirk: empty separator field means ',')
+    assert by_code["marital"]["allowed"] == ["Single", "Married", "Widowed"]
+    assert by_code["employ"]["allowed"] == ["Employed", "Retired", "Student"]
+    assert by_code["employ"]["multiValue"] is True
+    assert out["codeSystems"][0]["url"] == "https://example.org/terms"
+    assert len(out["codeSystems"][0]["concept"]) == 3
+
+
+def test_question_import_json_and_engine_roundtrip():
+    """Imported questions drive the QuestionAnswer kernel end-to-end."""
+    from fhir_data_validation_ray.sources.question_import import questions_from_json
+
+    out = questions_from_json(JSON_SAMPLE)
+    docs = make_docs(
+        [
+            ("d1", [s("Question", "blood-type=A+", off=0)]),          # ok
+            ("d2", [s("Question", "blood-type=Z-", off=0)]),          # bad value
+            ("d3", [s("Question", "employ=Employed,Student", off=0)]),  # multi ok
+            ("d4", [s("Question", "unknown-q=x", off=0)]),            # unknown
+        ]
+    )
+    p = profile_of(
+        {"id": "QA", "type": "QuestionAnswer", "kind": "Question",
+         "fieldPath": "text", "params": {"questions": out["questions"]}},
+    )
+    assert rows(validate(docs, p)) == [
+        ("d2", 0, "ANSWER_NOT_IN_VALUESET", "error"),
+        ("d4", 0, "UNKNOWN_QUESTION", "error"),
+    ]
+
+
+def test_question_import_rejects_duplicates_and_empty():
+    from fhir_data_validation_ray.sources.question_import import questions_from_json
+
+    with pytest.raises(ProfileError, match="duplicate"):
+        questions_from_json(
+            '[{"system":"s","conceptCode":"a","allowedValues":["x"]},'
+            ' {"system":"s","conceptCode":"a","allowedValues":["y"]}]'
+        )
+    with pytest.raises(ProfileError, match="empty allowedValues"):
+        questions_from_json('[{"system":"s","conceptCode":"a","allowedValues":[""]}]')
