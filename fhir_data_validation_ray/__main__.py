@@ -1,0 +1,86 @@
+"""CLI entry point — the ``ray job submit`` deployment surface of the
+north_rule ("runs ... submitted via ray job submit to fixed-size clusters"):
+
+    ray job submit -- python -m fhir_data_validation_ray validate \\
+        --sf-dir /root/testdata/sf0.01 --out /tmp/run1 [--profile rules.json] \\
+        [--mode standard|full] [--replicas 1] [--no-resume]
+
+    python -m fhir_data_validation_ray response --sf-dir ... [--max-errors 100]
+
+``validate`` executes the checkpointed, resumable pipeline (per-partition
+violation parquet + lineage/metrics manifests) and prints the run manifest
+as one JSON line; ``response`` prints the ValidationResponse analogue.
+The CLI owns the Ray session (guarded init — works standalone AND under a
+driver/job submitter that already initialised Ray); library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_profile(path: str | None):
+    if path is None:
+        from .pipelines.profiles import default_profile
+
+        return default_profile()
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="fhir_data_validation_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="checkpointed, resumable validation run")
+    v.add_argument("--sf-dir", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--profile", default=None, help="rules.json path (default: built-in)")
+    v.add_argument("--replicas", type=int, default=1)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--emit-details", action="store_true")
+
+    r = sub.add_parser("response", help="print the ValidationResponse analogue")
+    r.add_argument("--sf-dir", required=True)
+    r.add_argument("--profile", default=None)
+    r.add_argument("--mode", default="standard", choices=["standard", "full", "debug"])
+    r.add_argument("--max-errors", type=int, default=100)
+
+    args = ap.parse_args(argv)
+    _ensure_ray()
+
+    if args.cmd == "validate":
+        from .pipelines.checkpointed import run_checkpointed
+
+        run = run_checkpointed(
+            args.sf_dir, args.out, _load_profile(args.profile),
+            replicas=args.replicas, resume=not args.no_resume,
+            emit_details=args.emit_details,
+        )
+        print(json.dumps(run))
+    else:
+        from .pipelines.validate import validation_response
+
+        resp = validation_response(
+            args.sf_dir, _load_profile(args.profile),
+            max_errors=args.max_errors, validation_mode=args.mode,
+        )
+        print(json.dumps(resp, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

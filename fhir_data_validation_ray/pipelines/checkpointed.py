@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ENGINE_VERSION = "r1"
+ENGINE_VERSION = "r2"
 
 
 def _list_partitions(docs_path: str) -> list[dict]:

@@ -230,3 +230,27 @@ def test_question_import_rejects_duplicates_and_empty():
         )
     with pytest.raises(ProfileError, match="empty allowedValues"):
         questions_from_json('[{"system":"s","conceptCode":"a","allowedValues":[""]}]')
+
+
+def test_cli_validate_and_resume(ray_session, tmp_path):
+    """`python -m fhir_data_validation_ray validate` — the ray-job-submit
+    surface: first run processes, second resumes with zero partition work."""
+    import json
+
+    from fhir_data_validation_ray.__main__ import main
+
+    out = str(tmp_path / "run")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["validate", "--sf-dir", "/root/testdata/sf0.001",
+                     "--out", out]) == 0
+        assert main(["validate", "--sf-dir", "/root/testdata/sf0.001",
+                     "--out", out]) == 0
+    first, second = (json.loads(l) for l in buf.getvalue().strip().splitlines())
+    assert first["n_processed_this_run"] == first["n_partitions"]
+    assert second["n_processed_this_run"] == 0
+    assert second["n_resumed_skips"] == second["n_partitions"]
+    assert first["n_violations"] == second["n_violations"] > 0
