@@ -612,7 +612,14 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         dup[1:] = (pk_s[1:] == pk_s[:-1]) & (h_s[1:] == h_s[:-1])  # doc+role,
         inter = np.bincount(inv[dup], minlength=len(u_pk))  # so dup = in both
         union = n0 + n1 - inter
-        keep = (n0 > 0) & (n1 > 0) & (inter >= threshold * union)
+        # divide, don't multiply: inter/union reproduces the ngram lane's and
+        # the SQL oracle's float EXACTLY at boundary Jaccards (4/5 == 0.8
+        # bitwise, while 0.8 * 5 rounds up and would reject the pair)
+        both_sides = (n0 > 0) & (n1 > 0)
+        keep = both_sides.copy()
+        keep[both_sides] = (
+            inter[both_sides] / union[both_sides] >= threshold
+        )
         return pa.table({"doc_a": pa.array(u_pk[keep] >> 32),
                          "doc_b": pa.array(u_pk[keep] & ((1 << 32) - 1))})
 

@@ -304,3 +304,31 @@ def test_dedup_clusters_chain_and_components(ray_session):
     assert all(got[n] == 30 for n in (30, 31))
     # keep/drop resolution: keep doc == cluster -> one survivor per component
     assert sorted(got[got.index == got].index) == [10, 20, 30]
+
+
+def test_minhash_boundary_jaccard_pair_kept(ray_session):
+    """A pair at Jaccard EXACTLY the threshold (4 shared of 5 shingles each,
+    J = 4/5 = 0.8) must be kept — the float comparison must divide like the
+    ngram lane and oracle, not multiply (0.8 * 5 rounds above 4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    # 6 words -> 5 bigram shingles; the two texts share 4 of 6 (=J 4/6)...
+    # construct precisely: shared prefix of 5 words (4 shared shingles),
+    # distinct last word (1 distinct shingle each) -> inter=4, union=6, J=2/3.
+    # For J = 0.8 exactly: 9 shared shingles, 1 distinct each -> 9/11? No:
+    # inter=4, n_a=n_b=5 -> union 6. Need inter=4, union=5: n_a=5, n_b=4,
+    # all of b's shingles shared: b = prefix of a with 5 words (4 shingles),
+    # a = 6 words (5 shingles). J = 4 / (5 + 4 - 4) = 0.8 exactly.
+    a_text = "w0 w1 w2 w3 w4 w5"
+    b_text = "w0 w1 w2 w3 w4"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([a_text, b_text], pa.string()),
+    }))
+    mh = minhash_lsh_pairs(docs, threshold=0.8).to_pandas()
+    ng = ngram_jaccard_pairs(docs, threshold=0.8).to_pandas()
+    assert len(ng) == 1, "sanity: ngram lane keeps the boundary pair"
+    assert len(mh) == 1, "minhash verify must keep the exact-threshold pair"
