@@ -95,7 +95,12 @@ def heavy_profile(n_regex: int = 12) -> dict:
     CPU-bound (the regime a 100 TB cluster run is provisioned for) rather
     than parquet-decode-bandwidth-bound."""
     p = default_profile()
-    kinds = ["Patient", "Observation", "Coding", "Encounter", "text"]
+    # include the primitive-grammar kinds: a rule-rich profile validates
+    # EVERY span it decodes, keeping compute-per-byte high (the g13 corpus
+    # is 45% primitive spans; leaving them rule-free makes the pipeline
+    # decode-bandwidth-bound at high parallelism on this single box)
+    kinds = ["Patient", "Observation", "Coding", "Encounter", "text",
+             "date", "dateTime", "uri"]
     # permissive patterns: full regex evaluation cost over every selected
     # span, near-zero violations (a production profile mostly passes)
     patterns = [
@@ -132,6 +137,17 @@ def heavy_profile(n_regex: int = 12) -> dict:
               "where": [{"field": "media_ref", "op": "!=", "value": ""}]},
          ], "rejectUndeclared": False}}
     )
+    # second grammar pass over the primitive kinds (canonical is a superset
+    # check on uri spans; date/dateTime get their full calendar arithmetic
+    # again under different rule ids — pure extra vectorized compute)
+    for i, (k, prim) in enumerate(
+        [("date", "dateTime"), ("dateTime", "string"), ("uri", "canonical"),
+         ("uri", "url"), ("date", "string"), ("dateTime", "code")]
+    ):
+        p["rules"].append(
+            {"id": f"HP{i}", "type": "Primitive", "kind": k, "fieldPath": "text",
+             "severity": "warning", "params": {"primitive": prim}}
+        )
     return p
 
 
