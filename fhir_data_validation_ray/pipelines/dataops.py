@@ -327,6 +327,86 @@ LEFT JOIN h ON h.source = srcs.source AND h.bin = bins.bin
 """
 
 
+# --------------------------------------------------------- join pipelines
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast dimension join: orders x customer (small side via ray.put),
+    counted by market segment."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_join, lowcard_count
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, left_key="o_custkey",
+                            right_key="c_custkey", right_columns=["c_mktsegment"])
+    return lowcard_count(joined, "c_mktsegment")
+
+
+def q_lineitem_priority(sf_dir: str):
+    """Partitioned hash join: lineitem x orders (fact-to-fact, salted
+    buckets), item counts + quantity sums by order priority."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.joins import lowcard_count, partitioned_hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = partitioned_hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        left_columns=["l_quantity"], right_columns=["o_orderpriority"],
+        left_types={"l_quantity": pa.float64()},
+        right_types={"o_orderpriority": pa.string()},
+        num_buckets=32, salt=2,
+    )
+    return lowcard_count(joined, "o_orderpriority",
+                         extra_sums={"sum_qty": "l_quantity"})
+
+
+def q_customer_region(sf_dir: str):
+    """Chained broadcast joins: customer -> nation -> region, counted by
+    region name (the snowflake-dimension walk)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_join, lowcard_count
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    j1 = broadcast_join(cust, nation, left_key="c_nationkey",
+                        right_key="n_nationkey", right_columns=["n_regionkey"])
+    j2 = broadcast_join(j1, region, left_key="n_regionkey",
+                        right_key="r_regionkey", right_columns=["r_name"])
+    return lowcard_count(j2, "r_name")
+
+
+ORDERS_BY_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+LINEITEM_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+CUSTOMER_REGION_SQL = """
+SELECT r_name, count(*)::BIGINT AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
 def _events(sf_dir: str):
     import ray.data as rd
 
@@ -448,6 +528,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_simhash_pairs": q_simhash_pairs,
         "d_dedup_clusters": q_dedup_clusters,
         "c_curation": q_curation,
+        "j_orders_by_segment": q_orders_by_segment,
+        "j_lineitem_priority": q_lineitem_priority,
+        "j_customer_region": q_customer_region,
         "t_sample": q_sample,
         "t_sample_stratified": q_sample_stratified,
         "s_cosine_topk": q_cosine_topk,
@@ -737,6 +820,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "c_curation": _curation_sql(),
+        "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,
+        "j_lineitem_priority": LINEITEM_PRIORITY_SQL,
+        "j_customer_region": CUSTOMER_REGION_SQL,
         "t_sample": SAMPLE_SQL,
         "t_sample_stratified": SAMPLE_STRATIFIED_SQL,
         "s_cosine_topk": COSINE_TOPK_SQL,

@@ -9,16 +9,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _con():
+    import os
+
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
-    )
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
-    )
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
-    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
@@ -332,3 +330,33 @@ def test_minhash_boundary_jaccard_pair_kept(ray_session):
     ng = ngram_jaccard_pairs(docs, threshold=0.8).to_pandas()
     assert len(ng) == 1, "sanity: ngram lane keeps the boundary pair"
     assert len(mh) == 1, "minhash verify must keep the exact-threshold pair"
+
+
+def test_partitioned_join_under_hot_key_skew(ray_session):
+    """90% of left rows share ONE key; salt spreads them while right-side
+    replication keeps the join exact (duplicate right keys fan out too)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.joins import partitioned_hash_join
+
+    rng = np.random.RandomState(7)
+    lk = np.where(rng.rand(5000) < 0.9, 42, rng.randint(0, 50, 5000)).astype(np.int64)
+    lv = np.arange(5000, dtype=np.int64)
+    left = rd.from_arrow(pa.table({"k": pa.array(lk), "v": pa.array(lv)}))
+    # right: every key once, key 42 TWICE (duplicate-right fan-out)
+    rk = np.concatenate([np.arange(0, 50), [42]]).astype(np.int64)
+    rv = np.concatenate([np.arange(0, 50) * 10, [421]]).astype(np.int64)
+    right = rd.from_arrow(pa.table({"k": pa.array(rk), "w": pa.array(rv)}))
+
+    out = partitioned_hash_join(
+        left, right, left_key="k", right_key="k",
+        left_columns=["v"], right_columns=["w"],
+        left_types={"v": pa.int64()}, right_types={"w": pa.int64()},
+        num_buckets=8, salt=4,
+    ).to_pandas()
+    n_hot = int((lk == 42).sum())
+    # every non-hot left row matches once; hot rows match the two right rows
+    assert len(out) == (5000 - n_hot) + 2 * n_hot
+    assert sorted(out[out.w == 421].v) == sorted(lv[lk == 42])

@@ -19,10 +19,13 @@ from fhir_data_validation_ray.functions.kernels import primitive_invalid_mask
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.integers(0, 9999), st.integers(0, 99), st.integers(0, 99))
+@given(st.integers(1, 9999), st.integers(0, 99), st.integers(0, 99))
 def test_date_grammar_agrees_with_datetime(y, m, d):
-    """For every zero-padded YYYY-MM-DD, validity must equal Python
-    datetime.date's verdict (proleptic Gregorian)."""
+    """For every zero-padded YYYY-MM-DD with year >= 1, validity must equal
+    Python datetime.date's verdict. Year 0000 is excluded: the grammar
+    follows the ORACLE authority (DuckDB try_strptime accepts the proleptic
+    year 0) while Python's datetime.MINYEAR is 1 — the one divergence, by
+    construction on the DuckDB side."""
     import datetime
 
     s = f"{y:04d}-{m:02d}-{d:02d}"
