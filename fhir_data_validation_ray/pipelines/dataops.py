@@ -256,14 +256,14 @@ def q_frame_sample(sf_dir: str):
 
 def q_kind_drift(sf_dir: str):
     """Span-kind histogram drift of the interleaved corpus vs a deterministic
-    SUBSET snapshot (docs with even crc32(doc_id)) — rows-only. The snapshot
-    deliberately differs from the scored corpus so PSI is nonzero and the
-    drift path is exercised against a real distribution gap (a full-corpus
-    snapshot scores identically-zero forever)."""
+    SUBSET snapshot (docs with even FNV(doc_id), vectorized) — rows-only.
+    The snapshot deliberately differs from the scored corpus so PSI is
+    nonzero and the drift path is exercised against a real distribution gap
+    (a full-corpus snapshot scores identically-zero forever)."""
+    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
-    import zlib
 
+    from ..functions.hashing import hash_str
     from ..sources.readers import read_documents
     from ..stages.drift import kind_drift, kind_histogram
     from .validate import fixture_paths
@@ -271,8 +271,8 @@ def q_kind_drift(sf_dir: str):
     paths = fixture_paths(sf_dir)
 
     def even_half(t: pa.Table) -> pa.Table:
-        keep = [zlib.crc32(d.encode()) % 2 == 0 for d in t["doc_id"].to_pylist()]
-        return t.filter(pa.array(keep))
+        h = hash_str(np.asarray(t["doc_id"]).astype("U"))
+        return t.filter(pa.array((h % np.uint64(2)) == 0))
 
     snap_docs = read_documents(paths["docs"]).map_batches(
         even_half, batch_format="pyarrow"
