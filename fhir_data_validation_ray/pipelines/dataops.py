@@ -419,6 +419,19 @@ def q_tumbling(sf_dir: str):
     return tumbling_window_counts(_events(sf_dir))
 
 
+def q_window_distinct(sf_dir: str):
+    from ..stages.windows import tumbling_window_distinct
+
+    return tumbling_window_distinct(_events(sf_dir))
+
+
+WINDOW_DISTINCT_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS window_id,
+       count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
 def q_hopping(sf_dir: str):
     from ..stages.windows import hopping_window_counts
 
@@ -505,6 +518,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "w_tumbling": q_tumbling,
         "w_hopping": q_hopping,
+        "w_distinct_users": q_window_distinct,
         "w_sessionize": q_sessionize,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
@@ -803,6 +817,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "w_tumbling": TUMBLING_SQL,
         "w_hopping": HOPPING_SQL,
+        "w_distinct_users": WINDOW_DISTINCT_SQL,
         "w_sessionize": SESSIONIZE_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,

@@ -90,6 +90,35 @@ def tumbling_window_counts(events, *, window_us: int = US_PER_HOUR):
     )
 
 
+def tumbling_window_distinct(events, *, col: str = "user_id",
+                             window_us: int = US_PER_HOUR):
+    """Exact per-window distinct count of ``col``: per-batch (window, value)
+    UNIQUE pairs -> groupby(window) -> per-group unique count. The shuffle
+    moves pre-deduplicated pairs, never raw events.
+    Returns Dataset[window_id, n_distinct]."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        win = _ts_np(t) // window_us
+        v = np.asarray(t[col]).astype(np.int64)
+        key = np.unique(win * _UB + v)
+        return pa.table(
+            {"window_id": pa.array(key // _UB), "v": pa.array(key % _UB)}
+        )
+
+    def count(g: pa.Table) -> pa.Table:
+        wid = int(g["window_id"][0].as_py())
+        n = len(np.unique(np.asarray(g["v"])))
+        return pa.table({"window_id": pa.array([wid], pa.int64()),
+                         "n_distinct": pa.array([n], pa.int64())})
+
+    return (
+        events.select_columns([col, "ts"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("window_id")
+        .map_groups(count, batch_format="pyarrow")
+    )
+
+
 def hopping_window_counts(events, *, window_us: int = US_PER_HOUR,
                           hop_us: int = US_PER_HOUR // 4):
     """Hopping (sliding) window event counts by type: windows of length
