@@ -42,9 +42,12 @@ SCALING_REPLICAS = int(os.environ.get("GRAFT_SCALING_REPLICAS", "800"))
 SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "4"))
 SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", str(4 * SCALING_LO)))
 PROFILE = os.environ.get("GRAFT_PROFILE", "default")  # default | heavy
-# small-corpus artifact: with only ~17 parquet parts the read stage has too
-# few tasks to occupy 32 cores; split read tasks at row-group granularity
-READ_BLOCKS = max(64, 2 * NUM_CPUS)
+# Read-split tuning (measured on this box, heavy profile): the sweet spot
+# is ~16k docs per block, floored at 2 tasks/cpu (so the read can occupy
+# every core) and capped at 16 tasks/cpu (more floods the scheduler at low
+# parallelism: 256 blocks at 4 CPUs measured 2.7x SLOWER than 64).
+def read_blocks_for(n_docs: int, ncpus: int) -> int:
+    return int(min(16 * ncpus, max(2 * ncpus, n_docs // 16_000, 1)))
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -87,6 +90,7 @@ def run_bench() -> dict:
     # compute + shuffle, not first disk read / worker-process startup
     docs0 = read_documents(paths["docs"])
     n_docs = docs0.count()
+    READ_BLOCKS = read_blocks_for(int(n_docs), NUM_CPUS)
     read_documents(paths["docs"], override_num_blocks=READ_BLOCKS).map_batches(
         lambda t: t.slice(0, 0), batch_format="pyarrow"
     ).count()
