@@ -23,4 +23,4 @@ Layout:
     pipelines/    end-to-end pipeline orchestration
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

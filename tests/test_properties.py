@@ -127,3 +127,20 @@ def test_sessionize_block_merge_equals_single_group(offsets, gap, block):
     assert n_sessions == sizes.size
     assert n_events == len(ts)
     assert max_size == int(sizes.max())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 10_000_000), st.sampled_from([4, 8, 16, 32]))
+def test_read_blocks_formula_bounds(n_docs, ncpus):
+    """The adaptive read-split always lands between 2 and 16 tasks per CPU
+    and tracks ~16k docs/block in between."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    b = bench.read_blocks_for(n_docs, ncpus)
+    assert 1 <= b <= 16 * ncpus
+    if n_docs >= 2 * ncpus * 16_000:
+        assert b == min(16 * ncpus, n_docs // 16_000)
