@@ -492,10 +492,11 @@ def k_custom_predicate(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Viol
     if rule.params.get("expr"):
         from ..profile import parse_condition
 
-        ok = np.ones(fs.n_spans, dtype=bool)
+        # candidate-first: each conjunct evaluates only the selected spans
+        ok = np.ones(idx_sel.size, dtype=bool)
         for part in str(rule.params["expr"]).split(" and "):
-            ok &= eval_condition(parse_condition(part), fs)
-        bad_idx = idx_sel[~ok[idx_sel]]
+            ok &= eval_condition(parse_condition(part), fs, idx_sel)
+        bad_idx = idx_sel[~ok]
     else:
         fn = PREDICATE_REGISTRY[rule.params["predicate"]]
         passes = np.asarray(fn(fs, idx_sel), dtype=bool)

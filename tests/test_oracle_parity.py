@@ -80,3 +80,27 @@ def test_stage_rank_deterministic_order(ray_session):
     pd.testing.assert_frame_equal(df, df2)
     # STRUCTURE rows rank before Business before Reference within a doc
     assert set(df.stage_rank.unique()) >= {df.stage_rank.min()}
+
+
+def test_actor_pool_lane_matches_task_lane(ray_session):
+    """mode='actors' (explicit actor pool, compile in __init__) must produce
+    exactly the task-lane violations; concurrency=1 in the 4-CPU session."""
+    import pandas as pd
+
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+    from fhir_data_validation_ray.sources.readers import read_documents, registry_keys_numpy
+    from fhir_data_validation_ray.stages.validator import validate_dataset
+
+    paths = fixture_paths("/root/testdata/sf0.001")
+    docs = lambda: read_documents(paths["docs"])
+    reg = registry_keys_numpy(paths["registry"])
+    cols = ["doc_id", "span_index", "rule_id", "error_code", "severity"]
+    norm = lambda df: df[cols].sort_values(cols).reset_index(drop=True)
+    tasks = norm(validate_dataset(docs(), default_profile(), registry_keys=reg,
+                                  emit_details=False).to_pandas())
+    actors = norm(validate_dataset(docs(), default_profile(), registry_keys=reg,
+                                   emit_details=False, mode="actors",
+                                   concurrency=1).to_pandas())
+    pd.testing.assert_frame_equal(tasks, actors)
+    assert len(tasks) > 0
