@@ -50,6 +50,18 @@ def read_blocks_for(n_docs: int, ncpus: int) -> int:
     return int(min(16 * ncpus, max(2 * ncpus, n_docs // 16_000, 1)))
 
 
+def host_spin_ms(n: int = 5_000_000) -> float:
+    """Single-thread spin benchmark: a host-state indicator emitted with
+    every result so samples are self-annotating (this VM's cores run at
+    ~50% speed when the HOST is loaded, with zero local processes —
+    quiet-host baseline is ~280 ms for 5M adds)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _sf_label(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -179,6 +191,7 @@ def run_bench() -> dict:
     headline = timings["validate"]
     result = {
         "metric": "validated docs/sec (full default profile, fused validator)",
+        "host_spin_ms": host_spin_ms(),
         "value": headline,
         "unit": "sec",
         "queries": timings,
@@ -218,11 +231,13 @@ def run_scaling() -> dict:
     # ratio; during only the lo phase it inflates it). Running each pair
     # back-to-back and scoring per pair gives both points of a ratio the
     # same host state; the best pair is the quiet-window estimate.
+    spin_before = host_spin_ms()
     pairs = []
     for _ in range(2):
         lo = run_at(lo_cpu)
         hi = run_at(hi_cpu)
         pairs.append((lo, hi, (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)))
+    spin_after = host_spin_ms()
     lo, hi, eff = max(pairs, key=lambda p: p[2])
     return {
         "metric": f"scaling efficiency (docs/sec at {lo_cpu} vs {hi_cpu} cpus, fresh processes)",
@@ -234,6 +249,7 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": [round(p[2], 3) for p in pairs],
+        "host_spin_ms": [spin_before, spin_after],
         "sf": lo["sf"],
         "replicas": replicas,
         "n_docs": lo["n_docs"],
