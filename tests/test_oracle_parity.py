@@ -104,3 +104,27 @@ def test_actor_pool_lane_matches_task_lane(ray_session):
                                    concurrency=1).to_pandas())
     pd.testing.assert_frame_equal(tasks, actors)
     assert len(tasks) > 0
+
+
+def test_violations_identical_across_parallelism(ray_session):
+    """The violation SET must be byte-identical whatever the read split —
+    the per-row span-sequence invariant and batch-local kernels make output
+    a pure function of the corpus, not of partitioning."""
+    import pandas as pd
+
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+    from fhir_data_validation_ray.sources.readers import read_documents, registry_keys_numpy
+    from fhir_data_validation_ray.stages.validator import validate_dataset
+
+    paths = fixture_paths("/root/testdata/sf0.001")
+    reg = registry_keys_numpy(paths["registry"])
+    frames = []
+    for blocks in (2, 16):
+        v = validate_dataset(
+            read_documents(paths["docs"], override_num_blocks=blocks),
+            default_profile(), registry_keys=reg,
+        ).to_pandas()
+        frames.append(v.sort_values(list(v.columns)).reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    assert len(frames[0]) > 0
