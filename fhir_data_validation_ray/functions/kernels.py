@@ -1069,7 +1069,7 @@ PRIM_RE: dict[str, str] = {
     "date": r"^\d{4}(-\d{2}(-\d{2})?)?$",
     "dateTime": (
         r"^\d{4}(-\d{2}(-\d{2}(T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?"
-        r"(Z|[+-](0\d|1[0-3]):[0-5]\d))?)?)?$"
+        r"(Z|[+-]((0\d|1[0-3]):[0-5]\d|14:00)))?)?)?$"
     ),
     "id": ID_GRAMMAR,
     "code": r"^[^\s\x00-\x1f\x7f]+$",
@@ -1275,11 +1275,12 @@ class CompiledProfile:
     emit_details: bool = True
     # ValidationMode (``Models/ValidationRequest.cs:76-97``): "standard" runs
     # blocking checks only; "full"/"debug" additionally run the advisory
-    # layer — rules marked isSpecHint, or Advisory-class rules marked
-    # isHeuristic (the SpecHint / Lint analogues,
-    # ``Core/ValidationPipeline.cs:106-175``). Gated rules are non-blocking
-    # by construction (Advisory errors downgrade to warnings), so both modes
-    # produce identical blocking decisions — the reference's contract.
+    # layer — ADVISORY-class rules marked isSpecHint or isHeuristic (the
+    # SpecHint / Lint analogues, ``Core/ValidationPipeline.cs:106-175``).
+    # Gated rules are non-blocking by construction (Advisory errors downgrade
+    # to warnings via SeverityResolver), so both modes produce identical
+    # blocking decisions — the reference's contract. Contract/Structural
+    # rules run in every mode regardless of flags.
     validation_mode: str = "standard"
 
     def __post_init__(self):
@@ -1314,10 +1315,16 @@ class CompiledProfile:
         # layer (spec-hint / heuristic-advisory rules) runs in full/debug
         # mode only (``ValidationPipeline.cs:106-175``).
         full = self.validation_mode.lower() in ("full", "debug")
+        # Only ADVISORY-class flagged rules are gated: they downgrade to
+        # warnings (SeverityResolver), so skipping them cannot change a
+        # blocking decision. A Contract/Structural rule mis-flagged
+        # isSpecHint/isHeuristic still blocks and therefore ALWAYS runs —
+        # gating it would violate the identical-blocking-decisions contract.
         active = [
             r for r in self.profile.rules
             if full or not (
-                r.is_spec_hint or (r.validation_class == E.CLASS_ADVISORY and r.is_heuristic)
+                r.validation_class == E.CLASS_ADVISORY
+                and (r.is_spec_hint or r.is_heuristic)
             )
         ]
         ordered = sorted(

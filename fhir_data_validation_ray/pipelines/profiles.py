@@ -158,8 +158,9 @@ class ProfileStore:
     ``publish`` validates the profile (compile check), writes an immutable
     content-addressed snapshot ``<version>-<hash12>.json`` plus a manifest
     entry; re-publishing the same version with DIFFERENT content is an
-    error, re-publishing identical content is a no-op. Atomic writes
-    (tmp + rename), safe for concurrent publishers."""
+    error, re-publishing identical content is a no-op. Safe for concurrent
+    publishers: the manifest read-append-rename runs under an exclusive
+    ``flock`` (rename alone only prevents torn files, not lost updates)."""
 
     def __init__(self, root: str):
         import os
@@ -186,6 +187,7 @@ class ProfileStore:
         return hashlib.sha256(canon.encode()).hexdigest()[:12]
 
     def publish(self, profile_obj: dict) -> dict:
+        import fcntl
         import json
         import os
 
@@ -194,27 +196,36 @@ class ProfileStore:
         parse_profile(profile_obj)  # compile check: never publish a broken profile
         version = str(profile_obj.get("version", "1.0"))
         h = self._hash(profile_obj)
-        entries = self._read_manifest()
-        for e in entries:
-            if e["version"] == version:
-                if e["hash"] == h:
-                    return e  # identical re-publish: no-op
-                raise ValueError(
-                    f"version {version!r} already published with different "
-                    f"content (hash {e['hash']} != {h}); bump the version"
-                )
-        name = f"{version}-{h}.json"
-        tmp = os.path.join(self.root, f".{name}.tmp.{os.getpid()}")
-        with open(tmp, "w") as f:
-            json.dump(profile_obj, f, sort_keys=True)
-        os.rename(tmp, os.path.join(self.root, name))
-        entry = {"version": version, "hash": h, "file": name}
-        entries.append(entry)
-        tmp_m = self._manifest + f".tmp.{os.getpid()}"
-        with open(tmp_m, "w") as f:
-            json.dump(entries, f, indent=1)
-        os.rename(tmp_m, self._manifest)
-        return entry
+        # exclusive lock serializes the manifest read-modify-write: without
+        # it two concurrent publishers each append to THEIR read of the
+        # manifest and the loser's entry is silently dropped
+        lock_path = os.path.join(self.root, ".manifest.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                entries = self._read_manifest()
+                for e in entries:
+                    if e["version"] == version:
+                        if e["hash"] == h:
+                            return e  # identical re-publish: no-op
+                        raise ValueError(
+                            f"version {version!r} already published with different "
+                            f"content (hash {e['hash']} != {h}); bump the version"
+                        )
+                name = f"{version}-{h}.json"
+                tmp = os.path.join(self.root, f".{name}.tmp.{os.getpid()}")
+                with open(tmp, "w") as f:
+                    json.dump(profile_obj, f, sort_keys=True)
+                os.rename(tmp, os.path.join(self.root, name))
+                entry = {"version": version, "hash": h, "file": name}
+                entries.append(entry)
+                tmp_m = self._manifest + f".tmp.{os.getpid()}"
+                with open(tmp_m, "w") as f:
+                    json.dump(entries, f, indent=1)
+                os.rename(tmp_m, self._manifest)
+                return entry
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
     def versions(self) -> list[str]:
         return [e["version"] for e in self._read_manifest()]

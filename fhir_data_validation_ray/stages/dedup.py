@@ -640,7 +640,14 @@ def dedup_clusters(pairs, *, num_buckets: int = 64, max_iters: int = 16):
     state lives in the Dataset, not the driver; the driver sees only the
     per-iteration change COUNT. Assumption: the label table is bounded by
     nodes-that-appear-in-pairs (collapsed corpora are the pathological
-    case — then labels ~ corpus and each iteration is one exchange)."""
+    case — then labels ~ corpus and each iteration is one exchange).
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iters``
+    iterations (a component with diameter > max_iters, e.g. a chain of
+    gradually drifting texts): truncated labels are WRONG cluster ids and
+    returning them silently would corrupt every downstream keep/drop
+    decision. Each extra iteration is one bounded exchange — raise the cap
+    rather than accept stale labels."""
     import ray.data as rd
 
     def to_label_rows(t: pa.Table) -> pa.Table:
@@ -695,6 +702,7 @@ def dedup_clusters(pairs, *, num_buckets: int = 64, max_iters: int = 16):
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
 
+    pending_changes = 0
     for _ in range(max_iters):
         # join current labels to edges on the SOURCE endpoint, propagate the
         # label to the other endpoint, re-minimize per node
@@ -778,8 +786,20 @@ def dedup_clusters(pairs, *, num_buckets: int = 64, max_iters: int = 16):
             empty_schema=pa.schema([("changes", pa.int64())]),
         )
         labels = new_labels
-        if changed_tbl.num_rows == 0 or int(np.asarray(changed_tbl["changes"]).sum()) == 0:
+        pending_changes = (
+            0 if changed_tbl.num_rows == 0
+            else int(np.asarray(changed_tbl["changes"]).sum())
+        )
+        if pending_changes == 0:
             break
+
+    if pending_changes:
+        raise RuntimeError(
+            f"dedup_clusters: labels still changing ({pending_changes} nodes) "
+            f"after max_iters={max_iters} — a component's diameter exceeds the "
+            "iteration cap; raise max_iters (each iteration is one bounded "
+            "exchange) instead of using truncated cluster ids"
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster": t["label"]})

@@ -120,8 +120,9 @@ def language_id(docs, *, batch_size: int | None = None):
 
 def fingerprints(docs, *, batch_size: int | None = None):
     """Order-sensitive 64-bit document fingerprint (FNV-1a over the full
-    text) + order-insensitive SimHash over word features. Vectorized; no SQL
-    oracle (FNV/SimHash are not DuckDB-expressible) — rows-only check."""
+    text) + order-insensitive SimHash over word features. Vectorized; EXACT
+    SQL oracle — the FNV fold is reproduced bitwise in DuckDB via
+    list_reduce + HUGEINT modmul (``pipelines/dataops.py:FINGERPRINTS_SQL``)."""
 
     def fp(t: pa.Table) -> pa.Table:
         texts = t["text"]

@@ -100,6 +100,16 @@ def tumbling_window_distinct(events, *, col: str = "user_id",
     def pairs(t: pa.Table) -> pa.Table:
         win = _ts_np(t) // window_us
         v = np.asarray(t[col]).astype(np.int64)
+        # the packed (window, value) key reserves 26 bits for the value; a
+        # raw input id outside [0, 2^26) would silently bleed into the window
+        # id and corrupt distinct counts — validate, don't assume (unlike
+        # block ids, this bound is on user data)
+        if len(v) and (v.min() < 0 or v.max() >= _UB):
+            raise ValueError(
+                f"tumbling_window_distinct: {col} values must be in [0, {int(_UB)}) "
+                f"for packed dedup (got range [{int(v.min())}, {int(v.max())}]); "
+                "remap ids or dedup on a two-column key"
+            )
         key = np.unique(win * _UB + v)
         return pa.table(
             {"window_id": pa.array(key // _UB), "v": pa.array(key % _UB)}

@@ -304,6 +304,43 @@ def test_dedup_clusters_chain_and_components(ray_session):
     assert sorted(got[got.index == got].index) == [10, 20, 30]
 
 
+def test_dedup_clusters_raises_on_nonconvergence(ray_session):
+    """A component whose diameter exceeds max_iters must RAISE, not silently
+    return truncated (wrong) cluster labels — the chain above needs 5
+    propagation rounds, so max_iters=3 cannot converge."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import dedup_clusters
+
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    with pytest.raises(RuntimeError, match="still changing"):
+        dedup_clusters(pairs, max_iters=3).to_pandas()
+
+
+def test_window_distinct_rejects_out_of_range_ids(ray_session):
+    """The packed (window, value) dedup key reserves 26 bits for the value;
+    an id >= 2^26 (or negative) must raise instead of silently bleeding into
+    the window id and corrupting distinct counts."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import tumbling_window_distinct
+
+    events = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1 << 26], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="must be in"):
+        tumbling_window_distinct(events).to_pandas()
+
+
 def test_minhash_boundary_jaccard_pair_kept(ray_session):
     """A pair at Jaccard EXACTLY the threshold (4 shared of 5 shingles each,
     J = 4/5 = 0.8) must be kept — the float comparison must divide like the

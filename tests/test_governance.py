@@ -53,6 +53,26 @@ def test_validation_mode_debug_alias():
     assert ("d2", 0, "PATTERN_MISMATCH", "warning") in rows(dbg.validate_batch(docs))
 
 
+def test_contract_spec_hint_rule_runs_in_standard_mode():
+    """A (mis)configured Contract-class rule flagged isSpecHint does NOT
+    downgrade (SeverityResolver only downgrades Advisory), so it is a
+    BLOCKING error — gating it by mode would let standard and full modes
+    disagree on blocking decisions. It must run in standard mode."""
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+
+    prof = profile_of(
+        {"id": "MISCONF", "type": "Regex", "kind": "Patient", "fieldPath": "text",
+         "severity": "error", "validationClass": "Contract", "isSpecHint": True,
+         "params": {"pattern": "^[STFG]"}},
+    )
+    docs = make_docs([("d2", [s("Patient", "x123", off=0)])])
+    std = CompiledProfile(parse_profile(prof), validation_mode="standard")
+    full = CompiledProfile(parse_profile(prof), validation_mode="full")
+    want = [("d2", 0, "PATTERN_MISMATCH", "error")]  # error: no downgrade
+    assert rows(std.validate_batch(docs)) == want
+    assert rows(full.validate_batch(docs)) == want
+
+
 # ------------------------------------------------------ duplicate definitions
 def test_duplicate_rule_definition_rejected():
     p = profile_of(

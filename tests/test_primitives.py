@@ -41,12 +41,13 @@ GRAMMAR_CASES = [
         ["2021-03-14T08:30:00Z", "2019-07-01T23:59:59.123+08:00", "2021-03-14",
          "2024-06", "2024", "2038-01-19T03:14:07-05:00",
          "2024-02-29T23:59:59Z", "2021-03-14T00:00:00+00:00",
-         "2021-03-14T08:30:00.000001Z", "2021-12-31T23:59:59-13:59"],
+         "2021-03-14T08:30:00.000001Z", "2021-12-31T23:59:59-13:59",
+         "2021-03-14T08:30:00+14:00", "2021-03-14T08:30:00-14:00"],
         ["2021-03-14T24:00:00Z", "2021-03-14T08:30:00", "2021-02-30T08:30:00Z",
          "14-03-2021T08:30:00Z", "2021-03-14 08:30:00Z", "2021-03-14T08:30Z", "",
          "2023-02-29T00:00:00Z", "2021-03-14t08:30:00Z", "2021-03-14T08:30:60Z",
-         "2021-03-14T08:60:00Z", "2021-03-14T08:30:00+14:00",
-         "2021-03-14T08:30:00."],
+         "2021-03-14T08:60:00Z", "2021-03-14T08:30:00+14:01",
+         "2021-03-14T08:30:00+15:00", "2021-03-14T08:30:00."],
     ),
     ("id", ["abc", "a.b-c", "A" * 64, "123", "a", "A-1.b"],
      ["", "A" * 65, "a_b", "a b", "a/b", "a@b", "ümlaut"]),
