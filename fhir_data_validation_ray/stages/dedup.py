@@ -373,11 +373,14 @@ def _attach_count(pairs_ds, counts_ds, *, side: str, out: str, buckets: int = 64
 
 
 # ------------------------------------------------------------ MinHash + LSH
+BROADCAST_FILTER_MAX_PAIRS = 2_000_000
+
+
 def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
                       num_perm: int = 128, bands: int = 32,
                       batch_size: int | None = None,
                       verify_buckets: int = 64,
-                      broadcast_doc_filter: bool = True):
+                      broadcast_doc_filter: bool | None = None):
     """MinHash signatures (k=num_perm universal-hash permutations over n-gram
     shingle hashes) -> banded LSH buckets -> candidate pairs -> EXACT Jaccard
     verification. The LSH shuffle moves only (band, bucket-hash, doc_id)
@@ -395,11 +398,17 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
        sort + bincount (a shingle hash appearing under both roles of one
        pair is an intersection hit) and applies the Jaccard threshold
 
-    ``broadcast_doc_filter=True`` (default) ships the candidate DOC IDS
-    (8 bytes/doc, sorted) via ``ray.put`` so the re-shingle pass touches only
-    candidate docs — right up to ~10^9 candidate docs. ``False`` re-shingles
-    the whole corpus into the routing shuffle: zero driver-side state, the
-    10^12-doc lane (cost equals one ngram-postings exchange)."""
+    ``broadcast_doc_filter=True`` ships the candidate DOC IDS (8 bytes/doc,
+    sorted) via ``ray.put`` so the re-shingle pass touches only candidate
+    docs — right up to ~10^9 candidate docs. ``False`` re-shingles the whole
+    corpus into the routing shuffle: zero driver-side state, the 10^12-doc
+    lane (cost equals one ngram-postings exchange). The default (``None``)
+    picks automatically the way ``ngram_jaccard_pairs`` picks its counts
+    lane: the candidate-pair table is materialized (distributed, in the
+    object store) and its metadata COUNT decides — broadcast at or below
+    ``BROADCAST_FILTER_MAX_PAIRS`` candidates, zero-driver-state lane above,
+    so a collapsed (dup-heavy) corpus whose candidates are O(n²/buckets)
+    never defaults onto a driver-sized collect."""
     import ray
 
     rows_per_band = num_perm // bands
@@ -488,6 +497,13 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         .groupby("pbucket")
         .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+
+    # auto lane pick: count candidates from Dataset METADATA (the pair table
+    # is materialized either way — it feeds two downstream consumers), then
+    # choose; the driver never holds the pair rows to make this decision
+    if broadcast_doc_filter is None:
+        cand_unique = cand_unique.materialize()
+        broadcast_doc_filter = cand_unique.count() <= BROADCAST_FILTER_MAX_PAIRS
 
     # optional sparse-candidate fast path: ship candidate DOC IDS only (the
     # driver never sees pairs or shingle sets)

@@ -3,9 +3,10 @@ list<float>, label``).
 
 - **cosine_topk**: exact brute-force top-k — the broadcast pattern: the query
   matrix is ``ray.put`` once, every batch does one float64 matmul against it
-  and emits its local top-k per query; the driver merges the (tiny)
-  per-batch candidate sets into the global top-k. SQL oracle via
-  ``list_dot_product`` on double-cast lists.
+  and emits its local top-k per query; the candidate sets then fold through
+  a per-task combine level (``_fold_topk``) before a tiny driver-side final
+  merge, so the driver never holds O(n_batches) candidate rows. SQL oracle
+  via ``list_dot_product`` on double-cast lists.
 - **cosine_pairs**: exact near-duplicate pairs with cosine >= threshold —
   small-corpus lane (streamed batch x broadcast corpus matrix, ~10^6-vector
   ceiling).
@@ -55,12 +56,60 @@ def load_queries(path: str, query_ids: list[int]) -> tuple[np.ndarray, np.ndarra
     return np.asarray(query_ids, dtype=np.int64), _normalize(m[sel])
 
 
+def _merge_topk_table(t: pa.Table, k: int) -> pa.Table:
+    """(qid, vec_id, sim) candidate rows -> <= k rows per qid, (qid, vec_id)
+    deduped, deterministic tie-break (sim DESC, vec_id ASC). Pure table->table
+    so it serves BOTH as the per-task combine level of the two-level fold and
+    as the driver's final merge."""
+    q = np.asarray(t["qid"]).astype(np.int64)
+    v = np.asarray(t["vec_id"]).astype(np.int64)
+    s = np.asarray(t["sim"])
+    key = q * np.int64(1 << 32) + v
+    _, first = np.unique(key, return_index=True)  # dup (qid,vec) have equal sim
+    q, v, s = q[first], v[first], s[first]
+    order = np.lexsort((v, -s, q))
+    q, v, s = q[order], v[order], s[order]
+    new_q = np.ones(len(q), dtype=bool)
+    new_q[1:] = q[1:] != q[:-1]
+    starts = np.flatnonzero(new_q)
+    rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.append(starts, len(q)))) + 1
+    keep = rank <= k
+    return pa.table({"qid": pa.array(q[keep]), "vec_id": pa.array(v[keep]),
+                     "sim": pa.array(s[keep])})
+
+
+_CAND_SCHEMA = pa.schema(
+    [("qid", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+)
+
+
+def _fold_topk(cand, k: int, nq: int):
+    """Two-level fold of a (qid, vec_id, sim) candidate Dataset into the
+    global top-k (the ``stats.py:149-155`` pattern): a per-TASK combine over
+    ~64 per-batch candidate sets runs distributed, so the driver's final
+    merge sees O(n_batches / 64 * nq * k) rows instead of O(n_batches *
+    nq * k) — at 10^7 blocks the difference between a ~10^8-row driver fold
+    and a distributed one. Returns Dataset[qid, vec_id, rank]."""
+    import ray.data as rd
+
+    combined = cand.map_batches(
+        lambda t: _merge_topk_table(t, k),
+        batch_format="pyarrow",
+        batch_size=max(4096, 64 * max(nq, 1) * k),
+    )
+    tbl = collect_table(combined, empty_schema=_CAND_SCHEMA)
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return rd.from_arrow(pa.table({"qid": pa.array([], pa.int64()),
+                                       "vec_id": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.int64())}))
+    return _rank_topk(tbl, k)
+
+
 def cosine_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
                 k: int = 5, *, batch_size: int | None = None):
     """Exact top-k by cosine per query. Returns Dataset[qid, vec_id, rank]
     (rank 1-based by sim DESC then vec_id ASC — deterministic ties)."""
     import ray
-    import ray.data as rd
 
     q_ref = ray.put((query_ids, query_matrix))
 
@@ -86,26 +135,8 @@ def cosine_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
 
     cand = embeddings.map_batches(local_topk, batch_format="pyarrow",
                                   batch_size=batch_size)
-    # global merge: k rows per query per batch — tiny; driver-side exact top-k
-    tbl = collect_table(cand)
-    q = np.asarray(tbl["qid"]).astype(np.int64)
-    v = np.asarray(tbl["vec_id"]).astype(np.int64)
-    s = np.asarray(tbl["sim"])
-    order = np.lexsort((v, -s, q))  # by qid, sim desc, vec_id asc
-    q, v, s = q[order], v[order], s[order]
-    new_q = np.ones(len(q), dtype=bool)
-    new_q[1:] = q[1:] != q[:-1]
-    rank = np.arange(len(q)) - np.repeat(np.flatnonzero(new_q), np.diff(np.append(np.flatnonzero(new_q), len(q)))) + 1
-    keep = rank <= k
-    return rd.from_arrow(
-        pa.table(
-            {
-                "qid": pa.array(q[keep]),
-                "vec_id": pa.array(v[keep]),
-                "rank": pa.array(rank[keep].astype(np.int64)),
-            }
-        )
-    )
+    # two-level fold: per-task combine, then a tiny driver-side final merge
+    return _fold_topk(cand, k, len(query_ids))
 
 
 def cosine_pairs(embeddings, threshold: float = 0.9, *,
@@ -348,7 +379,6 @@ def ivf_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
     recall depends on nprobe/n_clusters, typically far above hyperplane LSH
     at equal probe cost."""
     import ray
-    import ray.data as rd
 
     # train centroids on a deterministic sample (first sample_size rows)
     sample = collect_table(embeddings.select_columns(["vec_id", "embedding"]).limit(sample_size))
@@ -418,12 +448,7 @@ def ivf_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
         .groupby("cluster")
         .map_groups(probe_cluster, batch_format="pyarrow")
     )
-    tbl = collect_table(cand)
-    if tbl.num_rows == 0 or tbl.num_columns == 0:
-        return rd.from_arrow(pa.table({"qid": pa.array([], pa.int64()),
-                                       "vec_id": pa.array([], pa.int64()),
-                                       "rank": pa.array([], pa.int64())}))
-    return _rank_topk(tbl, k)
+    return _fold_topk(cand, k, len(query_ids))
 
 
 def _rank_topk(tbl: pa.Table, k: int):
@@ -457,7 +482,6 @@ def lsh_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
     The scale path: one groupby co-locates each bucket; only probed buckets
     are brute-forced. Recall < 1.0 by design."""
     import ray
-    import ray.data as rd
 
     rng = np.random.RandomState(0x5EED)
     dim = query_matrix.shape[1]
@@ -516,9 +540,4 @@ def lsh_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
         .groupby("code")
         .map_groups(probe_bucket, batch_format="pyarrow")
     )
-    tbl = collect_table(cand)
-    if tbl.num_rows == 0 or tbl.num_columns == 0:
-        return rd.from_arrow(pa.table({"qid": pa.array([], pa.int64()),
-                                       "vec_id": pa.array([], pa.int64()),
-                                       "rank": pa.array([], pa.int64())}))
-    return _rank_topk(tbl, k)
+    return _fold_topk(cand, k, len(query_ids))

@@ -177,15 +177,9 @@ def test_minhash_verify_lanes_match(ray_session):
     assert len(a) > 0
 
 
-def test_minhash_duplicate_heavy_distributed_verify(ray_session):
-    """Dup-heavy corpus: 100 groups x 20 identical docs -> 19,000 candidate
-    pairs, all Jaccard 1.0. Exercises the distributed bucketed verify at a
-    candidate volume where the round-1 driver-side per-pair loop was the
-    scale bottleneck; every candidate must survive exact verification."""
+def _dup_heavy_docs():
     import pyarrow as pa
     import ray.data as rd
-
-    from fhir_data_validation_ray.stages.dedup import minhash_lsh_pairs
 
     n_groups, reps = 100, 20
     words = ["w%d" % i for i in range(8)]
@@ -195,14 +189,39 @@ def test_minhash_duplicate_heavy_distributed_verify(ray_session):
         for r in range(reps):
             ids.append(g * reps + r)
             texts.append(text)
-    docs = rd.from_arrow(
+    return rd.from_arrow(
         pa.table({"doc_id": pa.array(ids, pa.int64()),
                   "text": pa.array(texts, pa.string())})
-    )
-    pairs = minhash_lsh_pairs(docs, threshold=0.8).to_pandas()
+    ), n_groups, reps
+
+
+@pytest.mark.parametrize("lane", [True, False])
+def test_minhash_duplicate_heavy_distributed_verify(ray_session, lane):
+    """Dup-heavy corpus: 100 groups x 20 identical docs -> 19,000 candidate
+    pairs, all Jaccard 1.0. Exercises the distributed bucketed verify at a
+    candidate volume where the round-1 driver-side per-pair loop was the
+    scale bottleneck; every candidate must survive exact verification — on
+    BOTH the candidate-doc-filter lane and the zero-driver-state lane."""
+    from fhir_data_validation_ray.stages.dedup import minhash_lsh_pairs
+
+    docs, n_groups, reps = _dup_heavy_docs()
+    pairs = minhash_lsh_pairs(docs, threshold=0.8,
+                              broadcast_doc_filter=lane).to_pandas()
     assert len(pairs) == n_groups * reps * (reps - 1) // 2  # 19,000
     # pairs never cross groups (distinct texts share no shingles)
     assert (pairs.doc_a // reps == pairs.doc_b // reps).all()
+
+
+def test_minhash_auto_picks_zero_driver_lane_above_threshold(ray_session, monkeypatch):
+    """Default lane (None) is picked by candidate COUNT: with the broadcast
+    ceiling forced below the dup-heavy corpus's 19,000 candidates the
+    zero-driver-state lane runs — and produces identical pairs."""
+    from fhir_data_validation_ray.stages import dedup
+
+    docs, n_groups, reps = _dup_heavy_docs()
+    monkeypatch.setattr(dedup, "BROADCAST_FILTER_MAX_PAIRS", 1000)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).to_pandas()
+    assert len(pairs) == n_groups * reps * (reps - 1) // 2
 
 
 def test_cosine_pairs_lsh_matches_broadcast(ray_session):
