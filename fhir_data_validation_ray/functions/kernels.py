@@ -242,6 +242,41 @@ def eval_condition(cond: Condition, fs: FlatSpans,
     return m.fill_null(False).to_numpy(zero_copy_only=False)
 
 
+def eval_expr(node: Any, fs: FlatSpans, idx: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized evaluation of a CustomPredicate expression AST
+    (``profile.parse_expr``) over the flat span arrays — the fast lane for
+    the reference's common boolean FHIRPath sub-language
+    (``FhirPathRuleEngine.cs:1714-1768``). Two-valued null semantics: a
+    comparison on a null value is False, ``not`` inverts that, and
+    ``exists(f)`` is the Required-rule notion of presence (non-null,
+    non-whitespace). With ``idx`` the mask aligns to those candidate
+    positions only (candidate-first evaluation)."""
+    from ..profile import ExprAnd, ExprExists, ExprLeaf, ExprNot, ExprOr
+
+    if isinstance(node, ExprAnd):
+        out = eval_expr(node.children[0], fs, idx)
+        for child in node.children[1:]:
+            if not out.any():
+                break
+            out &= eval_expr(child, fs, idx)
+        return out
+    if isinstance(node, ExprOr):
+        out = eval_expr(node.children[0], fs, idx)
+        for child in node.children[1:]:
+            if out.all():
+                break
+            out |= eval_expr(child, fs, idx)
+        return out
+    if isinstance(node, ExprNot):
+        return ~eval_expr(node.child, fs, idx)
+    if isinstance(node, ExprExists):
+        present = ~fs.empty_mask(node.fld)
+        return present[idx] if idx is not None else present
+    if isinstance(node, ExprLeaf):
+        return eval_condition(node.cond, fs, idx)
+    raise TypeError(f"not an expression node: {type(node).__name__}")
+
+
 def selection_mask(rule: RuleDef, fs: FlatSpans) -> np.ndarray:
     """Instance selection (``Services/ResourceSelector.cs:36-64``): kind match,
     then scope. Filter-evaluation failures FAIL OPEN — the span is validated
@@ -484,18 +519,21 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
 def k_custom_predicate(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSink) -> None:
     """CustomPredicate: passes iff the expression holds for the span — the
     CustomFHIRPath analogue (``FhirPathRuleEngine.cs:1714-1768``). ``expr``
-    runs on the vectorized lane; ``predicate`` names a registered Python
-    function (the dual-lane split of ``RuleEvaluationPlanner.cs:19-146``)."""
+    (the common boolean sub-language: and / or / not / parentheses /
+    exists(field)) runs on the vectorized lane against the AST compiled at
+    profile-parse time; ``predicate`` names a registered Python function
+    (the dual-lane split of ``RuleEvaluationPlanner.cs:19-146``)."""
     idx_sel = np.flatnonzero(sel)
     if idx_sel.size == 0:
         return
     if rule.params.get("expr"):
-        from ..profile import parse_condition
+        ast = rule.params.get("expr_ast")
+        if ast is None:  # direct RuleDef construction (tests) — compile here
+            from ..profile import parse_expr
 
-        # candidate-first: each conjunct evaluates only the selected spans
-        ok = np.ones(idx_sel.size, dtype=bool)
-        for part in str(rule.params["expr"]).split(" and "):
-            ok &= eval_condition(parse_condition(part), fs, idx_sel)
+            ast = parse_expr(str(rule.params["expr"]))
+        # candidate-first: the AST evaluates only the selected spans
+        ok = eval_expr(ast, fs, idx_sel)
         bad_idx = idx_sel[~ok]
     else:
         fn = PREDICATE_REGISTRY[rule.params["predicate"]]

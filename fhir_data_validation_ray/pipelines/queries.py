@@ -94,6 +94,34 @@ def _custom_predicate_query(sf_dir: str):
     return _violations_for(sf_dir, p)
 
 
+def _custom_predicate_or_query(sf_dir: str):
+    """CustomPredicate over the full boolean sub-language — or / not /
+    exists() / precedence (and binds tighter than or), mirroring the
+    reference's accepted FHIRPath shapes (``FhirPathRuleEngine.cs:
+    1714-1768``). Null semantics are two-valued (null comparisons are
+    False; not inverts), which the oracle spells out with coalesce."""
+    p = single_rule_profile("R1")
+    p["rules"] = [
+        {"id": "C2", "type": "CustomPredicate", "kind": "Observation",
+         "fieldPath": "text",
+         "params": {"expr": "not (text == 'cancelled') "
+                            "or exists(media_ref) and offset != 1"}}
+    ]
+    return _violations_for(sf_dir, p)
+
+
+V_CUSTOM_PREDICATE_OR_SQL = """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'CUSTOMFHIRPATH_CONDITION_FAILED' AS error_code, 'error' AS severity
+FROM read_parquet('{flat}')
+WHERE kind = 'Observation'
+  AND NOT (
+    NOT coalesce(text = 'cancelled', FALSE)
+    OR (NOT (media_ref IS NULL OR trim(media_ref) = '') AND "offset" <> 1)
+  )
+"""
+
+
 def _filter_scope_query(sf_dir: str):
     """Regex rule gated by a filter InstanceScope — exercises the condition
     mini-language (``Models/InstanceScope.cs:59-89``)."""
@@ -175,6 +203,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_fullurl_id": _fullurl_query,
         "v_exclusivity": _exclusivity_query,
         "v_custom_predicate": _custom_predicate_query,
+        "v_custom_predicate_or": _custom_predicate_or_query,
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
         "v_primitive_date": _primitive_query("date", "date"),
@@ -205,6 +234,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_fullurl_id": oracle.V_FULLURL_ID,
         "v_exclusivity": V_EXCLUSIVITY_SQL,
         "v_custom_predicate": oracle.V_CUSTOM_PREDICATE,
+        "v_custom_predicate_or": V_CUSTOM_PREDICATE_OR_SQL,
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,
         "v_primitive_date": oracle.primitive_sql("date", "date"),

@@ -100,6 +100,161 @@ class Condition:
     value: Any  # str | int | list[str]
 
 
+# --------------------------------------------------------- boolean expressions
+# CustomPredicate expression AST — the common boolean FHIRPath sub-language
+# the reference's planner accepts (``RuleEngines/FhirPathRuleEngine.cs:
+# 1714-1768``, ``RuleEngines/RuleEvaluationPlanner.cs:19-146``): comparisons
+# combined with ``and`` / ``or`` / ``not``, parentheses, and ``exists(field)``
+# (the FHIRPath ``field.exists()`` analogue: present and non-whitespace).
+# Null semantics are two-valued: a comparison on a null value is
+# NON-MATCHING (False), and ``not`` inverts that — so ``not (text == 'x')``
+# PASSES a null text. The oracle SQL for expression rules must spell this
+# out with ``coalesce(..., FALSE)`` (SQL NULL logic is three-valued).
+@dataclass(frozen=True)
+class ExprLeaf:
+    cond: "Condition"
+
+
+@dataclass(frozen=True)
+class ExprExists:
+    fld: str
+
+
+@dataclass(frozen=True)
+class ExprNot:
+    child: Any
+
+
+@dataclass(frozen=True)
+class ExprAnd:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class ExprOr:
+    children: tuple
+
+
+_EXISTS_RE = re.compile(r"^exists\(\s*(kind|text|media_ref)\s*\)$")
+_KW_RE = re.compile(r"(and|or|not)(?=[\s(]|$)")
+
+
+def _tokenize_expr(s: str) -> list[tuple[str, str]]:
+    """Split an expression into ``lp`` / ``rp`` / ``and`` / ``or`` / ``not`` /
+    ``cond`` tokens. Quoted values, ``[list]`` literals and ``exists(...)``
+    calls are consumed atomically so keywords inside them never split."""
+    toks: list[tuple[str, str]] = []
+    buf = ""
+    i, n = 0, len(s)
+
+    def flush() -> None:
+        nonlocal buf
+        if buf.strip():
+            toks.append(("cond", buf.strip()))
+        buf = ""
+
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            j = s.find(c, i + 1)
+            if j < 0:
+                raise ProfileError(f"unterminated quote in expr: {s!r}")
+            buf += s[i:j + 1]
+            i = j + 1
+            continue
+        if c == "[":
+            j = s.find("]", i)
+            if j < 0:
+                raise ProfileError(f"unterminated [list] in expr: {s!r}")
+            buf += s[i:j + 1]
+            i = j + 1
+            continue
+        if c == "(":
+            if buf.rstrip().endswith("exists"):
+                j = s.find(")", i)
+                if j < 0:
+                    raise ProfileError(f"unterminated exists() in expr: {s!r}")
+                buf += s[i:j + 1]
+                i = j + 1
+                continue
+            flush()
+            toks.append(("lp", "("))
+            i += 1
+            continue
+        if c == ")":
+            flush()
+            toks.append(("rp", ")"))
+            i += 1
+            continue
+        m = _KW_RE.match(s, i)
+        at_boundary = i == 0 or s[i - 1] in " \t()"
+        if m and at_boundary and (m.group(1) != "not" or not buf.strip()):
+            flush()
+            toks.append((m.group(1), m.group(1)))
+            i = m.end()
+            continue
+        buf += c
+        i += 1
+    flush()
+    return toks
+
+
+def _parse_expr_or(toks: list, pos: int):
+    node, pos = _parse_expr_and(toks, pos)
+    children = [node]
+    while pos < len(toks) and toks[pos][0] == "or":
+        nxt, pos = _parse_expr_and(toks, pos + 1)
+        children.append(nxt)
+    return (ExprOr(tuple(children)) if len(children) > 1 else children[0]), pos
+
+
+def _parse_expr_and(toks: list, pos: int):
+    node, pos = _parse_expr_unary(toks, pos)
+    children = [node]
+    while pos < len(toks) and toks[pos][0] == "and":
+        nxt, pos = _parse_expr_unary(toks, pos + 1)
+        children.append(nxt)
+    return (ExprAnd(tuple(children)) if len(children) > 1 else children[0]), pos
+
+
+def _parse_expr_unary(toks: list, pos: int):
+    if pos >= len(toks):
+        raise ProfileError("expression ended unexpectedly")
+    kind, val = toks[pos]
+    if kind == "not":
+        child, pos = _parse_expr_unary(toks, pos + 1)
+        return ExprNot(child), pos
+    if kind == "lp":
+        node, pos = _parse_expr_or(toks, pos + 1)
+        if pos >= len(toks) or toks[pos][0] != "rp":
+            raise ProfileError("missing ')' in expression")
+        return node, pos + 1
+    if kind == "cond":
+        m = _EXISTS_RE.match(val)
+        if m:
+            return ExprExists(m.group(1)), pos + 1
+        if val.startswith("exists"):
+            raise ProfileError(
+                f"exists() takes one of (kind, text, media_ref): {val!r}"
+            )
+        return ExprLeaf(parse_condition(val)), pos + 1
+    raise ProfileError(f"unexpected {val!r} in expression")
+
+
+def parse_expr(s: str):
+    """Parse a boolean predicate expression into its AST. Precedence:
+    ``not`` > ``and`` > ``or``; parentheses group. Raises ProfileError at
+    profile-compile time (driver side) on any syntax error — a malformed
+    expression never reaches a worker."""
+    toks = _tokenize_expr(str(s))
+    if not toks:
+        raise ProfileError("empty expression")
+    node, pos = _parse_expr_or(toks, 0)
+    if pos != len(toks):
+        raise ProfileError(f"trailing tokens in expression {s!r}")
+    return node
+
+
 @dataclass(frozen=True)
 class InstanceScope:
     kind: str = "all"  # all | first | filter
@@ -309,6 +464,14 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
         params = dict(r.get("params", {}) or {})
         scope = _parse_scope(r.get("instanceScope"))
         _validate_rule(rid, rtype, fp, params, code_systems)
+        if rtype == "CustomPredicate" and params.get("expr"):
+            # compile the boolean expression ONCE at profile-parse time (the
+            # FieldPathValidator analogue): workers evaluate the AST, never
+            # re-parse, and syntax errors surface on the driver
+            try:
+                params["expr_ast"] = parse_expr(str(params["expr"]))
+            except ProfileError as e:
+                raise ProfileError(f"rule {rid}: {e}") from e
         if rtype == "RequiredSpans":
             reqs = []
             for q in params.get("requirements", []):

@@ -225,6 +225,61 @@ def test_custom_predicate_expr():
     ]
 
 
+def test_custom_predicate_boolean_expr():
+    """Full boolean sub-language: or / not / exists / parentheses. Expr
+    passes iff (Observation is not cancelled) OR it carries a media_ref.
+    Null text is non-matching, so not(text == 'cancelled') PASSES d3."""
+    docs = make_docs(
+        [("d1", [s("Observation", "final", off=0)]),
+         ("d2", [s("Observation", "cancelled", off=0)]),        # fails both arms
+         ("d3", [s("Observation", None, off=0)]),               # null: not() passes
+         ("d4", [s("Observation", "cancelled", "urn:uuid:x", off=0)]),  # exists arm
+         ("d5", [s("Observation", "cancelled", "   ", off=0)])]  # ws ref = absent
+    )
+    p = profile_of(
+        {"id": "R", "type": "CustomPredicate", "kind": "Observation", "fieldPath": "text",
+         "params": {"expr": "not (text == 'cancelled') or exists(media_ref)"}}
+    )
+    assert rows(validate(docs, p)) == [
+        ("d2", 0, "CUSTOMFHIRPATH_CONDITION_FAILED", "error"),
+        ("d5", 0, "CUSTOMFHIRPATH_CONDITION_FAILED", "error"),
+    ]
+
+
+def test_expr_parser_precedence_and_errors():
+    """and binds tighter than or; not is unary; parentheses regroup; quoted
+    keywords never split; syntax errors raise at profile-compile time."""
+    import pytest
+
+    from fhir_data_validation_ray.profile import (
+        ExprAnd, ExprExists, ExprLeaf, ExprNot, ExprOr, ProfileError, parse_expr,
+    )
+
+    e = parse_expr("text == 'a' or text == 'b' and kind == 'X'")
+    assert isinstance(e, ExprOr) and isinstance(e.children[1], ExprAnd)
+    e = parse_expr("(text == 'a' or text == 'b') and kind == 'X'")
+    assert isinstance(e, ExprAnd) and isinstance(e.children[0], ExprOr)
+    e = parse_expr("not exists(text)")
+    assert isinstance(e, ExprNot) and isinstance(e.child, ExprExists)
+    # quoted values containing keywords stay inside the condition
+    e = parse_expr("text == 'war and peace'")
+    assert isinstance(e, ExprLeaf) and e.cond.value == "war and peace"
+    # 'in' lists with spaces survive tokenization
+    e = parse_expr("text in ['a', 'b'] or kind == 'X'")
+    assert isinstance(e, ExprOr)
+    for bad in ("text == 'a' or", "(text == 'a'", "text == 'a') ", "or",
+                "exists(offset)", "exists(nope)", ""):
+        with pytest.raises(ProfileError):
+            parse_expr(bad)
+    # compile-time rejection through parse_profile (driver-side fail-fast)
+    with pytest.raises(ProfileError, match="C9"):
+        from fhir_data_validation_ray.profile import parse_profile
+        parse_profile({"rules": [
+            {"id": "C9", "type": "CustomPredicate", "kind": "*",
+             "fieldPath": "text", "params": {"expr": "text == 'a' and ("}}
+        ]})
+
+
 def test_custom_predicate_python_lane():
     from fhir_data_validation_ray.functions.kernels import register_predicate
     import numpy as np
