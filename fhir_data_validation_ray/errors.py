@@ -94,6 +94,10 @@ REFERENCE_TYPE_MISMATCH = "REFERENCE_TYPE_MISMATCH"
 ENTRY_REFERENCE_MISMATCH = "ENTRY_REFERENCE_MISMATCH"
 
 # Structural / grammar codes (``Validation/JsonNodeStructuralValidator.cs``)
+# EMPTY_BUNDLE is the stage-0 document-sanity code
+# (``Core/ValidationPipeline.cs:610-656``); INVALID_JSON has no analogue —
+# malformed JSON is structurally impossible in an Arrow spans column.
+EMPTY_BUNDLE = "EMPTY_BUNDLE"
 FHIR_INVALID_PRIMITIVE = "FHIR_INVALID_PRIMITIVE"
 FHIR_INVALID_REFERENCE_FORMAT = "FHIR_INVALID_REFERENCE_FORMAT"
 FHIR_MULTIPLE_VALUE_X = "FHIR_MULTIPLE_VALUE_X"

@@ -1200,6 +1200,9 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
     (``Core/ValidationPipeline.cs:131-141``; kernels from
     ``Validation/JsonNodeStructuralValidator.cs``):
 
+    - zero-span documents emit EMPTY_BUNDLE — the stage-0 document-sanity
+      check (``Core/ValidationPipeline.cs:610-656``; INVALID_JSON is N/A:
+      malformed JSON cannot exist in an Arrow spans column)
     - doc_id must match the FHIR id grammar (``:100-101``, ``:829-857``)
     - spans.kind must be in the profile's allowed-kind enum binding
       (``:500-548``; required binding -> error)
@@ -1207,6 +1210,15 @@ def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
       invariant ``(kind, text, media_ref, order)``)
     """
     settings = profile.settings
+    if settings.get("checkEmptyDoc", True):
+        bad = np.flatnonzero(fs.lengths == 0)
+        sink.add_docs(
+            fs, bad,
+            source=E.SRC_STRUCTURE, severity=E.SEV_ERROR, rule_id="",
+            error_code=E.EMPTY_BUNDLE, path="spans",
+            details=[_canon_details({"reason": "document has no spans"})] * bad.size
+            if sink.emit_details else None,
+        )
     if settings.get("checkDocId", True):
         ids = fs.doc_ids
         ok = pc.match_substring_regex(ids, ID_GRAMMAR).fill_null(False)

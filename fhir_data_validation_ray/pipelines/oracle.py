@@ -95,6 +95,11 @@ WHERE kind = 'Observation' AND NOT (text IS NOT NULL AND text <> 'cancelled')
 
 V_STRUCTURE = """
 SELECT doc_id, CAST(-1 AS INTEGER) AS span_index,
+       'EMPTY_BUNDLE' AS error_code, 'error' AS severity
+FROM read_parquet('{docs}')
+WHERE spans IS NULL OR len(spans) = 0
+UNION ALL
+SELECT doc_id, CAST(-1 AS INTEGER) AS span_index,
        'FHIR_INVALID_PRIMITIVE' AS error_code, 'error' AS severity
 FROM read_parquet('{docs}')
 WHERE NOT regexp_matches(doc_id, '^[A-Za-z0-9.\\-]{1,64}$')
@@ -330,6 +335,16 @@ WHERE kind = '{kind}' AND text IS NOT NULL
   AND NOT ({primitive_valid_expr(primitive)})
 """
 
+
+# Stage-0 document sanity: zero-span documents (the EMPTY_BUNDLE analogue,
+# ``Core/ValidationPipeline.cs:610-656``) — read from the NESTED table (the
+# flat view has no rows for an empty document).
+V_EMPTY_DOC = """
+SELECT doc_id, CAST(-1 AS INTEGER) AS span_index,
+       'EMPTY_BUNDLE' AS error_code, 'error' AS severity
+FROM read_parquet('{docs}')
+WHERE spans IS NULL OR len(spans) = 0
+"""
 
 V_UNIQUENESS = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n

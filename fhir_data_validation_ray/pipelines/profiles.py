@@ -40,7 +40,8 @@ DEFAULT_PROFILE: dict = {
     "version": "1.0",
     "allowedKinds": list(ALLOWED_KINDS),
     "settings": {"checkDocId": True, "checkSpanOrder": True,
-                 "checkRefGrammar": True, "dedupStructure": True},
+                 "checkRefGrammar": True, "checkEmptyDoc": True,
+                 "dedupStructure": True},
     "codeSystems": [
         {
             "url": "https://example.org/cs/language",
@@ -261,5 +262,6 @@ def single_rule_profile(rule_id: str, *, with_structure: bool = False) -> dict:
         p["settings"]["checkDocId"] = False
         p["settings"]["checkSpanOrder"] = False
         p["settings"]["checkRefGrammar"] = False
+        p["settings"]["checkEmptyDoc"] = False
         p["allowedKinds"] = []
     return p

@@ -85,6 +85,15 @@ def _structure_query(sf_dir: str):
     return _violations_for(sf_dir, p)
 
 
+def _empty_doc_query(sf_dir: str):
+    """Stage-0 document sanity in isolation: zero-span docs -> EMPTY_BUNDLE
+    (``Core/ValidationPipeline.cs:610-656``)."""
+    p = single_rule_profile("R1")
+    p["rules"] = []
+    p["settings"]["checkEmptyDoc"] = True
+    return _violations_for(sf_dir, p)
+
+
 def _custom_predicate_query(sf_dir: str):
     p = single_rule_profile("R1")
     p["rules"] = [
@@ -206,6 +215,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_custom_predicate_or": _custom_predicate_or_query,
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
+        "v_empty_doc": _empty_doc_query,
         "v_primitive_date": _primitive_query("date", "date"),
         "v_primitive_datetime": _primitive_query("dateTime", "dateTime"),
         "v_primitive_uri": _primitive_query("uri", "uri"),
@@ -237,6 +247,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_custom_predicate_or": V_CUSTOM_PREDICATE_OR_SQL,
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,
+        "v_empty_doc": oracle.V_EMPTY_DOC,
         "v_primitive_date": oracle.primitive_sql("date", "date"),
         "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),
         "v_primitive_uri": oracle.primitive_sql("uri", "uri"),

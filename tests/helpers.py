@@ -44,7 +44,8 @@ def profile_of(*rules: dict, **kw) -> dict:
     p = {
         "version": "1.0",
         "rules": list(rules),
-        "settings": {"checkDocId": False, "checkSpanOrder": False, "dedupStructure": True},
+        "settings": {"checkDocId": False, "checkSpanOrder": False,
+                     "checkEmptyDoc": False, "dedupStructure": True},
         "allowedKinds": [],
     }
     p.update(kw)

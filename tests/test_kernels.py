@@ -209,6 +209,18 @@ def test_reference_cross_span_repeats_error_independently():
                    ("d1", 1, "REFERENCE_NOT_FOUND", "error")]
 
 
+def test_empty_document_emits_empty_bundle():
+    """Stage-0 sanity: a zero-span document gets one EMPTY_BUNDLE STRUCTURE
+    row (``Core/ValidationPipeline.cs:610-656``); non-empty docs don't."""
+    docs = make_docs([("d1", []), ("d2", [s("Patient", "S1234567A", off=0)])])
+    p = profile_of()
+    p["settings"]["checkEmptyDoc"] = True
+    assert rows(validate(docs, p)) == [("d1", -1, "EMPTY_BUNDLE", "error")]
+    # the default profile enables the check; profiles may opt out
+    p["settings"]["checkEmptyDoc"] = False
+    assert rows(validate(docs, p)) == []
+
+
 def test_custom_predicate_expr():
     docs = make_docs(
         [("d1", [s("Observation", "final", off=0)]),
