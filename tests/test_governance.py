@@ -118,6 +118,56 @@ def test_pointer_parse_resolve_normalize():
         parse_pointer("spans/0")  # missing leading /
 
 
+def test_fieldpath_navigation_with_predicates():
+    """FHIRPath-style paths -> concrete pointers (SmartPathNavigationService
+    + PredicateParser analogue): where() filters, [index] steps, collection
+    mapping — and every returned pointer resolves back to the value the
+    path selected (the round-trip contract)."""
+    from fhir_data_validation_ray.functions.pointers import (
+        normalize_fieldpath,
+        resolve_fieldpath,
+        resolve_pointer,
+    )
+
+    doc = {"doc_id": "d1", "spans": [
+        {"kind": "Patient", "text": "S1234567A", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "urn:uuid:x", "offset": 3},
+        {"kind": "Patient", "text": "T7654321B", "media_ref": "", "offset": 5},
+    ]}
+    assert resolve_fieldpath(doc, "doc_id") == ["/doc_id"]
+    # collection mapping: every span's field (the rule fieldPath vocabulary)
+    for fld in ("kind", "text", "media_ref", "offset"):
+        ptrs = resolve_fieldpath(doc, f"spans.{fld}")
+        assert ptrs == [f"/spans/{i}/{fld}" for i in range(3)]
+        for i, p in enumerate(ptrs):  # round-trip: pointer -> value
+            assert resolve_pointer(doc, p) == doc["spans"][i][fld]
+    # index step
+    assert resolve_fieldpath(doc, "spans[1].media_ref") == ["/spans/1/media_ref"]
+    assert resolve_fieldpath(doc, "spans[9].text") == []        # out of range
+    # predicates: quoted, bare-int, and-chained, first-match index
+    assert resolve_fieldpath(doc, "spans.where(kind='Patient').text") == [
+        "/spans/0/text", "/spans/2/text"]
+    assert resolve_fieldpath(doc, "spans.where(offset=3).kind") == ["/spans/1/kind"]
+    assert resolve_fieldpath(
+        doc, "spans.where(kind='Patient' and text='T7654321B').offset"
+    ) == ["/spans/2/offset"]
+    assert resolve_fieldpath(doc, "spans.where(kind='Patient')[1].text") == [
+        "/spans/2/text"]
+    assert resolve_fieldpath(doc, "spans.where(kind='Wizard').text") == []
+    assert normalize_fieldpath(doc, "spans.where(kind='image').media_ref") == \
+        "/spans/1/media_ref"
+    assert normalize_fieldpath(doc, "spans.where(kind='Wizard').text") is None
+    # dotted value inside a predicate survives the path split
+    doc2 = {"doc_id": "d", "spans": [
+        {"kind": "text", "text": "a.b", "media_ref": "", "offset": 0}]}
+    assert resolve_fieldpath(doc2, "spans.where(text='a.b').offset") == [
+        "/spans/0/offset"]
+    with pytest.raises(ValueError):
+        resolve_fieldpath(doc, "spans.where(kind='Patient'")  # unbalanced
+    with pytest.raises(ValueError):
+        resolve_fieldpath(doc, "spans.where(!!).text")
+
+
 def test_span_pointer_vectorized_roundtrip(ray_session):
     """Engine-emitted pointers parse back to (span_index, field) in one
     vectorized pass — the violations -> spans join lane."""
