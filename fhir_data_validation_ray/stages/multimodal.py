@@ -235,13 +235,43 @@ class FrameSampleStage:
         )
 
 
-def media_pipeline(registry_path: str, *, kind: str, stage, concurrency: int = 2,
-                   batch_size: int = 64):
-    """read synth media -> filter kind -> actor-pool stage. Small batch_size:
-    binary payloads make rows heavy (batch x concurrency must fit the heap)."""
+def synth_media_parquet(registry_path: str, *, max_body: int = 4096) -> str:
+    """Write (once, cached, atomic) the synth media table as parquet next to
+    the fixture registry — so the media entry point READS A FILE and streams,
+    the layout users copy for real media lakes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(os.path.dirname(registry_path), "media.parquet")
+    if not os.path.exists(out):
+        tmp = out + f".tmp.{os.getpid()}"
+        pq.write_table(synth_media(registry_path, max_body=max_body), tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            os.unlink(tmp)  # another process won the race
+    return out
+
+
+def media_pipeline(source: str, *, kind: str, stage, concurrency: int = 2,
+                   batch_size: int = 64, streaming: bool = True):
+    """Media table -> filter kind -> actor-pool stage.
+
+    ``source`` is a fixture registry path (``registry.parquet``): the synth
+    media table is materialized to parquet ONCE beside it and then
+    ``read_parquet``-streamed — blocks flow through the object store with
+    backpressure, nothing corpus-sized is built on the driver (a production
+    media lake swaps in its own parquet path at the same spot).
+    ``streaming=False`` keeps the in-memory ``from_arrow`` lane for tiny
+    ad-hoc tables. Small batch_size: binary payloads make rows heavy
+    (batch x concurrency must fit the heap)."""
     import ray.data as rd
 
-    media = rd.from_arrow(synth_media(registry_path))
+    if streaming:
+        media = rd.read_parquet(synth_media_parquet(source))
+    else:
+        media = rd.from_arrow(synth_media(source))
     sub = media.filter(expr=f"kind == '{kind}'")
     cls, kwargs = stage
     return sub.map_batches(
