@@ -1,5 +1,5 @@
-"""Bulk question-catalog import (CSV / JSON) -> QuestionAnswer profile
-fragments.
+"""Bulk question-catalog import AND export (CSV / JSON) <-> QuestionAnswer
+profile fragments.
 
 Mirrors the reference's terminology bulk-import surface
 (``docs/TERMINOLOGY_BULK_IMPORT.md``, ``examples/import-questions-sample.csv``
@@ -15,6 +15,12 @@ the allowed-values payload, then split on the row's own ``separator``).
 
 Import validation (fail fast, like profile compile): duplicate conceptCode
 within a system and empty allowed-value lists are errors.
+
+Export (``questions_to_csv`` / ``questions_to_json``) is the inverse: a
+profile fragment back to the bulk formats, choosing a separator per row that
+cannot collide with the row's values (the sample CSV's comma-separator rows
+write an EMPTY separator field — reproduced on write so import(export(x))
+round-trips through the quirk).
 """
 
 from __future__ import annotations
@@ -76,6 +82,70 @@ def questions_from_json(text: str) -> dict[str, Any]:
     if not isinstance(records, list):
         raise ProfileError("question-import JSON must be a list of records")
     return _assemble(records)
+
+
+def _fragment_records(fragment: dict[str, Any]) -> list[dict[str, Any]]:
+    """Profile fragment -> flat import-style records; the question's owning
+    system is recovered from the codeSystems entry containing its code."""
+    sys_of: dict[str, str] = {}
+    for cs in fragment.get("codeSystems", []) or []:
+        url = cs.get("url") or cs.get("system") or ""
+        for c in cs.get("concept", cs.get("concepts", [])) or []:
+            sys_of[c["code"] if isinstance(c, dict) else str(c)] = url
+    records = []
+    for q in fragment.get("questions", []) or []:
+        code = str(q["code"])
+        records.append(
+            {
+                "system": sys_of.get(code, ""),
+                "conceptCode": code,
+                "questionText": str(q.get("text", "")),
+                "allowedValues": [str(v) for v in q.get("allowed", [])],
+                "allowMultiple": bool(q.get("multiValue", False)),
+            }
+        )
+    return records
+
+
+def questions_to_json(fragment: dict[str, Any]) -> str:
+    """Profile fragment -> canonical JSON import format (a list of records);
+    ``questions_from_json(questions_to_json(x))`` round-trips."""
+    return json.dumps(
+        [dict(rec, separator=",") for rec in _fragment_records(fragment)],
+        indent=1,
+    )
+
+
+def questions_to_csv(fragment: dict[str, Any]) -> str:
+    """Profile fragment -> the reference's CSV bulk format, reproducing the
+    sample's quirks: allowedValues written UNQUOTED joined by the row's
+    separator; comma-separator rows leave the separator field empty. A
+    separator is chosen per row so it never appears inside a value (',' when
+    safe, else '|' / ';' / ':'); a value set exhausting all four is an
+    export error — quote-free parseability is the format's contract."""
+    lines = [",".join(CSV_HEADER)]
+    for rec in _fragment_records(fragment):
+        vals = rec["allowedValues"]
+        for sep in (",", "|", ";", ":"):
+            if not any(sep in v for v in vals):
+                break
+        else:
+            raise ProfileError(
+                f"question {rec['conceptCode']!r}: allowedValues use every "
+                "supported separator; cannot export unquoted CSV"
+            )
+        for fld in ("system", "conceptCode", "questionText"):
+            if "," in rec[fld]:
+                raise ProfileError(
+                    f"question {rec['conceptCode']!r}: comma in {fld} cannot "
+                    "be exported to the unquoted CSV format"
+                )
+        lines.append(",".join([
+            rec["system"], rec["conceptCode"], rec["questionText"],
+            sep.join(vals), "true" if rec["allowMultiple"] else "false",
+            "" if sep == "," else sep,
+        ]))
+    return "\n".join(lines) + "\n"
 
 
 def questions_from_csv(text: str) -> dict[str, Any]:

@@ -267,6 +267,37 @@ def test_question_import_csv_including_unquoted_comma_quirk():
     assert len(out["codeSystems"][0]["concept"]) == 3
 
 
+def test_question_export_roundtrips_both_formats():
+    """Export is the inverse of import: import(export(import(x))) ==
+    import(x) for CSV (including the unquoted-comma quirk: a comma-separated
+    value set writes an empty separator field) and JSON."""
+    from fhir_data_validation_ray.sources.question_import import (
+        questions_from_csv,
+        questions_from_json,
+        questions_to_csv,
+        questions_to_json,
+    )
+
+    frag = questions_from_csv(CSV_SAMPLE)
+    csv_text = questions_to_csv(frag)
+    assert questions_from_csv(csv_text) == frag
+    # comma-safe value sets export with an EMPTY separator field (the quirk)
+    marital_row = next(ln for ln in csv_text.splitlines() if ",marital," in ln)
+    assert marital_row.endswith("false,")
+    assert "Single,Married,Widowed" in marital_row
+    assert questions_from_json(questions_to_json(frag)) == frag
+    # a value set using every supported separator cannot be exported unquoted
+    import pytest as _pytest
+
+    from fhir_data_validation_ray.profile import ProfileError
+
+    bad = {"questions": [{"code": "q", "type": "code",
+                          "allowed": ["a,b", "c|d", "e;f", "g:h"]}],
+           "codeSystems": []}
+    with _pytest.raises(ProfileError, match="separator"):
+        questions_to_csv(bad)
+
+
 def test_question_import_json_and_engine_roundtrip():
     """Imported questions drive the QuestionAnswer kernel end-to-end."""
     from fhir_data_validation_ray.sources.question_import import questions_from_json
