@@ -42,6 +42,8 @@ _QUERY_PRIORITY = [
     "c_curation", "s_cosine_topk", "s_cosine_pairs",
     "j_orders_by_segment", "j_lineitem_priority", "j_customer_region",
     "t_sample", "t_sample_stratified",
+    # -- round-3 training-data operators (oracle-bearing, new)
+    "d_decontaminate", "t_top_words", "t_pii_redact",
     # -- dedup / windows / textops (oracle-bearing, green in r02)
     "d_exact_dedup", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
     "d_dedup_clusters",

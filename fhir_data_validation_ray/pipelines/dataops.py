@@ -113,6 +113,59 @@ def q_curation(sf_dir: str):
     return curate_keep_list(_docs(sf_dir), sample_rate=CURATION_SAMPLE_RATE)
 
 
+TOP_WORDS_K = 20
+DECON_MIN_OVERLAP = 2
+
+
+def q_top_words(sf_dir: str):
+    from ..stages.textops import top_words
+
+    return top_words(_docs(sf_dir), k=TOP_WORDS_K)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the NRIC-bearing Patient spans of the interleaved
+    fixture (count + redact, streaming Arrow regex kernels)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.textops import pii_redact
+    from .validate import fixture_paths
+
+    flat = fixture_paths(sf_dir)["flat"]
+    ds = rd.read_parquet(flat, columns=["doc_id", "span_index", "kind", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["kind"], "Patient"), pc.is_valid(t["text"]))
+        return t.filter(m.fill_null(False)).select(["doc_id", "span_index", "text"])
+
+    return pii_redact(ds.map_batches(pick, batch_format="pyarrow"))
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: a deterministic quarter of the
+    corpus (FNV(doc_id) % 4 == 0) plays the benchmark; training docs
+    sharing >= DECON_MIN_OVERLAP distinct bigram shingles with it are
+    flagged. Benchmark shingle set broadcast; training pass shuffle-free."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_str
+    from ..stages.dedup import decontaminate
+
+    def half(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"]).astype(np.int64)
+            m = hash_str(ids.astype("U")) % np.uint64(4) == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    bench = _docs(sf_dir).map_batches(half(True), batch_format="pyarrow")
+    train = _docs(sf_dir).map_batches(half(False), batch_format="pyarrow")
+    return decontaminate(train, bench, n=2, min_overlap=DECON_MIN_OVERLAP)
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
@@ -541,6 +594,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_lsh": q_minhash_lsh,
         "d_simhash_pairs": q_simhash_pairs,
         "d_dedup_clusters": q_dedup_clusters,
+        "d_decontaminate": q_decontaminate,
+        "t_top_words": q_top_words,
+        "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "j_orders_by_segment": q_orders_by_segment,
         "j_lineitem_priority": q_lineitem_priority,
@@ -771,6 +827,50 @@ EXCEPT SELECT doc_id FROM drops
 """
 
 
+TOP_WORDS_SQL = f"""
+SELECT word, n, rank FROM (
+  SELECT word, count(*)::BIGINT AS n,
+         ROW_NUMBER() OVER (ORDER BY count(*) DESC, word)::BIGINT AS rank
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word)
+WHERE rank <= {TOP_WORDS_K}
+"""
+
+
+def _pii_sql(flat_path: str) -> str:
+    """PII oracle built from the SAME pattern table as the kernel
+    (``textops.PII_PATTERNS``) — counts against the original text, redaction
+    applied in list order, exactly mirroring ``pii_redact``."""
+    from ..stages.textops import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for _, p in PII_PATTERNS
+    )
+    red = "text"
+    for name, p in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '[{name.upper()}]', 'g')"
+    return f"""
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       ({counts})::BIGINT AS n_pii, {red} AS redacted
+FROM read_parquet('{flat_path}')
+WHERE kind = 'Patient' AND text IS NOT NULL
+"""
+
+
+DECONTAMINATE_SQL_TEMPLATE = """
+WITH d2 AS (SELECT doc_id, text, (__FNV__ % 4 = 0) AS is_bench FROM documents),
+sh AS (SELECT doc_id, is_bench,
+              unnest(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
+       FROM (SELECT doc_id, is_bench, string_split(text, ' ') AS w FROM d2)),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE is_bench)
+SELECT doc_id, count(*)::BIGINT AS n_overlap
+FROM sh
+WHERE NOT is_bench AND shingle IN (SELECT shingle FROM bsh)
+GROUP BY doc_id
+HAVING count(*) >= __K__
+"""
+
+
 # hash-threshold sampling: same FNV fold over str(doc_id), same threshold
 _SAMPLE_H = "CAST(" + _fnv_sql("CAST(doc_id AS VARCHAR)") + " % 1000000 AS BIGINT)"
 SAMPLE_SQL = f"""
@@ -834,6 +934,11 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE
+        .replace("__FNV__", _fnv_sql("CAST(doc_id AS VARCHAR)"))
+        .replace("__K__", str(DECON_MIN_OVERLAP)),
+        "t_top_words": TOP_WORDS_SQL,
+        "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,
         "j_lineitem_priority": LINEITEM_PRIORITY_SQL,

@@ -907,3 +907,59 @@ def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
         .map_groups(dedup_pairs, batch_format="pyarrow")
         .select_columns(["doc_a", "doc_b"])
     )
+
+
+# --------------------------------------------------------- decontamination
+def decontaminate(train_docs, benchmark_docs, *, n: int = 2,
+                  min_overlap: int = 2, batch_size: int | None = None):
+    """Benchmark n-gram decontamination: flag training documents sharing at
+    least ``min_overlap`` DISTINCT word n-gram shingles with the benchmark
+    corpus — the test-set-overlap screen a training-data pipeline runs
+    before export (cf. the n-gram-overlap decontamination protocol of GPT-3
+    / "Deduplicating Training Data Makes Language Models Better", both
+    public).
+
+    Scale shape: the benchmark side is SMALL relative to the corpus (the
+    real-world ratio — 1e4-1e6 benchmark docs screening 1e9+ training
+    docs), so its distinct shingle-HASH set is folded from per-batch
+    uniques (8 bytes/shingle) and broadcast once via ``ray.put``; the
+    training pass is then a pure streaming ``map_batches`` membership probe
+    — NO shuffle anywhere, cost = one read of each side. For a benchmark
+    too large to broadcast, route both sides through the shingle-bucket
+    inverted index of ``ngram_jaccard_pairs`` instead (the documented
+    fallback lane).
+
+    Returns Dataset[doc_id, n_overlap] for flagged docs (n_overlap =
+    number of the doc's distinct shingles present anywhere in the
+    benchmark; only rows with n_overlap >= min_overlap)."""
+    import ray
+
+    def bench_uniques(t: pa.Table) -> pa.Table:
+        _, h, _ = _shingle_table(t, n)
+        return pa.table({"h": pa.array(np.unique(h))})  # uint64
+
+    parts = collect_table(
+        benchmark_docs.map_batches(bench_uniques, batch_format="pyarrow",
+                                   batch_size=batch_size),
+        empty_schema=pa.schema([("h", pa.uint64())]),
+    )
+    bench_set = np.unique(np.asarray(parts["h"]).astype(np.uint64))
+    bench_ref = ray.put(bench_set)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bh = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        d, h, _ = _shingle_table(t, n)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_overlap": pa.array([], pa.int64())})
+        if len(h) == 0 or bh.size == 0:
+            return empty
+        pos = np.clip(np.searchsorted(bh, h), 0, bh.size - 1)
+        hit = bh[pos] == h
+        ud, inv = np.unique(d, return_inverse=True)
+        n_ov = np.bincount(inv[hit], minlength=len(ud))
+        keep = n_ov >= min_overlap
+        return pa.table({"doc_id": pa.array(ud[keep]),
+                         "n_overlap": pa.array(n_ov[keep].astype(np.int64))})
+
+    return train_docs.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=batch_size)

@@ -141,6 +141,112 @@ def fingerprints(docs, *, batch_size: int | None = None):
     return docs.map_batches(fp, batch_format="pyarrow", batch_size=batch_size)
 
 
+def top_words(docs, k: int = 20, *, num_buckets: int = 64,
+              batch_size: int | None = None):
+    """EXACT global top-k words by occurrence count (vocabulary heavy
+    hitters — the frequency profile a tokenizer/vocab build starts from).
+
+    Plan: per-batch dictionary-encoded word counts (pre-aggregated, so the
+    shuffle moves (bucket, word, count) partials, never tokens) -> one
+    bucketed groupby (a word's total lives entirely in its hash bucket, so
+    per-bucket totals are exact) -> per-bucket local top-k -> driver merge
+    of num_buckets x k candidate rows. Deterministic tie-break: count DESC,
+    word ASC. Returns Dataset[word, n, rank]."""
+    import ray.data as rd
+
+    from ..functions.collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(texts, " "))
+        da = pc.dictionary_encode(flat)
+        counts = np.bincount(np.asarray(da.indices), minlength=len(da.dictionary))
+        words = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        keep = words != ""
+        words, counts = words[keep], counts[keep]
+        return pa.table(
+            {
+                "bucket": pa.array((hash_str(words) % np.uint64(num_buckets)).astype(np.int32)),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        w = g["word"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        da = pc.dictionary_encode(w)
+        totals = np.bincount(np.asarray(da.indices), weights=np.asarray(g["n"]),
+                             minlength=len(da.dictionary)).astype(np.int64)
+        uw = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((uw, -totals))[:k]
+        return pa.table({"word": pa.array(uw[order], pa.string()),
+                         "n": pa.array(totals[order])})
+
+    cand = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+    )
+    tbl = collect_table(
+        cand, empty_schema=pa.schema([("word", pa.string()), ("n", pa.int64())])
+    )
+    w = tbl["word"].to_numpy(zero_copy_only=False).astype("U") if tbl.num_rows else np.empty(0, "U1")
+    n = np.asarray(tbl["n"]).astype(np.int64) if tbl.num_rows else np.empty(0, np.int64)
+    order = np.lexsort((w, -n))[:k]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "word": pa.array(w[order], pa.string()),
+                "n": pa.array(n[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+    )
+
+
+# PII patterns (RE2 dialect shared by pyarrow and DuckDB): applied in list
+# order; counts are taken against the ORIGINAL text (the patterns target
+# disjoint value shapes), redaction rewrites sequentially.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("nric", r"[STFG]\d{7}[A-Z]"),
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+\d{8,12}"),
+]
+
+
+def pii_redact(ds, *, column: str = "text",
+               patterns: list[tuple[str, str]] = PII_PATTERNS,
+               batch_size: int | None = None):
+    """Detect-and-redact PII-shaped substrings (NRIC / email / phone) —
+    the scrubbing pass a training-data pipeline runs before exporting text.
+    Pure streaming map_batches of Arrow C++ regex kernels (count + replace);
+    all non-``column`` columns pass through. Adds ``n_pii`` (total matches)
+    and ``redacted`` (text with each match replaced by its [TYPE] token)."""
+
+    def red(t: pa.Table) -> pa.Table:
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        total = np.zeros(len(texts), dtype=np.int64)
+        out = texts
+        for name, pat in patterns:
+            total += np.asarray(
+                pc.count_substring_regex(texts, pat).fill_null(0)
+            ).astype(np.int64)
+            out = pc.replace_substring_regex(out, pat, f"[{name.upper()}]")
+        keep = [c for c in t.column_names if c != column]
+        cols = {c: t[c] for c in keep}
+        cols["n_pii"] = pa.array(total)
+        cols["redacted"] = out
+        return pa.table(cols)
+
+    return ds.map_batches(red, batch_format="pyarrow", batch_size=batch_size)
+
+
 def simhash_batch(texts: pa.Array) -> np.ndarray:
     """64-bit SimHash per text from word-unigram features (Arrow split +
     flatten, per-bit +/-1 votes via reduceat over the flat word-hash array)."""
