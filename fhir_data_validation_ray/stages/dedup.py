@@ -67,32 +67,53 @@ def exact_dedup(docs, *, key: str = "text", num_buckets: int = 256,
         first_of_run = np.ones(len(h_s), dtype=bool)
         first_of_run[1:] = h_s[1:] != h_s[:-1]
         if not first_of_run.all():
-            # possible duplicate keys (or rare collisions): verify on strings
+            # duplicate hashes present (the common case for a dedup input —
+            # or a rare collision): verify on the actual strings, fully
+            # vectorized — keep the FIRST occurrence of each distinct
+            # (hash-run, string) pair; rows are (h, doc)-sorted, so "first"
+            # = lowest doc_id, and np.unique(return_index) finds it without
+            # a Python row loop
             ks = pc.take(
                 g["k"].combine_chunks() if isinstance(g["k"], pa.ChunkedArray) else g["k"],
                 pa.array(order),
             )
             da = pc.dictionary_encode(ks)
             code = np.asarray(da.indices).astype(np.int64)
-            seen: dict[int, bool] = {}
+            run_id = np.cumsum(first_of_run) - 1
+            key = run_id * np.int64(len(da.dictionary) + 1) + code
+            _, first_idx = np.unique(key, return_index=True)
             keep = np.zeros(len(code), dtype=bool)
-            run_start = 0
-            for i in range(len(code)):  # only iterates runs with dup hashes
-                if first_of_run[i]:
-                    run_start = i
-                    keep[i] = True
-                    seen = {int(code[i]): True}
-                else:
-                    c = int(code[i])
-                    if c not in seen:
-                        seen[c] = True
-                        keep[i] = True
+            keep[first_idx] = True
         else:
             keep = first_of_run
         return pa.table({"doc_id": pa.array(doc_s[keep])})
 
     b = docs.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
     return b.groupby("bucket").map_groups(first_per_key, batch_format="pyarrow")
+
+
+def _expand_run_pairs(run_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run position pairs (i < j), fully vectorized — replaces a
+    per-run ``triu_indices`` Python loop (a group at web scale holds ~10^6
+    runs; per-run numpy-call overhead then dominates the group's wall time).
+    ``run_id`` must be sorted non-decreasing. Returns global POSITION index
+    arrays (pos_a, pos_b) with pos_a < pos_b inside the same run."""
+    n = len(run_id)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    run_len = np.bincount(run_id)
+    starts = np.zeros(len(run_len), dtype=np.int64)
+    np.cumsum(run_len[:-1], out=starts[1:])
+    offset = np.arange(n, dtype=np.int64) - starts[run_id]
+    rep = run_len[run_id] - 1 - offset  # pairs anchored at each position
+    tot = int(rep.sum())
+    if tot == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos_a = np.repeat(np.arange(n, dtype=np.int64), rep)
+    rep_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(rep[:-1], out=rep_starts[1:])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(rep_starts, rep)
+    return pos_a, pos_a + 1 + within
 
 
 # ------------------------------------------------------- shingle utilities
@@ -202,22 +223,15 @@ def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
             h_s, d_s, run_id = h_s[keepm], d_s[keepm], run_id[keepm]
             run_id = np.unique(run_id, return_inverse=True)[1]
             run_len = np.bincount(run_id)
-        pa_list, pb_list = [], []
-        starts = np.zeros(len(run_len), dtype=np.int64)
-        np.cumsum(run_len[:-1], out=starts[1:])
-        for r in np.flatnonzero(run_len > 1):
-            seg = d_s[starts[r]: starts[r] + run_len[r]]
-            ii, jj = np.triu_indices(len(seg), k=1)
-            pa_list.append(seg[ii])
-            pb_list.append(seg[jj])
-        if not pa_list:
+        # vectorized within-run pair expansion (no per-run Python loop);
+        # d_s is ascending within each run, so a < b by construction
+        pos_a, pos_b = _expand_run_pairs(run_id)
+        if len(pos_a) == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "inter": pa.array([], pa.int64())})
-        a = np.concatenate(pa_list)
-        b = np.concatenate(pb_list)
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        key = lo * np.int64(1 << 32) + hi  # doc ids < 2^32 by assumption
+        a, b = d_s[pos_a], d_s[pos_b]
+        key = a * np.int64(1 << 32) + b  # doc ids < 2^32 by assumption
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {
@@ -452,22 +466,22 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         d = np.asarray(g["doc_id"]).astype(np.int64)
         order = np.lexsort((d, bh))
         bh_s, d_s = bh[order], d[order]
-        run_id = np.zeros(len(bh_s), dtype=np.int64)
-        run_id[1:] = np.cumsum(bh_s[1:] != bh_s[:-1])
-        run_len = np.bincount(run_id)
-        pa_l, pb_l = [], []
-        starts = np.zeros(len(run_len), dtype=np.int64)
-        np.cumsum(run_len[:-1], out=starts[1:])
-        for r in np.flatnonzero(run_len > 1):
-            seg = np.unique(d_s[starts[r]: starts[r] + run_len[r]])
-            if len(seg) > 1:
-                ii, jj = np.triu_indices(len(seg), k=1)
-                pa_l.append(seg[ii]); pb_l.append(seg[jj])
-        if not pa_l:
+        n = len(bh_s)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = bh_s[1:] != bh_s[:-1]
+        # distinct (run, doc) — a doc appears once per band by construction,
+        # but dedup vectorized anyway (mirrors the old per-run np.unique)
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = ~new_run[1:] & (d_s[1:] == d_s[:-1])
+        keep = ~dup
+        d_s = d_s[keep]
+        run_id = np.cumsum(new_run[keep]) - 1
+        # vectorized within-run pair expansion; d_s ascending per run -> a < b
+        pos_a, pos_b = _expand_run_pairs(run_id)
+        if len(pos_a) == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
-        a = np.concatenate(pa_l); b = np.concatenate(pb_l)
-        key = np.unique(np.minimum(a, b) * np.int64(1 << 32) + np.maximum(a, b))
+        key = np.unique(d_s[pos_a] * np.int64(1 << 32) + d_s[pos_b])
         return pa.table({"doc_a": pa.array(key >> 32),
                          "doc_b": pa.array(key & ((1 << 32) - 1))})
 
@@ -860,28 +874,19 @@ def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
         bh_s, d_s, sig_s = bh[order], d[order], sig[order]
         run_id = np.zeros(len(bh_s), dtype=np.int64)
         run_id[1:] = np.cumsum(bh_s[1:] != bh_s[:-1])
-        run_len = np.bincount(run_id)
-        out_a, out_b = [], []
-        starts = np.zeros(len(run_len), dtype=np.int64)
-        np.cumsum(run_len[:-1], out=starts[1:])
-        for r in np.flatnonzero(run_len > 1):
-            seg_d = d_s[starts[r]: starts[r] + run_len[r]]
-            seg_s = sig_s[starts[r]: starts[r] + run_len[r]]
-            ii, jj = np.triu_indices(len(seg_d), k=1)
-            x = seg_s[ii] ^ seg_s[jj]
-            ham = np.zeros(len(x), dtype=np.int64)
-            v = x.copy()
-            for _ in range(64):
-                ham += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
-            ok = (ham <= max_hamming) & (seg_d[ii] != seg_d[jj])
-            out_a.append(np.minimum(seg_d[ii][ok], seg_d[jj][ok]))
-            out_b.append(np.maximum(seg_d[ii][ok], seg_d[jj][ok]))
-        if not out_a:
+        # vectorized within-run pair expansion (no per-run Python loop)
+        pos_a, pos_b = _expand_run_pairs(run_id)
+        if len(pos_a) == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
-        a = np.concatenate(out_a); b = np.concatenate(out_b)
-        key = np.unique(a * np.int64(1 << 32) + b)
+        x = sig_s[pos_a] ^ sig_s[pos_b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):  # vectorized popcount over ALL candidate pairs
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        # d_s ascending per run -> a < b; != guards same-doc repeat rows
+        ok = (ham <= max_hamming) & (d_s[pos_a] != d_s[pos_b])
+        key = np.unique(d_s[pos_a][ok] * np.int64(1 << 32) + d_s[pos_b][ok])
         return pa.table({"doc_a": pa.array(key >> 32),
                          "doc_b": pa.array(key & ((1 << 32) - 1))})
 

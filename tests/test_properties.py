@@ -144,3 +144,27 @@ def test_read_blocks_formula_bounds(n_docs, ncpus):
     assert 1 <= b <= 16 * ncpus
     if n_docs >= 2 * ncpus * 16_000:
         assert b == min(16 * ncpus, n_docs // 16_000)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(0, 6), min_size=0, max_size=40))
+def test_expand_run_pairs_matches_triu_reference(run_lens):
+    """The vectorized within-run pair expansion must produce exactly the
+    pairs a per-run triu_indices loop produces, in any run-length mix."""
+    import numpy as np
+
+    from fhir_data_validation_ray.stages.dedup import _expand_run_pairs
+
+    run_id = np.repeat(np.arange(len(run_lens)), run_lens).astype(np.int64)
+    pos_a, pos_b = _expand_run_pairs(run_id)
+    got = set(zip(pos_a.tolist(), pos_b.tolist()))
+    want = set()
+    start = 0
+    for ln in run_lens:
+        ii, jj = np.triu_indices(ln, k=1)
+        want |= {(start + i, start + j) for i, j in zip(ii.tolist(), jj.tolist())}
+        start += ln
+    assert got == want
+    assert (pos_a < pos_b).all()
+    if len(pos_a):
+        assert (run_id[pos_a] == run_id[pos_b]).all()
