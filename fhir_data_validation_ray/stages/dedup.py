@@ -777,11 +777,47 @@ def dedup_clusters(pairs, *, num_buckets: int = 64, max_iters: int = 16):
                 raise ValueError("dedup_clusters: edge endpoint missing its label row")
             out_node = np.concatenate([ln_s, other[e_idx]])
             out_lab = np.concatenate([ll_s, ll_s[pos] if len(ln_s) else np.empty(0, np.int64)])
+            # role 0 marks the node's own current label row (exactly one per
+            # node — labels are min-folded each round); candidates are role 1.
+            # Carrying the role lets the NEXT groupby compute the per-node
+            # change flag in the same exchange — no separate old-vs-new join.
+            out_role = np.concatenate(
+                [np.zeros(len(ln_s), dtype=np.int8), np.ones(e_idx.size, dtype=np.int8)]
+            )
             return pa.table(
                 {
                     "nbucket": pa.array(_intmix(out_node, num_buckets).astype(np.int32)),
                     "node": pa.array(out_node),
                     "label": pa.array(out_lab),
+                    "role": pa.array(out_role),
+                }
+            )
+
+        def min_label_changed(g: pa.Table) -> pa.Table:
+            """Per-node minimum over candidate labels + a ``changed`` flag vs
+            the node's role-0 (previous) label — the convergence check folded
+            into the min-fold exchange instead of a third per-iteration
+            old-vs-new shuffle."""
+            node = np.asarray(g["node"]).astype(np.int64)
+            lab = np.asarray(g["label"]).astype(np.int64)
+            role = np.asarray(g["role"])
+            order = np.lexsort((lab, node))
+            n_s, l_s, r_s = node[order], lab[order], role[order]
+            first = np.ones(len(n_s), dtype=bool)
+            first[1:] = n_s[1:] != n_s[:-1]
+            n_f, new_lab = n_s[first], l_s[first]
+            old_idx = np.flatnonzero(r_s == 0)
+            if len(old_idx) != len(n_f) or not np.array_equal(n_s[old_idx], n_f):
+                raise ValueError(
+                    "dedup_clusters: node missing its previous-label row"
+                )
+            changed = new_lab != l_s[old_idx]
+            return pa.table(
+                {
+                    "nbucket": pa.array(_intmix(n_f, num_buckets).astype(np.int32)),
+                    "node": pa.array(n_f),
+                    "label": pa.array(new_lab),
+                    "changed": pa.array(changed.astype(np.int64)),
                 }
             )
 
@@ -789,37 +825,13 @@ def dedup_clusters(pairs, *, num_buckets: int = 64, max_iters: int = 16):
             both.groupby("nbucket")
             .map_groups(propagate, batch_format="pyarrow")
             .groupby("nbucket")
-            .map_groups(min_label, batch_format="pyarrow")
+            .map_groups(min_label_changed, batch_format="pyarrow")
         ).materialize()
 
-        # convergence check: any label changed? join old vs new by node
-        def with_tag(ds, tag):
-            def f(t: pa.Table) -> pa.Table:
-                return t.append_column("src", pa.array(np.full(t.num_rows, tag, np.int8)))
-            return ds.map_batches(f, batch_format="pyarrow")
-
-        def count_changes(g: pa.Table) -> pa.Table:
-            node = np.asarray(g["node"]).astype(np.int64)
-            lab = np.asarray(g["label"]).astype(np.int64)
-            src = np.asarray(g["src"])
-            order = np.lexsort((src, node))
-            n_s, l_s, s_s = node[order], lab[order], src[order]
-            pairm = np.zeros(len(n_s), dtype=bool)
-            pairm[:-1] = (n_s[:-1] == n_s[1:]) & (l_s[:-1] != l_s[1:])
-            return pa.table({"changes": pa.array([int(pairm.sum())], pa.int64())})
-
-        changed_tbl = collect_table(
-            with_tag(labels, 0).union(with_tag(new_labels.select_columns(
-                ["nbucket", "node", "label"]), 1))
-            .groupby("nbucket")
-            .map_groups(count_changes, batch_format="pyarrow"),
-            empty_schema=pa.schema([("changes", pa.int64())]),
-        )
+        # convergence: one cheap scan over the materialized labels (no extra
+        # exchange; the flag was computed inside the min-fold groupby)
+        pending_changes = int(new_labels.sum("changed") or 0)
         labels = new_labels
-        pending_changes = (
-            0 if changed_tbl.num_rows == 0
-            else int(np.asarray(changed_tbl["changes"]).sum())
-        )
         if pending_changes == 0:
             break
 
