@@ -955,9 +955,19 @@ def decontaminate(train_docs, benchmark_docs, *, n: int = 2,
         _, h, _ = _shingle_table(t, n)
         return pa.table({"h": pa.array(np.unique(h))})  # uint64
 
+    def combine_uniques(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(np.unique(np.asarray(t["h"]).astype(np.uint64)))}
+        )
+
+    # two-level fold (stats.py pattern): per-TASK combine merges ~1M-row
+    # spans of per-batch uniques before the driver's final union, so the
+    # driver folds O(n_batches / span) partially-deduped arrays
     parts = collect_table(
         benchmark_docs.map_batches(bench_uniques, batch_format="pyarrow",
-                                   batch_size=batch_size),
+                                   batch_size=batch_size)
+        .map_batches(combine_uniques, batch_format="pyarrow",
+                     batch_size=1 << 20),
         empty_schema=pa.schema([("h", pa.uint64())]),
     )
     bench_set = np.unique(np.asarray(parts["h"]).astype(np.uint64))

@@ -46,10 +46,13 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def load_queries(path: str, query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side load of the query vectors (small side)."""
+    """Driver-side load of the query vectors (small side). The read is
+    PREDICATE-PUSHED (``vec_id IN (...)``) so only row groups containing the
+    query ids decode — the query side never scans the corpus table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", [int(q) for q in query_ids])])
     ids, m = _batch_matrix(t)
     pos = {int(v): i for i, v in enumerate(ids)}
     sel = [pos[q] for q in query_ids]

@@ -85,3 +85,18 @@ def test_real_codec_is_marked_stub():
             rc.image_meta(b"anything")
     with pytest.raises(NotImplementedError):
         rc.audio_meta(b"anything")
+
+
+def test_streaming_lane_matches_in_memory_lane(ray_session):
+    """The parquet-streaming media entry point (the documented production
+    pattern) must produce exactly the in-memory from_arrow lane's rows."""
+    from fhir_data_validation_ray.stages.multimodal import ImageMetaStage, media_pipeline
+
+    cols = ["media_ref", "width", "height", "channels", "payload_bytes"]
+    a = media_pipeline(_registry(), kind="image",
+                       stage=(ImageMetaStage, {}), streaming=True).to_pandas()
+    b = media_pipeline(_registry(), kind="image",
+                       stage=(ImageMetaStage, {}), streaming=False).to_pandas()
+    key = lambda d: sorted(map(tuple, d[cols].values))
+    assert key(a) == key(b)
+    assert len(a) > 0
