@@ -59,6 +59,18 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--mode", default="standard", choices=["standard", "full", "debug"])
     r.add_argument("--max-errors", type=int, default=100)
 
+    c = sub.add_parser(
+        "curate",
+        help="curation keep-list over a documents parquet (exact dedup + "
+             "near-dup cluster drop + quality gate + hash sample) written "
+             "as partitioned parquet",
+    )
+    c.add_argument("--docs", required=True,
+                   help="documents parquet (doc_id:int64, text) file or dir")
+    c.add_argument("--out", required=True, help="output dir for the keep-list")
+    c.add_argument("--sample-rate", type=float, default=1.0)
+    c.add_argument("--jaccard-threshold", type=float, default=0.8)
+
     args = ap.parse_args(argv)
     _ensure_ray()
 
@@ -71,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
             emit_details=args.emit_details,
         )
         print(json.dumps(run))
+    elif args.cmd == "curate":
+        import ray.data as rd
+
+        from .pipelines.curation import curate_keep_list
+
+        docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+        keep = curate_keep_list(
+            docs, sample_rate=args.sample_rate,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+        keep.write_parquet(args.out)  # streaming sink, one file per block
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetDataset(args.out).read(columns=["doc_id"]).num_rows
+        print(json.dumps({"out": args.out, "kept": int(n)}))
     else:
         from .pipelines.validate import validation_response
 

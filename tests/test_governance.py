@@ -355,3 +355,34 @@ def test_cli_validate_and_resume(ray_session, tmp_path):
     assert second["n_processed_this_run"] == 0
     assert second["n_resumed_skips"] == second["n_partitions"]
     assert first["n_violations"] == second["n_violations"] > 0
+
+
+def test_cli_curate_writes_keep_list(ray_session, tmp_path):
+    """`python -m fhir_data_validation_ray curate` writes the curated
+    keep-list as partitioned parquet and matches the library result."""
+    import contextlib
+    import io
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fhir_data_validation_ray.__main__ import main
+    from fhir_data_validation_ray.pipelines.curation import curate_keep_list
+
+    out = str(tmp_path / "keep")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["curate", "--docs", "/root/testdata/sf0.001/documents.parquet",
+                     "--out", out, "--sample-rate", "0.9"]) == 0
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = sorted(pq.ParquetDataset(out).read(columns=["doc_id"])["doc_id"].to_pylist())
+    want = sorted(
+        curate_keep_list(
+            rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                            columns=["doc_id", "text"]),
+            sample_rate=0.9,
+        ).to_pandas()["doc_id"]
+    )
+    assert rec["kept"] == len(want) > 0
+    assert got == want
