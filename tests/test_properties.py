@@ -168,3 +168,84 @@ def test_expand_run_pairs_matches_triu_reference(run_lens):
     assert (pos_a < pos_b).all()
     if len(pos_a):
         assert (run_id[pos_a] == run_id[pos_b]).all()
+
+
+def _eval_expr_python(node, span):
+    """Reference evaluator over ONE span dict — mirrors the documented
+    two-valued null semantics independently of the numpy implementation."""
+    from fhir_data_validation_ray.profile import (
+        ExprAnd, ExprExists, ExprLeaf, ExprNot, ExprOr,
+    )
+
+    if isinstance(node, ExprAnd):
+        return all(_eval_expr_python(c, span) for c in node.children)
+    if isinstance(node, ExprOr):
+        return any(_eval_expr_python(c, span) for c in node.children)
+    if isinstance(node, ExprNot):
+        return not _eval_expr_python(node.child, span)
+    if isinstance(node, ExprExists):
+        v = span.get(node.fld)
+        return v is not None and str(v).strip() != ""
+    v = span.get(node.cond.fld)
+    if v is None:
+        return False
+    if node.cond.op == "==":
+        return v == node.cond.value
+    if node.cond.op == "!=":
+        return v != node.cond.value
+    raise NotImplementedError(node.cond.op)
+
+
+_EXPR_ATOMS = st.sampled_from([
+    "text == 'a'", "text != 'a'", "kind == 'K'", "exists(text)",
+    "exists(media_ref)", "offset == 1", "offset != 2",
+])
+
+
+def _expr_strings(depth):
+    if depth == 0:
+        return _EXPR_ATOMS
+    sub = _expr_strings(depth - 1)
+    return st.one_of(
+        _EXPR_ATOMS,
+        st.tuples(sub, sub).map(lambda t: f"{t[0]} and {t[1]}"),
+        st.tuples(sub, sub).map(lambda t: f"{t[0]} or {t[1]}"),
+        sub.map(lambda s: f"not ({s})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]}) and ({t[1]})"),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    _expr_strings(3),
+    st.lists(
+        st.tuples(st.sampled_from(["K", "L"]),
+                  st.sampled_from([None, "", "  ", "a", "b"]),
+                  st.sampled_from(["", "x"]),
+                  st.integers(0, 3)),
+        min_size=1, max_size=8,
+    ),
+)
+def test_expr_evaluator_matches_python_reference(expr_s, spans):
+    """The vectorized AST evaluator agrees with an independent per-span
+    Python evaluator for arbitrary expressions over arbitrary span rows
+    (including null/whitespace values — the two-valued-null contract)."""
+    from fhir_data_validation_ray.functions.flatten import flatten_batch
+    from fhir_data_validation_ray.functions.kernels import eval_expr
+    from fhir_data_validation_ray.profile import parse_expr
+    from fhir_data_validation_ray.sources.generator import DOCS_SCHEMA, SPAN_TYPE
+
+    ast = parse_expr(expr_s)
+    spans_dicts = [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for k, t, m, o in spans
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(["d"], pa.string()),
+         "spans": pa.array([spans_dicts], pa.list_(SPAN_TYPE))},
+        schema=DOCS_SCHEMA,
+    )
+    fs = flatten_batch(docs)
+    got = eval_expr(ast, fs).tolist()
+    want = [_eval_expr_python(ast, sp) for sp in spans_dicts]
+    assert got == want, expr_s
