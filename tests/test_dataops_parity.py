@@ -416,3 +416,38 @@ def test_partitioned_join_under_hot_key_skew(ray_session):
     # every non-hot left row matches once; hot rows match the two right rows
     assert len(out) == (5000 - n_hot) + 2 * n_hot
     assert sorted(out[out.w == 421].v) == sorted(lv[lk == 42])
+
+
+def test_new_ops_tolerate_empty_blocks(ray_session):
+    """Zero-row blocks are a reality of streaming execution — every new
+    operator's per-batch kernel must pass them through cleanly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import decontaminate
+    from fhir_data_validation_ray.stages.textops import pii_redact, top_words
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    some_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c", "a b d"], pa.string())}))
+
+    # (Ray's to_pandas drops the schema of an all-empty Dataset — assert on
+    # row counts; the non-empty path pins column names via the oracles)
+    assert len(top_words(empty_docs, k=5).to_pandas()) == 0
+    assert len(pii_redact(empty_docs).to_pandas()) == 0
+
+    # empty benchmark: nothing can overlap -> no flags
+    d1 = decontaminate(some_docs, empty_docs, min_overlap=1).to_pandas()
+    assert len(d1) == 0
+    # empty training side
+    d2 = decontaminate(empty_docs, some_docs, min_overlap=1).to_pandas()
+    assert len(d2) == 0
+    # overlap present: docs 1 and 2 share the bigram "a b"
+    d3 = decontaminate(
+        some_docs.filter(expr="doc_id == 2"),
+        some_docs.filter(expr="doc_id == 1"),
+        min_overlap=1,
+    ).to_pandas()
+    assert d3.doc_id.tolist() == [2] and d3.n_overlap.tolist() == [1]
