@@ -451,3 +451,22 @@ def test_new_ops_tolerate_empty_blocks(ray_session):
         min_overlap=1,
     ).to_pandas()
     assert d3.doc_id.tolist() == [2] and d3.n_overlap.tolist() == [1]
+
+
+def test_curation_identical_across_read_parallelism(ray_session):
+    """The curated keep-list must not depend on block boundaries — every
+    membership rule is a pure function of the corpus, so 2-block and
+    8-block reads must agree exactly (the determinism that makes resumable
+    re-runs safe)."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import curate_keep_list
+
+    def run(nblocks):
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=nblocks)
+        return sorted(curate_keep_list(docs, sample_rate=0.9).to_pandas()["doc_id"])
+
+    a, b = run(2), run(8)
+    assert a == b and len(a) > 0
