@@ -864,6 +864,7 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     - code: single unless multiValue; set membership  -> ANSWER_NOT_IN_VALUESET
       with binding strength -> severity (required=error, extensible=warning)
     - string: regex pattern                            -> INVALID_ANSWER_VALUE
+    - quantity: "<value> <unit>" shape + unit + range  -> INVALID / OUT_OF_RANGE
     - unknown question code                            -> UNKNOWN_QUESTION
     - malformed (no '=')                               -> INVALID_ANSWER_VALUE
     """
@@ -967,6 +968,45 @@ def k_question_answer(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
                 )
                 emit(qm & ~ok, E.INVALID_ANSWER_VALUE, sev,
                      {"question": q.code, "pattern": q.pattern})
+        elif q.type == "quantity":
+            # quantity answer "<decimal value>[ <unit>]" — the reference's
+            # quantity dispatch (``QuestionAnswerValidator.cs:585-736``):
+            # non-quantity shape -> INVALID; unit mismatch (missing unit
+            # displays as "none") -> INVALID; value range -> OUT_OF_RANGE.
+            # Unit and range checks BOTH run for a lexically valid answer.
+            qparts = pc.split_pattern(a, " ")
+            qn = pc.list_value_length(qparts).to_numpy(zero_copy_only=False)
+            qval = pc.list_element(qparts, 0)
+            lex_ok = (qn <= 2) & (
+                pc.match_substring_regex(qval, _DEC_RE)
+                .fill_null(False)
+                .to_numpy(zero_copy_only=False)
+            )
+            emit(qm & ~lex_ok, E.INVALID_ANSWER_VALUE, sev,
+                 {"question": q.code, "type": "quantity"})
+            if q.unit is not None:
+                unit = _qa_answers(qparts, qn == 2)  # "" where unit absent
+                unit_bad = (
+                    pc.not_equal(pc.if_else(pc.equal(unit, ""), "none", unit), q.unit)
+                    .fill_null(True)
+                    .to_numpy(zero_copy_only=False)
+                )
+                emit(qm & lex_ok & unit_bad, E.INVALID_ANSWER_VALUE, sev,
+                     {"question": q.code, "unit": q.unit})
+            num_idx = np.flatnonzero(qm & lex_ok)
+            if num_idx.size:
+                vals = np.asarray(
+                    pc.cast(pc.take(qval, pa.array(num_idx)), pa.float64())
+                )
+                bad_range = np.zeros(num_idx.size, dtype=bool)
+                if q.min is not None:
+                    bad_range |= vals < q.min
+                if q.max is not None:
+                    bad_range |= vals > q.max
+                out = np.zeros(cand.size, dtype=bool)
+                out[num_idx[bad_range]] = True
+                emit(out, E.ANSWER_OUT_OF_RANGE, sev,
+                     {"question": q.code, "min": q.min, "max": q.max})
 
 
 def k_exclusivity(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,

@@ -216,7 +216,7 @@ SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
 FROM qa WHERE q IS NULL
 UNION ALL
 SELECT doc_id, CAST(span_index AS INTEGER), 'UNKNOWN_QUESTION', 'error'
-FROM qa WHERE q IS NOT NULL AND q NOT IN ('Q1','Q2','Q3','Q4','Q5','Q6','Q7')
+FROM qa WHERE q IS NOT NULL AND q NOT IN ('Q1','Q2','Q3','Q4','Q5','Q6','Q7','Q8')
 UNION ALL
 SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
 FROM qa WHERE q = 'Q1' AND a NOT IN ('true','false')
@@ -253,6 +253,24 @@ FROM qa WHERE q = 'Q7' AND strpos(a, ',') > 0
 UNION ALL
 SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_NOT_IN_VALUESET', 'warning'
 FROM qa WHERE q = 'Q7' AND strpos(a, ',') = 0 AND a NOT IN ('x','y')
+UNION ALL
+-- Q8 quantity "<value> <unit>": shape, unit (missing displays as 'none'),
+-- and range checks — unit and range BOTH fire on a lexically valid answer
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q8' AND NOT (len(string_split(a, ' ')) <= 2
+  AND regexp_matches(split_part(a, ' ', 1), '^-?[0-9]+(\\.[0-9]+)?$'))
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'INVALID_ANSWER_VALUE', 'error'
+FROM qa WHERE q = 'Q8' AND len(string_split(a, ' ')) <= 2
+  AND regexp_matches(split_part(a, ' ', 1), '^-?[0-9]+(\\.[0-9]+)?$')
+  AND (CASE WHEN len(string_split(a, ' ')) = 2 THEN split_part(a, ' ', 2)
+       ELSE 'none' END) <> 'mg'
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER), 'ANSWER_OUT_OF_RANGE', 'error'
+FROM qa WHERE q = 'Q8' AND len(string_split(a, ' ')) <= 2
+  AND regexp_matches(split_part(a, ' ', 1), '^-?[0-9]+(\\.[0-9]+)?$')
+  AND (CAST(split_part(a, ' ', 1) AS DOUBLE) < 0
+       OR CAST(split_part(a, ' ', 1) AS DOUBLE) > 10)
 """
 
 # FullUrlIdMatch: local-shaped refs must name their own document.

@@ -34,6 +34,7 @@ QA_QUESTIONS = [
     {"code": "Q5", "type": "code", "allowed": ["a", "b", "c"], "multiValue": True},
     {"code": "Q6", "type": "decimal", "min": 0, "max": 40.5},
     {"code": "Q7", "type": "code", "allowed": ["x", "y"], "binding": "extensible"},
+    {"code": "Q8", "type": "quantity", "unit": "mg", "min": 0, "max": 10},
 ]
 
 DEFAULT_PROFILE: dict = {

@@ -59,7 +59,7 @@ PRIMITIVE_TYPES = (
     "canonical",
 )
 
-QA_TYPES = ("boolean", "integer", "decimal", "code", "string")
+QA_TYPES = ("boolean", "integer", "decimal", "code", "string", "quantity")
 QA_BINDINGS = ("required", "extensible")
 
 # Span fields addressable by fieldPath / filter conditions. ``spans`` is the
@@ -277,13 +277,17 @@ class Question:
     ``JsonNodeStructuralValidator.cs:500-548``)."""
 
     code: str
-    type: str  # boolean | integer | decimal | code | string
+    type: str  # boolean | integer | decimal | code | string | quantity
     allowed: tuple[str, ...] = ()
     min: float | None = None
     max: float | None = None
     pattern: str | None = None
     multi_value: bool = False
     binding: str = "required"  # required | extensible
+    # quantity answers ("<value> <unit>"): expected unit code; the unit AND
+    # range checks both run, like the reference's quantity dispatch
+    # (``QuestionAnswerValidator.cs:585-736``)
+    unit: str | None = None
 
 
 @dataclass(frozen=True)
@@ -510,6 +514,7 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
                         pattern=q.get("pattern"),
                         multi_value=bool(q.get("multiValue", False)),
                         binding=q.get("binding", "required"),
+                        unit=q.get("unit"),
                     )
                 )
             params["questions"] = qs

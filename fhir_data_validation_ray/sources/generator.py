@@ -32,7 +32,7 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = "g13"
+GENERATOR_VERSION = "g14"
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 KINDS = ("Patient", "Observation", "Coding", "Encounter", "text", "image", "audio",
@@ -255,7 +255,7 @@ _QA_MULTI = ("a", "b", "c")
 
 def _gen_qa_text(s: int) -> str:
     """One deterministic 'code=answer' QA payload; s selects question + defect."""
-    q = _mix(s, 5) % 8
+    q = _mix(s, 5) % 9
     bad = _mix(s, 7) % 100 < 10
     if q == 0:  # boolean
         return "Q1=" + (("yes" if _mix(s, 9) % 2 else "maybe") if bad
@@ -281,6 +281,10 @@ def _gen_qa_text(s: int) -> str:
         return "Q6=" + ("99.9" if bad else f"{_mix(s, 9) % 40}.{_mix(s, 11) % 10}")
     if q == 6:  # code, EXTENSIBLE binding -> warning on miss
         return "Q7=" + ("zz" if bad else ("x" if _mix(s, 9) % 2 else "y"))
+    if q == 7:  # quantity "<value> <unit>", unit mg, range [0, 10]
+        if bad:  # wrong unit / out of range / non-numeric / missing unit
+            return "Q8=" + ("5 kg", "15 mg", "abc mg", "5")[_mix(s, 9) % 4]
+        return f"Q8={_mix(s, 9) % 10}.{_mix(s, 11) % 10} mg"
     # unknown question code
     return "Q9=whatever"
 

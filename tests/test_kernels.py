@@ -734,3 +734,34 @@ def test_rule_evaluation_planner_lanes():
     assert not plans["RP"].vector_lane and "RE2" in plans["RP"].fallback_reasons[0]
     assert plans["CE"].vector_lane
     assert not plans["CP"].vector_lane and "predicate" in plans["CP"].fallback_reasons[0]
+
+
+def test_question_answer_quantity():
+    """Quantity dispatch (QuestionAnswerValidator.cs:585-736): value+unit
+    shape, unit equality (missing unit displays as 'none'), and range —
+    unit and range checks BOTH fire on a lexically valid answer."""
+    docs = make_docs([
+        ("d1", [s("Question", "Q8=5.5 mg", off=0)]),    # ok
+        ("d2", [s("Question", "Q8=5 kg", off=0)]),      # unit mismatch
+        ("d3", [s("Question", "Q8=15 mg", off=0)]),     # out of range
+        ("d4", [s("Question", "Q8=abc mg", off=0)]),    # not a number
+        ("d5", [s("Question", "Q8=5", off=0)]),         # missing unit -> 'none'
+        ("d6", [s("Question", "Q8=15 kg", off=0)]),     # unit AND range
+        ("d7", [s("Question", "Q8=1 2 3", off=0)]),     # too many parts
+    ])
+    p = profile_of(
+        {"id": "QA", "type": "QuestionAnswer", "kind": "Question",
+         "fieldPath": "text",
+         "params": {"questions": [
+             {"code": "Q8", "type": "quantity", "unit": "mg",
+              "min": 0, "max": 10}]}},
+    )
+    assert rows(validate(docs, p)) == [
+        ("d2", 0, "INVALID_ANSWER_VALUE", "error"),
+        ("d3", 0, "ANSWER_OUT_OF_RANGE", "error"),
+        ("d4", 0, "INVALID_ANSWER_VALUE", "error"),
+        ("d5", 0, "INVALID_ANSWER_VALUE", "error"),
+        ("d6", 0, "ANSWER_OUT_OF_RANGE", "error"),
+        ("d6", 0, "INVALID_ANSWER_VALUE", "error"),
+        ("d7", 0, "INVALID_ANSWER_VALUE", "error"),
+    ]
