@@ -52,6 +52,7 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--replicas", type=int, default=1)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--emit-details", action="store_true")
+    v.add_argument("--mode", default="standard", choices=["standard", "full", "debug"])
 
     r = sub.add_parser("response", help="print the ValidationResponse analogue")
     r.add_argument("--sf-dir", required=True)
@@ -80,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         run = run_checkpointed(
             args.sf_dir, args.out, _load_profile(args.profile),
             replicas=args.replicas, resume=not args.no_resume,
-            emit_details=args.emit_details,
+            emit_details=args.emit_details, validation_mode=args.mode,
         )
         print(json.dumps(run))
     elif args.cmd == "curate":

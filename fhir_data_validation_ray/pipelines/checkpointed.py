@@ -77,10 +77,13 @@ def run_checkpointed(
     replicas: int = 1,
     resume: bool = True,
     emit_details: bool = False,
+    validation_mode: str = "standard",
 ) -> dict:
     """Run (or resume) a checkpointed validation over one corpus. Returns the
     run manifest. Idempotent: a second call with ``resume=True`` and all
-    manifests present does no partition work."""
+    manifests present does no partition work. ``validation_mode``
+    participates in the resume hash — a standard-mode manifest is never
+    reused by a full/debug-mode run (their advisory rows differ)."""
     import ray
     import ray.data as rd
 
@@ -93,6 +96,8 @@ def run_checkpointed(
     profile_obj = profile_obj or default_profile()
     pj = json.dumps(profile_obj, sort_keys=True)
     phash = _profile_hash(profile_obj)
+    if validation_mode.lower() != "standard":
+        phash = f"{phash}:{validation_mode.lower()}"
 
     from ..functions.hashing import hash_str
 
@@ -118,7 +123,7 @@ def run_checkpointed(
             t0 = time.perf_counter()
             pf = pq.ParquetFile(row["file"])
             docs = pf.read_row_group(row["row_group"])
-            violations = _validate_stateless(pj, reg_ref, emit_details, "standard", docs)
+            violations = _validate_stateless(pj, reg_ref, emit_details, validation_mode, docs)
             vio_path = os.path.join(
                 out_dir, "violations", f"part-{row['partition_id']}.parquet"
             )

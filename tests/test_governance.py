@@ -386,3 +386,26 @@ def test_cli_curate_writes_keep_list(ray_session, tmp_path):
     )
     assert rec["kept"] == len(want) > 0
     assert got == want
+
+
+def test_checkpointed_mode_does_not_reuse_other_modes_manifests(ray_session, tmp_path):
+    """A full-mode run after a standard-mode run must re-process every
+    partition (advisory rows differ), while a same-mode re-run resumes."""
+    from fhir_data_validation_ray.pipelines.checkpointed import run_checkpointed
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+
+    p = default_profile()
+    p["rules"].append(
+        {"id": "HINT", "type": "Regex", "kind": "Patient", "fieldPath": "text",
+         "severity": "error", "validationClass": "Advisory", "isSpecHint": True,
+         "params": {"pattern": "^[S]"}})
+    out = str(tmp_path / "run")
+    std = run_checkpointed("/root/testdata/sf0.001", out, p)
+    full = run_checkpointed("/root/testdata/sf0.001", out, p,
+                            validation_mode="full")
+    full2 = run_checkpointed("/root/testdata/sf0.001", out, p,
+                             validation_mode="full")
+    assert std["n_processed_this_run"] == std["n_partitions"]
+    assert full["n_processed_this_run"] == full["n_partitions"]  # no reuse
+    assert full2["n_processed_this_run"] == 0                    # same mode resumes
+    assert full["n_violations"] > std["n_violations"]            # advisory rows added
