@@ -143,6 +143,22 @@ def q_pii_redact(sf_dir: str):
     return pii_redact(ds.map_batches(pick, batch_format="pyarrow"))
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-word / duplicate-
+    bigram fractions, most-common-word share) per document."""
+    from ..stages.textops import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing: per-shard deterministic token
+    offsets + training-sequence assignment (window-cumsum oracle)."""
+    from ..stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination: a deterministic quarter of the
     corpus (FNV(doc_id) % 4 == 0) plays the benchmark; training docs
@@ -595,6 +611,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_simhash_pairs": q_simhash_pairs,
         "d_dedup_clusters": q_dedup_clusters,
         "d_decontaminate": q_decontaminate,
+        "t_repetition": q_repetition,
+        "t_pack": q_pack_sequences,
         "t_top_words": q_top_words,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
@@ -827,6 +845,62 @@ EXCEPT SELECT doc_id FROM drops
 """
 
 
+# repetition_stats mirror: zipped unnest keeps word order (pos), rpos is the
+# post-''-filter position so bigram adjacency matches the kernel's filtered
+# sequence; LEFT JOINs restore all-zero rows for wordless docs.
+REPETITION_SQL = """
+WITH wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+wp AS (SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS pos FROM wl),
+words AS (SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos
+          FROM wp WHERE w <> ''),
+wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM words GROUP BY 1, 2),
+ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+              count(*)::BIGINT AS n_distinct_words,
+              max(c)::BIGINT AS top_word_n FROM wc GROUP BY 1),
+bc AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
+       FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.rpos = a.rpos + 1
+       GROUP BY 1, 2, 3),
+bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+              count(*)::BIGINT AS n_distinct_bigrams,
+              max(c)::BIGINT AS top_bigram_n FROM bc GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(ws.n_words, 0) AS n_words,
+  coalesce(ws.n_distinct_words, 0) AS n_distinct_words,
+  coalesce(ws.top_word_n, 0) AS top_word_n,
+  coalesce(bs.n_bigrams, 0) AS n_bigrams,
+  coalesce(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+  coalesce(bs.top_bigram_n, 0) AS top_bigram_n,
+  (coalesce(ws.top_word_n, 0) * 5 > coalesce(ws.n_words, 0)
+   OR coalesce(bs.n_distinct_bigrams, 0) * 10 < coalesce(bs.n_bigrams, 0) * 9)
+  AS repetitive
+FROM documents d
+LEFT JOIN ws ON d.doc_id = ws.doc_id
+LEFT JOIN bs ON d.doc_id = bs.doc_id
+"""
+
+
+def _pack_sql() -> str:
+    """pack_sequences mirror: same non-empty-word token count, same
+    doc_id//shard_docs sharding, window cumsum = the shard-local prefix sum
+    the pack_shard group kernel computes."""
+    from ..stages.packing import PACK_BUDGET, PACK_SHARD_DOCS
+
+    off = ("coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, doc_id // {PACK_SHARD_DOCS} AS shard,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+         AS n_tokens
+  FROM documents)
+SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+  {off}::BIGINT AS tok_offset,
+  ({off} // {PACK_BUDGET})::BIGINT AS seq_in_shard
+FROM tok
+"""
+
+
 TOP_WORDS_SQL = f"""
 SELECT word, n, rank FROM (
   SELECT word, count(*)::BIGINT AS n,
@@ -937,6 +1011,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE
         .replace("__FNV__", _fnv_sql("CAST(doc_id AS VARCHAR)"))
         .replace("__K__", str(DECON_MIN_OVERLAP)),
+        "t_repetition": REPETITION_SQL,
+        "t_pack": _pack_sql(),
         "t_top_words": TOP_WORDS_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),

@@ -247,6 +247,80 @@ def pii_redact(ds, *, column: str = "text",
     return ds.map_batches(red, batch_format="pyarrow", batch_size=batch_size)
 
 
+def repetition_stats(docs, *, batch_size: int | None = None):
+    """Gopher-style per-document repetition signals — the "repeated content"
+    quality gates a training-data pipeline applies before sampling (Rae et
+    al. 2021 §A1.1: fraction of duplicate n-grams / most-common-word share).
+
+    Columns (all exact integers, so the DuckDB oracle compares bitwise):
+    ``n_words`` non-empty whitespace words; ``n_distinct_words``;
+    ``top_word_n`` occurrences of the most frequent word; ``n_bigrams``;
+    ``n_distinct_bigrams``; ``top_bigram_n``; and ``repetitive`` — True when
+    the top word exceeds 20% of the doc (``top_word_n*5 > n_words``) OR
+    fewer than 90% of bigrams are distinct (``n_distinct_bigrams*10 <
+    n_bigrams*9``).
+
+    Fully vectorized: dictionary-encode the flattened words (exact per-batch
+    int ids — no hash-collision caveat), lexsort (doc, word_id) for per-doc
+    distinct/top counts, adjacent-id pairs for bigrams. Stateless task stage;
+    per-batch work only — embarrassingly parallel at any corpus size.
+    """
+
+    def _group_stats(parent: np.ndarray, keys: tuple[np.ndarray, ...], n: int):
+        """Per-parent (distinct-group count, max group size) over rows keyed
+        by ``keys`` — lexsort + boundary diffs, no Python loop."""
+        if len(parent) == 0:
+            z = np.zeros(n, dtype=np.int64)
+            return z, z.copy()
+        order = np.lexsort((*keys[::-1], parent))
+        p = parent[order]
+        new = np.ones(len(p), dtype=bool)
+        np.not_equal(p[1:], p[:-1], out=new[1:])
+        for k in keys:
+            ks = k[order]
+            new[1:] |= ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(p)))
+        n_distinct = np.bincount(p[starts], minlength=n).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, p[starts], lens)
+        return n_distinct, top
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        parts = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").fill_null(False).to_numpy(zero_copy_only=False)
+        da = pc.dictionary_encode(flat)
+        wid = np.asarray(da.indices, dtype=np.int64)[keep]
+        parent = parent[keep]  # still non-decreasing: doc order is preserved
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        n_dw, top_w = _group_stats(parent, (wid,), n)
+        adj = parent[:-1] == parent[1:] if len(parent) else np.empty(0, bool)
+        bp, b1, b2 = parent[:-1][adj], wid[:-1][adj], wid[1:][adj]
+        n_bigrams = np.bincount(bp, minlength=n).astype(np.int64)
+        n_db, top_b = _group_stats(bp, (b1, b2), n)
+        repetitive = (top_w * 5 > n_words) | (n_db * 10 < n_bigrams * 9)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "n_distinct_words": pa.array(n_dw),
+                "top_word_n": pa.array(top_w),
+                "n_bigrams": pa.array(n_bigrams),
+                "n_distinct_bigrams": pa.array(n_db),
+                "top_bigram_n": pa.array(top_b),
+                "repetitive": pa.array(repetitive),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow", batch_size=batch_size)
+
+
 def simhash_batch(texts: pa.Array) -> np.ndarray:
     """64-bit SimHash per text from word-unigram features (Arrow split +
     flatten, per-bit +/-1 votes via reduceat over the flat word-hash array)."""

@@ -470,3 +470,86 @@ def test_curation_identical_across_read_parallelism(ray_session):
 
     a, b = run(2), run(8)
     assert a == b and len(a) > 0
+
+
+def test_repetition_stats_semantics(ray_session):
+    """Hand-computed Gopher-style repetition signals on adversarial docs:
+    top-word share trigger, duplicate-bigram trigger, clean doc, empty doc,
+    and multi-space runs (empty words must not count or form bigrams)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import repetition_stats
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam eggs",      # top word 4/5 > 20%
+            "a b a b a b a b a c",           # bigrams heavily duplicated
+            "one two three four five six",   # clean
+            "",                              # empty -> all zeros
+            "x  y   x",                      # runs of spaces -> 3 words, 2 bigrams
+        ], pa.string()),
+    }))
+    df = (repetition_stats(docs).to_pandas()
+          .set_index("doc_id").sort_index())
+
+    assert df.loc[1].tolist() == [5, 2, 4, 4, 2, 3, True]
+    # doc 2: 10 words (a x5, b x4, c x1), 9 bigrams, distinct {ab,ba,ac}=3
+    assert df.loc[2, ["n_words", "top_word_n", "n_bigrams",
+                      "n_distinct_bigrams"]].tolist() == [10, 5, 9, 3]
+    assert bool(df.loc[2, "repetitive"])
+    assert df.loc[3].tolist() == [6, 6, 1, 5, 5, 1, False]
+    assert df.loc[4].tolist() == [0, 0, 0, 0, 0, 0, False]
+    # doc 5: words [x,y,x] after filtering '' -> bigrams (x,y),(y,x);
+    # top word x is 2/3 of the doc -> repetitive by the 20% gate
+    assert df.loc[5].tolist() == [3, 2, 2, 2, 2, 1, True]
+
+
+def test_pack_sequences_layout(ray_session):
+    """Offsets are the shard-local prefix sum in doc_id order, sequences
+    chunk every `budget` tokens, and the layout is identical whether the
+    shard's docs arrive in one batch or split across many."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.packing import pack_sequences
+
+    ids = np.arange(20, dtype=np.int64)
+    texts = [" ".join(["w"] * (3 + int(i) % 5)) for i in ids]  # 3..7 tokens
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+
+    def run(nblocks):
+        return (pack_sequences(rd.from_arrow(tbl).repartition(nblocks),
+                               budget=10, shard_docs=8)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    df = run(1)
+    assert df.shard.tolist() == (ids // 8).tolist()
+    ntok = 3 + ids % 5
+    assert df.n_tokens.tolist() == ntok.tolist()
+    for s, g in df.groupby("shard"):
+        offs = np.concatenate([[0], np.cumsum(g.n_tokens.to_numpy())[:-1]])
+        assert g.tok_offset.tolist() == offs.tolist()
+        assert g.seq_in_shard.tolist() == (offs // 10).tolist()
+    # shard 0 by hand: tokens 3,4,5,6,7,3,4,5 -> offsets 0,3,7,12,18,25,28,32
+    g0 = df[df.shard == 0]
+    assert g0.tok_offset.tolist() == [0, 3, 7, 12, 18, 25, 28, 32]
+    assert g0.seq_in_shard.tolist() == [0, 0, 0, 1, 1, 2, 2, 3]
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(df, run(7))
+
+
+def test_packing_and_repetition_tolerate_empty_blocks(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.packing import pack_sequences
+    from fhir_data_validation_ray.stages.textops import repetition_stats
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert len(repetition_stats(empty).to_pandas()) == 0
+    assert len(pack_sequences(empty).to_pandas()) == 0
