@@ -159,6 +159,26 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir))
 
 
+def q_mixture(sf_dir: str):
+    """Domain-mixture token budgeting: per-(source, lang) doc/token counts +
+    largest-remainder proportional quota (window-SQL oracle)."""
+    import ray.data as rd
+
+    from ..stages.textops import mixture_quota
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source", "lang"])
+    return mixture_quota(docs)
+
+
+def q_tfidf(sf_dir: str):
+    """Per-document most-salient term by exact integer TF-IDF score
+    (tf * SCALE // df; ties term-ASC)."""
+    from ..stages.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination: a deterministic quarter of the
     corpus (FNV(doc_id) % 4 == 0) plays the benchmark; training docs
@@ -613,6 +633,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_decontaminate": q_decontaminate,
         "t_repetition": q_repetition,
         "t_pack": q_pack_sequences,
+        "t_mixture": q_mixture,
+        "t_tfidf": q_tfidf,
         "t_top_words": q_top_words,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
@@ -880,6 +902,53 @@ LEFT JOIN bs ON d.doc_id = bs.doc_id
 """
 
 
+# mixture_quota mirror: same token count, floor allocation via integer //,
+# largest-remainder bonus ranked (rem DESC, source, lang). CASE guards the
+# all-empty-corpus tot=0 division (kernel emits quota 0 there too).
+def _mixture_sql() -> str:
+    from ..stages.textops import mixture_quota  # noqa: F401  (budget default)
+
+    b = 1_000_000
+    return f"""
+WITH g AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT
+         AS n_tokens
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT *, sum(n_tokens) OVER () AS tot FROM g),
+f AS (SELECT *, ({b} * n_tokens) // nullif(tot, 0) AS fl,
+             ({b} * n_tokens) % nullif(tot, 0) AS rem
+      FROM t),
+a AS (SELECT *, sum(fl) OVER () AS fl_sum,
+             row_number() OVER (ORDER BY rem DESC, source, lang) AS rr
+      FROM f)
+SELECT source, lang, n_docs, n_tokens,
+  CASE WHEN tot = 0 THEN 0
+       ELSE fl + CASE WHEN rr <= {b} - fl_sum THEN 1 ELSE 0 END
+  END::BIGINT AS quota
+FROM a
+"""
+
+
+def _tfidf_sql() -> str:
+    from ..stages.textops import TFIDF_SCALE
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+words AS (SELECT doc_id, term FROM w WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             (tf.tf * {TFIDF_SCALE}) // df.df AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY (tf.tf * {TFIDF_SCALE}) // df.df DESC,
+                                         tf.term) AS rk
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, score FROM s WHERE rk = 1
+"""
+
+
 def _pack_sql() -> str:
     """pack_sequences mirror: same non-empty-word token count, same
     doc_id//shard_docs sharding, window cumsum = the shard-local prefix sum
@@ -1013,6 +1082,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         .replace("__K__", str(DECON_MIN_OVERLAP)),
         "t_repetition": REPETITION_SQL,
         "t_pack": _pack_sql(),
+        "t_mixture": _mixture_sql(),
+        "t_tfidf": _tfidf_sql(),
         "t_top_words": TOP_WORDS_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),

@@ -321,6 +321,213 @@ def repetition_stats(docs, *, batch_size: int | None = None):
     return docs.map_batches(stats, batch_format="pyarrow", batch_size=batch_size)
 
 
+def mixture_quota(docs, *, budget: int = 1_000_000,
+                  batch_size: int | None = None):
+    """Domain-mixture token budgeting: per ``(source, lang)`` group report
+    ``n_docs``, ``n_tokens`` (non-empty whitespace words) and ``quota`` — a
+    largest-remainder proportional allocation of ``budget`` tokens across
+    groups (the static mixing-weight table a pretraining sampler consumes;
+    cf. The Pile's per-source epochs). Exact integers throughout:
+    ``floor(budget * n_i / N)`` plus +1 for the groups with the largest
+    remainders (ties: source ASC, lang ASC) so quotas sum to ``budget``.
+
+    Plan: per-batch pre-aggregated (source, lang, docs, tokens) partials —
+    the shuffle moves one row per group per batch, never text — then one
+    tiny low-cardinality groupby; the final allocation runs driver-side over
+    the G group rows (G = |sources|x|langs|, bounded and small by
+    construction — NOT corpus-sized). ``budget * n_tokens`` must fit int64:
+    fine for budget ≤ 1e6 against ≤ 9e12 corpus tokens.
+    """
+    import ray.data as rd
+
+    from ..functions.collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").fill_null(False).to_numpy(zero_copy_only=False)
+        ntok = np.bincount(parent[keep], minlength=len(texts)).astype(np.int64)
+        key = pc.binary_join_element_wise(t["source"], t["lang"], "\x1f")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        da = pc.dictionary_encode(key)
+        idx = np.asarray(da.indices, dtype=np.int64)
+        g = len(da.dictionary)
+        # any representative row per group works (source/lang determine grp)
+        first = np.zeros(g, dtype=np.int64)
+        np.maximum.at(first, idx, np.arange(len(idx)))
+        src = t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"]
+        lng = t["lang"].combine_chunks() if isinstance(t["lang"], pa.ChunkedArray) else t["lang"]
+        return pa.table(
+            {
+                "grp": da.dictionary.cast(pa.string()),
+                "source": src.take(pa.array(first)),
+                "lang": lng.take(pa.array(first)),
+                "n_docs": pa.array(np.bincount(idx, minlength=g).astype(np.int64)),
+                "n_tokens": pa.array(
+                    np.bincount(idx, weights=ntok, minlength=g).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": g["source"].combine_chunks()[:1] if isinstance(g["source"], pa.ChunkedArray) else g["source"][:1],
+                "lang": g["lang"].combine_chunks()[:1] if isinstance(g["lang"], pa.ChunkedArray) else g["lang"][:1],
+                "n_docs": pa.array([int(pc.sum(g["n_docs"]).as_py())], pa.int64()),
+                "n_tokens": pa.array([int(pc.sum(g["n_tokens"]).as_py())], pa.int64()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("grp")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    schema = pa.schema([("source", pa.string()), ("lang", pa.string()),
+                        ("n_docs", pa.int64()), ("n_tokens", pa.int64())])
+    tbl = collect_table(grouped, empty_schema=schema)
+    src = tbl["source"].to_numpy(zero_copy_only=False).astype("U") if tbl.num_rows else np.empty(0, "U1")
+    lng = tbl["lang"].to_numpy(zero_copy_only=False).astype("U") if tbl.num_rows else np.empty(0, "U1")
+    nd = np.asarray(tbl["n_docs"]).astype(np.int64) if tbl.num_rows else np.empty(0, np.int64)
+    nt = np.asarray(tbl["n_tokens"]).astype(np.int64) if tbl.num_rows else np.empty(0, np.int64)
+    tot = int(nt.sum())
+    if tot > 0:
+        fl = budget * nt // tot
+        rem = budget * nt % tot
+        quota = fl.copy()
+        short = int(budget - fl.sum())
+        order = np.lexsort((lng, src, -rem))
+        quota[order[:short]] += 1
+    else:
+        quota = np.zeros(len(nt), dtype=np.int64)
+    order = np.lexsort((lng, src))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(src[order], pa.string()),
+                "lang": pa.array(lng[order], pa.string()),
+                "n_docs": pa.array(nd[order]),
+                "n_tokens": pa.array(nt[order]),
+                "quota": pa.array(quota[order]),
+            }
+        )
+    )
+
+
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(docs, *, num_buckets: int = 64, doc_shard: int = 4096,
+                    batch_size: int | None = None):
+    """Per-document most-salient term by exact integer TF-IDF score
+    ``tf * TFIDF_SCALE // df`` (ties: term ASC). Emits one row per doc that
+    has ≥1 non-empty word: ``doc_id, term, tf, df, score``.
+
+    Two bounded exchanges, no broadcast vocabulary and no hash-collision
+    caveat (terms travel as strings and match exactly):
+    1. per-batch (term-bucket, term, doc_id, tf) partials — each doc lives
+       whole in one row so per-doc tf is exact per batch; the shuffle moves
+       one row per distinct (doc, term), never raw tokens;
+    2. term-bucket groupby: every (doc, term) row for a term lands in its
+       bucket, so ``df`` = the term's row count there (rows are distinct per
+       doc by construction) — attach df + score, re-key by doc shard;
+    3. doc-shard groupby (bounded ``doc_id // doc_shard`` groups — skew-free
+       like ``packing.pack_sequences``): vectorized per-doc argmax via
+       lexsort + first-per-run boundaries.
+    """
+    from ..functions.hashing import hash_str
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").fill_null(False).to_numpy(zero_copy_only=False)
+        da = pc.dictionary_encode(flat)
+        wid = np.asarray(da.indices, dtype=np.int64)[keep]
+        parent = parent[keep]
+        order = np.lexsort((wid, parent))
+        p, w = parent[order], wid[order]
+        new = np.ones(len(p), dtype=bool)
+        if len(p):
+            new[1:] = (p[1:] != p[:-1]) | (w[1:] != w[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(p))).astype(np.int64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        d = ids[p[starts]] if len(starts) else np.empty(0, np.int64)
+        vocab = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        terms = vocab[w[starts]] if len(starts) else np.empty(0, "U1")
+        bucket = (hash_str(terms) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(d),
+                "tf": pa.array(tf),
+            }
+        )
+
+    def df_attach(g: pa.Table) -> pa.Table:
+        term = g["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        da = pc.dictionary_encode(term)
+        idx = np.asarray(da.indices, dtype=np.int64)
+        df = np.bincount(idx, minlength=len(da.dictionary)).astype(np.int64)[idx]
+        tf = np.asarray(g["tf"]).astype(np.int64)
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "dshard": pa.array(ids // doc_shard),
+                "doc_id": pa.array(ids),
+                "term": term,
+                "tf": pa.array(tf),
+                "df": pa.array(df),
+                "score": pa.array(tf * TFIDF_SCALE // df),
+            }
+        )
+
+    def doc_argmax(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        score = np.asarray(g["score"]).astype(np.int64)
+        term = g["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        terms = term.to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((terms, -score, ids))
+        p = ids[order]
+        new = np.ones(len(p), dtype=bool)
+        if len(p):
+            new[1:] = p[1:] != p[:-1]
+        firsts = np.flatnonzero(new)
+        pick = pa.array(order[firsts])
+        return pa.table(
+            {
+                "doc_id": pa.array(p[firsts]),
+                "term": term.take(pick),
+                "tf": g["tf"].combine_chunks().take(pick) if isinstance(g["tf"], pa.ChunkedArray) else g["tf"].take(pick),
+                "df": g["df"].combine_chunks().take(pick) if isinstance(g["df"], pa.ChunkedArray) else g["df"].take(pick),
+                "score": g["score"].combine_chunks().take(pick) if isinstance(g["score"], pa.ChunkedArray) else g["score"].take(pick),
+            }
+        )
+
+    return (
+        docs.map_batches(tf_partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(df_attach, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(doc_argmax, batch_format="pyarrow")
+    )
+
+
 def simhash_batch(texts: pa.Array) -> np.ndarray:
     """64-bit SimHash per text from word-unigram features (Arrow split +
     flatten, per-bit +/-1 votes via reduceat over the flat word-hash array)."""

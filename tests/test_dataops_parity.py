@@ -553,3 +553,88 @@ def test_packing_and_repetition_tolerate_empty_blocks(ray_session):
         "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
     assert len(repetition_stats(empty).to_pandas()) == 0
     assert len(pack_sequences(empty).to_pandas()) == 0
+
+
+def test_mixture_quota_semantics(ray_session):
+    """Quotas are the largest-remainder proportional allocation: they sum to
+    the budget exactly, floors are respected, and the remainder bonus goes to
+    the largest-remainder groups (ties by source, lang)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import mixture_quota
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["a b c", "d e", "f", "g h i j", "k", "l m"], pa.string()),
+        "source": pa.array(["web", "web", "book", "book", "code", "code"]),
+        "lang": pa.array(["en", "de", "en", "en", "en", "en"]),
+    }))
+    # groups: (web,en)=3 tok, (web,de)=2, (book,en)=1+4=5, (code,en)=1+2=3; tot=13
+    df = (mixture_quota(docs, budget=100).to_pandas()
+          .set_index(["source", "lang"]).sort_index())
+    assert df.quota.sum() == 100
+    assert df.loc[("book", "en")].tolist() == [2, 5, 39]   # floor 38 + bonus
+    assert df.loc[("web", "de")].tolist() == [1, 2, 15]    # floor 15 rem 5/13
+    assert df.loc[("web", "en")].quota == 23               # floor 23 rem 1/13
+    assert df.loc[("code", "en")].quota == 23              # ties: code < web
+
+    # all-empty corpus: groups exist, zero tokens -> zero quotas (no div0)
+    empty_texts = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", ""], pa.string()),
+        "source": pa.array(["web", "book"]),
+        "lang": pa.array(["en", "en"]),
+    }))
+    z = mixture_quota(empty_texts, budget=10).to_pandas()
+    assert len(z) == 2 and z.quota.tolist() == [0, 0]
+
+
+def test_tfidf_top_terms_semantics(ray_session):
+    """The salient term maximizes tf*SCALE//df; rarer terms beat commoner
+    ones at equal tf, and exact ties resolve to the lexicographically
+    smallest term. Result is invariant to read parallelism."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import tfidf_top_terms
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "apple apple banana",   # tf(apple)=2 beats rare banana (2M vs 1M/2)
+            "banana cherry",        # both df=2, tf=1 -> tie -> 'banana'
+            "cherry date",          # date df=1 unique -> 'date'
+            "",                     # wordless doc -> no row
+        ], pa.string()),
+    })
+
+    def run(nblocks):
+        return (tfidf_top_terms(rd.from_arrow(tbl).repartition(nblocks),
+                                doc_shard=2)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    df = run(1)
+    assert df.doc_id.tolist() == [1, 2, 3]
+    assert df.term.tolist() == ["apple", "banana", "date"]
+    assert df.tf.tolist() == [2, 1, 1]
+    assert df.df.tolist() == [1, 2, 1]
+    assert df.score.tolist() == [2_000_000, 500_000, 1_000_000]
+    pd.testing.assert_frame_equal(df, run(3))
+
+
+def test_mixture_and_tfidf_tolerate_empty_blocks(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import (
+        mixture_quota,
+        tfidf_top_terms,
+    )
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()), "lang": pa.array([], pa.string())}))
+    assert len(mixture_quota(empty).to_pandas()) == 0
+    assert len(tfidf_top_terms(empty).to_pandas()) == 0
