@@ -179,6 +179,14 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir))
 
 
+def q_oov(sf_dir: str):
+    """Per-doc out-of-vocabulary token mass (global df < min_df) + quality
+    gate (OOV share <= 20%, integer form)."""
+    from ..stages.textops import oov_rate
+
+    return oov_rate(_docs(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination: a deterministic quarter of the
     corpus (FNV(doc_id) % 4 == 0) plays the benchmark; training docs
@@ -635,6 +643,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_pack": q_pack_sequences,
         "t_mixture": q_mixture,
         "t_tfidf": q_tfidf,
+        "t_oov": q_oov,
         "t_top_words": q_top_words,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
@@ -949,6 +958,25 @@ SELECT doc_id, term, tf, df, score FROM s WHERE rk = 1
 """
 
 
+def _oov_sql() -> str:
+    """oov_rate mirror: same tokenization, df over distinct docs, rare-mass
+    sums per doc (docs with >=1 word only, matching the kernel)."""
+    min_df = 2
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+words AS (SELECT doc_id, term FROM w WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY 1)
+SELECT tf.doc_id,
+  sum(tf.tf)::BIGINT AS n_words,
+  sum(CASE WHEN df.df < {min_df} THEN tf.tf ELSE 0 END)::BIGINT AS n_oov,
+  (sum(CASE WHEN df.df < {min_df} THEN tf.tf ELSE 0 END) * 5 <= sum(tf.tf))
+  AS low_oov
+FROM tf JOIN df USING (term) GROUP BY 1
+"""
+
+
 def _pack_sql() -> str:
     """pack_sequences mirror: same non-empty-word token count, same
     doc_id//shard_docs sharding, window cumsum = the shard-local prefix sum
@@ -1084,6 +1112,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_pack": _pack_sql(),
         "t_mixture": _mixture_sql(),
         "t_tfidf": _tfidf_sql(),
+        "t_oov": _oov_sql(),
         "t_top_words": TOP_WORDS_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),

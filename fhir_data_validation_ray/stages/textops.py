@@ -423,24 +423,13 @@ def mixture_quota(docs, *, budget: int = 1_000_000,
 TFIDF_SCALE = 1_000_000
 
 
-def tfidf_top_terms(docs, *, num_buckets: int = 64, doc_shard: int = 4096,
-                    batch_size: int | None = None):
-    """Per-document most-salient term by exact integer TF-IDF score
-    ``tf * TFIDF_SCALE // df`` (ties: term ASC). Emits one row per doc that
-    has ≥1 non-empty word: ``doc_id, term, tf, df, score``.
-
-    Two bounded exchanges, no broadcast vocabulary and no hash-collision
-    caveat (terms travel as strings and match exactly):
-    1. per-batch (term-bucket, term, doc_id, tf) partials — each doc lives
-       whole in one row so per-doc tf is exact per batch; the shuffle moves
-       one row per distinct (doc, term), never raw tokens;
-    2. term-bucket groupby: every (doc, term) row for a term lands in its
-       bucket, so ``df`` = the term's row count there (rows are distinct per
-       doc by construction) — attach df + score, re-key by doc shard;
-    3. doc-shard groupby (bounded ``doc_id // doc_shard`` groups — skew-free
-       like ``packing.pack_sequences``): vectorized per-doc argmax via
-       lexsort + first-per-run boundaries.
-    """
+def _term_tf_partial(num_buckets: int):
+    """Per-batch (term-bucket, term, doc_id, tf) partial — the shared first
+    stage of the inverted-index operators (``tfidf_top_terms``, ``oov_rate``).
+    Each doc lives whole in one row, so per-(doc, term) tf is exact per
+    batch; the shuffle moves one row per distinct (doc, term), never raw
+    tokens. Terms travel as strings (bucket is routing only — matches inside
+    a bucket compare the string itself, no hash-collision caveat)."""
     from ..functions.hashing import hash_str
 
     def tf_partial(t: pa.Table) -> pa.Table:
@@ -474,6 +463,29 @@ def tfidf_top_terms(docs, *, num_buckets: int = 64, doc_shard: int = 4096,
                 "tf": pa.array(tf),
             }
         )
+
+    return tf_partial
+
+
+def tfidf_top_terms(docs, *, num_buckets: int = 64, doc_shard: int = 4096,
+                    batch_size: int | None = None):
+    """Per-document most-salient term by exact integer TF-IDF score
+    ``tf * TFIDF_SCALE // df`` (ties: term ASC). Emits one row per doc that
+    has ≥1 non-empty word: ``doc_id, term, tf, df, score``.
+
+    Two bounded exchanges, no broadcast vocabulary and no hash-collision
+    caveat (terms travel as strings and match exactly):
+    1. per-batch (term-bucket, term, doc_id, tf) partials — each doc lives
+       whole in one row so per-doc tf is exact per batch; the shuffle moves
+       one row per distinct (doc, term), never raw tokens;
+    2. term-bucket groupby: every (doc, term) row for a term lands in its
+       bucket, so ``df`` = the term's row count there (rows are distinct per
+       doc by construction) — attach df + score, re-key by doc shard;
+    3. doc-shard groupby (bounded ``doc_id // doc_shard`` groups — skew-free
+       like ``packing.pack_sequences``): vectorized per-doc argmax via
+       lexsort + first-per-run boundaries.
+    """
+    tf_partial = _term_tf_partial(num_buckets)
 
     def df_attach(g: pa.Table) -> pa.Table:
         term = g["term"]
@@ -525,6 +537,77 @@ def tfidf_top_terms(docs, *, num_buckets: int = 64, doc_shard: int = 4096,
         .map_groups(df_attach, batch_format="pyarrow")
         .groupby("dshard")
         .map_groups(doc_argmax, batch_format="pyarrow")
+    )
+
+
+def oov_rate(docs, *, min_df: int = 2, num_buckets: int = 64,
+             doc_shard: int = 4096, batch_size: int | None = None):
+    """Out-of-vocabulary quality gate: per document, the token mass carried
+    by globally rare words (document frequency < ``min_df``). High OOV share
+    marks gibberish / mangled encodings / boilerplate IDs — a standard
+    corpus-quality filter next to the length/stopword gates.
+
+    Emits one row per doc with ≥1 non-empty word: ``doc_id``, ``n_words``,
+    ``n_oov`` (occurrences of sub-threshold words), and ``low_oov``
+    (``n_oov * 5 <= n_words``, integer form of OOV share ≤ 20%).
+
+    Same two bounded exchanges as ``tfidf_top_terms`` via the shared
+    ``_term_tf_partial``: the term-bucket groupby knows each term's exact
+    global df (all of a term's (doc, term) rows land in its bucket), folds
+    the per-doc partial sums immediately — so the doc-shard exchange moves
+    one row per (doc, bucket), not one per (doc, term) — and the bounded
+    doc-shard groupby adds them up per doc."""
+    tf_partial = _term_tf_partial(num_buckets)
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        term = g["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        da = pc.dictionary_encode(term)
+        idx = np.asarray(da.indices, dtype=np.int64)
+        df = np.bincount(idx, minlength=len(da.dictionary)).astype(np.int64)
+        rare = df[idx] < min_df
+        tf = np.asarray(g["tf"]).astype(np.int64)
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        dd = pc.dictionary_encode(pa.array(ids))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        n_words = np.bincount(di, weights=tf, minlength=len(uids)).astype(np.int64)
+        n_oov = np.bincount(di[rare], weights=tf[rare],
+                            minlength=len(uids)).astype(np.int64)
+        return pa.table(
+            {
+                "dshard": pa.array(uids // doc_shard),
+                "doc_id": pa.array(uids),
+                "n_words": pa.array(n_words),
+                "n_oov": pa.array(n_oov),
+            }
+        )
+
+    def doc_fold(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        dd = pc.dictionary_encode(pa.array(ids))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        n_words = np.bincount(di, weights=np.asarray(g["n_words"]),
+                              minlength=len(uids)).astype(np.int64)
+        n_oov = np.bincount(di, weights=np.asarray(g["n_oov"]),
+                            minlength=len(uids)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids),
+                "n_words": pa.array(n_words),
+                "n_oov": pa.array(n_oov),
+                "low_oov": pa.array(n_oov * 5 <= n_words),
+            }
+        )
+
+    return (
+        docs.map_batches(tf_partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(doc_fold, batch_format="pyarrow")
     )
 
 

@@ -638,3 +638,39 @@ def test_mixture_and_tfidf_tolerate_empty_blocks(ray_session):
         "source": pa.array([], pa.string()), "lang": pa.array([], pa.string())}))
     assert len(mixture_quota(empty).to_pandas()) == 0
     assert len(tfidf_top_terms(empty).to_pandas()) == 0
+
+
+def test_oov_rate_semantics(ray_session):
+    """Rare-word mass is counted against the GLOBAL df (terms seen in >= 2
+    docs are in-vocab), the gate is the integer 20% form, and the result is
+    invariant to read parallelism."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import oov_rate
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a a b",      # df(a)=2, df(b)=2 -> no OOV
+            "a c",        # c df=1 -> 1 of 2 words OOV
+            "b z z z",    # z df=1 -> 3 of 4 OOV
+            "",           # wordless -> no row
+        ], pa.string()),
+    })
+
+    def run(nblocks):
+        return (oov_rate(rd.from_arrow(tbl).repartition(nblocks), doc_shard=2)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    df = run(1)
+    assert df.doc_id.tolist() == [1, 2, 3]
+    assert df.n_words.tolist() == [3, 2, 4]
+    assert df.n_oov.tolist() == [0, 1, 3]
+    assert df.low_oov.tolist() == [True, False, False]
+    pd.testing.assert_frame_equal(df, run(3))
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert len(oov_rate(empty).to_pandas()) == 0
