@@ -44,7 +44,7 @@ _QUERY_PRIORITY = [
     "t_sample", "t_sample_stratified",
     # -- round-3 training-data operators (oracle-bearing, new)
     "d_decontaminate", "t_top_words", "t_pii_redact",
-    "t_repetition", "t_pack", "t_mixture", "t_tfidf", "t_oov",
+    "t_repetition", "t_pack", "t_mixture", "t_tfidf", "t_oov", "t_shuffle",
     # -- dedup / windows / textops (oracle-bearing, green in r02)
     "d_exact_dedup", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
     "d_dedup_clusters",

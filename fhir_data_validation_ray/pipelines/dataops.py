@@ -179,6 +179,18 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir))
 
 
+def q_shuffle(sf_dir: str):
+    """Deterministic global-shuffle layout: (shard, in-shard position) per
+    doc from the FNV hash — reproducible pseudorandom order, no all-to-all
+    random_shuffle."""
+    import ray.data as rd
+
+    from ..stages.packing import shuffle_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_assign(docs)
+
+
 def q_oov(sf_dir: str):
     """Per-doc out-of-vocabulary token mass (global df < min_df) + quality
     gate (OOV share <= 20%, integer form)."""
@@ -644,6 +656,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_mixture": q_mixture,
         "t_tfidf": q_tfidf,
         "t_oov": q_oov,
+        "t_shuffle": q_shuffle,
         "t_top_words": q_top_words,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
@@ -958,6 +971,21 @@ SELECT doc_id, term, tf, df, score FROM s WHERE rk = 1
 """
 
 
+def _shuffle_sql() -> str:
+    """shuffle_assign mirror: same FNV over str(doc_id), shard = h % n,
+    pos = rank within shard by (h, doc_id)."""
+    from ..stages.packing import SHUFFLE_SHARDS
+
+    fnv = _fnv_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT doc_id, {fnv} AS h FROM documents)
+SELECT doc_id, (h % {SHUFFLE_SHARDS})::BIGINT AS shard,
+  (row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS}
+                      ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM h
+"""
+
+
 def _oov_sql() -> str:
     """oov_rate mirror: same tokenization, df over distinct docs, rare-mass
     sums per doc (docs with >=1 word only, matching the kernel)."""
@@ -1113,6 +1141,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_mixture": _mixture_sql(),
         "t_tfidf": _tfidf_sql(),
         "t_oov": _oov_sql(),
+        "t_shuffle": _shuffle_sql(),
         "t_top_words": TOP_WORDS_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),

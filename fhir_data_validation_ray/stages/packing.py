@@ -76,3 +76,54 @@ def pack_sequences(docs, *, budget: int = PACK_BUDGET,
         .groupby("shard")
         .map_groups(pack_shard, batch_format="pyarrow")
     )
+
+
+SHUFFLE_SHARDS = 64
+
+
+def shuffle_assign(docs, *, n_shards: int = SHUFFLE_SHARDS,
+                   batch_size: int | None = None):
+    """Deterministic global-shuffle layout for training-shard writes: every
+    doc gets ``(shard, pos)`` — shard = FNV(str(doc_id)) % n_shards, pos =
+    the doc's rank within its shard ordered by (hash, doc_id). Together they
+    define a reproducible pseudorandom total order WITHOUT a random_shuffle
+    all-to-all: a sink can write each shard independently (resumable, one
+    file per shard) and a reader streaming shards 0..n-1 in pos order sees
+    the corpus in hash order — uncorrelated with ingest order.
+
+    One bounded exchange: the hash tags stream per batch (text never needs
+    to move — join the layout back by doc_id, or pass payload columns
+    through ``docs``); each shard group sorts its own rows only. Size
+    ``n_shards`` so a shard's (doc_id, hash) pairs fit one task's heap —
+    ~corpus_docs/1e6 at trillion-doc scale.
+    """
+    from ..functions.hashing import hash_str
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        h = hash_str(ids.astype("U"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+                "h": pa.array(h),
+            }
+        )
+
+    def rank(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        h = np.asarray(g["h"]).astype(np.uint64)
+        order = np.lexsort((ids, h))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "shard": pa.array(np.asarray(g["shard"]).astype(np.int64)[order]),
+                "pos": pa.array(np.arange(len(ids), dtype=np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )

@@ -674,3 +674,36 @@ def test_oov_rate_semantics(ray_session):
     empty = rd.from_arrow(pa.table({
         "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
     assert len(oov_rate(empty).to_pandas()) == 0
+
+
+def test_shuffle_assign_layout(ray_session):
+    """The layout is a permutation (every doc appears once; positions within
+    a shard are 0..len-1), is decorrelated from doc_id order, and is
+    identical across read parallelism."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.packing import shuffle_assign
+
+    ids = np.arange(500, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids)})
+
+    def run(nblocks):
+        return (shuffle_assign(rd.from_arrow(tbl).repartition(nblocks),
+                               n_shards=8)
+                .to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True))
+
+    df = run(1)
+    assert sorted(df.doc_id) == list(ids)
+    for _, g in df.groupby("shard"):
+        assert g.pos.tolist() == list(range(len(g)))
+    # hash order decorrelates from ingest order: within the biggest shard,
+    # doc_ids must not come out sorted
+    big = df[df.shard == df.shard.value_counts().idxmax()]
+    assert not big.doc_id.is_monotonic_increasing
+    pd.testing.assert_frame_equal(df, run(7))
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert len(shuffle_assign(empty).to_pandas()) == 0
