@@ -72,6 +72,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sample-rate", type=float, default=1.0)
     c.add_argument("--jaccard-threshold", type=float, default=0.8)
 
+    e = sub.add_parser(
+        "export",
+        help="curate + deterministic shuffle + write one parquet dir per "
+             "shard (shard=N/) — the end-to-end training-shard export",
+    )
+    e.add_argument("--docs", required=True,
+                   help="documents parquet (doc_id:int64, text) file or dir")
+    e.add_argument("--out", required=True, help="output dir for the shards")
+    e.add_argument("--n-shards", type=int, default=64)
+    e.add_argument("--sample-rate", type=float, default=1.0)
+    e.add_argument("--jaccard-threshold", type=float, default=0.8)
+
     args = ap.parse_args(argv)
     _ensure_ray()
 
@@ -99,6 +111,18 @@ def main(argv: list[str] | None = None) -> int:
 
         n = pq.ParquetDataset(args.out).read(columns=["doc_id"]).num_rows
         print(json.dumps({"out": args.out, "kept": int(n)}))
+    elif args.cmd == "export":
+        import ray.data as rd
+
+        from .pipelines.export import export_training_shards
+
+        docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+        manifest = export_training_shards(
+            docs, args.out, n_shards=args.n_shards,
+            sample_rate=args.sample_rate,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+        print(json.dumps(manifest))
     else:
         from .pipelines.validate import validation_response
 

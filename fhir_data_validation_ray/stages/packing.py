@@ -82,6 +82,7 @@ SHUFFLE_SHARDS = 64
 
 
 def shuffle_assign(docs, *, n_shards: int = SHUFFLE_SHARDS,
+                   carry: tuple[str, ...] = (),
                    batch_size: int | None = None):
     """Deterministic global-shuffle layout for training-shard writes: every
     doc gets ``(shard, pos)`` — shard = FNV(str(doc_id)) % n_shards, pos =
@@ -96,31 +97,41 @@ def shuffle_assign(docs, *, n_shards: int = SHUFFLE_SHARDS,
     through ``docs``); each shard group sorts its own rows only. Size
     ``n_shards`` so a shard's (doc_id, hash) pairs fit one task's heap —
     ~corpus_docs/1e6 at trillion-doc scale.
+
+    ``carry`` names payload columns (e.g. ``("text",)``) to ship through the
+    exchange and emit alongside the layout — the export sink uses this so
+    each shard file is written in final reading order in one pass.
     """
     from ..functions.hashing import hash_str
 
     def tag(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"], dtype=np.int64)
         h = hash_str(ids.astype("U"))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
-                "h": pa.array(h),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(ids),
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            "h": pa.array(h),
+        }
+        for c in carry:
+            col = t[c]
+            cols[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.table(cols)
 
     def rank(g: pa.Table) -> pa.Table:
         ids = np.asarray(g["doc_id"]).astype(np.int64)
         h = np.asarray(g["h"]).astype(np.uint64)
         order = np.lexsort((ids, h))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order]),
-                "shard": pa.array(np.asarray(g["shard"]).astype(np.int64)[order]),
-                "pos": pa.array(np.arange(len(ids), dtype=np.int64)),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(ids[order]),
+            "shard": pa.array(np.asarray(g["shard"]).astype(np.int64)[order]),
+            "pos": pa.array(np.arange(len(ids), dtype=np.int64)),
+        }
+        take = pa.array(order)
+        for c in carry:
+            col = g[c]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            cols[c] = col.take(take)
+        return pa.table(cols)
 
     return (
         docs.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)

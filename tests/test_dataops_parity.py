@@ -707,3 +707,40 @@ def test_shuffle_assign_layout(ray_session):
 
     empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     assert len(shuffle_assign(empty).to_pandas()) == 0
+
+
+def test_export_training_shards_end_to_end(ray_session, tmp_path):
+    """The export sink writes hive-partitioned shard dirs whose union is
+    exactly the curated keep-list, each shard internally in (pos) reading
+    order matching the shuffle layout — and a re-run into a fresh dir is
+    byte-identical (determinism = per-shard resumability)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import curate_keep_list
+    from fhir_data_validation_ray.pipelines.export import export_training_shards
+
+    src = f"{SF_DIR}/documents.parquet"
+
+    def docs():
+        return rd.read_parquet(src, columns=["doc_id", "text"])
+
+    out1 = str(tmp_path / "shards1")
+    m = export_training_shards(docs(), out1, n_shards=8, sample_rate=0.9)
+    assert m["n_shards"] == 8 and m["n_docs"] > 0
+
+    keep = sorted(curate_keep_list(docs(), sample_rate=0.9).to_pandas()["doc_id"])
+    tbl = (pads.dataset(out1, partitioning="hive").to_table()
+           .to_pandas().astype({"shard": "int64"}))
+    assert sorted(tbl.doc_id) == keep
+    assert m["n_docs"] == len(keep)
+    for _, g in tbl.groupby("shard"):
+        assert sorted(g.pos) == list(range(len(g)))
+
+    out2 = str(tmp_path / "shards2")
+    export_training_shards(docs(), out2, n_shards=8, sample_rate=0.9)
+    tbl2 = (pads.dataset(out2, partitioning="hive").to_table()
+            .to_pandas().astype({"shard": "int64"}))
+    key = ["shard", "pos", "doc_id", "text"]
+    assert tbl.sort_values(key).reset_index(drop=True).equals(
+        tbl2.sort_values(key).reset_index(drop=True))
