@@ -199,6 +199,64 @@ def q_oov(sf_dir: str):
     return oov_rate(_docs(sf_dir))
 
 
+# 8 words == SEG_WORDS, so the injected banner occupies exactly segment 0
+SEG_BANNER = "subscribe to our newsletter terms of service apply"
+
+
+def q_chunks(sf_dir: str):
+    """Overlapping word-window chunk expansion (RAG / training-sequence
+    chunking): 32-word chunks every 24 words, per-batch row expansion."""
+    from ..stages.textops import chunk_documents
+
+    return chunk_documents(_docs(sf_dir))
+
+
+def q_normalize(sf_dir: str):
+    """Text normalization over a deterministically-dirtied corpus: even
+    doc_ids get a control char + uppercase + padding injected (mirrored in
+    SQL), then lower/strip-ctrl/collapse/trim restores the original."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.textops import normalize_text
+
+    def dirty(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        mod = pc.binary_join_element_wise(
+            pa.scalar("\x01"), pc.utf8_upper(texts), pa.scalar(""), " ")
+        m = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.if_else(m, mod, texts)})
+
+    return normalize_text(_docs(sf_dir).map_batches(dirty, batch_format="pyarrow"))
+
+
+def q_seg_dedup(sf_dir: str):
+    """Boilerplate-segment removal (CCNet-style line dedup): a banner
+    segment is injected into every doc_id % 3 == 0 document (mirrored in
+    SQL); segments appearing in >= 2 distinct docs are scrubbed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import segment_dedup
+
+    def add_banner(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        m = pc.equal(pc.subtract(t["doc_id"],
+                                 pc.multiply(pc.divide(t["doc_id"], 3), 3)), 0)
+        mod = pc.binary_join_element_wise(pa.scalar(SEG_BANNER), texts, " ")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.if_else(m, mod, texts)})
+
+    return segment_dedup(_docs(sf_dir).map_batches(add_banner,
+                                                   batch_format="pyarrow"),
+                         seg_words=8, min_docs=2)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination: a deterministic quarter of the
     corpus (FNV(doc_id) % 4 == 0) plays the benchmark; training docs
@@ -658,6 +716,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_oov": q_oov,
         "t_shuffle": q_shuffle,
         "t_top_words": q_top_words,
+        "t_chunks": q_chunks,
+        "t_normalize": q_normalize,
+        "d_seg_dedup": q_seg_dedup,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "j_orders_by_segment": q_orders_by_segment,
@@ -1036,6 +1097,73 @@ WHERE rank <= {TOP_WORDS_K}
 """
 
 
+def _chunks_sql() -> str:
+    """chunk_documents mirror: same kept-word split, chunk starts every
+    STRIDE words (DuckDB range is stop-exclusive, like numpy), 1-based
+    end-inclusive list slice = words[start : start+SIZE]."""
+    from ..stages.textops import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                  AS ws FROM documents),
+c AS (SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS st FROM w)
+SELECT doc_id, (st // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       least({CHUNK_SIZE}, len(ws) - st)::BIGINT AS n_words,
+       array_to_string(ws[st + 1 : st + {CHUNK_SIZE}], ' ') AS chunk_text
+FROM c
+"""
+
+
+def _normalize_sql() -> str:
+    """normalize_text mirror over the same deterministically-dirtied input
+    (even doc_ids: chr(1) + ' ' + upper(text) + ' '); two-valued changed
+    flag via coalesce(..., FALSE)."""
+    return """
+WITH d2 AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN chr(1) || ' ' || upper(text) || ' '
+       ELSE text END AS text FROM documents),
+n AS (SELECT doc_id, text,
+  trim(regexp_replace(
+    regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', '', 'g'),
+    ' +', ' ', 'g'), ' ') AS norm_text FROM d2)
+SELECT doc_id, norm_text, coalesce(norm_text <> text, FALSE) AS changed
+FROM n
+"""
+
+
+def _seg_dedup_sql() -> str:
+    """segment_dedup mirror: banner injected for doc_id % 3 == 0, 8-word
+    non-overlapping segments, frequent = appearing in >= 2 distinct docs,
+    cleaned text = ordered string_agg of surviving segments."""
+    from ..stages.dedup import SEG_WORDS
+
+    sw = SEG_WORDS
+    return f"""
+WITH d2 AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN '{SEG_BANNER}' || ' ' || text
+       ELSE text END AS text FROM documents),
+w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS ws FROM d2),
+s AS (SELECT doc_id, st // {sw} AS seg_id,
+             array_to_string(ws[st + 1 : st + {sw}], ' ') AS seg
+      FROM (SELECT doc_id, ws, unnest(range(0, len(ws), {sw})) AS st FROM w)),
+freq AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+                          FROM s GROUP BY seg) WHERE nd >= 2),
+s2 AS (SELECT s.doc_id, s.seg_id, s.seg, (f.seg IS NOT NULL) AS dropped
+       FROM s LEFT JOIN freq f ON s.seg = f.seg),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_segs,
+               coalesce(sum(CASE WHEN dropped THEN 1 ELSE 0 END), 0)::BIGINT
+                 AS n_dropped,
+               coalesce(string_agg(seg, ' ' ORDER BY seg_id)
+                          FILTER (WHERE NOT dropped), '') AS cleaned_text
+        FROM s2 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_segs, 0)::BIGINT AS n_segs,
+       coalesce(a.n_dropped, 0)::BIGINT AS n_dropped,
+       coalesce(a.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _pii_sql(flat_path: str) -> str:
     """PII oracle built from the SAME pattern table as the kernel
     (``textops.PII_PATTERNS``) — counts against the original text, redaction
@@ -1143,6 +1271,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_oov": _oov_sql(),
         "t_shuffle": _shuffle_sql(),
         "t_top_words": TOP_WORDS_SQL,
+        "t_chunks": _chunks_sql(),
+        "t_normalize": _normalize_sql(),
+        "d_seg_dedup": _seg_dedup_sql(),
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

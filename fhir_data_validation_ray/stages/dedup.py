@@ -990,3 +990,153 @@ def decontaminate(train_docs, benchmark_docs, *, n: int = 2,
 
     return train_docs.map_batches(probe, batch_format="pyarrow",
                                   batch_size=batch_size)
+
+
+# -------------------------------------------------- segment (line) dedup
+SEG_WORDS = 8
+
+
+def _segments(t: pa.Table, seg_words: int, column: str = "text"):
+    """Non-overlapping ``seg_words``-word segments per document — the
+    "line" unit for boilerplate removal on a corpus without newlines.
+    Contiguous tiling means the segment ListArray reuses the kept-word
+    values array directly (offsets every ``seg_words`` words; no gather).
+    Returns (doc_idx, seg_id, segs, n_docs): per-segment parent row index,
+    in-doc segment ordinal, the ' '-joined segment strings, and the batch
+    row count. Zero-word docs emit no segments."""
+    from .textops import _word_lists
+
+    texts = t[column]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words, counts, offs = _word_lists(texts)
+    k = -(-counts // seg_words)  # ceil
+    total = int(k.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                pa.array([], pa.string()), len(texts))
+    doc_idx = np.repeat(np.arange(len(counts)), k)
+    first = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(k[:-1], out=first[1:])
+    seg_id = np.arange(total, dtype=np.int64) - np.repeat(first, k)
+    start = seg_id * seg_words
+    # contiguous tiling: segment c spans words[offs[doc]+start : +min(...)],
+    # so global boundaries are just offs[doc_idx] + start plus the total
+    bounds = np.empty(total + 1, dtype=np.int64)
+    bounds[:-1] = offs[doc_idx] + start
+    bounds[-1] = offs[-1]
+    la = pa.ListArray.from_arrays(
+        pa.array(bounds, pa.int32())
+        if bounds[-1] <= np.iinfo(np.int32).max else pa.array(bounds, pa.int64()),
+        words,
+    )
+    return doc_idx, seg_id, pc.binary_join(la, " "), len(texts)
+
+
+def segment_dedup(docs, *, seg_words: int = SEG_WORDS, min_docs: int = 2,
+                  column: str = "text", num_buckets: int = 64,
+                  max_frequent: int = 2_000_000,
+                  batch_size: int | None = None):
+    """Boilerplate-segment removal (CCNet-style line dedup, cf. the public
+    CCNet / RefinedWeb corpus pipelines): a segment ("line") that appears in
+    >= ``min_docs`` DISTINCT documents corpus-wide is boilerplate; every
+    occurrence is removed and the document text is rebuilt from the
+    surviving segments in order.
+
+    Scale shape — two streaming passes over the corpus:
+
+    1. **Frequency discovery.** Per batch: segments are per-doc deduplicated
+       (dictionary-encode + unique of (doc, code) pairs), so the exchange
+       moves (bucket, segment, partial_doc_count) pre-aggregated rows, never
+       raw occurrences. One bucketed groupby sums exact distinct-doc counts
+       per segment (a segment lives entirely in its hash bucket; grouping is
+       by the actual STRING, so hash collisions cannot merge segments).
+       Only segments with count >= ``min_docs`` leave the groupby — the
+       frequent (boilerplate) set, which is small by construction (banners,
+       headers, licence lines). Raises if it exceeds ``max_frequent`` rather
+       than silently exploding the broadcast (a corpus that frequent-heavy
+       needs the inverted-index join lane of ``ngram_jaccard_pairs``).
+    2. **Scrub.** The frequent set is broadcast once via ``ray.put``; a pure
+       ``map_batches`` membership probe (``pc.is_in``) drops member segments
+       and ``binary_join``s the survivors back into ``cleaned_text``.
+
+    Returns Dataset[doc_id, n_segs, n_dropped, cleaned_text] — one row per
+    input document (zero-segment docs: 0/0/'')."""
+    import ray
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        doc_idx, _, segs, _ = _segments(t, seg_words, column)
+        if len(segs) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "seg": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        da = pc.dictionary_encode(segs)
+        code = np.asarray(da.indices, dtype=np.int64)
+        ndict = len(da.dictionary)
+        # per-doc distinct: unique (doc, code) pairs, then count docs per code
+        pair = np.unique(doc_idx * ndict + code)
+        nd = np.bincount((pair % ndict).astype(np.int64), minlength=ndict)
+        seg_str = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(seg_str) % np.uint64(num_buckets)).astype(np.int32)),
+            "seg": da.dictionary,
+            "nd": pa.array(nd.astype(np.int64)),
+        })
+
+    def bucket_frequent(g: pa.Table) -> pa.Table:
+        s = g["seg"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        da = pc.dictionary_encode(s)
+        totals = np.bincount(np.asarray(da.indices),
+                             weights=np.asarray(g["nd"]),
+                             minlength=len(da.dictionary)).astype(np.int64)
+        keep = totals >= min_docs
+        return pa.table({"seg": da.dictionary.filter(pa.array(keep))})
+
+    freq_tbl = collect_table(
+        docs.map_batches(freq_partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_frequent, batch_format="pyarrow"),
+        empty_schema=pa.schema([("seg", pa.string())]),
+    )
+    if freq_tbl.num_rows > max_frequent:
+        raise RuntimeError(
+            f"segment_dedup: {freq_tbl.num_rows} frequent segments exceed "
+            f"max_frequent={max_frequent}; use the inverted-index lane")
+    seg_col = freq_tbl["seg"]
+    if isinstance(seg_col, pa.ChunkedArray):
+        seg_col = seg_col.combine_chunks()
+    freq_ref = ray.put(seg_col)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        fr = ray.get(freq_ref) if not isinstance(freq_ref, pa.Array) else freq_ref
+        doc_idx, seg_id, segs, n = _segments(t, seg_words, column)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(segs):
+            member = (pc.is_in(segs, value_set=fr)
+                      .to_numpy(zero_copy_only=False))
+        else:
+            member = np.empty(0, dtype=bool)
+        n_segs = np.bincount(doc_idx, minlength=n)
+        n_dropped = np.bincount(doc_idx[member], minlength=n)
+        kept = ~member
+        kept_segs = segs.filter(pa.array(kept))
+        kept_counts = np.bincount(doc_idx[kept], minlength=n)
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=bounds[1:])
+        la = pa.ListArray.from_arrays(pa.array(bounds, pa.int32())
+                                      if bounds[-1] <= np.iinfo(np.int32).max
+                                      else pa.array(bounds, pa.int64()),
+                                      kept_segs)
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "n_segs": pa.array(n_segs.astype(np.int64)),
+            "n_dropped": pa.array(n_dropped.astype(np.int64)),
+            "cleaned_text": pc.binary_join(la, " "),
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow",
+                            batch_size=batch_size)

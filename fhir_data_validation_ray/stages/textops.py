@@ -611,6 +611,120 @@ def oov_rate(docs, *, min_df: int = 2, num_buckets: int = 64,
     )
 
 
+def _word_lists(texts: pa.Array):
+    """Split ``texts`` on single spaces, drop '' words (mirrors DuckDB
+    ``list_filter(string_split(text,' '), x -> x <> '')``), keep per-doc
+    order. Returns ``(words, counts, offsets)``: the flat kept-word Arrow
+    array, per-doc kept-word counts (int64) and per-doc start offsets
+    (len(texts)+1). Null texts contribute zero words."""
+    parts = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = (
+        pc.not_equal(flat, "").fill_null(False).to_numpy(zero_copy_only=False)
+    )
+    words = flat.filter(pa.array(keep))
+    counts = np.bincount(parent[keep], minlength=len(texts)).astype(np.int64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return words, counts, offsets
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(docs, *, size: int = CHUNK_SIZE,
+                    stride: int = CHUNK_STRIDE,
+                    batch_size: int | None = None):
+    """Overlapping word-window chunk expansion — the RAG / training-sequence
+    chunking pass: each document becomes ceil(n_words / stride) chunks of up
+    to ``size`` words starting every ``stride`` words (overlap = size -
+    stride). Pure per-batch row expansion (no shuffle): the word gather, the
+    chunk ListArray and the ``binary_join`` text rebuild are all vectorized;
+    zero-word docs emit no rows (matching the SQL oracle's unnest).
+
+    Returns Dataset[doc_id, chunk_id, n_words, chunk_text].
+    """
+    if stride <= 0 or size < stride:
+        raise ValueError("need 0 < stride <= size")
+
+    def chunk(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, offs = _word_lists(texts)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        k = -(-counts // stride)  # ceil; 0 chunks for empty docs
+        total_chunks = int(k.sum())
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+        if total_chunks == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(counts)), k)
+        first = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(k[:-1], out=first[1:])
+        chunk_id = np.arange(total_chunks, dtype=np.int64) - np.repeat(first, k)
+        start = chunk_id * stride
+        length = np.minimum(size, counts[doc_idx] - start)
+        # flat gather indices: chunk c covers words[gstart_c : gstart_c+len_c]
+        gstart = offs[doc_idx] + start
+        cho = np.zeros(total_chunks + 1, dtype=np.int64)
+        np.cumsum(length, out=cho[1:])
+        gidx = (np.arange(int(cho[-1]), dtype=np.int64)
+                - np.repeat(cho[:-1], length) + np.repeat(gstart, length))
+        gathered = words.take(pa.array(gidx))
+        la = pa.ListArray.from_arrays(pa.array(cho, pa.int32())
+                                      if cho[-1] <= np.iinfo(np.int32).max
+                                      else pa.array(cho, pa.int64()),
+                                      gathered)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[doc_idx]),
+            "chunk_id": pa.array(chunk_id),
+            "n_words": pa.array(length.astype(np.int64)),
+            "chunk_text": pc.binary_join(la, " "),
+        })
+
+    return docs.map_batches(chunk, batch_format="pyarrow", batch_size=batch_size)
+
+
+# control chars + DEL; RE2 dialect shared by pyarrow and DuckDB
+_CTRL_RE = r"[\x00-\x1f\x7f]"
+
+
+def normalize_text(docs, *, column: str = "text",
+                   batch_size: int | None = None):
+    """Deterministic text normalization (the cleanup pass before dedup /
+    tokenization): lowercase -> strip control characters -> collapse space
+    runs -> trim. Streaming Arrow C++ kernels only; adds ``norm_text`` and a
+    ``changed`` flag (two-valued: null text -> changed = False, mirrored by
+    ``coalesce(..., FALSE)`` on the SQL side).
+
+    Returns Dataset[doc_id, norm_text, changed].
+    """
+
+    def norm(t: pa.Table) -> pa.Table:
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        out = pc.utf8_lower(texts)
+        out = pc.replace_substring_regex(out, _CTRL_RE, "")
+        out = pc.replace_substring_regex(out, " +", " ")
+        out = pc.utf8_trim(out, " ")
+        changed = pc.not_equal(out, texts).fill_null(False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": out,
+            "changed": changed,
+        })
+
+    return docs.map_batches(norm, batch_format="pyarrow", batch_size=batch_size)
+
+
 def simhash_batch(texts: pa.Array) -> np.ndarray:
     """64-bit SimHash per text from word-unigram features (Arrow split +
     flatten, per-bit +/-1 votes via reduceat over the flat word-hash array)."""

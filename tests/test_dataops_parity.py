@@ -744,3 +744,87 @@ def test_export_training_shards_end_to_end(ray_session, tmp_path):
     key = ["shard", "pos", "doc_id", "text"]
     assert tbl.sort_values(key).reset_index(drop=True).equals(
         tbl2.sort_values(key).reset_index(drop=True))
+
+
+def test_chunk_documents_semantics(ray_session):
+    """Overlap layout, short-tail chunks, empty/null docs, empty blocks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import chunk_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            ["a b c d e f g h i j",  # 10 words: chunks at 0,4,8
+             "x y",                  # shorter than one chunk
+             "",                     # zero words -> no rows
+             None],
+            pa.string()),
+    }))
+    df = (chunk_documents(docs, size=6, stride=4).to_pandas()
+          .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    d1 = df[df.doc_id == 1]
+    assert d1.chunk_text.tolist() == ["a b c d e f", "e f g h i j", "i j"]
+    assert d1.n_words.tolist() == [6, 6, 2]
+    assert df[df.doc_id == 2].chunk_text.tolist() == ["x y"]
+    assert set(df.doc_id) == {1, 2}
+    # consecutive chunks of one doc overlap by size - stride words
+    first, second = d1.chunk_text.iloc[0].split(), d1.chunk_text.iloc[1].split()
+    assert first[-2:] == second[:2]
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert len(chunk_documents(empty).to_pandas()) == 0
+
+
+def test_normalize_text_semantics(ray_session):
+    """Each normalization step, null handling, two-valued changed flag."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import normalize_text
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            ["  MiXeD   Case\x01\x1f text \x7f ", "already clean", "", None],
+            pa.string()),
+    }))
+    df = normalize_text(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df.norm_text.tolist()[:3] == ["mixed case text", "already clean", ""]
+    assert df.norm_text.isna().tolist() == [False, False, False, True]
+    assert df.changed.tolist() == [True, False, False, False]
+
+
+def test_segment_dedup_semantics(ray_session):
+    """Banner removal across docs, within-doc repeats don't count as
+    frequent, zero-word docs survive, max_frequent raises."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import segment_dedup
+
+    b = "b1 b2 b3 b4"  # 4 words == seg_words below
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(
+            [f"{b} u1 u2 u3 u4 tail",    # banner + unique + short tail
+             f"{b} v1 v2 v3 v4",
+             "r1 r2 r3 r4 r1 r2 r3 r4",  # same seg TWICE in ONE doc: not frequent
+             "",
+             None],
+            pa.string()),
+    }))
+    df = (segment_dedup(docs, seg_words=4, min_docs=2).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert df.doc_id.tolist() == [1, 2, 3, 4, 5]  # one row per input doc
+    assert df.n_segs.tolist() == [3, 2, 2, 0, 0]
+    assert df.n_dropped.tolist() == [1, 1, 0, 0, 0]
+    assert df.cleaned_text.tolist() == [
+        "u1 u2 u3 u4 tail", "v1 v2 v3 v4",
+        "r1 r2 r3 r4 r1 r2 r3 r4", "", ""]
+
+    with pytest.raises(RuntimeError, match="max_frequent"):
+        segment_dedup(docs, seg_words=4, min_docs=2, max_frequent=0).to_pandas()
