@@ -153,8 +153,6 @@ def reference_integrity_join(
     both = probe_b.union(reg_b)
 
     def anti_join(g: pa.Table) -> pa.Table:
-        import json
-
         is_reg = np.asarray(g["is_reg"])
         h = np.asarray(g["h"])
         reg_keys = np.unique(h[is_reg])
@@ -163,12 +161,28 @@ def reference_integrity_join(
         span_idx = np.asarray(g["span_index"])[miss_idx].astype(np.int32)
         n = len(miss_idx)
         if emit_details:
-            refs = pc.take(_chunked(g["media_ref"]), pa.array(miss_idx)).to_pylist()
-            details = pa.array(
-                [json.dumps({"ref": r, "policy": "registry"}, separators=(",", ":"))
-                 for r in refs],
-                pa.string(),
-            )
+            refs_arr = pc.take(_chunked(g["media_ref"]), pa.array(miss_idx))
+            # vectorized json.dumps({"ref": r, "policy": "registry"}): escape
+            # backslash then quote; byte-identical to the stdlib for refs
+            # without control chars (the rare exception falls back per row)
+            esc = pc.replace_substring(refs_arr, "\\", "\\\\")
+            esc = pc.replace_substring(esc, '"', '\\"')
+            details = pc.binary_join_element_wise(
+                '{"ref":"', esc, '","policy":"registry"}', "")
+            ctrl = pc.match_substring_regex(
+                refs_arr, r"[\x00-\x1f]").fill_null(False).to_numpy(
+                zero_copy_only=False)
+            if ctrl.any():
+                import json
+
+                py = refs_arr.to_pylist()
+                fixed = pa.array(
+                    [json.dumps({"ref": py[i], "policy": "registry"},
+                                separators=(",", ":")) if c else None
+                     for i, c in enumerate(ctrl)],
+                    pa.string(),
+                )
+                details = pc.if_else(pa.array(ctrl), fixed, details)
         else:
             details = _const_str("", n)
         return pa.table(

@@ -128,3 +128,39 @@ def test_violations_identical_across_parallelism(ray_session):
         frames.append(v.sort_values(list(v.columns)).reset_index(drop=True))
     pd.testing.assert_frame_equal(frames[0], frames[1])
     assert len(frames[0]) > 0
+
+
+def test_reference_join_details_match_json_dumps(ray_session):
+    """The vectorized details construction must be byte-identical to
+    stdlib json.dumps — including refs carrying quotes, backslashes and
+    control characters (the per-row fallback path)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.reference import (
+        reference_integrity_join,
+    )
+
+    # all non-local-shaped (LOCAL_REF_RE-excluded refs never reach the join)
+    refs = ['urn:media:1', 'has"quote', 'back\\slash', 'ctrl\x01char',
+            'mix"\\\x02end']
+    spans = pa.array(
+        [[{"kind": "Media", "text": None, "media_ref": r, "offset": 0}]
+         for r in refs],
+        pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()), ("offset", pa.int32())])),
+    )
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(refs))], pa.string()),
+        "spans": spans,
+    }))
+    registry = rd.from_arrow(pa.table({"media_ref": pa.array([], pa.string())}))
+
+    out = (reference_integrity_join(docs, registry, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(refs)
+    want = [json.dumps({"ref": r, "policy": "registry"}, separators=(",", ":"))
+            for r in refs]
+    assert out.details.tolist() == want
