@@ -257,6 +257,49 @@ def q_seg_dedup(sf_dir: str):
                          seg_words=8, min_docs=2)
 
 
+# truncated-copy injection for d_prefix_dups: doc_id offset + prefix length
+PREFIX_TRUNC_OFFSET = 10_000_000
+PREFIX_TRUNC_WORDS = 12
+
+
+def q_prefix_dups(sf_dir: str):
+    """Truncation-duplicate detection: every doc_id % 7 == 0 document (with
+    > 12 words) gets a truncated copy injected (first 12 words, id +
+    10_000_000, mirrored in SQL); prefix_containment then reports each doc
+    that is a strict word-prefix of another."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import prefix_containment
+    from ..stages.textops import _word_lists
+
+    k = PREFIX_TRUNC_WORDS
+
+    def augment(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, offs = _word_lists(texts)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        idx = np.flatnonzero((ids % 7 == 0) & (counts > k))
+        base = pa.table({"doc_id": t["doc_id"], "text": texts})
+        if idx.size == 0:
+            return base
+        gidx = (np.arange(idx.size * k, dtype=np.int64) % k
+                + np.repeat(offs[idx], k))
+        bounds = np.arange(idx.size + 1, dtype=np.int64) * k
+        la = pa.ListArray.from_arrays(pa.array(bounds, pa.int64()),
+                                      words.take(pa.array(gidx)))
+        extra = pa.table({
+            "doc_id": pa.array(ids[idx] + PREFIX_TRUNC_OFFSET),
+            "text": pc.binary_join(la, " "),
+        })
+        return pa.concat_tables([base, extra])
+
+    return prefix_containment(_docs(sf_dir).map_batches(
+        augment, batch_format="pyarrow"), prefix_words=8)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination: a deterministic quarter of the
     corpus (FNV(doc_id) % 4 == 0) plays the benchmark; training docs
@@ -719,6 +762,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_chunks": q_chunks,
         "t_normalize": q_normalize,
         "d_seg_dedup": q_seg_dedup,
+        "d_prefix_dups": q_prefix_dups,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "j_orders_by_segment": q_orders_by_segment,
@@ -1164,6 +1208,34 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _prefix_dups_sql() -> str:
+    """prefix_containment mirror over the same truncation-augmented corpus:
+    contained side needs >= PREFIX_WORDS kept words; containment is the
+    char-level starts_with(container, contained || ' ') word-boundary
+    check; witness = min container doc_id."""
+    from ..stages.dedup import PREFIX_WORDS
+
+    return f"""
+WITH w0 AS (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+aug AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PREFIX_TRUNC_OFFSET},
+               array_to_string(ws[1 : {PREFIX_TRUNC_WORDS}], ' ')
+        FROM w0 WHERE doc_id % 7 = 0 AND len(ws) > {PREFIX_TRUNC_WORDS}),
+e AS (SELECT doc_id, text FROM
+        (SELECT doc_id, text,
+                list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         FROM aug)
+      WHERE len(ws) >= {PREFIX_WORDS})
+SELECT a.doc_id, count(*)::BIGINT AS n_containers,
+       min(b.doc_id)::BIGINT AS container_doc_id
+FROM e a JOIN aug b ON starts_with(b.text, a.text || ' ')
+GROUP BY a.doc_id
+"""
+
+
 def _pii_sql(flat_path: str) -> str:
     """PII oracle built from the SAME pattern table as the kernel
     (``textops.PII_PATTERNS``) — counts against the original text, redaction
@@ -1274,6 +1346,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_chunks": _chunks_sql(),
         "t_normalize": _normalize_sql(),
         "d_seg_dedup": _seg_dedup_sql(),
+        "d_prefix_dups": _prefix_dups_sql(),
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

@@ -1140,3 +1140,114 @@ def segment_dedup(docs, *, seg_words: int = SEG_WORDS, min_docs: int = 2,
 
     return docs.map_batches(scrub, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+# --------------------------------------------- prefix-containment dedup
+PREFIX_WORDS = 8
+
+
+def _range_min(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized range-minimum queries: min(vals[lo[i]:hi[i]]) per i
+    (hi > lo required). Standard sparse table, built with numpy mins —
+    O(g log g) build, O(1) per query, no Python loop over queries."""
+    g = len(vals)
+    table = [vals]
+    j = 0
+    while (2 << j) <= g:
+        prev = table[j]
+        half = 1 << j
+        table.append(np.minimum(prev[: g - 2 * half + 1], prev[half: g - half + 1]))
+        j += 1
+    span = hi - lo
+    k = (np.floor(np.log2(span)).astype(np.int64)
+         if span.size else np.empty(0, np.int64))
+    out = np.empty(len(lo), dtype=vals.dtype)
+    for level in np.unique(k):
+        m = k == level
+        t = table[int(level)]
+        out[m] = np.minimum(t[lo[m]], t[hi[m] - (1 << int(level))])
+    return out
+
+
+def prefix_containment(docs, *, prefix_words: int = PREFIX_WORDS,
+                       column: str = "text", num_buckets: int = 256,
+                       batch_size: int | None = None):
+    """Truncation-duplicate detection (cf. the public RefinedWeb / C4
+    pipelines): find documents whose text is a strict word-level PREFIX of
+    another document (the shorter doc is a truncated copy). A contained doc
+    must have >= ``prefix_words`` words (its container then shares its
+    first ``prefix_words`` words by construction, so bucketing by that key
+    loses no pair).
+
+    Scale shape: one ``groupby`` keyed by the hash of the first
+    ``prefix_words`` words; within a group the texts are SORTED once and
+    each doc's containers are exactly the sorted prefix range
+    ``[text + ' ', text + '!')`` (code-point ordering; '!' is the successor
+    of ' '), located by two binary searches — no pairwise comparison, so a
+    group of g docs costs O(g log g) regardless of how many containment
+    relations exist. Output is bounded at one row per contained doc:
+    (doc_id, n_containers, container_doc_id = min container id, via
+    vectorized sparse-table range-min). Hash collisions only co-locate
+    extra docs; the prefix check is exact on the strings.
+
+    Partitioning assumption: one first-k-words group fits in a worker
+    (boilerplate-heavy corpora with millions of identical openings make a
+    hot group; raise ``prefix_words`` to split such corpora)."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        from .textops import _word_lists
+
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, offs = _word_lists(texts)
+        elig = counts >= prefix_words
+        idx = np.flatnonzero(elig)
+        if idx.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64())})
+        # first-k-words key: join words[off : off+k] per eligible doc
+        bounds = np.empty(idx.size + 1, dtype=np.int64)
+        gidx = (np.arange(idx.size * prefix_words, dtype=np.int64)
+                % prefix_words) + np.repeat(offs[idx], prefix_words)
+        bounds[:-1] = np.arange(idx.size, dtype=np.int64) * prefix_words
+        bounds[-1] = idx.size * prefix_words
+        la = pa.ListArray.from_arrays(pa.array(bounds, pa.int64()),
+                                      words.take(pa.array(gidx)))
+        key = pc.binary_join(la, " ")
+        kh = hash_str(key.to_numpy(zero_copy_only=False).astype("U"))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(t["doc_id"]).astype(np.int64)[idx]),
+            "text": texts.take(pa.array(idx)),
+            "bucket": pa.array((kh % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def contained(g: pa.Table) -> pa.Table:
+        texts = g["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s = texts.to_numpy(zero_copy_only=False).astype("U")
+        ids = np.asarray(g["doc_id"], dtype=np.int64)
+        order = np.argsort(s, kind="stable")
+        ss, sids = s[order], ids[order]
+        lo = np.searchsorted(ss, np.char.add(s, " "))
+        hi = np.searchsorted(ss, np.char.add(s, "!"))
+        has = hi > lo
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_containers": pa.array([], pa.int64()),
+                          "container_doc_id": pa.array([], pa.int64())})
+        if not has.any():
+            return empty
+        return pa.table({
+            "doc_id": pa.array(ids[has]),
+            "n_containers": pa.array((hi - lo)[has].astype(np.int64)),
+            "container_doc_id": pa.array(
+                _range_min(sids, lo[has], hi[has]).astype(np.int64)),
+        })
+
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(contained, batch_format="pyarrow")
+    )

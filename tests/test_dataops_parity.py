@@ -828,3 +828,50 @@ def test_segment_dedup_semantics(ray_session):
 
     with pytest.raises(RuntimeError, match="max_frequent"):
         segment_dedup(docs, seg_words=4, min_docs=2, max_frequent=0).to_pandas()
+
+
+def test_prefix_containment_semantics(ray_session):
+    """Chain containment, multi-container counts, min-id witness via the
+    sparse-table range-min, and no self/equal-text matches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import prefix_containment
+
+    base = "w1 w2 w3 w4"  # 4 words == prefix_words below
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "text": pa.array(
+            [base,                      # contained by 2, 3, 4
+             base + " a",               # contained by 3
+             base + " a b",
+             base + " z",
+             base,                      # equal text to doc 1: NOT a container
+             "short one",               # < prefix_words: ineligible
+             None],
+            pa.string()),
+    }))
+    df = (prefix_containment(docs, prefix_words=4).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    got = {r.doc_id: (r.n_containers, r.container_doc_id)
+           for r in df.itertuples()}
+    # docs 1 and 5 (equal texts) are each contained by 2, 3, 4 — min id 2
+    assert got[1] == (3, 2) and got[5] == (3, 2)
+    assert got[2] == (1, 3)
+    assert set(got) == {1, 2, 5}
+
+
+def test_range_min_matches_numpy(ray_session):
+    """Sparse-table RMQ equals per-query numpy min over random ranges."""
+    import numpy as np
+
+    from fhir_data_validation_ray.stages.dedup import _range_min
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1000, size=257).astype(np.int64)
+    lo = rng.integers(0, 256, size=500).astype(np.int64)
+    span = rng.integers(1, 257 - lo, size=500).astype(np.int64)
+    hi = lo + span
+    got = _range_min(vals, lo, hi)
+    want = np.array([vals[a:b].min() for a, b in zip(lo, hi)])
+    assert (got == want).all()

@@ -249,3 +249,60 @@ def test_expr_evaluator_matches_python_reference(expr_s, spans):
     got = eval_expr(ast, fs).tolist()
     want = [_eval_expr_python(ast, sp) for sp in spans_dicts]
     assert got == want, expr_s
+
+
+word_lists_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", ""]), max_size=12)
+    | st.none(),
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(word_lists_strategy)
+def test_word_lists_matches_python_reference(doc_words):
+    """_word_lists (split + empty-word drop + offsets) equals the per-doc
+    Python reference for arbitrary word sequences incl. null docs and
+    consecutive-space runs."""
+    from fhir_data_validation_ray.stages.textops import _word_lists
+
+    texts = pa.array(
+        [" ".join(ws) if ws is not None else None for ws in doc_words],
+        pa.string(),
+    )
+    words, counts, offsets = _word_lists(texts)
+    want = [[w for w in ws if w != ""] if ws is not None else []
+            for ws in doc_words]
+    assert counts.tolist() == [len(ws) for ws in want]
+    assert offsets.tolist() == np.concatenate(
+        [[0], np.cumsum([len(ws) for ws in want])]).tolist()
+    assert words.to_pylist() == [w for ws in want for w in ws]
+
+
+@settings(max_examples=200, deadline=None)
+@given(word_lists_strategy, st.integers(1, 5))
+def test_segments_tile_documents_exactly(doc_words, seg_words):
+    """_segments is a partition of each doc's kept words: joining all of a
+    doc's segments with ' ' reconstructs the kept-word text, seg_ids are
+    0..ceil(n/w)-1 in order, and every segment except the last has exactly
+    seg_words words."""
+    import pyarrow.compute as pc
+
+    from fhir_data_validation_ray.stages.dedup import _segments
+
+    texts = pa.array(
+        [" ".join(ws) if ws is not None else None for ws in doc_words],
+        pa.string(),
+    )
+    t = pa.table({"doc_id": pa.array(range(len(doc_words)), pa.int64()),
+                  "text": texts})
+    doc_idx, seg_id, segs, n = _segments(t, seg_words)
+    assert n == len(doc_words)
+    segs_py = segs.to_pylist()
+    for d, ws in enumerate(doc_words):
+        kept = [w for w in (ws or []) if w != ""]
+        mine = [segs_py[i] for i in np.flatnonzero(doc_idx == d)]
+        assert " ".join(mine) == " ".join(kept)
+        assert seg_id[doc_idx == d].tolist() == list(range(len(mine)))
+        for s in mine[:-1]:
+            assert len(s.split(" ")) == seg_words
