@@ -928,7 +928,9 @@ def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
 
 # --------------------------------------------------------- decontamination
 def decontaminate(train_docs, benchmark_docs, *, n: int = 2,
-                  min_overlap: int = 2, batch_size: int | None = None):
+                  min_overlap: int = 2, structure: str = "exact",
+                  bloom_bits: int = 1 << 27, bloom_k: int = 7,
+                  batch_size: int | None = None):
     """Benchmark n-gram decontamination: flag training documents sharing at
     least ``min_overlap`` DISTINCT word n-gram shingles with the benchmark
     corpus — the test-set-overlap screen a training-data pipeline runs
@@ -941,47 +943,87 @@ def decontaminate(train_docs, benchmark_docs, *, n: int = 2,
     docs), so its distinct shingle-HASH set is folded from per-batch
     uniques (8 bytes/shingle) and broadcast once via ``ray.put``; the
     training pass is then a pure streaming ``map_batches`` membership probe
-    — NO shuffle anywhere, cost = one read of each side. For a benchmark
-    too large to broadcast, route both sides through the shingle-bucket
-    inverted index of ``ngram_jaccard_pairs`` instead (the documented
-    fallback lane).
+    — NO shuffle anywhere, cost = one read of each side.
+
+    ``structure`` picks the broadcast membership structure:
+
+    - ``"exact"`` (default): sorted unique uint64 hash array, 8 B/shingle —
+      exact answers; right up to ~1e8 benchmark shingles (800 MB).
+    - ``"bloom"``: a fixed-size ``BloomFilter`` (``bloom_bits`` total, 16 MB
+      at the 1<<27 default) built from MERGEABLE per-span partials, so
+      neither the driver nor any worker ever holds the exact set; probes
+      can over-flag at the filter's false-positive rate (~1% at 1.2 bits/
+      key times 8) but never miss. This is the lane for benchmark sets past
+      broadcast scale; the shingle-bucket inverted index of
+      ``ngram_jaccard_pairs`` remains the exact fallback.
 
     Returns Dataset[doc_id, n_overlap] for flagged docs (n_overlap =
     number of the doc's distinct shingles present anywhere in the
     benchmark; only rows with n_overlap >= min_overlap)."""
     import ray
 
+    if structure not in ("exact", "bloom"):
+        raise ValueError(f"unknown structure {structure!r}")
+
     def bench_uniques(t: pa.Table) -> pa.Table:
         _, h, _ = _shingle_table(t, n)
         return pa.table({"h": pa.array(np.unique(h))})  # uint64
 
-    def combine_uniques(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"h": pa.array(np.unique(np.asarray(t["h"]).astype(np.uint64)))}
-        )
+    uniq = benchmark_docs.map_batches(bench_uniques, batch_format="pyarrow",
+                                      batch_size=batch_size)
 
-    # two-level fold (stats.py pattern): per-TASK combine merges ~1M-row
-    # spans of per-batch uniques before the driver's final union, so the
-    # driver folds O(n_batches / span) partially-deduped arrays
-    parts = collect_table(
-        benchmark_docs.map_batches(bench_uniques, batch_format="pyarrow",
-                                   batch_size=batch_size)
-        .map_batches(combine_uniques, batch_format="pyarrow",
-                     batch_size=1 << 20),
-        empty_schema=pa.schema([("h", pa.uint64())]),
-    )
-    bench_set = np.unique(np.asarray(parts["h"]).astype(np.uint64))
-    bench_ref = ray.put(bench_set)
+    if structure == "bloom":
+        # mergeable fixed-size partials: each ~1M-hash span folds to ONE
+        # bloom_bits-wide row; the driver ORs O(n_spans) constant-size
+        # filters — nothing anywhere is proportional to the key count
+        def combine_bloom(t: pa.Table) -> pa.Table:
+            b = BloomFilter(bloom_bits, bloom_k)
+            b.add(np.asarray(t["h"]).astype(np.uint64))
+            return pa.table({"bits": pa.array([b.bits.tobytes()], pa.binary())})
+
+        parts = collect_table(
+            uniq.map_batches(combine_bloom, batch_format="pyarrow",
+                             batch_size=1 << 20),
+            empty_schema=pa.schema([("bits", pa.binary())]),
+        )
+        bf = BloomFilter(bloom_bits, bloom_k)
+        for row in parts["bits"].to_pylist():
+            bf.bits |= np.frombuffer(row, dtype=np.uint64)
+        bench_ref = ray.put(bf)
+        empty_bench = not parts.num_rows
+
+        def member(bh, h):
+            return bh.contains(h)
+    else:
+        def combine_uniques(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"h": pa.array(np.unique(np.asarray(t["h"]).astype(np.uint64)))}
+            )
+
+        # two-level fold (stats.py pattern): per-TASK combine merges ~1M-row
+        # spans of per-batch uniques before the driver's final union, so the
+        # driver folds O(n_batches / span) partially-deduped arrays
+        parts = collect_table(
+            uniq.map_batches(combine_uniques, batch_format="pyarrow",
+                             batch_size=1 << 20),
+            empty_schema=pa.schema([("h", pa.uint64())]),
+        )
+        bench_set = np.unique(np.asarray(parts["h"]).astype(np.uint64))
+        bench_ref = ray.put(bench_set)
+        empty_bench = not bench_set.size
+
+        def member(bh, h):
+            pos = np.clip(np.searchsorted(bh, h), 0, bh.size - 1)
+            return bh[pos] == h
 
     def probe(t: pa.Table) -> pa.Table:
-        bh = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        bh = ray.get(bench_ref)
         d, h, _ = _shingle_table(t, n)
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_overlap": pa.array([], pa.int64())})
-        if len(h) == 0 or bh.size == 0:
+        if len(h) == 0 or empty_bench:
             return empty
-        pos = np.clip(np.searchsorted(bh, h), 0, bh.size - 1)
-        hit = bh[pos] == h
+        hit = member(bh, h)
         ud, inv = np.unique(d, return_inverse=True)
         n_ov = np.bincount(inv[hit], minlength=len(ud))
         keep = n_ov >= min_overlap
@@ -1251,3 +1293,55 @@ def prefix_containment(docs, *, prefix_words: int = PREFIX_WORDS,
         .groupby("bucket")
         .map_groups(contained, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------- bloom decontamination
+class BloomFilter:
+    """Vectorized Bloom filter over uint64 keys — the broadcast structure
+    for membership screens whose exact key set is too large to ship (a
+    64-bit exact set costs 8 B/key; the filter costs ~1.2 B/key at 1% FPR).
+    k hash functions are derived from one FNV-style avalanche of the key
+    (splitmix64 finalizer, public domain constants) — pure numpy, no loops
+    over keys. False POSITIVES only: a probe can over-flag, never miss."""
+
+    __slots__ = ("bits", "n_bits", "k")
+
+    def __init__(self, n_bits: int, k: int):
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def sized_for(cls, n_keys: int, fpr: float = 0.01) -> "BloomFilter":
+        n_keys = max(1, n_keys)
+        n_bits = int(np.ceil(-n_keys * np.log(fpr) / (np.log(2) ** 2)))
+        k = max(1, int(round(n_bits / n_keys * np.log(2))))
+        return cls(n_bits, k)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit positions via splitmix64 double hashing."""
+        z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h1 = z ^ (z >> np.uint64(31))
+        h2 = (z >> np.uint64(17)) | np.uint64(1)  # odd => full-period step
+        i = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.n_bits)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        hit = (self.bits[pos >> np.uint64(6)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        self.bits |= other.bits
+        return self

@@ -875,3 +875,52 @@ def test_range_min_matches_numpy(ray_session):
     got = _range_min(vals, lo, hi)
     want = np.array([vals[a:b].min() for a, b in zip(lo, hi)])
     assert (got == want).all()
+
+
+def test_decontaminate_bloom_lane_matches_exact(ray_session):
+    """The bloom membership structure (over-flag-only, fixed 2MB broadcast
+    here) must reproduce the exact lane on the fixture corpus — inputs are
+    fixed and the filter is RNG-free, so this is deterministic — and a
+    deliberately tiny filter must over-flag, never under-flag."""
+    import numpy as np
+    import pandas as pd
+
+    from fhir_data_validation_ray.pipelines.dataops import (
+        DECON_MIN_OVERLAP,
+        q_decontaminate,
+    )
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.dedup import decontaminate
+
+    exact = (q_decontaminate(SF_DIR).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def half(is_bench):
+        def f(t):
+            ids = np.asarray(t["doc_id"]).astype(np.int64)
+            m = hash_str(ids.astype("U")) % np.uint64(4) == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    def docs():
+        return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    bloom = (decontaminate(docs().map_batches(half(False), batch_format="pyarrow"),
+                           docs().map_batches(half(True), batch_format="pyarrow"),
+                           n=2, min_overlap=DECON_MIN_OVERLAP,
+                           structure="bloom", bloom_bits=1 << 24)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, bloom)
+
+    # 256-bit filter: saturates -> everything with >= min_overlap shingles
+    # of ANY kind gets flagged; must be a SUPERSET of the exact flags
+    tiny = (decontaminate(docs().map_batches(half(False), batch_format="pyarrow"),
+                          docs().map_batches(half(True), batch_format="pyarrow"),
+                          n=2, min_overlap=DECON_MIN_OVERLAP,
+                          structure="bloom", bloom_bits=256, bloom_k=2)
+            .to_pandas())
+    assert set(exact.doc_id).issubset(set(tiny.doc_id))

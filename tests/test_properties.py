@@ -306,3 +306,22 @@ def test_segments_tile_documents_exactly(doc_words, seg_words):
         assert seg_id[doc_idx == d].tolist() == list(range(len(mine)))
         for s in mine[:-1]:
             assert len(s.split(" ")) == seg_words
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**63 - 1), st.integers(1, 2000))
+def test_bloom_filter_no_false_negatives(seed, n_keys):
+    """Every added key must probe positive (false positives allowed, false
+    negatives never), and the merge of two filters contains both key sets."""
+    from fhir_data_validation_ray.stages.dedup import BloomFilter
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 2**63, size=n_keys, dtype=np.uint64)
+    b = rng.integers(0, 2**63, size=n_keys, dtype=np.uint64)
+    fa = BloomFilter.sized_for(n_keys, fpr=0.01)
+    fb = BloomFilter(fa.n_bits, fa.k)
+    fa.add(a)
+    fb.add(b)
+    assert fa.contains(a).all() and fb.contains(b).all()
+    fa.merge(fb)
+    assert fa.contains(a).all() and fa.contains(b).all()
