@@ -257,6 +257,40 @@ def q_seg_dedup(sf_dir: str):
                          seg_words=8, min_docs=2)
 
 
+# corpus_diff mutation recipe: drop %11, mutate %13, add %17 under +20M ids
+DIFF_ADD_OFFSET = 20_000_000
+
+
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff old-vs-new: new = old minus doc_id % 11 == 0, with
+    ' mutated' appended for doc_id % 13 == 0 survivors, plus copies of
+    doc_id % 17 == 0 under +20M ids (all mirrored in SQL). Output = churn
+    rows only (added / removed / changed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.joins import corpus_diff
+
+    def mutate(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        mut = pc.binary_join_element_wise(texts, "mutated", " ")
+        newtext = pc.if_else(pa.array(ids % 13 == 0), mut, texts)
+        keep = pa.array(ids % 11 != 0)
+        base = pa.table({"doc_id": t["doc_id"], "text": newtext}).filter(keep)
+        addm = ids % 17 == 0
+        extra = pa.table({
+            "doc_id": pa.array(ids[addm] + DIFF_ADD_OFFSET),
+            "text": texts.filter(pa.array(addm)),
+        })
+        return pa.concat_tables([base, extra])
+
+    new = _docs(sf_dir).map_batches(mutate, batch_format="pyarrow")
+    return corpus_diff(_docs(sf_dir), new)
+
+
 # truncated-copy injection for d_prefix_dups: doc_id offset + prefix length
 PREFIX_TRUNC_OFFSET = 10_000_000
 PREFIX_TRUNC_WORDS = 12
@@ -763,6 +797,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_normalize": q_normalize,
         "d_seg_dedup": q_seg_dedup,
         "d_prefix_dups": q_prefix_dups,
+        "d_corpus_diff": q_corpus_diff,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "j_orders_by_segment": q_orders_by_segment,
@@ -1208,6 +1243,28 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _corpus_diff_sql() -> str:
+    """corpus_diff mirror over the same mutation recipe; change detection
+    is exact text comparison here vs 64-bit FNV in the kernel — identical
+    verdicts short of a 2^-64 same-key collision."""
+    return f"""
+WITH neww AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' mutated' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_OFFSET}, text FROM documents WHERE doc_id % 17 = 0),
+j AS (SELECT o.doc_id AS oid, n.doc_id AS nid, o.text AS ot, n.text AS nt
+      FROM documents o FULL OUTER JOIN neww n ON o.doc_id = n.doc_id)
+SELECT coalesce(oid, nid) AS doc_id,
+       CASE WHEN oid IS NULL THEN 'added'
+            WHEN nid IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE oid IS NULL OR nid IS NULL OR ot IS DISTINCT FROM nt
+"""
+
+
 def _prefix_dups_sql() -> str:
     """prefix_containment mirror over the same truncation-augmented corpus:
     contained side needs >= PREFIX_WORDS kept words; containment is the
@@ -1347,6 +1404,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_normalize": _normalize_sql(),
         "d_seg_dedup": _seg_dedup_sql(),
         "d_prefix_dups": _prefix_dups_sql(),
+        "d_corpus_diff": _corpus_diff_sql(),
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

@@ -183,3 +183,76 @@ def lowcard_count(ds, col: str, extra_sums: dict[str, str] | None = None):
         .groupby(col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def corpus_diff(old_docs, new_docs, *, key: str = "doc_id",
+                column: str = "text", num_buckets: int = 64,
+                batch_size: int | None = None):
+    """Snapshot diff between two corpus versions — the incremental-ingest
+    primitive: which documents were ADDED, REMOVED, or CHANGED between the
+    previous run's snapshot and the current one (so downstream stages can
+    revalidate / re-embed only the churn, not 100 TB).
+
+    Scale shape: a distributed FULL-OUTER compare. Each side maps to
+    (bucket = hash(key) % B, key, h = FNV(text), role) — the exchange moves
+    8-byte text hashes, never text — and one ``groupby(bucket)`` meets both
+    roles per key. Output is bounded by the CHURN (added/removed/changed
+    rows only; unchanged docs emit nothing), so a 0.1% daily delta on 1e9
+    docs returns 1e6 rows.
+
+    Change detection compares 64-bit FNV text hashes (an old-vs-new
+    collision on the SAME key is ~2^-64 per doc); keys are assumed unique
+    per side (the corpus contract). Returns Dataset[doc_id, status] with
+    status in {'added', 'removed', 'changed'}."""
+    from ..functions.hashing import hash_str
+
+    def tag(role: int):
+        def f(t: pa.Table) -> pa.Table:
+            texts = t[column]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            ids = _int_keys(t[key])
+            h = hash_str(
+                texts.fill_null("").to_numpy(zero_copy_only=False).astype("U")
+            ).astype(np.int64)
+            return pa.table({
+                "bucket": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(num_buckets))
+                    .astype(np.int64)),
+                "doc_id": pa.array(ids),
+                "h": pa.array(h),
+                "role": pa.array(np.full(len(ids), role, dtype=np.int8)),
+            })
+
+        return f
+
+    both = (old_docs.map_batches(tag(0), batch_format="pyarrow",
+                                 batch_size=batch_size)
+            .union(new_docs.map_batches(tag(1), batch_format="pyarrow",
+                                        batch_size=batch_size)))
+
+    def diff_group(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"], dtype=np.int64)
+        role = np.asarray(g["role"])
+        h = np.asarray(g["h"], dtype=np.int64)
+        uid, inv = np.unique(ids, return_inverse=True)
+        m = len(uid)
+        has = np.zeros((2, m), dtype=bool)
+        hv = np.zeros((2, m), dtype=np.int64)
+        for r in (0, 1):
+            sel = role == r
+            has[r, inv[sel]] = True
+            hv[r, inv[sel]] = h[sel]
+        added = has[1] & ~has[0]
+        removed = has[0] & ~has[1]
+        changed = has[0] & has[1] & (hv[0] != hv[1])
+        out_ids = np.concatenate([uid[added], uid[removed], uid[changed]])
+        status = np.concatenate([
+            np.full(added.sum(), "added", dtype=object),
+            np.full(removed.sum(), "removed", dtype=object),
+            np.full(changed.sum(), "changed", dtype=object),
+        ])
+        return pa.table({"doc_id": pa.array(out_ids),
+                         "status": pa.array(status, pa.string())})
+
+    return both.groupby("bucket").map_groups(diff_group, batch_format="pyarrow")

@@ -924,3 +924,52 @@ def test_decontaminate_bloom_lane_matches_exact(ray_session):
                           structure="bloom", bloom_bits=256, bloom_k=2)
             .to_pandas())
     assert set(exact.doc_id).issubset(set(tiny.doc_id))
+
+
+def test_new_dedup_ops_identical_across_read_parallelism(ray_session):
+    """segment_dedup and prefix_containment are pure functions of the
+    corpus — 2-block and 8-block reads must agree exactly (per-batch
+    partials + global exchanges may NOT depend on block boundaries)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import (
+        prefix_containment,
+        segment_dedup,
+    )
+
+    def docs(nblocks):
+        return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=nblocks)
+
+    for op, sort_cols in ((lambda d: segment_dedup(d, min_docs=2),
+                           ["doc_id"]),
+                          (prefix_containment, ["doc_id"])):
+        a = op(docs(2)).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        b = op(docs(8)).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_diff_semantics(ray_session):
+    """Status categories, churn-only output (unchanged docs emit nothing),
+    and null-text handling."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.joins import corpus_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["same", "will change", "will vanish", None, "x"],
+                         pa.string()),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 4, 5, 6], pa.int64()),
+        "text": pa.array(["same", "changed!", None, "x", "brand new"],
+                         pa.string()),
+    }))
+    df = corpus_diff(old, new).to_pandas().sort_values("doc_id")
+    got = dict(zip(df.doc_id, df.status))
+    # doc 1 unchanged -> absent; doc 4 null -> null on both sides -> absent
+    assert got == {2: "changed", 3: "removed", 6: "added"}
