@@ -57,6 +57,7 @@ _QUERY_PRIORITY = [
     "d_decontaminate", "t_top_words", "t_pii_redact",
     "t_repetition", "t_pack", "t_mixture", "t_tfidf", "t_oov", "t_shuffle",
     "t_chunks", "t_normalize", "d_seg_dedup", "d_prefix_dups", "d_corpus_diff",
+    "d_dup_ngrams",
     # -- (2) VERDICT-named + changed-this-round dedup flagships
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
 ]

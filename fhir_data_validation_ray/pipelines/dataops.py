@@ -257,6 +257,36 @@ def q_seg_dedup(sf_dir: str):
                          seg_words=8, min_docs=2)
 
 
+# dup-n-gram injection: a 9-word passage appended to every doc_id % 4 == 0
+# document — its 5 interior 5-grams become corpus-frequent, the passage/text
+# boundary grams stay unique per doc
+NGRAM_SNIPPET = "copied boilerplate passage repeated across many crawled pages verbatim"
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Duplicate-n-gram coverage (Lee et al. 2022 substring-dup signal): a
+    fixed 9-word passage is appended to every doc_id % 4 == 0 document
+    (mirrored in SQL); per document, count sliding 5-gram positions whose
+    5-gram appears in >= 2 distinct documents corpus-wide."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import dup_ngram_coverage
+
+    def add_passage(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        mod = pc.binary_join_element_wise(texts, pa.scalar(NGRAM_SNIPPET), " ")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.if_else(pa.array(ids % 4 == 0), mod, texts)})
+
+    return dup_ngram_coverage(
+        _docs(sf_dir).map_batches(add_passage, batch_format="pyarrow"),
+        n=5, min_docs=2)
+
+
 # corpus_diff mutation recipe: drop %11, mutate %13, add %17 under +20M ids
 DIFF_ADD_OFFSET = 20_000_000
 
@@ -798,6 +828,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_seg_dedup": q_seg_dedup,
         "d_prefix_dups": q_prefix_dups,
         "d_corpus_diff": q_corpus_diff,
+        "d_dup_ngrams": q_dup_ngrams,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "j_orders_by_segment": q_orders_by_segment,
@@ -1293,6 +1324,35 @@ GROUP BY a.doc_id
 """
 
 
+def _dup_ngrams_sql() -> str:
+    """dup_ngram_coverage mirror over the same passage-augmented corpus:
+    overlapping 5-gram positions per doc ('' words filtered exactly like
+    ``textops._word_lists``), frequent = gram in >= 2 distinct docs,
+    n_dup counts every frequent POSITION (occurrences, not distinct)."""
+    from ..stages.dedup import NGRAM_COVER_N as _  # noqa: F401 (query pins n=5)
+
+    n = 5
+    return f"""
+WITH d2 AS (SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN text || ' ' || '{NGRAM_SNIPPET}'
+       ELSE text END AS text FROM documents),
+w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS ws FROM d2),
+g AS (SELECT doc_id, array_to_string(ws[i : i + {n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {n} + 2)) AS i
+            FROM w)),
+freq AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                           FROM g GROUP BY gram) WHERE nd >= 2),
+agg AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+               coalesce(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END),
+                        0)::BIGINT AS n_dup
+        FROM g LEFT JOIN freq f USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.n_dup, 0)::BIGINT AS n_dup
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _pii_sql(flat_path: str) -> str:
     """PII oracle built from the SAME pattern table as the kernel
     (``textops.PII_PATTERNS``) — counts against the original text, redaction
@@ -1405,6 +1465,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_seg_dedup": _seg_dedup_sql(),
         "d_prefix_dups": _prefix_dups_sql(),
         "d_corpus_diff": _corpus_diff_sql(),
+        "d_dup_ngrams": _dup_ngrams_sql(),
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

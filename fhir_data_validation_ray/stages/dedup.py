@@ -1295,6 +1295,143 @@ def prefix_containment(docs, *, prefix_words: int = PREFIX_WORDS,
     )
 
 
+# --------------------------------------------- duplicate n-gram coverage
+NGRAM_COVER_N = 5
+
+
+def _gram_strings(t: pa.Table, n: int, column: str = "text"):
+    """Per-batch OVERLAPPING word n-grams as strings. Returns
+    ``(parent, grams, n_pos, n_docs)``: per-gram parent row index, the
+    ' '-joined n-gram strings (one per sliding position, order preserved),
+    per-doc position counts and the batch row count. Word split mirrors
+    ``textops._word_lists`` ('' words dropped, null text = zero words), so
+    the DuckDB ``list_filter(string_split(...))`` oracle agrees exactly."""
+    from .textops import _word_lists
+
+    texts = t[column]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words, counts, offs = _word_lists(texts)
+    n_pos = np.maximum(counts - (n - 1), 0)
+    total = int(n_pos.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), pa.array([], pa.string()),
+                n_pos, len(texts))
+    parent = np.repeat(np.arange(len(counts), dtype=np.int64), n_pos)
+    pos_starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(n_pos[:-1], out=pos_starts[1:])
+    in_doc = np.arange(total, dtype=np.int64) - np.repeat(pos_starts, n_pos)
+    start = offs[parent] + in_doc  # global index of each position's 1st word
+    # overlapping windows need a real gather (n values per position) — one
+    # vectorized take, then a fixed-stride ListArray rebuild + binary_join
+    gidx = (start[:, None] + np.arange(n, dtype=np.int64)).ravel()
+    bounds = np.arange(total + 1, dtype=np.int64) * n
+    la = pa.ListArray.from_arrays(
+        pa.array(bounds, pa.int32())
+        if bounds[-1] <= np.iinfo(np.int32).max else pa.array(bounds, pa.int64()),
+        words.take(pa.array(gidx)),
+    )
+    return parent, pc.binary_join(la, " "), n_pos, len(texts)
+
+
+def dup_ngram_coverage(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
+                       column: str = "text", num_buckets: int = 64,
+                       max_frequent: int = 2_000_000,
+                       batch_size: int | None = None):
+    """Exact duplicate-n-gram coverage — the per-document substring-dup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): for every document, how many of its sliding word
+    n-gram positions carry an n-gram that also appears in >= ``min_docs``
+    DISTINCT documents corpus-wide. High coverage = the document is largely
+    stitched from text that exists elsewhere (template spam, mirrored
+    articles) even when no WHOLE-document near-dup fires — the gap MinHash/
+    SimHash (whole-doc sketches) and segment_dedup (non-overlapping lines)
+    all leave open.
+
+    Scale shape — two streaming passes, same skeleton as ``segment_dedup``:
+
+    1. **Frequency discovery.** Per batch: per-doc-DISTINCT n-grams
+       (dictionary-encode + unique (doc, code) pairs) leave as
+       (bucket, gram, partial_distinct_doc_count) pre-aggregated rows; one
+       bucketed groupby sums exact distinct-doc counts per gram STRING (no
+       hash-collision merging by construction) and keeps only grams with
+       count >= ``min_docs``. Raises past ``max_frequent`` instead of
+       silently exploding the broadcast — a corpus that duplicated needs
+       whole-doc dedup (``exact_dedup``/``minhash_lsh_pairs``) first.
+    2. **Coverage probe.** The frequent set is broadcast once via
+       ``ray.put``; a pure ``map_batches`` ``pc.is_in`` probe counts, per
+       document, the positions (every occurrence, not distinct) whose gram
+       is frequent.
+
+    Returns Dataset[doc_id, n_grams, n_dup] — one row per input document
+    (docs with < n words: 0/0). ``dup_fraction = n_dup / n_grams`` is left
+    to the caller so the outputs stay integer-exact for the SQL oracle."""
+    import ray
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        parent, grams, _, _ = _gram_strings(t, n, column)
+        if len(grams) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "gram": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        da = pc.dictionary_encode(grams)
+        code = np.asarray(da.indices, dtype=np.int64)
+        ndict = len(da.dictionary)
+        pair = np.unique(parent * ndict + code)
+        nd = np.bincount((pair % ndict).astype(np.int64), minlength=ndict)
+        gram_str = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(gram_str) % np.uint64(num_buckets)).astype(np.int32)),
+            "gram": da.dictionary,
+            "nd": pa.array(nd.astype(np.int64)),
+        })
+
+    def bucket_frequent(g: pa.Table) -> pa.Table:
+        s = g["gram"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        da = pc.dictionary_encode(s)
+        totals = np.bincount(np.asarray(da.indices),
+                             weights=np.asarray(g["nd"]),
+                             minlength=len(da.dictionary)).astype(np.int64)
+        return pa.table({"gram": da.dictionary.filter(pa.array(totals >= min_docs))})
+
+    freq_tbl = collect_table(
+        docs.map_batches(freq_partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_frequent, batch_format="pyarrow"),
+        empty_schema=pa.schema([("gram", pa.string())]),
+    )
+    if freq_tbl.num_rows > max_frequent:
+        raise RuntimeError(
+            f"dup_ngram_coverage: {freq_tbl.num_rows} frequent n-grams "
+            f"exceed max_frequent={max_frequent}; run whole-doc dedup first")
+    gram_col = freq_tbl["gram"]
+    if isinstance(gram_col, pa.ChunkedArray):
+        gram_col = gram_col.combine_chunks()
+    freq_ref = ray.put(gram_col)
+
+    def cover(t: pa.Table) -> pa.Table:
+        fr = ray.get(freq_ref)
+        parent, grams, n_pos, n_docs = _gram_strings(t, n, column)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(grams):
+            member = pc.is_in(grams, value_set=fr).to_numpy(zero_copy_only=False)
+            n_dup = np.bincount(parent[member], minlength=n_docs)
+        else:
+            n_dup = np.zeros(n_docs, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "n_grams": pa.array(n_pos.astype(np.int64)),
+            "n_dup": pa.array(n_dup.astype(np.int64)),
+        })
+
+    return docs.map_batches(cover, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 # ------------------------------------------------- bloom decontamination
 class BloomFilter:
     """Vectorized Bloom filter over uint64 keys — the broadcast structure

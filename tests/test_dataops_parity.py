@@ -973,3 +973,58 @@ def test_corpus_diff_semantics(ray_session):
     got = dict(zip(df.doc_id, df.status))
     # doc 1 unchanged -> absent; doc 4 null -> null on both sides -> absent
     assert got == {2: "changed", 3: "removed", 6: "added"}
+
+
+def test_dup_ngram_coverage_semantics(ray_session):
+    """Position-level coverage accounting: shared passage positions count
+    per OCCURRENCE, within-doc repeats alone aren't frequent (distinct-doc
+    counting), short/empty/null docs emit 0/0, max_frequent raises."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import dup_ngram_coverage
+
+    p = "p1 p2 p3"  # shared 3-word passage == one 3-gram
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(
+            [f"a1 a2 {p} a3",          # grams: a1-a2-p1, a2-p1-p2, p1-p2-p3, p2-p3-a3
+             f"b1 {p} b2 {p}",         # passage twice -> 2 frequent positions ...
+             "c1 c2 c3 c1 c2 c3 c1 c2 c3",  # own repeats only: never frequent
+             "w1 w2",                  # < n words -> 0 positions
+             "",
+             None],
+            pa.string()),
+    }))
+    df = (dup_ngram_coverage(docs, n=3, min_docs=2).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert df.doc_id.tolist() == [1, 2, 3, 4, 5, 6]
+    assert df.n_grams.tolist() == [4, 6, 7, 0, 0, 0]
+    # doc 1: p1-p2-p3 at one position; doc 2: at two positions (occurrence
+    # counting); doc 3's self-repeated grams appear in ONE distinct doc only
+    assert df.n_dup.tolist() == [1, 2, 0, 0, 0, 0]
+
+    with pytest.raises(RuntimeError, match="max_frequent"):
+        dup_ngram_coverage(docs, n=3, min_docs=2, max_frequent=0).to_pandas()
+
+
+def test_dup_ngram_coverage_identical_across_read_parallelism(ray_session):
+    """Coverage is a pure function of the corpus — block boundaries must
+    not affect the frequency exchange or the probe."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import dup_ngram_coverage
+
+    def docs(nblocks):
+        return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=nblocks)
+
+    a = (dup_ngram_coverage(docs(2), n=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dup_ngram_coverage(docs(8), n=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a.n_dup.sum() >= 0 and (a.n_grams >= a.n_dup).all()
