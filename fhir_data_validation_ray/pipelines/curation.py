@@ -88,3 +88,55 @@ def curate_keep_list(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8
         return pa.table({"doc_id": pa.array(ud[keep])})
 
     return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def embed_dedup_keep_list(embeddings, *, threshold: float = 0.92,
+                          num_buckets: int = 64):
+    """Embedding-cosine near-dup KEEP-LIST: LSH-candidate exact-verified
+    cosine pairs (``similarity.cosine_pairs_lsh``) -> connected components
+    (``dedup_clusters``) -> keep each component's min vec_id plus every
+    unpaired vector. The semantic-dedup complement of the lexical
+    ``curate_keep_list``: two near-identical embeddings collapse to one
+    training example even when their surface text shares no n-grams.
+
+    Dataset[vec_id:int64, embedding] -> Dataset[vec_id] of survivors.
+    Same zero-driver-state shape as ``curate_keep_list``: the drop stream
+    (non-canonical members, bounded by the PAIRED vectors only) meets the
+    full id stream in one bucketed groupby — no broadcast, no semi-join
+    materialization."""
+    from ..stages.dedup import _intmix, dedup_clusters
+    from ..stages.similarity import cosine_pairs_lsh
+
+    clusters = dedup_clusters(cosine_pairs_lsh(embeddings, threshold=threshold))
+
+    def non_canonical(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"]).astype(np.int64)
+        c = np.asarray(t["cluster"]).astype(np.int64)
+        return pa.table({"vec_id": pa.array(d[d != c])})
+
+    drops = clusters.map_batches(non_canonical, batch_format="pyarrow")
+
+    def tag(ds, stream: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = np.asarray(t["vec_id"]).astype(np.int64)
+            return pa.table({
+                "bucket": pa.array(_intmix(v, num_buckets).astype(np.int32)),
+                "vec_id": pa.array(v),
+                "stream": pa.array(np.full(len(v), stream, dtype=np.int8)),
+            })
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    merged = tag(embeddings.select_columns(["vec_id"]), 0).union(tag(drops, 1))
+
+    def fold(g: pa.Table) -> pa.Table:
+        v = np.asarray(g["vec_id"]).astype(np.int64)
+        s = np.asarray(g["stream"]).astype(np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        mask = np.zeros(len(uv), dtype=np.int64)
+        np.bitwise_or.at(mask, inv, np.int64(1) << s)
+        keep = (mask & 0b01) == 0b01   # present in the corpus ...
+        keep &= (mask & 0b10) == 0     # ... and not a non-canonical member
+        return pa.table({"vec_id": pa.array(uv[keep])})
+
+    return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")

@@ -113,6 +113,15 @@ def q_curation(sf_dir: str):
     return curate_keep_list(_docs(sf_dir), sample_rate=CURATION_SAMPLE_RATE)
 
 
+def q_embed_dedup(sf_dir: str):
+    """Embedding-cosine near-dup keep-list: exact-verified cosine pairs ->
+    connected components -> keep component min + every unpaired vector.
+    The semantic complement of c_curation's lexical dedup."""
+    from .curation import embed_dedup_keep_list
+
+    return embed_dedup_keep_list(_emb(sf_dir), threshold=COSINE_PAIR_THRESHOLD)
+
+
 TOP_WORDS_K = 20
 DECON_MIN_OVERLAP = 2
 
@@ -831,6 +840,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_dup_ngrams": q_dup_ngrams,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
+        "c_embed_dedup": q_embed_dedup,
         "j_orders_by_segment": q_orders_by_segment,
         "j_lineitem_priority": q_lineitem_priority,
         "j_customer_region": q_customer_region,
@@ -1007,6 +1017,28 @@ walk(node, root) AS (
 )
 SELECT node AS doc_id, min(root) AS cluster FROM walk GROUP BY node
 """
+
+EMBED_DEDUP_SQL = f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) e FROM embeddings),
+edges AS (
+  SELECT a.vec_id doc_a, b.vec_id doc_b FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= {COSINE_PAIR_THRESHOLD}),
+nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT CASE WHEN w.node = edges.doc_a THEN edges.doc_b ELSE edges.doc_a END,
+         w.root
+  FROM walk w, edges WHERE w.node = edges.doc_a OR w.node = edges.doc_b
+),
+comp AS (SELECT node, min(root) AS cluster FROM walk GROUP BY node)
+SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+WHERE c.node IS NULL OR c.cluster = e.vec_id
+"""
+
 
 COSINE_TOPK_SQL = f"""
 WITH q AS (
@@ -1468,6 +1500,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_dup_ngrams": _dup_ngrams_sql(),
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
+        "c_embed_dedup": EMBED_DEDUP_SQL,
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,
         "j_lineitem_priority": LINEITEM_PRIORITY_SQL,
         "j_customer_region": CUSTOMER_REGION_SQL,

@@ -1028,3 +1028,32 @@ def test_dup_ngram_coverage_identical_across_read_parallelism(ray_session):
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a.n_dup.sum() >= 0 and (a.n_grams >= a.n_dup).all()
+
+
+def test_embed_dedup_keep_list_semantics(ray_session):
+    """Component canonicals survive, non-canonical members drop, unpaired
+    vectors always survive (orthogonal / below-threshold)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import embed_dedup_keep_list
+
+    def unit(v):
+        a = np.asarray(v, dtype=np.float64)
+        return (a / np.linalg.norm(a)).tolist()
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "embedding": pa.array([
+            unit([1.0, 0.0, 0.0]),          # cluster A canonical
+            unit([0.999, 0.01, 0.0]),       # near-dup of 1 -> drops
+            unit([0.998, -0.02, 0.0]),      # near-dup of 1 -> drops
+            unit([0.0, 1.0, 0.0]),          # cluster B canonical
+            unit([0.0, 0.999, 0.01]),       # near-dup of 4 -> drops
+            unit([0.0, 0.0, 1.0]),          # unpaired -> survives
+        ], pa.list_(pa.float32())),
+    }))
+    kept = sorted(embed_dedup_keep_list(emb, threshold=0.95)
+                  .to_pandas().vec_id.tolist())
+    assert kept == [1, 4, 6]
