@@ -208,6 +208,15 @@ def q_oov(sf_dir: str):
     return oov_rate(_docs(sf_dir))
 
 
+def q_lm_coverage(sf_dir: str):
+    """CCNet-style n-gram LM coverage: bigram count model from the
+    deterministic 10% hash split, held-out docs scored by model coverage
+    (integer-exact perplexity proxy)."""
+    from ..stages.textops import lm_coverage
+
+    return lm_coverage(_docs(sf_dir))
+
+
 # 8 words == SEG_WORDS, so the injected banner occupies exactly segment 0
 SEG_BANNER = "subscribe to our newsletter terms of service apply"
 
@@ -838,6 +847,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_prefix_dups": q_prefix_dups,
         "d_corpus_diff": q_corpus_diff,
         "d_dup_ngrams": q_dup_ngrams,
+        "t_lm_coverage": q_lm_coverage,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "c_embed_dedup": q_embed_dedup,
@@ -1385,6 +1395,35 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _lm_coverage_sql() -> str:
+    """lm_coverage mirror: same FNV hash-split train membership
+    (``sample_by_hash`` fold over str(doc_id)), same bigram positions
+    ('' words filtered like ``textops._word_lists``), model = train grams
+    with total count >= LM_MIN_COUNT, held-out docs scored by position."""
+    from ..stages.textops import LM_MIN_COUNT, LM_N, LM_TRAIN_RATE
+    from ..stages.sampling import SAMPLE_MOD
+
+    n = LM_N
+    thr = int(LM_TRAIN_RATE * SAMPLE_MOD)
+    h = "CAST(" + _fnv_sql("CAST(doc_id AS VARCHAR)") + f" % {SAMPLE_MOD} AS BIGINT)"
+    return f"""
+WITH w AS (SELECT doc_id, {h} < {thr} AS is_train,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT doc_id, is_train, array_to_string(ws[i : i + {n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, is_train, ws,
+                   unnest(range(1, len(ws) - {n} + 2)) AS i FROM w)),
+model AS (SELECT gram, count(*)::BIGINT AS cnt FROM g WHERE is_train
+          GROUP BY gram HAVING count(*) >= {LM_MIN_COUNT}),
+held AS (SELECT doc_id, gram FROM g WHERE NOT is_train)
+SELECT h.doc_id, count(*)::BIGINT AS n_grams,
+       coalesce(sum(CASE WHEN m.gram IS NOT NULL THEN 1 ELSE 0 END),
+                0)::BIGINT AS n_hit,
+       coalesce(sum(m.cnt), 0)::BIGINT AS count_sum
+FROM held h LEFT JOIN model m USING (gram) GROUP BY h.doc_id
+"""
+
+
 def _pii_sql(flat_path: str) -> str:
     """PII oracle built from the SAME pattern table as the kernel
     (``textops.PII_PATTERNS``) — counts against the original text, redaction
@@ -1498,6 +1537,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_prefix_dups": _prefix_dups_sql(),
         "d_corpus_diff": _corpus_diff_sql(),
         "d_dup_ngrams": _dup_ngrams_sql(),
+        "t_lm_coverage": _lm_coverage_sql(),
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "c_embed_dedup": EMBED_DEDUP_SQL,

@@ -611,6 +611,151 @@ def oov_rate(docs, *, min_df: int = 2, num_buckets: int = 64,
     )
 
 
+LM_N = 2
+LM_TRAIN_RATE = 0.1
+LM_MIN_COUNT = 2
+
+
+def lm_coverage(docs, *, n: int = LM_N, train_rate: float = LM_TRAIN_RATE,
+                min_count: int = LM_MIN_COUNT, num_buckets: int = 64,
+                doc_shard: int = 4096, batch_size: int | None = None):
+    """N-gram LM coverage score — the integer-exact core of a CCNet-style
+    perplexity quality filter (Wenzek et al. 2020, public): train a word
+    n-gram count model on a deterministic hash split of the corpus, then
+    score every HELD-OUT document by how well the model covers it. Low
+    coverage marks out-of-distribution text (gibberish, wrong language,
+    boilerplate markup) exactly where a real LM would score high perplexity;
+    keeping the outputs as integer counts (not log-probs) makes the operator
+    bitwise oracle-checkable.
+
+    Train membership is ``sample_by_hash`` semantics (FNV(str(doc_id)) %
+    1e6 < train_rate * 1e6) — a pure function of the row, reproducible at
+    any scale and partitioning. The model is every train-split n-gram with
+    total occurrence count >= ``min_count``.
+
+    Emits one row per held-out doc with >= 1 gram position: ``doc_id``,
+    ``n_grams`` (sliding positions), ``n_hit`` (positions whose gram is in
+    the model), ``count_sum`` (sum of the model's occurrence count over hit
+    positions — the unnormalized LM score mass).
+
+    Scale shape — NO broadcast, NO driver state (the model is corpus-sized
+    at 100 TB, past any ``ray.put`` ceiling): one streaming pass emits
+    per-batch PRE-AGGREGATED role-tagged gram rows (train: (gram, cnt);
+    held-out: (gram, doc_id, tf)); a gram-bucket groupby joins every gram's
+    exact global model count against its doc rows in place (all of a gram's
+    rows land in its bucket by construction — no hash-collision merging);
+    a bounded doc-shard groupby sums the per-bucket partials per doc. Both
+    exchanges move pre-aggregated integers + gram strings only."""
+    from .dedup import _gram_strings
+    from .sampling import SAMPLE_MOD
+
+    threshold = np.uint64(int(train_rate * SAMPLE_MOD))
+    empty = pa.table({
+        "bucket": pa.array([], pa.int32()),
+        "role": pa.array([], pa.int8()),
+        "gram": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+    })
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids_col = t["doc_id"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = np.asarray(ids_col).astype(np.int64)
+        is_train = (hash_str(ids.astype("U"))
+                    % np.uint64(SAMPLE_MOD)) < threshold
+        parent, grams, _, _ = _gram_strings(t, n)
+        if len(grams) == 0:
+            return empty
+        da = pc.dictionary_encode(grams)
+        code = np.asarray(da.indices, dtype=np.int64)
+        ndict = len(da.dictionary)
+        gram_str = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        bucket = (hash_str(gram_str) % np.uint64(num_buckets)).astype(np.int32)
+        tmask = is_train[parent]
+        out = []
+        # train side: per-gram occurrence counts across this batch's train docs
+        cnt = np.bincount(code[tmask], minlength=ndict).astype(np.int64)
+        nz = cnt > 0
+        if nz.any():
+            out.append(pa.table({
+                "bucket": pa.array(bucket[nz]),
+                "role": pa.array(np.zeros(int(nz.sum()), dtype=np.int8)),
+                "gram": da.dictionary.filter(pa.array(nz)),
+                "doc_id": pa.array(np.zeros(int(nz.sum()), dtype=np.int64)),
+                "cnt": pa.array(cnt[nz]),
+            }))
+        # held-out side: per-(doc, gram) occurrence counts
+        hp, hc = parent[~tmask], code[~tmask]
+        if len(hp):
+            pair, tf = np.unique(hp * ndict + hc, return_counts=True)
+            pd_, pg = pair // ndict, (pair % ndict).astype(np.int64)
+            out.append(pa.table({
+                "bucket": pa.array(bucket[pg]),
+                "role": pa.array(np.ones(len(pair), dtype=np.int8)),
+                "gram": da.dictionary.take(pa.array(pg)),
+                "doc_id": pa.array(ids[pd_]),
+                "cnt": pa.array(tf.astype(np.int64)),
+            }))
+        if not out:
+            return empty
+        return pa.concat_tables(out)
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        s = g["gram"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        da = pc.dictionary_encode(s)
+        gi = np.asarray(da.indices, dtype=np.int64)
+        role = np.asarray(g["role"]).astype(np.int64)
+        cnt = np.asarray(g["cnt"]).astype(np.int64)
+        model = np.zeros(len(da.dictionary), dtype=np.int64)
+        tr = role == 0
+        np.add.at(model, gi[tr], cnt[tr])
+        model[model < min_count] = 0  # below-threshold grams score nothing
+        held = ~tr
+        ids = np.asarray(g["doc_id"]).astype(np.int64)[held]
+        tf = cnt[held]
+        mc = model[gi[held]]
+        dd = pc.dictionary_encode(pa.array(ids))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        hit = mc > 0
+        n_grams = np.bincount(di, weights=tf, minlength=len(uids))
+        n_hit = np.bincount(di[hit], weights=tf[hit], minlength=len(uids))
+        csum = np.bincount(di[hit], weights=tf[hit] * mc[hit],
+                           minlength=len(uids))
+        return pa.table({
+            "dshard": pa.array(uids // doc_shard),
+            "doc_id": pa.array(uids),
+            "n_grams": pa.array(n_grams.astype(np.int64)),
+            "n_hit": pa.array(n_hit.astype(np.int64)),
+            "count_sum": pa.array(csum.astype(np.int64)),
+        })
+
+    def doc_fold(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        dd = pc.dictionary_encode(pa.array(ids))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        cols = {}
+        for c in ("n_grams", "n_hit", "count_sum"):
+            cols[c] = pa.array(np.bincount(
+                di, weights=np.asarray(g[c]), minlength=len(uids)
+            ).astype(np.int64))
+        return pa.table({"doc_id": pa.array(uids), **cols})
+
+    return (
+        docs.map_batches(gram_rows, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(doc_fold, batch_format="pyarrow")
+    )
+
+
 def _word_lists(texts: pa.Array):
     """Split ``texts`` on single spaces, drop '' words (mirrors DuckDB
     ``list_filter(string_split(text,' '), x -> x <> '')``), keep per-doc

@@ -1057,3 +1057,36 @@ def test_embed_dedup_keep_list_semantics(ray_session):
     kept = sorted(embed_dedup_keep_list(emb, threshold=0.95)
                   .to_pandas().vec_id.tolist())
     assert kept == [1, 4, 6]
+
+
+def test_lm_coverage_semantics(ray_session):
+    """Model = train-split grams with count >= min_count; held-out docs
+    score n_hit positions and count_sum model mass; <n-word docs emit
+    nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.sampling import SAMPLE_MOD
+    from fhir_data_validation_ray.stages.textops import lm_coverage
+
+    ids = np.arange(1, 2000, dtype=np.int64)
+    h = hash_str(ids.astype("U")) % np.uint64(SAMPLE_MOD)
+    train = ids[h < 100_000]
+    held = ids[h >= 100_000]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([train[0], train[1], held[0], held[1], held[2]],
+                           pa.int64()),
+        "text": pa.array([
+            "a b a b",   # train: "a b" x2 (-> model, cnt=2), "b a" x1 (out)
+            "x y",       # train: "x y" x1 -> below min_count, out
+            "a b c",     # held: hits "a b" -> 2/1/2
+            "q r",       # held: no hits -> 1/0/0
+            "solo",      # held, <2 words -> no row
+        ]),
+    }))
+    got = (lm_coverage(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = sorted([(int(held[0]), 2, 1, 2), (int(held[1]), 1, 0, 0)])
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
