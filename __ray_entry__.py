@@ -58,7 +58,7 @@ _QUERY_PRIORITY = [
     "t_repetition", "t_pack", "t_mixture", "t_tfidf", "t_oov", "t_shuffle",
     "t_chunks", "t_normalize", "d_seg_dedup", "d_prefix_dups", "d_corpus_diff",
     "d_dup_ngrams",
-    "c_embed_dedup", "t_lm_coverage",
+    "c_embed_dedup", "t_lm_coverage", "t_top_per_source", "c_keep_best",
     # -- (2) VERDICT-named + changed-this-round dedup flagships
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
 ]

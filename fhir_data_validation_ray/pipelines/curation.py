@@ -140,3 +140,114 @@ def embed_dedup_keep_list(embeddings, *, threshold: float = 0.92,
         return pa.table({"vec_id": pa.array(uv[keep])})
 
     return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def curate_keep_best(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8,
+                     num_buckets: int = 64):
+    """Quality-aware near-dup resolution: like ``curate_keep_list``'s
+    cluster drop, but each near-dup component keeps its HIGHEST-QUALITY
+    member (longest text, ties -> lowest doc_id) instead of the lowest
+    doc_id — the policy a real curation pipeline wants, since duplicates
+    often differ by truncation and the min-id member may be the clipped one.
+
+    Dataset[doc_id:int64, text] -> Dataset[doc_id] survivors (every
+    unclustered doc + one winner per component).
+
+    Plan shape, all distributed: component labels from ``dedup_clusters``;
+    quality attaches to membership rows in a doc-bucket groupby (quality is
+    recomputed per batch from text — a pure function, no join against a
+    materialized side); winners resolve per component in a cluster-bucket
+    groupby (argmax by (quality desc, doc_id asc), vectorized lexsort);
+    the drop stream (clustered non-winners) meets the full id stream in the
+    same bitmask fold as ``curate_keep_list``."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import _intmix, dedup_clusters, ngram_jaccard_pairs
+
+    clusters = dedup_clusters(
+        ngram_jaccard_pairs(docs, n=jaccard_n, threshold=jaccard_threshold)
+    )
+
+    def qual_rows(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"]).astype(np.int64)
+        q = np.asarray(pc.utf8_length(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"])).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(_intmix(d, num_buckets).astype(np.int32)),
+            "role": pa.array(np.zeros(len(d), dtype=np.int8)),
+            "doc_id": pa.array(d),
+            "cluster": pa.array(np.zeros(len(d), dtype=np.int64)),
+            "q": pa.array(q),
+        })
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"]).astype(np.int64)
+        c = np.asarray(t["cluster"]).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(_intmix(d, num_buckets).astype(np.int32)),
+            "role": pa.array(np.ones(len(d), dtype=np.int8)),
+            "doc_id": pa.array(d),
+            "cluster": pa.array(c),
+            "q": pa.array(np.zeros(len(d), dtype=np.int64)),
+        })
+
+    tagged = (docs.map_batches(qual_rows, batch_format="pyarrow")
+              .union(clusters.map_batches(member_rows, batch_format="pyarrow")))
+
+    def attach_quality(g: pa.Table) -> pa.Table:
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        role = np.asarray(g["role"]).astype(np.int64)
+        c = np.asarray(g["cluster"]).astype(np.int64)
+        q = np.asarray(g["q"]).astype(np.int64)
+        qd, qq = d[role == 0], q[role == 0]
+        order = np.argsort(qd)
+        qd, qq = qd[order], qq[order]
+        md, mc = d[role == 1], c[role == 1]
+        pos = np.searchsorted(qd, md)  # every member doc has a quality row
+        return pa.table({
+            "cbucket": pa.array(_intmix(mc, num_buckets).astype(np.int32)),
+            "cluster": pa.array(mc),
+            "doc_id": pa.array(md),
+            "q": pa.array(qq[pos]),
+        })
+
+    members = tagged.groupby("bucket").map_groups(
+        attach_quality, batch_format="pyarrow")
+
+    def drop_losers(g: pa.Table) -> pa.Table:
+        c = np.asarray(g["cluster"]).astype(np.int64)
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        q = np.asarray(g["q"]).astype(np.int64)
+        order = np.lexsort((d, -q, c))
+        cs = c[order]
+        winner = np.r_[True, cs[1:] != cs[:-1]]
+        return pa.table({"doc_id": pa.array(d[order[~winner]])})
+
+    drops = members.groupby("cbucket").map_groups(
+        drop_losers, batch_format="pyarrow")
+
+    def tag(ds, stream: int):
+        def f(t: pa.Table) -> pa.Table:
+            d = np.asarray(t["doc_id"]).astype(np.int64)
+            return pa.table({
+                "bucket": pa.array(_intmix(d, num_buckets).astype(np.int32)),
+                "doc_id": pa.array(d),
+                "stream": pa.array(np.full(len(d), stream, dtype=np.int8)),
+            })
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    merged = tag(docs.select_columns(["doc_id"]), 0).union(tag(drops, 1))
+
+    def fold(g: pa.Table) -> pa.Table:
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        s = np.asarray(g["stream"]).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        mask = np.zeros(len(ud), dtype=np.int64)
+        np.bitwise_or.at(mask, inv, np.int64(1) << s)
+        keep = (mask & 0b01) == 0b01
+        keep &= (mask & 0b10) == 0
+        return pa.table({"doc_id": pa.array(ud[keep])})
+
+    return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")

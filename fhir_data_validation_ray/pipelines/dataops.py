@@ -113,6 +113,14 @@ def q_curation(sf_dir: str):
     return curate_keep_list(_docs(sf_dir), sample_rate=CURATION_SAMPLE_RATE)
 
 
+def q_keep_best(sf_dir: str):
+    """Quality-aware near-dup resolution: each jaccard component keeps its
+    longest member (ties -> lowest doc_id); unclustered docs all survive."""
+    from .curation import curate_keep_best
+
+    return curate_keep_best(_docs(sf_dir))
+
+
 def q_embed_dedup(sf_dir: str):
     """Embedding-cosine near-dup keep-list: exact-verified cosine pairs ->
     connected components -> keep component min + every unpaired vector.
@@ -206,6 +214,22 @@ def q_oov(sf_dir: str):
     from ..stages.textops import oov_rate
 
     return oov_rate(_docs(sf_dir))
+
+
+TOPN_PER_SOURCE = 3
+
+
+def q_top_per_source(sf_dir: str):
+    """Per-group top-N (partitioned rank/limit): the 3 longest docs per
+    source, ties broken by ascending doc_id."""
+    import ray.data as rd
+
+    from ..stages.stats import group_topn
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    return group_topn(docs, key="source", value="n_chars", id_col="doc_id",
+                      n=TOPN_PER_SOURCE)
 
 
 def q_lm_coverage(sf_dir: str):
@@ -848,9 +872,11 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_corpus_diff": q_corpus_diff,
         "d_dup_ngrams": q_dup_ngrams,
         "t_lm_coverage": q_lm_coverage,
+        "t_top_per_source": q_top_per_source,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "c_embed_dedup": q_embed_dedup,
+        "c_keep_best": q_keep_best,
         "j_orders_by_segment": q_orders_by_segment,
         "j_lineitem_priority": q_lineitem_priority,
         "j_customer_region": q_customer_region,
@@ -1395,6 +1421,32 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT CASE WHEN w.node = edges.doc_a THEN edges.doc_b ELSE edges.doc_a END,
+         w.root
+  FROM walk w, edges WHERE w.node = edges.doc_a OR w.node = edges.doc_b
+),
+cc AS (SELECT node AS doc_id, min(root) AS cluster FROM walk GROUP BY node),
+winners AS (SELECT cc.doc_id FROM cc JOIN documents d USING (doc_id)
+            QUALIFY row_number() OVER (PARTITION BY cluster
+                ORDER BY length(d.text) DESC, cc.doc_id) = 1),
+drops AS (SELECT doc_id FROM cc
+          WHERE doc_id NOT IN (SELECT doc_id FROM winners))
+SELECT doc_id FROM documents EXCEPT SELECT doc_id FROM drops
+"""
+
+TOP_PER_SOURCE_SQL = """
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
 def _lm_coverage_sql() -> str:
     """lm_coverage mirror: same FNV hash-split train membership
     (``sample_by_hash`` fold over str(doc_id)), same bigram positions
@@ -1538,9 +1590,11 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_corpus_diff": _corpus_diff_sql(),
         "d_dup_ngrams": _dup_ngrams_sql(),
         "t_lm_coverage": _lm_coverage_sql(),
+        "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "c_embed_dedup": EMBED_DEDUP_SQL,
+        "c_keep_best": KEEP_BEST_SQL,
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,
         "j_lineitem_priority": LINEITEM_PRIORITY_SQL,
         "j_customer_region": CUSTOMER_REGION_SQL,

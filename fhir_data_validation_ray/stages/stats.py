@@ -256,3 +256,77 @@ def histogram_by_group(ds, col: str, group_col: str, *, lo: int, hi: int,
         .groupby("group")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def group_topn(ds, *, key: str, value: str, id_col: str, n: int,
+               num_buckets: int = 64, batch_size: int | None = None):
+    """Per-group top-N — the partitioned rank/limit primitive (SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY value DESC, id)`` <= N):
+    for every distinct ``key``, keep the N rows with the largest ``value``,
+    ties broken by ascending ``id_col``. Complements the GLOBAL top-k of
+    ``textops.top_words``; "newest N per domain" / "longest N per source"
+    selections in a curation pipeline are this operator.
+
+    Scale shape — classic combiner + one bounded exchange: each batch
+    pre-trims to at most N rows per key it sees (vectorized lexsort +
+    run-rank, no Python loops), so the key-bucket exchange moves at most
+    N x (distinct keys per batch) rows regardless of group skew; the bucket
+    fold repeats the same selection on complete per-key row sets (all of a
+    key's survivors land in its bucket by construction). No global sort, no
+    per-key group explosion — G groups land in ``num_buckets`` folds.
+
+    Returns Dataset[key, id_col, value] (exact winners, unordered)."""
+    from ..functions.hashing import hash_str
+
+    def select(keys_codes, vals, ids, m):
+        """Row indices of the per-key top-``m`` by (value desc, id asc)."""
+        order = np.lexsort((ids, -vals, keys_codes))
+        kc = keys_codes[order]
+        starts = np.flatnonzero(np.r_[True, kc[1:] != kc[:-1]])
+        run = np.cumsum(np.r_[False, kc[1:] != kc[:-1]])
+        rank = np.arange(len(kc)) - starts[run]
+        return order[rank < m]
+
+    def trim(t: pa.Table) -> pa.Table:
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        import pyarrow.compute as pc
+
+        da = pc.dictionary_encode(k)
+        codes = np.asarray(da.indices, dtype=np.int64)
+        vals = np.asarray(t[value]).astype(np.int64)
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        keep = select(codes, vals, ids, n)
+        kept_k = k.take(pa.array(keep))
+        kstr = np.asarray(kept_k).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(kstr) % np.uint64(num_buckets)).astype(np.int32)),
+            key: kept_k,
+            id_col: pa.array(ids[keep]),
+            value: pa.array(vals[keep]),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = g[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        da = pc.dictionary_encode(k)
+        codes = np.asarray(da.indices, dtype=np.int64)
+        vals = np.asarray(g[value]).astype(np.int64)
+        ids = np.asarray(g[id_col]).astype(np.int64)
+        keep = select(codes, vals, ids, n)
+        return pa.table({
+            key: k.take(pa.array(keep)),
+            id_col: pa.array(ids[keep]),
+            value: pa.array(vals[keep]),
+        })
+
+    return (
+        ds.map_batches(trim, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

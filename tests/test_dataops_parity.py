@@ -1090,3 +1090,38 @@ def test_lm_coverage_semantics(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     want = sorted([(int(held[0]), 2, 1, 2), (int(held[1]), 1, 0, 0)])
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_keep_best_prefers_longest_member(ray_session):
+    """The near-dup component keeps its LONGEST member even when it has the
+    highest doc_id — the policy difference vs curate_keep_list's min-id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import curate_keep_best
+
+    base = " ".join(f"w{i}" for i in range(12))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, base + " extra tail", "totally different words"]),
+    }))
+    kept = sorted(curate_keep_best(docs).to_pandas().doc_id.tolist())
+    assert kept == [2, 3]  # 2 is longer than its near-dup 1; 3 unclustered
+
+
+def test_group_topn_ties_and_small_groups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import group_topn
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "a", "b"]),
+        "v": pa.array([5, 9, 9, 1, 7], pa.int64()),
+        "i": pa.array([10, 12, 11, 13, 20], pa.int64()),
+    })
+    got = (group_topn(rd.from_arrow(t), key="k", value="v", id_col="i", n=2)
+           .to_pandas().sort_values(["k", "i"]).reset_index(drop=True))
+    # a: both v=9 rows win, tie order irrelevant to membership; b: lone row
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        ("a", 11, 9), ("a", 12, 9), ("b", 20, 7)]
