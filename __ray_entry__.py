@@ -59,16 +59,25 @@ _QUERY_PRIORITY = [
     "t_chunks", "t_normalize", "d_seg_dedup", "d_prefix_dups", "d_corpus_diff",
     "d_dup_ngrams",
     "c_embed_dedup", "t_lm_coverage", "t_top_per_source", "c_keep_best",
+    "t_split", "d_norm_dedup", "a_quantiles_nchars",
     # -- (2) VERDICT-named + changed-this-round dedup flagships
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
 ]
 
-# v_* backfill order: when priority growth pushes v_* past the window, the
-# grammar-table siblings of v_primitive_uri (one representative stays in)
-# fall out FIRST — never the changed-this-round v_reference_join or the
-# scope/summary queries (all remain covered by the sf0.001 parity suite).
-_QUERY_V_SACRIFICE = ["v_primitive_url", "v_primitive_canonical",
-                      "v_uniqueness", "v_summary"]
+# v_* backfill order: when priority growth pushes v_* past the window,
+# these stable r02-green queries fall out FIRST — grammar-table siblings
+# (date/datetime representatives stay in), the two reference-policy
+# variants of the unchanged in-bundle kernel (inbundle stays in), and the
+# simplest unchanged rule kernels — NEVER the changed-this-round
+# v_reference_join (vectorized anti-join details), v_primitive_datetime
+# (+14:00 tz), or v_custom_predicate* (expression lane). Everything
+# sacrificed remains covered by the sf0.001 parity suite each pytest run.
+_QUERY_V_SACRIFICE = [
+    "v_primitive_url", "v_primitive_canonical", "v_primitive_uri",
+    "v_reference_allow_external", "v_reference_require",
+    "v_uniqueness", "v_summary",
+    "v_fixed_value", "v_allowed_values", "v_array_length",
+]
 
 # (4) stable r02-green queries pushed past the window (still run in the
 # repo's own oracle-parity suite each pytest session)

@@ -216,6 +216,54 @@ def q_oov(sf_dir: str):
     return oov_rate(_docs(sf_dir))
 
 
+def q_quantiles_nchars(sf_dir: str):
+    """Exact p25/p50/p75/p95 of n_chars (value-count exchange bounded by
+    distinct-value cardinality) — the precise lane next to the TDigest."""
+    import ray.data as rd
+
+    from ..stages.stats import exact_int_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_int_quantiles(docs, "n_chars")
+
+
+def q_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split labels (leak-free FNV hash
+    bands over str(doc_id))."""
+    import ray.data as rd
+
+    from ..stages.sampling import split_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split_assign(docs)
+
+
+def q_norm_dedup(sf_dir: str):
+    """Exact dedup on NORMALIZED text (case/control/whitespace-invariant):
+    collapses the casing-variant twin rows (doc_id % 10 == 0 re-emitted
+    uppercased at doc_id + 1e9) that verbatim exact_dedup keeps apart."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.textops import normalize_text
+
+    def add_twins(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"]).astype(np.int64)
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        m = d % 10 == 0
+        twins = pa.table({
+            "doc_id": pa.array(d[m] + 1_000_000_000),
+            "text": pc.utf8_upper(texts.filter(pa.array(m))),
+        })
+        return pa.concat_tables([t.select(["doc_id", "text"]), twins])
+
+    dirty = _docs(sf_dir).map_batches(add_twins, batch_format="pyarrow")
+    return exact_dedup(normalize_text(dirty), key="norm_text")
+
+
 TOPN_PER_SOURCE = 3
 
 
@@ -873,6 +921,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_dup_ngrams": q_dup_ngrams,
         "t_lm_coverage": q_lm_coverage,
         "t_top_per_source": q_top_per_source,
+        "t_split": q_split,
+        "a_quantiles_nchars": q_quantiles_nchars,
+        "d_norm_dedup": q_norm_dedup,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "c_embed_dedup": q_embed_dedup,
@@ -1421,6 +1472,48 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+QUANTILES_NCHARS_SQL = """
+WITH c AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT 'n_chars' AS col, t.n AS n,
+  (SELECT min(v) FROM s WHERE cum >= ceil(0.25 * t.n))::BIGINT AS p25,
+  (SELECT min(v) FROM s WHERE cum >= ceil(0.50 * t.n))::BIGINT AS p50,
+  (SELECT min(v) FROM s WHERE cum >= ceil(0.75 * t.n))::BIGINT AS p75,
+  (SELECT min(v) FROM s WHERE cum >= ceil(0.95 * t.n))::BIGINT AS p95
+FROM t
+"""
+
+
+def _split_sql() -> str:
+    """split_assign mirror: identical FNV fold and cumulative band cuts."""
+    from ..stages.sampling import SAMPLE_MOD, SPLIT_BANDS
+
+    cuts = np.cumsum([r for _, r in SPLIT_BANDS])
+    c0 = int(round(cuts[0] * SAMPLE_MOD))
+    c1 = int(round(cuts[1] * SAMPLE_MOD))
+    h = "CAST(" + _fnv_sql("CAST(doc_id AS VARCHAR)") + f" % {SAMPLE_MOD} AS BIGINT)"
+    return f"""
+SELECT doc_id, CASE WHEN {h} < {c0} THEN 'train'
+                    WHEN {h} < {c1} THEN 'val' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+NORM_DEDUP_SQL = r"""
+WITH d2 AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000, upper(text) FROM documents
+            WHERE doc_id % 10 = 0),
+n AS (SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(lower(text), '[\x00-\x1f\x7f]', '', 'g'),
+    ' +', ' ', 'g'), ' ') AS k FROM d2)
+SELECT doc_id FROM n
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1
+"""
+
+
 KEEP_BEST_SQL = f"""
 WITH RECURSIVE {_NGRAM_CTES},
 nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
@@ -1591,6 +1684,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_dup_ngrams": _dup_ngrams_sql(),
         "t_lm_coverage": _lm_coverage_sql(),
         "t_top_per_source": TOP_PER_SOURCE_SQL,
+        "t_split": _split_sql(),
+        "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
+        "d_norm_dedup": NORM_DEDUP_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "c_embed_dedup": EMBED_DEDUP_SQL,

@@ -67,3 +67,37 @@ def stratified_sample_by_hash(ds, rates: dict[str, float], *, group_col: str,
         return t.filter(pa.array(h < lut[np.asarray(da.indices)]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SPLIT_BANDS: tuple[tuple[str, float], ...] = (
+    ("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def split_assign(ds, *, bands: tuple[tuple[str, float], ...] = SPLIT_BANDS,
+                 key: str = "doc_id"):
+    """Deterministic multi-way train/val/test split: the same FNV fold as
+    ``sample_by_hash`` buckets ``h = FNV(str(key)) % 1e6`` into cumulative
+    ratio bands and labels each row. Membership is a pure function of the
+    key — stable across runs, engines and partitionings, leak-free by
+    construction (a key can never migrate between splits), and composable
+    with ``sample_by_hash`` (the first band IS the rate-0.9 hash sample).
+
+    Adds a ``split`` string column; one stateless ``map_batches``, no
+    shuffle, no RNG state."""
+    names = [n for n, _ in bands]
+    rates = np.cumsum([r for _, r in bands])
+    if not np.isclose(rates[-1], 1.0):
+        raise ValueError(f"split bands must sum to 1.0, got {rates[-1]}")
+    cuts = np.minimum((rates * SAMPLE_MOD).round().astype(np.int64),
+                      SAMPLE_MOD)[:-1]
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = (hash_str(_key_strings(t[key]))
+             % np.uint64(SAMPLE_MOD)).astype(np.int64)
+        idx = np.searchsorted(cuts, h, side="right")
+        labels = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), pa.array(names)
+        ).cast(pa.string())
+        return t.append_column("split", labels)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

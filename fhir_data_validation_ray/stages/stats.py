@@ -330,3 +330,55 @@ def group_topn(ds, *, key: str, value: str, id_col: str, n: int,
         .groupby("bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def exact_int_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """EXACT quantiles of an integer column — the precise lane next to the
+    TDigest approximation: quantile q = the smallest value v with
+    count(rows <= v) >= ceil(q * n). Returns a one-row Dataset-shaped
+    pyarrow Table: ``col``, ``n``, and one ``p<q>`` column per requested
+    quantile (integer outputs, bitwise oracle-comparable against a window
+    cumulative in SQL).
+
+    Scale shape: per-batch value-count partials (bounded by the column's
+    DISTINCT-value cardinality, the operator's stated assumption — right for
+    bounded metrics like lengths, counts, scores; use the TDigest lane for
+    unbounded ones), a per-TASK combine level merging ~64 partials, then a
+    driver fold of O(n_tasks) small count tables — same two-level shape as
+    the sketch fold above."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.int64)
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv), "cnt": pa.array(cnt.astype(np.int64))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"]).astype(np.int64)
+        c = np.asarray(t["cnt"]).astype(np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        total = np.zeros(len(uv), dtype=np.int64)
+        np.add.at(total, inv, c)
+        return pa.table({"v": pa.array(uv), "cnt": pa.array(total)})
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("v", pa.int64()), ("cnt", pa.int64())]),
+    )
+    v = np.asarray(parts["v"]).astype(np.int64) if parts.num_rows else np.zeros(0, np.int64)
+    c = np.asarray(parts["cnt"]).astype(np.int64) if parts.num_rows else np.zeros(0, np.int64)
+    uv, inv = np.unique(v, return_inverse=True)
+    total = np.zeros(len(uv), dtype=np.int64)
+    np.add.at(total, inv, c)
+    cum = np.cumsum(total)
+    n = int(cum[-1]) if len(cum) else 0
+    out = {"col": pa.array([col], pa.string()), "n": pa.array([n], pa.int64())}
+    for q in qs:
+        name = "p" + str(q).replace("0.", "").ljust(2, "0")
+        if n == 0:
+            out[name] = pa.array([0], pa.int64())
+        else:
+            rank = int(np.ceil(q * n))
+            out[name] = pa.array(
+                [int(uv[np.searchsorted(cum, max(rank, 1))])], pa.int64())
+    return pa.table(out)

@@ -1125,3 +1125,57 @@ def test_group_topn_ties_and_small_groups(ray_session):
     # a: both v=9 rows win, tie order irrelevant to membership; b: lone row
     assert [tuple(r) for r in got.itertuples(index=False)] == [
         ("a", 11, 9), ("a", 12, 9), ("b", 20, 7)]
+
+
+def test_split_assign_bands_and_composability(ray_session):
+    """Band labels match the manual hash-band computation, every row gets a
+    label, and the train band IS the rate-0.9 hash sample (composability)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.sampling import (
+        SAMPLE_MOD,
+        sample_by_hash,
+        split_assign,
+    )
+
+    ids = np.arange(1, 3000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    got = split_assign(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    h = (hash_str(ids.astype("U")) % np.uint64(SAMPLE_MOD)).astype(np.int64)
+    want = np.where(h < 900_000, "train", np.where(h < 950_000, "val", "test"))
+    assert got.split.tolist() == want.tolist()
+    assert len(set(got.split)) == 3  # all three bands hit at this n
+    train = set(got[got.split == "train"].doc_id)
+    sampled = set(sample_by_hash(ds, 0.9).to_pandas().doc_id)
+    assert train == sampled
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(ds, bands=(("a", 0.5), ("b", 0.3))).count()
+
+
+def test_norm_dedup_collapses_case_twins(ray_session):
+    """The uppercased twin rows (doc_id + 1e9) always drop; survivors are a
+    subset of real doc_ids."""
+    from fhir_data_validation_ray.pipelines.dataops import q_norm_dedup
+
+    kept = q_norm_dedup(SF_DIR).to_pandas().doc_id
+    assert (kept < 1_000_000_000).all()
+
+
+def test_exact_int_quantiles_ranks(ray_session):
+    """Quantile q = smallest v with count(<=v) >= ceil(q*n), pinned on a
+    tiny known distribution."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import exact_int_quantiles
+
+    # ten values 1..10: p25 -> ceil(2.5)=3rd smallest = 3; p50 -> 5; p95 -> 10
+    ds = rd.from_arrow(pa.table({"x": pa.array(list(range(10, 0, -1)), pa.int64())}))
+    t = exact_int_quantiles(ds, "x").to_pandas()
+    assert t.iloc[0][["n", "p25", "p50", "p75", "p95"]].tolist() == [10, 3, 5, 8, 10]
