@@ -59,7 +59,7 @@ _QUERY_PRIORITY = [
     "t_chunks", "t_normalize", "d_seg_dedup", "d_prefix_dups", "d_corpus_diff",
     "d_dup_ngrams",
     "c_embed_dedup", "t_lm_coverage", "t_top_per_source", "c_keep_best",
-    "t_split", "d_norm_dedup", "a_quantiles_nchars",
+    "t_split", "d_norm_dedup", "a_quantiles_nchars", "c_mixture_apply",
     # -- (2) VERDICT-named + changed-this-round dedup flagships
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
 ]

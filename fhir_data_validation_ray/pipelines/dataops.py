@@ -264,6 +264,22 @@ def q_norm_dedup(sf_dir: str):
     return exact_dedup(normalize_text(dirty), key="norm_text")
 
 
+MIXTURE_APPLY_BUDGET = 10_000
+
+
+def q_mixture_apply(sf_dir: str):
+    """Domain-mixture application: per-(source,lang) largest-remainder
+    token quotas turned into an actual keep-list (deterministic hash-order
+    prefix per group, two-phase block refinement — no corpus sort)."""
+    import ray.data as rd
+
+    from ..stages.textops import mixture_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source", "lang"])
+    return mixture_apply(docs, budget=MIXTURE_APPLY_BUDGET)
+
+
 TOPN_PER_SOURCE = 3
 
 
@@ -923,6 +939,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
+        "c_mixture_apply": q_mixture_apply,
         "d_norm_dedup": q_norm_dedup,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
@@ -1472,6 +1489,32 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _mixture_apply_sql() -> str:
+    """mixture_apply mirror: identical largest-remainder quota math
+    (``textops.mixture_quota``) + per-group hash-ordered cumulative token
+    prefix (window cumsum over (hv asc, doc_id asc))."""
+    B = MIXTURE_APPLY_BUDGET
+    hv = _fnv_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (SELECT doc_id, source, lang,
+                  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ntok
+           FROM documents),
+g AS (SELECT source, lang, sum(ntok)::BIGINT AS nt FROM w GROUP BY 1, 2),
+tot AS (SELECT sum(nt)::BIGINT AS t FROM g),
+q AS (SELECT source, lang, nt, ({B} * nt) // t AS fl, ({B} * nt) % t AS rem
+      FROM g, tot),
+qq AS (SELECT source, lang,
+       fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source, lang)
+                      <= {B} - (SELECT sum(fl) FROM q)
+            THEN 1 ELSE 0 END AS quota FROM q),
+c AS (SELECT doc_id, source, lang,
+             sum(ntok) OVER (PARTITION BY source, lang
+                             ORDER BY {hv}, doc_id) AS cum
+      FROM w)
+SELECT c.doc_id FROM c JOIN qq USING (source, lang) WHERE cum <= quota
+"""
+
+
 QUANTILES_NCHARS_SQL = """
 WITH c AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
 s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
@@ -1686,6 +1729,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
+        "c_mixture_apply": _mixture_apply_sql(),
         "d_norm_dedup": NORM_DEDUP_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),

@@ -890,3 +890,161 @@ def simhash_batch(texts: pa.Array) -> np.ndarray:
         sums = np.add.reduceat(votes, idx)
         out[nonempty] |= (sums > 0).astype(np.uint64) << np.uint64(b)
     return out
+
+
+def mixture_apply(docs, *, budget: int = 1_000_000, block_bits: int = 12,
+                  batch_size: int | None = None):
+    """Domain-mixture APPLICATION — turns ``mixture_quota``'s per-group
+    token quotas into an actual keep-list: within each ``(source, lang)``
+    group, keep documents in deterministic FNV-hash order (h asc, doc_id
+    asc) while the group's cumulative token count stays <= its quota. The
+    end-to-end "budget -> training subset" step a pretraining sampler runs.
+
+    Per-group ordered prefix selection is a SORT at heart; doing it
+    scale-correctly without ever sorting the corpus is the point:
+
+    1. **Block histogram.** One streaming pass pre-aggregates token sums
+       per (group, hash-block) where block = top ``block_bits`` bits of
+       FNV(str(doc_id)) — one bounded exchange of G x <=2^block_bits
+       integer rows (corpus-size-independent), folded per group.
+    2. **Driver allocation.** Largest-remainder quotas (identical math to
+       ``mixture_quota``) + per-group boundary: blocks strictly below
+       ``bstar`` are wholly kept, above wholly dropped, and the residual
+       quota inside ``bstar`` is carried forward. Driver state = G rows.
+    3. **Classify + boundary resolve.** A stateless pass emits interior
+       keeps directly (no shuffle); only the ~corpus/2^block_bits boundary
+       docs are exchanged, sorted per group (they fit: one block), and
+       prefix-scanned against the residual.
+
+    Returns Dataset[doc_id] of kept docs."""
+    from ..functions.collect import collect_table
+
+    shift = np.uint64(64 - block_bits)
+
+    def _rows(t: pa.Table):
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, ntok, _ = _word_lists(texts)
+        key = pc.binary_join_element_wise(t["source"], t["lang"], "\x1f")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        h = hash_str(ids.astype("U"))
+        return key, ids, h, (h >> shift).astype(np.int64), ntok
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        key, _, _, block, ntok = _rows(t)
+        da = pc.dictionary_encode(key)
+        idx = np.asarray(da.indices, dtype=np.int64)
+        pair = idx * (1 << block_bits) + block
+        up, inv = np.unique(pair, return_inverse=True)
+        tok = np.zeros(len(up), dtype=np.int64)
+        np.add.at(tok, inv, ntok)
+        return pa.table({
+            "grp": da.dictionary.take(pa.array(up >> block_bits)).cast(pa.string()),
+            "block": pa.array(up & ((1 << block_bits) - 1)),
+            "tok": pa.array(tok),
+        })
+
+    def block_fold(g: pa.Table) -> pa.Table:
+        b = np.asarray(g["block"]).astype(np.int64)
+        tk = np.asarray(g["tok"]).astype(np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        tot = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(tot, inv, tk)
+        grp = g["grp"][0].as_py()
+        return pa.table({
+            "grp": pa.array([grp] * len(ub), pa.string()),
+            "block": pa.array(ub),
+            "tok": pa.array(tot),
+        })
+
+    blocks = collect_table(
+        docs.map_batches(block_partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("grp").map_groups(block_fold, batch_format="pyarrow"),
+        empty_schema=pa.schema([("grp", pa.string()), ("block", pa.int64()),
+                                ("tok", pa.int64())]),
+    )
+
+    # driver: largest-remainder allocation over G groups (mixture_quota math)
+    grps = blocks["grp"].to_numpy(zero_copy_only=False).astype("U") \
+        if blocks.num_rows else np.empty(0, "U1")
+    blk = np.asarray(blocks["block"]).astype(np.int64) \
+        if blocks.num_rows else np.empty(0, np.int64)
+    tok = np.asarray(blocks["tok"]).astype(np.int64) \
+        if blocks.num_rows else np.empty(0, np.int64)
+    ug, ginv = np.unique(grps, return_inverse=True)
+    nt = np.zeros(len(ug), dtype=np.int64)
+    np.add.at(nt, ginv, tok)
+    tot = int(nt.sum())
+    if tot > 0:
+        src_lang = np.array([g.split("\x1f") for g in ug], dtype="U64") \
+            if len(ug) else np.empty((0, 2), "U1")
+        fl = budget * nt // tot
+        rem = budget * nt % tot
+        quota = fl.copy()
+        short = int(budget - fl.sum())
+        order = np.lexsort((src_lang[:, 1], src_lang[:, 0], -rem))
+        quota[order[:short]] += 1
+    else:
+        quota = np.zeros(len(ug), dtype=np.int64)
+
+    # per-group boundary: (bstar, resid); bstar = -1 means keep everything
+    bounds: dict[str, tuple[int, int]] = {}
+    for gi, gname in enumerate(ug):
+        m = ginv == gi
+        bo = np.argsort(blk[m])
+        bs, ts = blk[m][bo], tok[m][bo]
+        cum = np.cumsum(ts)
+        over = np.flatnonzero(cum > quota[gi])
+        if len(over) == 0:
+            bounds[str(gname)] = (-1, 0)
+        else:
+            i = int(over[0])
+            base = int(cum[i - 1]) if i else 0
+            bounds[str(gname)] = (int(bs[i]), int(quota[gi]) - base)
+
+    def interior_keeps(t: pa.Table) -> pa.Table:
+        key, ids, _, block, _ = _rows(t)
+        ks = np.asarray(key).astype("U")
+        uk, kinv = np.unique(ks, return_inverse=True)
+        bstar = np.array([bounds.get(k, (-1, 0))[0] for k in uk],
+                         dtype=np.int64)
+        bk = bstar[kinv]
+        keep = (bk == -1) | (block < bk)
+        return pa.table({"doc_id": pa.array(ids[keep])})
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        key, ids, h, block, ntok = _rows(t)
+        ks = np.asarray(key).astype("U")
+        uk, kinv = np.unique(ks, return_inverse=True)
+        bstar = np.array([bounds.get(k, (-1, 0))[0] for k in uk],
+                         dtype=np.int64)
+        m = block == bstar[kinv]
+        return pa.table({
+            "grp": pa.array(ks[m]),
+            "doc_id": pa.array(ids[m]),
+            "h": pa.array(h[m]),
+            "ntok": pa.array(ntok[m].astype(np.int64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        grp = g["grp"][0].as_py()
+        resid = bounds.get(grp, (-1, 0))[1]
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        h = np.asarray(g["h"]).astype(np.uint64)
+        ntok = np.asarray(g["ntok"]).astype(np.int64)
+        order = np.lexsort((ids, h))
+        cum = np.cumsum(ntok[order])
+        return pa.table({"doc_id": pa.array(ids[order][cum <= resid])})
+
+    keeps = docs.map_batches(interior_keeps, batch_format="pyarrow",
+                             batch_size=batch_size)
+    resolved = (
+        docs.map_batches(boundary_rows, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("grp").map_groups(resolve, batch_format="pyarrow")
+    )
+    return keeps.union(resolved)

@@ -1179,3 +1179,46 @@ def test_exact_int_quantiles_ranks(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array(list(range(10, 0, -1)), pa.int64())}))
     t = exact_int_quantiles(ds, "x").to_pandas()
     assert t.iloc[0][["n", "p25", "p50", "p75", "p95"]].tolist() == [10, 3, 5, 8, 10]
+
+
+def test_mixture_apply_prefix_semantics(ray_session):
+    """Kept docs per group = the hash-ordered prefix whose cumulative token
+    count fits the group quota; verified against a brute-force reference."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.textops import mixture_apply
+
+    rng_ids = np.arange(1, 61, dtype=np.int64)
+    src = np.where(rng_ids % 2 == 0, "sA", "sB")
+    texts = ["tok " * (3 + int(i % 5)) for i in rng_ids]  # 3..7 words + ''
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(rng_ids),
+        "text": pa.array([t.strip() for t in texts]),
+        "source": pa.array(src.astype(object), pa.string()),
+        "lang": pa.array(["en"] * len(rng_ids)),
+    }))
+    budget = 60
+    got = sorted(mixture_apply(docs, budget=budget, block_bits=4)
+                 .to_pandas().doc_id.tolist())
+
+    # brute-force reference
+    ntok = np.array([len(t.strip().split()) for t in texts], dtype=np.int64)
+    nt = {g: int(ntok[src == g].sum()) for g in ("sA", "sB")}
+    tot = sum(nt.values())
+    fl = {g: budget * v // tot for g, v in nt.items()}
+    rem = {g: budget * v % tot for g, v in nt.items()}
+    short = budget - sum(fl.values())
+    for g in sorted(rem, key=lambda g: (-rem[g], g))[:short]:
+        fl[g] += 1
+    h = hash_str(rng_ids.astype("U"))
+    want = []
+    for g in ("sA", "sB"):
+        m = np.flatnonzero(src == g)
+        order = m[np.lexsort((rng_ids[m], h[m]))]
+        cum = np.cumsum(ntok[order])
+        want += rng_ids[order[cum <= fl[g]]].tolist()
+    assert got == sorted(want)
+    assert 0 < len(got) < len(rng_ids)  # budget binds: true selection
