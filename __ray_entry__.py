@@ -60,6 +60,7 @@ _QUERY_PRIORITY = [
     "d_dup_ngrams",
     "c_embed_dedup", "t_lm_coverage", "t_top_per_source", "c_keep_best",
     "t_split", "d_norm_dedup", "a_quantiles_nchars", "c_mixture_apply",
+    "w_retention",
     # -- (2) VERDICT-named + changed-this-round dedup flagships
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
 ]
@@ -76,7 +77,7 @@ _QUERY_V_SACRIFICE = [
     "v_primitive_url", "v_primitive_canonical", "v_primitive_uri",
     "v_reference_allow_external", "v_reference_require",
     "v_uniqueness", "v_summary",
-    "v_fixed_value", "v_allowed_values", "v_array_length",
+    "v_fixed_value", "v_allowed_values", "v_array_length", "v_fullurl_id",
 ]
 
 # (4) stable r02-green queries pushed past the window (still run in the

@@ -793,6 +793,14 @@ def _events(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/events.parquet")
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention: users active in window w also active in w+k for
+    horizons 0-3 (0 = cohort base)."""
+    from ..stages.windows import retention_cohorts
+
+    return retention_cohorts(_events(sf_dir))
+
+
 def q_tumbling(sf_dir: str):
     from ..stages.windows import tumbling_window_counts
 
@@ -835,6 +843,16 @@ def q_range_join(sf_dir: str):
 
     return range_join_counts(_events(sf_dir))
 
+
+RETENTION_SQL = """
+WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS win
+           FROM events),
+h AS (SELECT unnest([0, 1, 2, 3]) AS horizon)
+SELECT a.win AS window_id, h.horizon, count(*)::BIGINT AS n_users
+FROM a JOIN h ON TRUE
+JOIN a b ON b.user_id = a.user_id AND b.win = a.win + h.horizon
+GROUP BY 1, 2
+"""
 
 TUMBLING_SQL = """
 SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
@@ -896,6 +914,7 @@ ASOF JOIN p ON l.user_id = p.user_id AND l.ts > p.ts
 
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "w_retention": q_retention,
         "w_tumbling": q_tumbling,
         "w_hopping": q_hopping,
         "w_distinct_users": q_window_distinct,
@@ -1690,6 +1709,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
     paths = fixture_paths(sf_dir)
     return {
+        "w_retention": RETENTION_SQL,
         "w_tumbling": TUMBLING_SQL,
         "w_hopping": HOPPING_SQL,
         "w_distinct_users": WINDOW_DISTINCT_SQL,

@@ -510,3 +510,95 @@ def asof_join_prev_event(events, *, right_type: str = "purchase",
         .groupby("g2")
         .map_groups(merge_user, batch_format="pyarrow")
     )
+
+
+RETENTION_HORIZONS = (0, 1, 2, 3)
+_WIN_BITS = 20  # packed (user, window) key reserves 20 bits for the window
+
+
+def retention_cohorts(events, *, window_us: int = US_PER_HOUR,
+                      horizons: tuple[int, ...] = RETENTION_HORIZONS,
+                      num_buckets: int = 64):
+    """Cohort retention — the classic at-scale events rollup: for every
+    activity window w and horizon k, how many users active in w were ALSO
+    active in w+k (horizon 0 = the cohort's active-user base). Feeds
+    retention curves / DAU-overlap matrices.
+
+    Plan: per-batch DISTINCT (user, window) pairs (packed int key, same
+    guard discipline as ``tumbling_window_distinct``) -> one user-bucket
+    groupby where each user's complete window set resolves membership for
+    every horizon via one searchsorted per horizon (a hot user contributes
+    at most n_windows rows — per-user state is bounded by the CALENDAR, not
+    the event count) -> per-bucket (window, horizon) partial counts ->
+    one tiny (window, horizon) groupby sum.
+
+    Returns Dataset[window_id, horizon, n_users] (rows with n_users > 0)."""
+    from ..stages.dedup import _intmix
+
+    wincap = np.int64(1 << _WIN_BITS)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        win = _ts_np(t) // window_us
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        # strict headroom: win + max(horizon) must stay inside the packed
+        # field or a +k probe would bleed into the next user's key space
+        cap = int(wincap) - max(horizons)
+        if len(win) and (win.min() < 0 or win.max() >= cap):
+            raise ValueError(
+                f"retention_cohorts: window ids must fit [0, {cap}) "
+                f"(got [{int(win.min())}, {int(win.max())}]); raise _WIN_BITS "
+                "or enlarge window_us")
+        key = np.unique(u * wincap + win)
+        uu = key // wincap
+        return pa.table({
+            "bucket": pa.array(_intmix(uu, num_buckets).astype(np.int32)),
+            "u": pa.array(uu),
+            "win": pa.array(key % wincap),
+        })
+
+    def horizon_partials(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["u"]).astype(np.int64)
+        w = np.asarray(g["win"]).astype(np.int64)
+        key = np.unique(u * wincap + w)  # re-dedup across batches
+        out_w, out_h = [], []
+        for k in horizons:
+            if k == 0:
+                hit = np.ones(len(key), dtype=bool)
+            else:
+                probe = key + k
+                pos = np.searchsorted(key, probe)
+                pos = np.clip(pos, 0, max(len(key) - 1, 0))
+                # same user only: +k never crosses users (win + k < wincap
+                # after the pairs() guard unless k spills a user boundary —
+                # reject horizons that could)
+                hit = (key[pos] == probe) if len(key) else np.zeros(0, bool)
+            out_w.append((key % wincap)[hit])
+            out_h.append(np.full(int(hit.sum()), k, dtype=np.int64))
+        w_all = np.concatenate(out_w) if out_w else np.zeros(0, np.int64)
+        h_all = np.concatenate(out_h) if out_h else np.zeros(0, np.int64)
+        wh, cnt = np.unique(w_all * 8 + h_all, return_counts=True)
+        return pa.table({
+            "wh": pa.array(wh),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        wh = int(g["wh"][0].as_py())
+        n = int(np.asarray(g["n"]).sum())
+        return pa.table({
+            "window_id": pa.array([wh // 8], pa.int64()),
+            "horizon": pa.array([wh % 8], pa.int64()),
+            "n_users": pa.array([n], pa.int64()),
+        })
+
+    if any(k < 0 or k >= 8 for k in horizons):
+        raise ValueError("horizons must be in [0, 8) for the packed key")
+
+    return (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(horizon_partials, batch_format="pyarrow")
+        .groupby("wh")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1222,3 +1222,43 @@ def test_mixture_apply_prefix_semantics(ray_session):
         want += rng_ids[order[cum <= fl[g]]].tolist()
     assert got == sorted(want)
     assert 0 < len(got) < len(rng_ids)  # budget binds: true selection
+
+
+def test_retention_cohorts_hot_user_and_guard(ray_session):
+    """A 90%-hot-user stream retains correctly; out-of-range windows raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import (
+        US_PER_HOUR,
+        retention_cohorts,
+    )
+
+    # hot user 1 active in windows 0..9; user 2 only in window 0 and 2
+    ts, uid = [], []
+    for w in range(10):
+        for _ in range(90):
+            ts.append(w * US_PER_HOUR + 5)
+            uid.append(1)
+    ts += [5, 2 * US_PER_HOUR + 5]
+    uid += [2, 2]
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array(np.array(ts, dtype="int64"), pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+    }))
+    got = {(r.window_id, r.horizon): r.n_users
+           for r in retention_cohorts(ev).to_pandas().itertuples()}
+    assert got[(0, 0)] == 2          # both users active in w0
+    assert got[(0, 1)] == 1          # only the hot user returns in w1
+    assert got[(0, 2)] == 2          # user 2 skips w1 but returns in w2
+    assert got[(9, 0)] == 1 and (9, 1) not in got  # open end emits no zeros
+
+    bad = rd.from_arrow(pa.table({
+        "ts": pa.array(np.array([(1 << 20) * US_PER_HOUR], "int64"),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="window ids must fit"):
+        retention_cohorts(bad).count()
