@@ -793,6 +793,14 @@ def _events(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/events.parquet")
 
 
+def q_funnel(sf_dir: str):
+    """First-touch view -> click -> purchase funnel: users by deepest level
+    reached (strictly-increasing timestamps across steps)."""
+    from ..stages.windows import funnel_levels
+
+    return funnel_levels(_events(sf_dir))
+
+
 def q_retention(sf_dir: str):
     """Cohort retention: users active in window w also active in w+k for
     horizons 0-3 (0 = cohort base)."""
@@ -843,6 +851,23 @@ def q_range_join(sf_dir: str):
 
     return range_join_counts(_events(sf_dir))
 
+
+FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (SELECT user_id, min(ts) AS ta FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, min(e.ts) AS tb FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY 1)
+SELECT CASE WHEN c.user_id IS NOT NULL THEN 3
+            WHEN b.user_id IS NOT NULL THEN 2
+            WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END AS level,
+       count(*)::BIGINT AS n_users
+FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+       LEFT JOIN c USING (user_id)
+GROUP BY 1
+"""
 
 RETENTION_SQL = """
 WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS win
@@ -915,6 +940,7 @@ ASOF JOIN p ON l.user_id = p.user_id AND l.ts > p.ts
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "w_retention": q_retention,
+        "w_funnel": q_funnel,
         "w_tumbling": q_tumbling,
         "w_hopping": q_hopping,
         "w_distinct_users": q_window_distinct,
@@ -1710,6 +1736,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     paths = fixture_paths(sf_dir)
     return {
         "w_retention": RETENTION_SQL,
+        "w_funnel": FUNNEL_SQL,
         "w_tumbling": TUMBLING_SQL,
         "w_hopping": HOPPING_SQL,
         "w_distinct_users": WINDOW_DISTINCT_SQL,

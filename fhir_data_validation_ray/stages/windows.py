@@ -602,3 +602,115 @@ def retention_cohorts(events, *, window_us: int = US_PER_HOUR,
         .groupby("wh")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_levels(events, *, steps: tuple[str, ...] = FUNNEL_STEPS,
+                  block_us: int = 6 * US_PER_HOUR):
+    """First-touch funnel — per user, the deepest step reached walking the
+    ordered sequence steps[0] -> steps[1] -> ... where each step's event
+    must be STRICTLY later than the previous step's match (the standard
+    product-analytics funnel; greedy earliest-match is optimal for this
+    semantics). Returns Dataset[level, n_users]: level 0 = users who never
+    did steps[0], level len(steps) = full conversions.
+
+    Skew-safe plan (sessionize's shard-and-stitch, with a twist): a
+    per-user funnel scan is ORDER-dependent, but because time blocks are
+    disjoint, a later block's events are all strictly later than any
+    earlier block's match — so a (user, block) shard's whole effect is the
+    finite map entry_level -> exit_level (S+1 small ints, no timestamps).
+    That map is associative under composition: shard scans run bounded and
+    parallel, then a per-user groupby composes one tiny map per block in
+    block order. A hot user costs one map row per CALENDAR block, never all
+    events in one worker. Per-batch-distinct identity presence rows keep
+    never-stepping users in the level-0 denominator without shipping
+    non-step events anywhere."""
+    S = len(steps)
+    step_lut = {s: i for i, s in enumerate(steps)}
+
+    def step_rows(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        da = pc.dictionary_encode(et)
+        lut = np.array([step_lut.get(v, -1) for v in da.dictionary.to_pylist()],
+                       dtype=np.int64)
+        step = lut[np.asarray(da.indices, dtype=np.int64)]
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        ts = _ts_np(t)
+        m = step >= 0
+        return pa.table({
+            "ub": pa.array(u[m] * _UB + ts[m] // block_us),
+            "ts": pa.array(ts[m]),
+            "step": pa.array(step[m]),
+        })
+
+    def block_map(g: pa.Table) -> pa.Table:
+        ub = int(g["ub"][0].as_py())
+        ts = np.asarray(g["ts"]).astype(np.int64)
+        step = np.asarray(g["step"]).astype(np.int64)
+        by_step = [np.sort(ts[step == s]) for s in range(S)]
+        exits = []
+        for j in range(S):
+            lvl, t = j, -(1 << 62)
+            while lvl < S:
+                arr = by_step[lvl]
+                pos = np.searchsorted(arr, t, side="right")
+                if pos >= len(arr):
+                    break
+                t = int(arr[pos])
+                lvl += 1
+            exits.append(lvl)
+        return pa.table({
+            "user_id": pa.array([ub // int(_UB)], pa.int64()),
+            "block": pa.array([ub % int(_UB)], pa.int64()),
+            "exits": pa.array([exits], pa.list_(pa.int64())),
+        })
+
+    def presence(t: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(t["user_id"]).astype(np.int64))
+        ident = [list(range(S))] * len(u)
+        return pa.table({
+            "user_id": pa.array(u),
+            "block": pa.array(np.full(len(u), -1, dtype=np.int64)),
+            "exits": pa.array(ident, pa.list_(pa.int64())),
+        })
+
+    def compose(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g["block"]), kind="stable")
+        ex = g["exits"]
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        flat = np.asarray(ex.values).astype(np.int64).reshape(-1, S)[order]
+        lvl = 0
+        for row in flat:
+            lvl = int(row[lvl]) if lvl < S else S
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "level": pa.array([lvl], pa.int64()),
+        })
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        lv = np.asarray(t["level"]).astype(np.int64)
+        ul, cnt = np.unique(lv, return_counts=True)
+        return pa.table({"level": pa.array(ul),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def count_final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array([int(g["level"][0].as_py())], pa.int64()),
+            "n_users": pa.array([int(np.asarray(g["n"]).sum())], pa.int64()),
+        })
+
+    base = events.select_columns(["user_id", "ts", "event_type"])
+    maps = (base.map_batches(step_rows, batch_format="pyarrow")
+            .groupby("ub").map_groups(block_map, batch_format="pyarrow"))
+    pres = base.map_batches(presence, batch_format="pyarrow")
+    return (
+        maps.union(pres)
+        .groupby("user_id").map_groups(compose, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("level").map_groups(count_final, batch_format="pyarrow")
+    )

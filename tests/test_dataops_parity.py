@@ -1262,3 +1262,36 @@ def test_retention_cohorts_hot_user_and_guard(ray_session):
     }))
     with pytest.raises(Exception, match="window ids must fit"):
         retention_cohorts(bad).count()
+
+
+def test_funnel_levels_cross_block_and_strict_ts(ray_session):
+    """Funnel completes across time-block boundaries; a same-timestamp next
+    step does NOT count (strict >); never-stepping users land at level 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import US_PER_HOUR, funnel_levels
+
+    B = 6 * US_PER_HOUR
+    rows = [
+        # user 1: view in block 0, click in block 2, purchase in block 5 -> 3
+        (1, 5, "view"), (1, 2 * B + 1, "click"), (1, 5 * B + 1, "purchase"),
+        # user 2: click/purchase at the SAME ts as view -> only level 1
+        (2, 100, "view"), (2, 100, "click"), (2, 100, "purchase"),
+        # user 3: purchase BEFORE view, then view -> level 1 (order matters)
+        (3, 50, "purchase"), (3, 60, "view"),
+        # user 4: only error/signup events -> level 0
+        (4, 10, "error"), (4, 20, "signup"),
+        # user 5: view then click, same block -> level 2
+        (5, 10, "view"), (5, 11, "click"),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "int64"),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }))
+    got = {r.level: r.n_users
+           for r in funnel_levels(ev).to_pandas().itertuples()}
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1}
