@@ -60,7 +60,7 @@ _QUERY_PRIORITY = [
     "d_dup_ngrams",
     "c_embed_dedup", "t_lm_coverage", "t_top_per_source", "c_keep_best",
     "t_split", "d_norm_dedup", "a_quantiles_nchars", "c_mixture_apply",
-    "w_retention", "w_funnel",
+    "w_retention", "w_funnel", "j_segment_returnflag",
     # -- (2) VERDICT-named + changed-this-round dedup flagships
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
 ]
@@ -78,7 +78,7 @@ _QUERY_V_SACRIFICE = [
     "v_reference_allow_external", "v_reference_require",
     "v_uniqueness", "v_summary",
     "v_fixed_value", "v_allowed_values", "v_array_length", "v_fullurl_id",
-    "v_code_master",
+    "v_code_master", "v_code_system",
 ]
 
 # (4) stable r02-green queries pushed past the window (still run in the

@@ -793,6 +793,61 @@ def _events(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/events.parquet")
 
 
+def q_segment_returnflag(sf_dir: str):
+    """Three-table star rollup (TPC-H Q3/Q5 shape): lineitem joins orders
+    on the fact-fact partitioned hash join, customer segment attaches by
+    broadcast, then an exact (segment, returnflag) count + quantity-sum
+    rollup — the deep-composition check that the join operators chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_join, lowcard_count, partitioned_hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = partitioned_hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        left_columns=["l_quantity", "l_returnflag"],
+        right_columns=["o_custkey"],
+        left_types={"l_quantity": pa.float64(), "l_returnflag": pa.string()},
+        right_types={"o_custkey": pa.int64()},
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    j2 = broadcast_join(j1, cust, left_key="o_custkey",
+                        right_key="c_custkey", right_columns=["c_mktsegment"])
+
+    def comb(t: pa.Table) -> pa.Table:
+        seg = t["c_mktsegment"]
+        if isinstance(seg, pa.ChunkedArray):
+            seg = seg.combine_chunks()
+        fl = t["l_returnflag"]
+        if isinstance(fl, pa.ChunkedArray):
+            fl = fl.combine_chunks()
+        return pa.table({
+            "k": pc.binary_join_element_wise(seg, fl, "\x1f"),
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    rolled = lowcard_count(j2.map_batches(comb, batch_format="pyarrow"),
+                           "k", extra_sums={"sum_qty": "q"})
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["k"], "\x1f")
+        return pa.table({
+            "c_mktsegment": pc.list_element(parts, 0),
+            "l_returnflag": pc.list_element(parts, 1),
+            "n": t["n"],
+            "sum_qty": t["sum_qty"],
+        })
+
+    return rolled.map_batches(split, batch_format="pyarrow")
+
+
 def q_funnel(sf_dir: str):
     """First-touch view -> click -> purchase funnel: users by deepest level
     reached (strictly-increasing timestamps across steps)."""
@@ -851,6 +906,15 @@ def q_range_join(sf_dir: str):
 
     return range_join_counts(_events(sf_dir))
 
+
+SEGMENT_RETURNFLAG_SQL = """
+SELECT c_mktsegment, l_returnflag, count(*)::BIGINT AS n,
+       sum(l_quantity)::BIGINT AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
 
 FUNNEL_SQL = """
 WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -941,6 +1005,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "w_retention": q_retention,
         "w_funnel": q_funnel,
+        "j_segment_returnflag": q_segment_returnflag,
         "w_tumbling": q_tumbling,
         "w_hopping": q_hopping,
         "w_distinct_users": q_window_distinct,
@@ -1737,6 +1802,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "w_retention": RETENTION_SQL,
         "w_funnel": FUNNEL_SQL,
+        "j_segment_returnflag": SEGMENT_RETURNFLAG_SQL,
         "w_tumbling": TUMBLING_SQL,
         "w_hopping": HOPPING_SQL,
         "w_distinct_users": WINDOW_DISTINCT_SQL,
