@@ -83,6 +83,9 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--n-shards", type=int, default=64)
     e.add_argument("--sample-rate", type=float, default=1.0)
     e.add_argument("--jaccard-threshold", type=float, default=0.8)
+    e.add_argument("--split", action="store_true",
+                   help="partition output split=train|val|test/shard=N "
+                        "(leak-free 90/5/5 doc_id hash bands)")
 
     args = ap.parse_args(argv)
     _ensure_ray()
@@ -115,12 +118,14 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data as rd
 
         from .pipelines.export import export_training_shards
+        from .stages.sampling import SPLIT_BANDS
 
         docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
         manifest = export_training_shards(
             docs, args.out, n_shards=args.n_shards,
             sample_rate=args.sample_rate,
             jaccard_threshold=args.jaccard_threshold,
+            split_bands=SPLIT_BANDS if args.split else None,
         )
         print(json.dumps(manifest))
     else:

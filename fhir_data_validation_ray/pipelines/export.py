@@ -25,11 +25,18 @@ import pyarrow as pa
 
 def export_training_shards(docs, out_dir: str, *, n_shards: int = 64,
                            sample_rate: float = 1.0,
-                           jaccard_threshold: float = 0.8) -> dict:
+                           jaccard_threshold: float = 0.8,
+                           split_bands=None) -> dict:
     """Dataset[doc_id:int64, text] -> curated, shuffled, sharded parquet under
     ``out_dir`` (one ``shard=N`` directory per shard; rows carry
     ``doc_id, pos, text`` with ``pos`` the in-shard reading order).
-    Returns a small manifest dict (counts only — nothing corpus-sized)."""
+    Returns a small manifest dict (counts only — nothing corpus-sized).
+
+    ``split_bands`` (e.g. ``sampling.SPLIT_BANDS``) additionally labels every
+    surviving doc with its leak-free train/val/test hash band and partitions
+    the output ``split=NAME/shard=N`` — the trainer streams
+    ``split=train/*`` while eval readers take the held-out dirs, and a doc
+    can never migrate between splits across re-runs or corpus growth."""
     from ..stages.joins import partitioned_hash_join
     from ..stages.packing import shuffle_assign
     from .curation import curate_keep_list
@@ -43,9 +50,16 @@ def export_training_shards(docs, out_dir: str, *, n_shards: int = 64,
         right_types={},
     )
     layout = shuffle_assign(kept_docs, n_shards=n_shards, carry=("text",))
-    layout.write_parquet(out_dir, partition_cols=["shard"])
+    partition_cols = ["shard"]
+    if split_bands is not None:
+        from ..stages.sampling import split_assign
+
+        layout = split_assign(layout, bands=split_bands)
+        partition_cols = ["split", "shard"]
+    layout.write_parquet(out_dir, partition_cols=partition_cols)
 
     import pyarrow.dataset as pads
 
     n = pads.dataset(out_dir, partitioning="hive").count_rows()
-    return {"out": out_dir, "n_docs": int(n), "n_shards": n_shards}
+    return {"out": out_dir, "n_docs": int(n), "n_shards": n_shards,
+            "split": bool(split_bands)}

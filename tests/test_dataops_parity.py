@@ -1295,3 +1295,34 @@ def test_funnel_levels_cross_block_and_strict_ts(ray_session):
     got = {r.level: r.n_users
            for r in funnel_levels(ev).to_pandas().itertuples()}
     assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_export_with_split_partitions(ray_session, tmp_path):
+    """split_bands partitions the export split=NAME/shard=N; band membership
+    matches split_assign exactly and survivors are unchanged."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.export import export_training_shards
+    from fhir_data_validation_ray.stages.sampling import SPLIT_BANDS, split_assign
+
+    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+    out = str(tmp_path / "shards_split")
+    m = export_training_shards(docs(), out, n_shards=4, sample_rate=0.9,
+                               split_bands=SPLIT_BANDS)
+    assert m["split"] is True
+    got = (pads.dataset(out, partitioning="hive")
+           .to_table(columns=["doc_id", "split"]).to_pandas())
+    want = split_assign(
+        rd.from_pandas(got[["doc_id"]]), bands=SPLIT_BANDS
+    ).to_pandas()
+    merged = got.merge(want, on="doc_id", suffixes=("_got", "_want"))
+    assert (merged.split_got.astype(str) == merged.split_want).all()
+    assert set(got.split.astype(str)) <= {"train", "val", "test"}
+    # same survivors as the unsplit export
+    out2 = str(tmp_path / "shards_plain")
+    export_training_shards(docs(), out2, n_shards=4, sample_rate=0.9)
+    plain = (pads.dataset(out2, partitioning="hive")
+             .to_table(columns=["doc_id"]).to_pandas())
+    assert sorted(got.doc_id) == sorted(plain.doc_id)
