@@ -151,3 +151,126 @@ def summarize(violations):
         .sort_values(["severity", "source"])
         .reset_index(drop=True)
     )
+
+
+def _doc_content_hashes(t):
+    """Order-sensitive 64-bit content hash per document over its spans:
+    each span hashes its (kind, text, media_ref, offset, in-doc position)
+    fields FNV-joined, and the doc hash is the XOR of its position-salted
+    span hashes (position salting makes plain XOR order-sensitive). Zero-
+    span docs hash to 0. Vectorized — no Python loop over docs or spans."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_str
+
+    spans = t["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n = len(spans)
+    lens = pc.list_value_length(spans).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    out = np.zeros(n, dtype=np.uint64)
+    flat = pc.list_flatten(spans)
+    if len(flat) == 0:
+        return out
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+    joined = pc.binary_join_element_wise(
+        pc.cast(pc.struct_field(flat, "kind"), pa.string()).fill_null(""),
+        pc.cast(pc.struct_field(flat, "text"), pa.string()).fill_null(""),
+        pc.cast(pc.struct_field(flat, "media_ref"), pa.string()).fill_null(""),
+        pc.cast(pc.struct_field(flat, "offset"), pa.string()).fill_null(""),
+        pa.array(pos.astype("U"), pa.string()),
+        "\x1f",
+    )
+    h = hash_str(joined.to_numpy(zero_copy_only=False))
+    np.bitwise_xor.at(out, parent, h)
+    return out
+
+
+def incremental_revalidate(old_docs, new_docs, profile_obj=None, *,
+                           registry_keys=None, num_buckets: int = 64,
+                           max_churn_broadcast: int = 5_000_000,
+                           validation_mode: str = "standard"):
+    """Incremental ingest revalidation: diff two spans-corpus snapshots by
+    per-doc content hash, then validate ONLY the churn (added + changed
+    docs of the new snapshot) — the composition that makes a daily 0.1%
+    delta on a 100 TB corpus cost 0.1%, not a full revalidation. Removed
+    docs emit nothing (drop their old violations by doc_id downstream).
+
+    Scale shape: the diff is one role-tagged (bucket, doc_id, hash)
+    exchange — 8-byte hashes, never spans. The churn ID SET (bounded by the
+    delta, not the corpus) broadcasts once via ``ray.put`` for an exact
+    string ``is_in`` filter; a delta past ``max_churn_broadcast`` raises —
+    at that churn a full revalidation is the honest plan.
+
+    Returns the violations Dataset over the churn docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.collect import collect_table
+    from ..functions.hashing import hash_str
+
+    def tag(role: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            istr = ids.to_numpy(zero_copy_only=False).astype("U")
+            return pa.table({
+                "bucket": pa.array(
+                    (hash_str(istr) % np.uint64(num_buckets)).astype(np.int32)),
+                "doc_id": ids,
+                "h": pa.array(_doc_content_hashes(t).astype(np.int64)),
+                "role": pa.array(np.full(len(ids), role, dtype=np.int8)),
+            })
+
+        return f
+
+    def churn(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        da = pc.dictionary_encode(ids)
+        code = np.asarray(da.indices, dtype=np.int64)
+        role = np.asarray(g["role"]).astype(np.int64)
+        h = np.asarray(g["h"]).astype(np.int64)
+        k = len(da.dictionary)
+        has = np.zeros((2, k), dtype=bool)
+        hv = np.zeros((2, k), dtype=np.int64)
+        has[role, code] = True
+        hv[role, code] = h
+        keep = has[1] & (~has[0] | (hv[0] != hv[1]))
+        return pa.table({"doc_id": da.dictionary.filter(pa.array(keep))})
+
+    diff = (old_docs.map_batches(tag(0), batch_format="pyarrow")
+            .union(new_docs.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("bucket").map_groups(churn, batch_format="pyarrow"))
+    churn_tbl = collect_table(
+        diff, empty_schema=pa.schema([("doc_id", pa.string())]))
+    if churn_tbl.num_rows > max_churn_broadcast:
+        raise RuntimeError(
+            f"incremental_revalidate: churn {churn_tbl.num_rows} exceeds "
+            f"max_churn_broadcast={max_churn_broadcast}; run a full "
+            "revalidation instead")
+    ids_col = churn_tbl["doc_id"]
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    churn_ref = ray.put(ids_col)
+
+    def keep_churn(t: pa.Table) -> pa.Table:
+        vs = ray.get(churn_ref)
+        if len(vs) == 0:
+            return t.slice(0, 0)
+        return t.filter(pc.is_in(t["doc_id"], value_set=vs))
+
+    delta = new_docs.map_batches(keep_churn, batch_format="pyarrow")
+    return validate_dataset(
+        delta, profile_obj or default_profile(), registry_keys=registry_keys,
+        validation_mode=validation_mode)

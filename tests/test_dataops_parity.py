@@ -1326,3 +1326,73 @@ def test_export_with_split_partitions(ray_session, tmp_path):
     plain = (pads.dataset(out2, partitioning="hive")
              .to_table(columns=["doc_id"]).to_pandas())
     assert sorted(got.doc_id) == sorted(plain.doc_id)
+
+
+def test_incremental_revalidate_matches_full(ray_session):
+    """Incremental revalidation over a mutated snapshot equals the full
+    validation of the new snapshot restricted to added+changed docs;
+    removed and unchanged docs emit nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.pipelines.validate import (
+        fixture_paths,
+        incremental_revalidate,
+    )
+    from fhir_data_validation_ray.sources.readers import read_documents
+    from fhir_data_validation_ray.stages.validator import validate_dataset
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+
+    paths = fixture_paths("/root/testdata/sf0.001")
+    old = lambda: read_documents(paths["docs"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        h = hash_str(ids.to_numpy(zero_copy_only=False).astype("U"))
+        lens = pc.list_value_length(t["spans"]).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        removed = (h % np.uint64(11)) == 0
+        changed = ((h % np.uint64(13)) == 0) & ~removed & (lens >= 2)
+        spans = pc.if_else(pa.array(changed),
+                           pc.list_slice(t["spans"], 0, 1), t["spans"])
+        base = pa.table({"doc_id": ids, "spans": spans}).filter(
+            pa.array(~removed))
+        addm = ((h % np.uint64(17)) == 0) & ~removed
+        extra = pa.table({
+            "doc_id": pa.array([s + "-new" for s in
+                                np.asarray(ids)[addm].tolist()], pa.string()),
+            "spans": t["spans"].filter(pa.array(addm)),
+        })
+        return pa.concat_tables([base, extra])
+
+    new = lambda: old().map_batches(mutate, batch_format="pyarrow")
+
+    inc = (incremental_revalidate(old(), new(), default_profile())
+           .to_pandas())
+
+    # expected churn set, computed independently from the parquet source
+    import pyarrow.parquet as pq
+    src = pq.read_table(paths["docs"])
+    ids = src["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype("U")
+    h = hash_str(ids)
+    lens = pc.list_value_length(src["spans"]).fill_null(0).to_numpy(
+        zero_copy_only=False)
+    removed = (h % np.uint64(11)) == 0
+    changed = ((h % np.uint64(13)) == 0) & ~removed & (lens >= 2)
+    added = ((h % np.uint64(17)) == 0) & ~removed
+    churn = set(ids[changed].tolist()) | {s + "-new" for s in ids[added]}
+    assert churn, "fixture must produce a non-empty churn"
+
+    full = validate_dataset(new(), default_profile()).to_pandas()
+    want = full[full.doc_id.isin(churn)]
+
+    cols = sorted(set(inc.columns) & set(want.columns))
+    a = inc[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    assert set(inc.doc_id) <= churn
