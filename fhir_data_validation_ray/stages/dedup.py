@@ -853,8 +853,10 @@ def dedup_clusters(pairs, *, num_buckets: int = 64, max_iters: int = 16):
 def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
     """Near-dup pairs with SimHash Hamming distance <= max_hamming. 4x16-bit
     banding: any pair within distance 3 agrees on >= 1 full band (pigeonhole),
-    so one groupby per band finds every candidate; verification is exact
-    Hamming on the 64-bit signatures."""
+    so one groupby per PACKED (band << 16 | band_hash) key finds every
+    candidate — up to 4*65536 groups, each bounded by the docs sharing one
+    16-bit band value, never a corpus-sized band partition — and verification
+    is exact Hamming on the 64-bit signatures."""
     from .textops import simhash_batch
 
     def sigs(t: pa.Table) -> pa.Table:
@@ -863,29 +865,30 @@ def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
             texts = texts.combine_chunks()
         sh = simhash_batch(texts)
         doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
-        bands_out, bh_out, doc_out, sig_out = [], [], [], []
+        bkey_out, doc_out, sig_out = [], [], []
         for b in range(4):
-            bands_out.append(np.full(len(sh), b, dtype=np.int32))
-            bh_out.append(((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            bh = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            bkey_out.append(np.int64(b << 16) | bh)
             doc_out.append(doc_ids)
             sig_out.append(sh.astype(np.int64))
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands_out)),
-                "bh": pa.array(np.concatenate(bh_out)),
+                "bkey": pa.array(np.concatenate(bkey_out)),
                 "doc_id": pa.array(np.concatenate(doc_out)),
                 "sig": pa.array(np.concatenate(sig_out)),
             }
         )
 
     def pairs(g: pa.Table) -> pa.Table:
-        bh = np.asarray(g["bh"])
+        # one groupby key may still cover several bkey values (map_groups can
+        # coalesce small groups into one call) — keep the run split on bkey
+        bkey = np.asarray(g["bkey"])
         d = np.asarray(g["doc_id"]).astype(np.int64)
         sig = np.asarray(g["sig"]).astype(np.uint64)
-        order = np.lexsort((d, bh))
-        bh_s, d_s, sig_s = bh[order], d[order], sig[order]
-        run_id = np.zeros(len(bh_s), dtype=np.int64)
-        run_id[1:] = np.cumsum(bh_s[1:] != bh_s[:-1])
+        order = np.lexsort((d, bkey))
+        bk_s, d_s, sig_s = bkey[order], d[order], sig[order]
+        run_id = np.zeros(len(bk_s), dtype=np.int64)
+        run_id[1:] = np.cumsum(bk_s[1:] != bk_s[:-1])
         # vectorized within-run pair expansion (no per-run Python loop)
         pos_a, pos_b = _expand_run_pairs(run_id)
         if len(pos_a) == 0:
@@ -903,7 +906,7 @@ def simhash_pairs(docs, *, max_hamming: int = 3, batch_size: int | None = None):
                          "doc_b": pa.array(key & ((1 << 32) - 1))})
 
     ds = docs.map_batches(sigs, batch_format="pyarrow", batch_size=batch_size)
-    per_band = ds.groupby("band").map_groups(pairs, batch_format="pyarrow")
+    per_band = ds.groupby("bkey").map_groups(pairs, batch_format="pyarrow")
 
     # cross-band pair dedup: tiny result set, one more small groupby
     def dedup_pairs(g: pa.Table) -> pa.Table:
