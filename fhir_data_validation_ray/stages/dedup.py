@@ -453,22 +453,30 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
             for r in range(rows_per_band):
                 acc = (acc ^ seg[:, r]) * np.uint64(0x100000001B3)
             bh[b_i] = acc
+        bh_flat = bh.reshape(-1).astype(np.int64)
+        # group key mixes (band, bh) so the exchange shards by full band-hash
+        # value (one group per distinct band value, never a corpus-sized
+        # band partition); the run split below re-checks BOTH columns, so a
+        # 64-bit mix collision cannot merge unrelated runs
+        gk = bh_flat * np.int64(-7046029254386353131) + out_band.astype(np.int64)
         return pa.table(
             {
+                "gk": pa.array(gk),
                 "band": pa.array(out_band),
-                "bh": pa.array(bh.reshape(-1).astype(np.int64)),
+                "bh": pa.array(bh_flat),
                 "doc_id": pa.array(out_doc),
             }
         )
 
     def candidates(g: pa.Table) -> pa.Table:
         bh = np.asarray(g["bh"])
+        band = np.asarray(g["band"])
         d = np.asarray(g["doc_id"]).astype(np.int64)
-        order = np.lexsort((d, bh))
-        bh_s, d_s = bh[order], d[order]
+        order = np.lexsort((d, band, bh))
+        bh_s, band_s, d_s = bh[order], band[order], d[order]
         n = len(bh_s)
         new_run = np.ones(n, dtype=bool)
-        new_run[1:] = bh_s[1:] != bh_s[:-1]
+        new_run[1:] = (bh_s[1:] != bh_s[:-1]) | (band_s[1:] != band_s[:-1])
         # distinct (run, doc) — a doc appears once per band by construction,
         # but dedup vectorized anyway (mirrors the old per-run np.unique)
         dup = np.zeros(n, dtype=bool)
@@ -487,7 +495,7 @@ def minhash_lsh_pairs(docs, *, n: int = 2, threshold: float = 0.8,
 
     sigs = docs.map_batches(signatures, batch_format="pyarrow", batch_size=batch_size)
     cand = (
-        sigs.groupby("band")
+        sigs.groupby("gk")
         .map_groups(candidates, batch_format="pyarrow")
     )
 
