@@ -63,6 +63,9 @@ _QUERY_PRIORITY = [
     "w_retention", "w_funnel", "j_segment_returnflag",
     # -- (2) VERDICT-named + changed-this-round dedup flagships
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
+    # -- late round-3 operators: new (rank/quality-score) and re-sharded
+    #    banding exchanges (simhash changed after its r02 verification)
+    "a_rank_nchars", "t_quality_score", "d_simhash_pairs",
 ]
 
 # v_* backfill order: when priority growth pushes v_* past the window,
@@ -79,12 +82,18 @@ _QUERY_V_SACRIFICE = [
     "v_uniqueness", "v_summary",
     "v_fixed_value", "v_allowed_values", "v_array_length", "v_fullurl_id",
     "v_code_master", "v_code_system",
+    # late-r3 additions pushed the window again; next out are more unchanged
+    # r02-green kernels (the changed set — question_answer quantity type,
+    # custom_predicate expressions, structure empty-doc, datetime tz,
+    # reference_join details — stays in)
+    "v_primitive_date", "v_filter_scope", "v_exclusivity",
+    "v_required_spans", "v_reference_inbundle",
 ]
 
 # (4) stable r02-green queries pushed past the window (still run in the
 # repo's own oracle-parity suite each pytest session)
 _QUERY_STABLE_TAIL = [
-    "d_exact_dedup", "d_ngram_jaccard", "d_simhash_pairs",
+    "d_exact_dedup", "d_ngram_jaccard",
     "w_tumbling", "w_hopping", "w_distinct_users", "w_sessionize",
     "w_asof_prev_purchase", "w_range_join",
     "t_text_features", "t_language_id", "t_fingerprints",

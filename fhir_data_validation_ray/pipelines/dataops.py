@@ -227,6 +227,27 @@ def q_quantiles_nchars(sf_dir: str):
     return exact_int_quantiles(docs, "n_chars")
 
 
+def q_rank_nchars(sf_dir: str):
+    """Exact corpus-wide percentile rank of n_chars per document (the
+    score-normalization step of a keep-top-X% quality gate)."""
+    import ray.data as rd
+
+    from ..stages.stats import percentile_rank
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return percentile_rank(docs, "n_chars")
+
+
+def q_quality_score(sf_dir: str):
+    """Hashed-linear quality-classifier inference (fasttext-style filter)
+    with the deterministic arithmetic weight table — oracle recomputes the
+    scores from the same FNV fold."""
+    from ..stages.textops import quality_score
+
+    return quality_score(_docs(sf_dir))
+
+
 def q_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split labels (leak-free FNV hash
     bands over str(doc_id))."""
@@ -1049,6 +1070,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
+        "a_rank_nchars": q_rank_nchars,
+        "t_quality_score": q_quality_score,
         "c_mixture_apply": q_mixture_apply,
         "d_norm_dedup": q_norm_dedup,
         "t_pii_redact": q_pii_redact,
@@ -1638,6 +1661,34 @@ FROM t
 """
 
 
+RANK_NCHARS_SQL = """
+WITH n AS (SELECT count(*)::BIGINT AS total FROM documents)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+  (rank() OVER (ORDER BY n_chars) - 1)::BIGINT AS n_smaller,
+  ((rank() OVER (ORDER BY n_chars) - 1) * 1000000
+     // greatest(n.total - 1, 1))::BIGINT AS pct_ppm
+FROM documents, n
+"""
+
+
+def _quality_score_sql() -> str:
+    """quality_score mirror: same FNV fold, bucket = h % QS_DIM, weight =
+    (bucket * QS_MIX) % 41 - 20, per-doc sum (LEFT JOIN keeps zero-word
+    docs at score 0; bucket*QS_MIX < 2^52 so UBIGINT arithmetic is exact)."""
+    from ..stages.textops import QS_DIM, QS_MIX
+
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ws AS (SELECT doc_id,
+         CAST((({_fnv_sql('word')} % {QS_DIM}) * {QS_MIX}) % 41 AS BIGINT) - 20 AS wt
+       FROM w WHERE word <> ''),
+s AS (SELECT doc_id, sum(wt)::BIGINT AS q_score FROM ws GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.q_score, 0)::BIGINT AS q_score,
+  CASE WHEN coalesce(s.q_score, 0) >= 0 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def _split_sql() -> str:
     """split_assign mirror: identical FNV fold and cumulative band cuts."""
     from ..stages.sampling import SAMPLE_MOD, SPLIT_BANDS
@@ -1842,6 +1893,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
+        "a_rank_nchars": RANK_NCHARS_SQL,
+        "t_quality_score": _quality_score_sql(),
         "c_mixture_apply": _mixture_apply_sql(),
         "d_norm_dedup": NORM_DEDUP_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),

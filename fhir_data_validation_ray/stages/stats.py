@@ -332,20 +332,12 @@ def group_topn(ds, *, key: str, value: str, id_col: str, n: int,
     )
 
 
-def exact_int_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
-    """EXACT quantiles of an integer column — the precise lane next to the
-    TDigest approximation: quantile q = the smallest value v with
-    count(rows <= v) >= ceil(q * n). Returns a one-row Dataset-shaped
-    pyarrow Table: ``col``, ``n``, and one ``p<q>`` column per requested
-    quantile (integer outputs, bitwise oracle-comparable against a window
-    cumulative in SQL).
-
-    Scale shape: per-batch value-count partials (bounded by the column's
-    DISTINCT-value cardinality, the operator's stated assumption — right for
-    bounded metrics like lengths, counts, scores; use the TDigest lane for
-    unbounded ones), a per-TASK combine level merging ~64 partials, then a
-    driver fold of O(n_tasks) small count tables — same two-level shape as
-    the sketch fold above."""
+def _value_count_fold(ds, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed exact value counts of an integer column: per-batch
+    ``np.unique`` partials, a per-TASK combine level merging ~64 partials,
+    then a driver fold of O(n_tasks) small count tables. State everywhere is
+    bounded by the column's DISTINCT-value cardinality, never its row count.
+    Returns (sorted unique values, counts)."""
 
     def partial(t: pa.Table) -> pa.Table:
         v = np.asarray(t[col]).astype(np.int64)
@@ -370,6 +362,63 @@ def exact_int_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 
     uv, inv = np.unique(v, return_inverse=True)
     total = np.zeros(len(uv), dtype=np.int64)
     np.add.at(total, inv, c)
+    return uv, total
+
+
+def percentile_rank(ds, col: str, *, id_col: str = "doc_id"):
+    """EXACT percentile rank of every row's ``col`` value across the corpus —
+    the score-normalization step of a quality-filter pipeline (keep the top
+    X% by score regardless of the score's absolute scale). Integer outputs:
+    ``n_smaller`` = count of rows with a strictly smaller value (DuckDB
+    ``rank() OVER (ORDER BY col) - 1``) and ``pct_ppm`` = parts-per-million
+    percentile ``n_smaller * 1e6 // (n - 1)``.
+
+    Scale shape: ONE distributed value-count fold (state bounded by the
+    column's distinct-value cardinality — the same stated assumption as
+    ``exact_int_quantiles``; use the TDigest lane for unbounded columns),
+    the cumulative table broadcast once via ``ray.put``, then a stateless
+    streaming probe (``np.searchsorted``) attaches ranks per batch — no
+    global sort, no per-row exchange."""
+    import ray
+
+    uv, total = _value_count_fold(ds, col)
+    cum_excl = np.concatenate([[np.int64(0)], np.cumsum(total)[:-1]]).astype(np.int64)
+    n = int(total.sum())
+    cdf_ref = ray.put((uv, cum_excl, n))
+
+    def probe(t: pa.Table) -> pa.Table:
+        vals, cexc, total_n = ray.get(cdf_ref)
+        v = np.asarray(t[col]).astype(np.int64)
+        idx = np.searchsorted(vals, v)
+        smaller = cexc[idx] if len(vals) else np.zeros(len(v), np.int64)
+        denom = max(total_n - 1, 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                col: pa.array(v),
+                "n_smaller": pa.array(smaller.astype(np.int64)),
+                "pct_ppm": pa.array((smaller * 1_000_000 // denom).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def exact_int_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """EXACT quantiles of an integer column — the precise lane next to the
+    TDigest approximation: quantile q = the smallest value v with
+    count(rows <= v) >= ceil(q * n). Returns a one-row Dataset-shaped
+    pyarrow Table: ``col``, ``n``, and one ``p<q>`` column per requested
+    quantile (integer outputs, bitwise oracle-comparable against a window
+    cumulative in SQL).
+
+    Scale shape: per-batch value-count partials (bounded by the column's
+    DISTINCT-value cardinality, the operator's stated assumption — right for
+    bounded metrics like lengths, counts, scores; use the TDigest lane for
+    unbounded ones), a per-TASK combine level merging ~64 partials, then a
+    driver fold of O(n_tasks) small count tables — same two-level shape as
+    the sketch fold above."""
+    uv, total = _value_count_fold(ds, col)
     cum = np.cumsum(total)
     n = int(cum[-1]) if len(cum) else 0
     out = {"col": pa.array([col], pa.string()), "n": pa.array([n], pa.int64())}

@@ -92,6 +92,65 @@ def text_features(docs, *, batch_size: int | None = None):
     return docs.map_batches(feats, batch_format="pyarrow", batch_size=batch_size)
 
 
+QS_DIM = 1 << 20          # hashed feature space (fasttext default 2M is close)
+QS_MIX = 2654435761       # Knuth multiplicative mix for the arithmetic weights
+
+
+def quality_score(docs, *, dim: int = QS_DIM, threshold: int = 0,
+                  weights=None, batch_size: int | None = None):
+    """Hashed-linear quality-classifier INFERENCE (the fasttext-style filter
+    of CCNet/LLM curation pipelines): each word hashes into a ``dim``-bucket
+    feature space, the bucket's weight is gathered, and the document score is
+    the weight sum; ``keep = score >= threshold``.
+
+    ``weights``: optional real trained weight vector (len ``dim``, int64) —
+    broadcast ONCE via ``ray.put`` and gathered per batch. Default ``None``
+    derives the weight arithmetically from the bucket index
+    (``(bucket * QS_MIX) % 41 - 20``), which keeps the operator
+    deterministic and lets the DuckDB oracle recompute scores bitwise from
+    the same FNV fold — the probe is identical either way.
+
+    Scale shape: stateless per-batch map — split, vectorized FNV, gather,
+    segment-sum (cumsum-diff, safe on empty docs). No shuffle, no state."""
+    import ray
+
+    wref = None
+    if weights is not None:
+        w_arr = np.asarray(weights, dtype=np.int64)
+        if len(w_arr) != dim:
+            raise ValueError(f"weights must have len {dim}, got {len(w_arr)}")
+        wref = ray.put(w_arr)
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(parts).fill_null(0).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        flat = pc.list_flatten(parts)
+        words = flat.to_numpy(zero_copy_only=False).astype("U")
+        bucket = hash_str(words) % np.uint64(dim)
+        if wref is not None:
+            w = ray.get(wref)[bucket.astype(np.int64)]
+        else:
+            w = ((bucket * np.uint64(QS_MIX)) % np.uint64(41)).astype(np.int64) - 20
+        w[words == ""] = 0  # '' split artifacts carry no weight (SQL filters them)
+        cs = np.concatenate([[np.int64(0)], np.cumsum(w)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        doc_score = cs[ends] - cs[starts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "q_score": pa.array(doc_score.astype(np.int64)),
+                "keep": pa.array((doc_score >= threshold).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
+
+
 def language_id(docs, *, batch_size: int | None = None):
     """Stopword-voting language ID: per-language marker hit counts, predict
     the argmax (ties -> first language in LANG_MARKERS order; zero hits ->

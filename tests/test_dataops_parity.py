@@ -1181,6 +1181,50 @@ def test_exact_int_quantiles_ranks(ray_session):
     assert t.iloc[0][["n", "p25", "p50", "p75", "p95"]].tolist() == [10, 3, 5, 8, 10]
 
 
+def test_percentile_rank_ties(ray_session):
+    """n_smaller counts STRICTLY smaller values (ties share a rank, like
+    SQL rank()-1); pct_ppm is the integer ppm against n-1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import percentile_rank
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "x": pa.array([5, 1, 5, 2, 9], pa.int64()),
+    }))
+    t = percentile_rank(ds, "x").to_pandas().set_index("doc_id")
+    assert t.loc["b", "n_smaller"] == 0
+    assert t.loc["d", "n_smaller"] == 1
+    assert t.loc["a", "n_smaller"] == 2 and t.loc["c", "n_smaller"] == 2
+    assert t.loc["e", "n_smaller"] == 4
+    assert t.loc["e", "pct_ppm"] == 1_000_000
+    assert t.loc["a", "pct_ppm"] == 2 * 1_000_000 // 4
+
+
+def test_quality_score_weights_lane(ray_session):
+    """The trained-weights lane gathers from the broadcast table; empty and
+    zero-word docs score 0 and pass a >= 0 gate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.textops import QS_DIM, quality_score
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "text": pa.array(["good good bad", "", "bad"]),
+    }))
+    w = np.zeros(QS_DIM, dtype=np.int64)
+    w[int(hash_str(np.array(["good"])) % np.uint64(QS_DIM))] = 3
+    w[int(hash_str(np.array(["bad"])) % np.uint64(QS_DIM))] = -2
+    t = quality_score(ds, weights=w).to_pandas().set_index("doc_id")
+    assert t.loc["a", "q_score"] == 4 and t.loc["a", "keep"] == 1
+    assert t.loc["b", "q_score"] == 0 and t.loc["b", "keep"] == 1
+    assert t.loc["c", "q_score"] == -2 and t.loc["c", "keep"] == 0
+
+
 def test_mixture_apply_prefix_semantics(ray_session):
     """Kept docs per group = the hash-ordered prefix whose cumulative token
     count fits the group quota; verified against a brute-force reference."""
