@@ -65,7 +65,7 @@ _QUERY_PRIORITY = [
     "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
     # -- late round-3 operators: new (rank/quality-score) and re-sharded
     #    banding exchanges (simhash changed after its r02 verification)
-    "a_rank_nchars", "t_quality_score", "d_simhash_pairs",
+    "a_rank_nchars", "t_quality_score", "d_simhash_pairs", "m_phash_dups",
 ]
 
 # v_* backfill order: when priority growth pushes v_* past the window,

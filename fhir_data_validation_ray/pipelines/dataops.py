@@ -655,6 +655,17 @@ def q_frame_sample(sf_dir: str):
     ).select_columns(["media_ref", "frame_index"])
 
 
+def q_phash_dups(sf_dir: str):
+    """Image near-dup pairs by perceptual hash (aHash over decoded 8x8
+    thumbnails, banded Hamming search) over the image-variants media table
+    (base images + deterministic 2-pixel-perturbed twins)."""
+    from ..stages.multimodal import phash_dups, synth_image_variants_parquet
+    from .validate import fixture_paths
+
+    media = synth_image_variants_parquet(fixture_paths(sf_dir)["registry"])
+    return phash_dups(media)
+
+
 def q_kind_drift(sf_dir: str):
     """Span-kind histogram drift of the interleaved corpus vs a deterministic
     SUBSET snapshot (docs with even FNV(doc_id), vectorized) — rows-only.
@@ -1039,6 +1050,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
         "m_frame_sample": q_frame_sample,
+        "m_phash_dups": q_phash_dups,
         "a_stats_nchars": q_stats_nchars,
         "a_histogram_nchars": q_histogram_nchars,
         "a_column_profile": q_column_profile,
@@ -1178,7 +1190,41 @@ WITH r AS (SELECT media_ref, CAST(1 + {h} % 64 AS BIGINT) AS nf
            FROM read_parquet('{reg}') WHERE kind NOT IN ('image', 'audio'))
 SELECT media_ref, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_index FROM r
 """
-    return {"m_image_meta": img, "m_audio_meta": aud, "m_frame_sample": vid}
+    # perceptual-hash near-dup: pixels, the 2-pixel twin perturbation, the
+    # aHash fold and the Hamming join all recomputed from hash_str(media_ref)
+    def _px(i: int) -> str:
+        base = f"CAST((h >> {8 * (i % 8)}) & 255 AS BIGINT)"
+        return (
+            f"CASE WHEN twin AND ({i} = CAST(h % 64 AS BIGINT) "
+            f"OR {i} = CAST((h >> 6) % 64 AS BIGINT)) "
+            f"THEN 255 - {base} ELSE {base} END AS p{i}"
+        )
+
+    px_cols = ",\n    ".join(_px(i) for i in range(64))
+    px_sum = " + ".join(f"p{i}" for i in range(64))
+    sig_fold = " + ".join(
+        f"CASE WHEN 64 * p{i} >= s THEN CAST({1 << i} AS UBIGINT) "
+        "ELSE CAST(0 AS UBIGINT) END"
+        for i in range(64)
+    )
+    phash = f"""
+WITH r AS (SELECT media_ref, {h} AS h FROM read_parquet('{reg}') WHERE kind = 'image'),
+v AS (
+  SELECT media_ref, h, FALSE AS twin FROM r
+  UNION ALL
+  SELECT media_ref || '~d', h, TRUE FROM r WHERE h % 2 = 0
+),
+px AS (SELECT media_ref,
+    {px_cols}
+  FROM v),
+ps AS (SELECT *, ({px_sum}) AS s FROM px),
+sg AS (SELECT media_ref, ({sig_fold}) AS sig FROM ps)
+SELECT a.media_ref AS ref_a, b.media_ref AS ref_b
+FROM sg a JOIN sg b ON a.media_ref < b.media_ref
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+    return {"m_image_meta": img, "m_audio_meta": aud, "m_frame_sample": vid,
+            "m_phash_dups": phash}
 
 
 def _inlist(ws) -> str:

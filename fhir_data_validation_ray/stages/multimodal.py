@@ -101,6 +101,14 @@ class FakeCodec:
         body = payload[8:]
         return [body[i * fb:(i + 1) * fb] for i in range(nf)]
 
+    def image_thumb64(self, payload: bytes) -> np.ndarray:
+        """8x8 grayscale 'thumbnail' = the first 64 decoded pixel bytes
+        (the body tiles the 8-byte source hash, so the oracle recomputes
+        every pixel from hash_str(media_ref) in SQL)."""
+        if payload[:4] != b"FIMG":
+            raise ValueError("not a fake image payload")
+        return np.frombuffer(payload, dtype=np.uint8, count=64, offset=9).copy()
+
 
 class RealCodec:
     """Real decode via PIL/ffmpeg — NOT AVAILABLE in this container.
@@ -135,6 +143,15 @@ class RealCodec:
             buf = io.BytesIO()
             im.resize((w, h)).save(buf, format=im.format or "PNG")
             return buf.getvalue()
+
+    def image_thumb64(self, payload: bytes) -> np.ndarray:
+        if self._pil is None:
+            raise NotImplementedError("real image decode requires PIL (not in container)")
+        import io
+
+        with self._pil.open(io.BytesIO(payload)) as im:
+            thumb = im.convert("L").resize((8, 8))
+            return np.asarray(thumb, dtype=np.uint8).reshape(64)
 
     def audio_meta(self, payload: bytes):
         raise NotImplementedError("real audio decode requires ffmpeg (not in container)")
@@ -252,6 +269,186 @@ def synth_media_parquet(registry_path: str, *, max_body: int = 4096) -> str:
         except OSError:
             os.unlink(tmp)  # another process won the race
     return out
+
+
+def synth_image_variants(registry_path: str, *, max_body: int = 4096) -> pa.Table:
+    """Image media table WITH near-duplicate twins: every image row from the
+    registry, plus — for rows with even hash — a ``<ref>~d`` twin whose
+    payload perturbs two thumbnail pixels (``255 - px`` at positions
+    ``h % 64`` and ``(h >> 6) % 64``). Twins land within a few aHash bits of
+    their base, so the perceptual-hash dedup has real positives; every byte
+    is a pure function of ``hash_str(media_ref)``, so the DuckDB oracle
+    recomputes both signatures exactly."""
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(registry_path)
+    mask = np.asarray(reg["kind"].to_numpy(zero_copy_only=False) == "image")
+    refs = reg["media_ref"].to_numpy(zero_copy_only=False)[mask]
+    h = hash_str(refs.astype("U"))
+    out_refs, payloads = [], []
+    for i, r in enumerate(refs):
+        x = int(h[i])
+        body = (x.to_bytes(8, "little") * ((max_body // 8) + 1))[: 64 + x % max_body]
+        w, ht, c = 16 + x % 1024, 16 + (x >> 10) % 1024, 1 + x % 4
+        head = b"FIMG" + struct.pack("<HHB", w, ht, c)
+        out_refs.append(str(r))
+        payloads.append(head + body)
+        if x % 2 == 0:
+            tb = bytearray(body)
+            for p in (x % 64, (x >> 6) % 64):
+                tb[p] = 255 - tb[p]
+            out_refs.append(f"{r}~d")
+            payloads.append(head + bytes(tb))
+    return pa.table(
+        {
+            "media_ref": pa.array(out_refs, pa.string()),
+            "kind": pa.array(["image"] * len(out_refs), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synth_image_variants_parquet(registry_path: str) -> str:
+    """Write (once, cached, atomic) the image-variants table beside the
+    fixture registry, like ``synth_media_parquet``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(os.path.dirname(registry_path), "media_variants.parquet")
+    if not os.path.exists(out):
+        tmp = out + f".tmp.{os.getpid()}"
+        pq.write_table(synth_image_variants(registry_path), tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            os.unlink(tmp)
+    return out
+
+
+def ahash_bits(thumbs: np.ndarray) -> np.ndarray:
+    """(n, 64) uint8 thumbnails -> uint64 average-hash signatures:
+    bit i = 64 * px[i] >= sum(px) (integer mean comparison, no division)."""
+    t = thumbs.astype(np.int64)
+    bits = (64 * t) >= t.sum(axis=1, keepdims=True)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
+class PHashStage:
+    """Actor: decode image payloads -> 64-bit perceptual hash (aHash over
+    the 8x8 grayscale thumbnail). Codec chosen ONCE per actor; the hash
+    fold itself is one vectorized pass over the stacked thumbnails."""
+
+    def __init__(self, codec: str = "auto"):
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        thumbs = (
+            np.stack([self.codec.image_thumb64(p) for p in payloads])
+            if payloads else np.empty((0, 64), np.uint8)
+        )
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "sig": pa.array(ahash_bits(thumbs).astype(np.int64)),
+            }
+        )
+
+
+def phash_dups(media_parquet: str, *, max_hamming: int = 3,
+               concurrency: int = 2, batch_size: int = 64):
+    """Image near-duplicate pairs by perceptual hash: stream the media
+    table, actor-pool decode -> aHash, then the same 4x16-bit pigeonhole
+    banding as ``dedup.simhash_pairs`` — grouped by the packed
+    (band << 16 | band_hash) key, so each exchange group is bounded by the
+    images sharing one 16-bit band value — with exact Hamming verification
+    on the full signatures. Returns (ref_a, ref_b), ref_a < ref_b.
+
+    Cites the reference's dedup ladder (SURVEY §2.8) extended to the media
+    payload lane; the codec boundary is the documented stub
+    (``RealCodec.image_thumb64`` is the PIL path where importable)."""
+    import ray.data as rd
+
+    from .dedup import _expand_run_pairs
+
+    sigs = (
+        rd.read_parquet(media_parquet)
+        .filter(expr="kind == 'image'")
+        .map_batches(
+            PHashStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    )
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sig = np.asarray(t["sig"]).view(np.uint64)
+        refs = t["media_ref"]
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        bkeys, refs_out, sig_out = [], [], []
+        for b in range(4):
+            bh = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            bkeys.append(np.int64(b << 16) | bh)
+            refs_out.append(refs)
+            sig_out.append(sig.astype(np.int64))
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(bkeys)),
+                "media_ref": pa.concat_arrays([r for r in refs_out]),
+                "sig": pa.array(np.concatenate(sig_out)),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        bkey = np.asarray(g["bkey"])
+        refs = g["media_ref"].to_numpy(zero_copy_only=False).astype("U")
+        sig = np.asarray(g["sig"]).view(np.uint64)
+        order = np.lexsort((refs, bkey))
+        bk_s, r_s, sig_s = bkey[order], refs[order], sig[order]
+        run_id = np.zeros(len(bk_s), dtype=np.int64)
+        run_id[1:] = np.cumsum(bk_s[1:] != bk_s[:-1])
+        pos_a, pos_b = _expand_run_pairs(run_id)
+        if len(pos_a) == 0:
+            return pa.table({"ref_a": pa.array([], pa.string()),
+                             "ref_b": pa.array([], pa.string())})
+        x = sig_s[pos_a] ^ sig_s[pos_b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        ok = ham <= max_hamming  # refs ascending per run -> a < b strictly
+        return pa.table({"ref_a": pa.array(r_s[pos_a][ok], pa.string()),
+                         "ref_b": pa.array(r_s[pos_b][ok], pa.string())})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["ref_a"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        hb = hash_str(a.to_numpy(zero_copy_only=False).astype("U"))
+        return t.append_column("pbucket", pa.array((hb % np.uint64(32)).astype(np.int32)))
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        a = g["ref_a"].to_numpy(zero_copy_only=False).astype("U")
+        b = g["ref_b"].to_numpy(zero_copy_only=False).astype("U")
+        combo = np.char.add(np.char.add(a, "\x1f"), b)
+        _, idx = np.unique(combo, return_index=True)
+        return pa.table({"ref_a": pa.array(a[idx], pa.string()),
+                         "ref_b": pa.array(b[idx], pa.string())})
+
+    return (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .select_columns(["ref_a", "ref_b"])
+    )
 
 
 def media_pipeline(source: str, *, kind: str, stage, concurrency: int = 2,

@@ -100,3 +100,50 @@ def test_streaming_lane_matches_in_memory_lane(ray_session):
     key = lambda d: sorted(map(tuple, d[cols].values))
     assert key(a) == key(b)
     assert len(a) > 0
+
+
+def test_ahash_bits_mean_rule():
+    """bit i = 64*px[i] >= sum(px), LSB-first packing."""
+    from fhir_data_validation_ray.stages.multimodal import ahash_bits
+
+    t = np.zeros((1, 64), np.uint8)
+    t[0, :2] = 255  # only two bright pixels: mean*64 = 510, so bits 0,1 set
+    assert int(ahash_bits(t)[0]) == 0b11
+    flat = np.full((1, 64), 7, np.uint8)  # uniform image -> all bits set
+    assert int(ahash_bits(flat)[0]) == (1 << 64) - 1
+
+
+def test_phash_finds_twin_pairs(ray_session):
+    """Every ~d twin whose 2-pixel perturbation stays within Hamming 3 of
+    its base must be paired; identical signatures always are."""
+    from fhir_data_validation_ray.stages.multimodal import (
+        FakeCodec,
+        ahash_bits,
+        phash_dups,
+        synth_image_variants,
+        synth_image_variants_parquet,
+    )
+
+    media = synth_image_variants(_registry())
+    refs = media["media_ref"].to_pylist()
+    codec = FakeCodec()
+    sigs = ahash_bits(
+        np.stack([codec.image_thumb64(p) for p in media["payload"].to_pylist()])
+    )
+    by_ref = dict(zip(refs, sigs))
+    want = set()
+    for r, s in by_ref.items():
+        if not r.endswith("~d"):
+            continue
+        base = r[:-2]
+        d = bin(int(s) ^ int(by_ref[base])).count("1")
+        if d <= 3:
+            want.add(tuple(sorted((base, r))))
+    got = {
+        tuple(p)
+        for p in phash_dups(synth_image_variants_parquet(_registry()), concurrency=1)
+        .to_pandas()[["ref_a", "ref_b"]]
+        .values
+    }
+    assert want <= got  # twins within threshold all found (plus coincidences)
+    assert len(want) > 0  # the fixture actually exercises the operator
