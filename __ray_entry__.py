@@ -66,6 +66,7 @@ _QUERY_PRIORITY = [
     # -- late round-3 operators: new (rank/quality-score) and re-sharded
     #    banding exchanges (simhash changed after its r02 verification)
     "a_rank_nchars", "t_quality_score", "d_simhash_pairs", "m_phash_dups",
+    "s_embed_decon",
 ]
 
 # v_* backfill order: when priority growth pushes v_* past the window,

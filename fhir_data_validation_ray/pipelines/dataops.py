@@ -17,6 +17,7 @@ from ..stages.textops import BPE_TOKEN_RE, LANG_MARKERS, PUNCT_RE, STOPWORDS
 ANN_QUERY_IDS = [0, 7, 42, 123, 321]
 ANN_K = 5
 COSINE_PAIR_THRESHOLD = 0.45
+EMBED_DECON_THRESHOLD = 0.35  # decon casts a wider net than near-dup pairing
 JACCARD_N = 2
 JACCARD_THRESHOLD = 0.8
 
@@ -534,6 +535,29 @@ def q_cosine_pairs(sf_dir: str):
     from ..stages.similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(_emb(sf_dir), threshold=COSINE_PAIR_THRESHOLD)
+
+
+def q_embed_decon(sf_dir: str):
+    """Semantic benchmark decontamination: the even-FNV-sixteenth of the
+    embedding table plays the benchmark set; corpus vectors within cosine
+    threshold of ANY benchmark vector are flagged with their match count."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_str
+    from ..stages.similarity import embed_decontaminate
+
+    def _tagged(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["vec_id"]).astype(np.int64)
+            is_b = (hash_str(ids.astype("U")) % np.uint64(16)) == 0
+            return t.filter(pa.array(is_b if keep_bench else ~is_b))
+
+        return f
+
+    bench = _emb(sf_dir).map_batches(_tagged(True), batch_format="pyarrow")
+    corpus = _emb(sf_dir).map_batches(_tagged(False), batch_format="pyarrow")
+    return embed_decontaminate(corpus, bench, threshold=EMBED_DECON_THRESHOLD)
 
 
 def q_lsh_topk(sf_dir: str):
@@ -1097,6 +1121,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_sample_stratified": q_sample_stratified,
         "s_cosine_topk": q_cosine_topk,
         "s_cosine_pairs": q_cosine_pairs,
+        "s_embed_decon": q_embed_decon,
         "s_lsh_topk": q_lsh_topk,
         "s_ivf_topk": q_ivf_topk,
     }
@@ -1333,6 +1358,19 @@ s AS (SELECT qid, vec_id,
       FROM q, v)
 SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)::BIGINT AS rank
 FROM s QUALIFY rank <= {ANN_K}
+"""
+
+EMBED_DECON_SQL = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) e,
+  CAST({_fnv_sql("CAST(vec_id AS VARCHAR)")} % 16 AS BIGINT) = 0 AS is_bench
+  FROM embeddings),
+c AS (SELECT vec_id, e FROM v WHERE NOT is_bench),
+b AS (SELECT vec_id, e FROM v WHERE is_bench)
+SELECT c.vec_id, count(*)::BIGINT AS n_matches
+FROM c JOIN b ON list_dot_product(c.e, b.e)
+  / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(b.e, b.e)))
+  >= {EMBED_DECON_THRESHOLD}
+GROUP BY c.vec_id
 """
 
 COSINE_PAIRS_SQL = f"""
@@ -1954,5 +1992,6 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_sample_stratified": SAMPLE_STRATIFIED_SQL,
         "s_cosine_topk": COSINE_TOPK_SQL,
         "s_cosine_pairs": COSINE_PAIRS_SQL,
+        "s_embed_decon": EMBED_DECON_SQL,
         **_media_oracles(sf_dir),
     }

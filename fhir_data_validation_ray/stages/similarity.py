@@ -142,6 +142,45 @@ def cosine_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
     return _fold_topk(cand, k, len(query_ids))
 
 
+def embed_decontaminate(embeddings, benchmark, *, threshold: float = 0.9,
+                        batch_size: int | None = None):
+    """Semantic benchmark decontamination: flag every corpus vector whose
+    cosine against ANY benchmark vector is >= ``threshold`` — the
+    embedding-space complement of ``dedup.decontaminate``'s n-gram screen
+    (paraphrased benchmark leakage that shares no shingles).
+
+    ``benchmark`` (a Dataset of vec_id + embedding) is the SMALL side —
+    the same stated assumption as decontaminate's exact lane: its unit
+    matrix is broadcast ONCE via ``ray.put`` and the corpus STREAMS through
+    a stateless per-batch matmul probe (no shuffle, no driver state in the
+    corpus dimension). For benchmark sets past broadcast scale, run
+    ``cosine_pairs_lsh`` over the role-tagged union instead.
+
+    Returns Dataset[vec_id, n_matches] — only flagged vectors, with the
+    exact count of benchmark vectors above threshold (integer output, so
+    the DuckDB oracle compares bitwise)."""
+    import ray
+
+    bench_tbl = collect_table(benchmark.select_columns(["vec_id", "embedding"]))
+    b_ids, b_m = _batch_matrix(bench_tbl)
+    b_ref = ray.put(_normalize(b_m))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(b_ref) if isinstance(b_ref, ray.ObjectRef) else b_ref
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0 or len(bm) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        sims = _normalize(m) @ bm.T
+        n = (sims >= threshold).sum(axis=1).astype(np.int64)
+        hit = n > 0
+        return pa.table({"vec_id": pa.array(ids[hit]),
+                         "n_matches": pa.array(n[hit])})
+
+    return embeddings.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=batch_size)
+
+
 def cosine_pairs(embeddings, threshold: float = 0.9, *,
                  batch_size: int | None = None):
     """Exact pairs (a < b) with cosine similarity >= threshold — the
