@@ -172,6 +172,69 @@ def _primitive_query(kind: str, primitive: str) -> Callable[[str], Any]:
     return run
 
 
+def _json_ingest_query(sf_dir: str):
+    """JSONL ingest with stage-0 INVALID_JSON quarantine: parsed docs emit
+    (doc_id, n_spans, text_chars); quarantined lines emit sentinel rows.
+    The oracle recomputes both sides from the PARQUET fixture + the
+    deterministic corruption rule, so a parse/reconstruction divergence
+    anywhere in the lane breaks the hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.json_ingest import jsonl_fixture, read_documents_jsonl
+
+    ds = read_documents_jsonl(jsonl_fixture(sf_dir))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        err = t["error"]
+        if isinstance(err, pa.ChunkedArray):
+            err = err.combine_chunks()
+        ok = pc.is_null(err).to_numpy(zero_copy_only=False)
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        texts = pc.struct_field(pc.list_flatten(spans), "text")
+        tc = pc.utf8_length(texts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[np.int64(0)], np.cumsum(tc)])
+        ends = np.cumsum(lens)
+        text_chars = cs[ends] - cs[ends - lens]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = np.where(ok, ids, "__INVALID_JSON__")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype("U"), pa.string()),
+                "n_spans": pa.array(np.where(ok, lens, 0)),
+                "text_chars": pa.array(np.where(ok, text_chars, 0)),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def _json_ingest_sql() -> str:
+    from ..pipelines.dataops import _fnv_sql
+    from ..sources.json_ingest import CORRUPT_MOD
+
+    return f"""
+WITH d AS (SELECT doc_id, {_fnv_sql('doc_id')} % {CORRUPT_MOD} = 0 AS bad
+           FROM read_parquet('{{docs}}')),
+g AS (SELECT d.doc_id, count(f.doc_id)::BIGINT AS n_spans,
+        coalesce(sum(length(f.text)), 0)::BIGINT AS text_chars
+      FROM d LEFT JOIN read_parquet('{{flat}}') f USING (doc_id)
+      WHERE NOT d.bad GROUP BY d.doc_id)
+SELECT doc_id, n_spans, text_chars FROM g
+UNION ALL
+SELECT '__INVALID_JSON__' AS doc_id, 0::BIGINT AS n_spans,
+       0::BIGINT AS text_chars
+FROM d WHERE bad
+"""
+
+
 def _reference_join_query(sf_dir: str):
     paths = fixture_paths(sf_dir)
     docs = read_documents(paths["docs"])
@@ -216,6 +279,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
         "v_empty_doc": _empty_doc_query,
+        "v_json_ingest": _json_ingest_query,
         "v_primitive_date": _primitive_query("date", "date"),
         "v_primitive_datetime": _primitive_query("dateTime", "dateTime"),
         "v_primitive_uri": _primitive_query("uri", "uri"),
@@ -248,6 +312,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,
         "v_empty_doc": oracle.V_EMPTY_DOC,
+        "v_json_ingest": _json_ingest_sql(),
         "v_primitive_date": oracle.primitive_sql("date", "date"),
         "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),
         "v_primitive_uri": oracle.primitive_sql("uri", "uri"),

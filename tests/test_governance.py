@@ -409,3 +409,35 @@ def test_checkpointed_mode_does_not_reuse_other_modes_manifests(ray_session, tmp
     assert full["n_processed_this_run"] == full["n_partitions"]  # no reuse
     assert full2["n_processed_this_run"] == 0                    # same mode resumes
     assert full["n_violations"] > std["n_violations"]            # advisory rows added
+
+
+def test_jsonl_ingest_quarantine(ray_session, tmp_path):
+    """Clean blocks take the vectorized parse; corrupted lines fall to the
+    per-line quarantine with INVALID_JSON and the raw line preserved;
+    parsed spans round-trip exactly (order, nulls, offsets)."""
+    import pandas as pd
+
+    from fhir_data_validation_ray.sources.json_ingest import (
+        INVALID_JSON,
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id":"a","spans":[{"kind":"Patient","text":"t1","media_ref":null,"offset":0}]}\n'
+        '{"doc_id":"b","spans":[]}\n'
+        'not json at all\n'
+        '{"doc_id":"c","spans":[{"kind":"Observation","text":null,"media_ref":"m://1","offset":1}]}\n'
+        '{"truncated": \n',
+        encoding="utf-8",
+    )
+    t = read_documents_jsonl(str(p)).to_pandas()
+    by_id = t.set_index("doc_id", drop=False)
+    assert pd.isna(by_id.loc["a", "error"])
+    assert len(by_id.loc["a", "spans"]) == 1
+    assert by_id.loc["a", "spans"][0]["kind"] == "Patient"
+    assert len(by_id.loc["b", "spans"]) == 0
+    assert by_id.loc["c", "spans"][0]["media_ref"] == "m://1"
+    bad = t[t["error"] == INVALID_JSON]
+    assert len(bad) == 2
+    assert set(bad["raw"]) == {"not json at all", '{"truncated": '}
