@@ -161,7 +161,12 @@ def embed_decontaminate(embeddings, benchmark, *, threshold: float = 0.9,
     the DuckDB oracle compares bitwise)."""
     import ray
 
-    bench_tbl = collect_table(benchmark.select_columns(["vec_id", "embedding"]))
+    bench_tbl = collect_table(
+        benchmark.select_columns(["vec_id", "embedding"]),
+        empty_schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+        ),
+    )
     b_ids, b_m = _batch_matrix(bench_tbl)
     b_ref = ray.put(_normalize(b_m))
 

@@ -453,6 +453,41 @@ def test_new_ops_tolerate_empty_blocks(ray_session):
     assert d3.doc_id.tolist() == [2] and d3.n_overlap.tolist() == [1]
 
 
+def test_late_ops_tolerate_empty_blocks(ray_session):
+    """Same zero-row-block guarantee for the final-session operators."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.similarity import embed_decontaminate
+    from fhir_data_validation_ray.stages.stats import percentile_rank
+    from fhir_data_validation_ray.stages.textops import quality_score
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert len(quality_score(empty_docs).to_pandas()) == 0
+
+    empty_scores = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "x": pa.array([], pa.int64())}))
+    assert len(percentile_rank(empty_scores, "x").to_pandas()) == 0
+
+    def emb(ids, vecs):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }))
+
+    empty_emb = emb([], [])
+    some_emb = emb([1, 2], [[1.0, 0.0], [0.0, 1.0]])
+    # empty benchmark: no vector can match
+    assert len(embed_decontaminate(some_emb, empty_emb).to_pandas()) == 0
+    # empty corpus
+    assert len(embed_decontaminate(empty_emb, some_emb).to_pandas()) == 0
+    # exact-match corpus vector flags with count 1
+    got = embed_decontaminate(some_emb, emb([9], [[2.0, 0.0]]),
+                              threshold=0.99).to_pandas()
+    assert got.vec_id.tolist() == [1] and got.n_matches.tolist() == [1]
+
+
 def test_curation_identical_across_read_parallelism(ray_session):
     """The curated keep-list must not depend on block boundaries — every
     membership rule is a pure function of the corpus, so 2-block and
