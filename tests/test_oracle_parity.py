@@ -164,3 +164,56 @@ def test_reference_join_details_match_json_dumps(ray_session):
     want = [json.dumps({"ref": r, "policy": "registry"}, separators=(",", ":"))
             for r in refs]
     assert out.details.tolist() == want
+
+
+def test_jsonl_lane_validates_identically(ray_session):
+    """INGEST composition: JSONL -> quarantine filter -> validate must emit
+    exactly the parquet lane's violations for the surviving docs (the
+    span-sequence invariant survives serialization + the vectorized JSON
+    parse round-trip)."""
+    import numpy as np
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+    from fhir_data_validation_ray.pipelines.queries import RESULT_COLS
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+    from fhir_data_validation_ray.sources.json_ingest import (
+        CORRUPT_MOD,
+        jsonl_fixture,
+        read_documents_jsonl,
+    )
+    from fhir_data_validation_ray.sources.readers import (
+        read_documents,
+        registry_keys_numpy,
+    )
+    from fhir_data_validation_ray.stages.validator import validate_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths = fixture_paths(sf_dir)
+    reg = registry_keys_numpy(paths["registry"])
+    p = default_profile()
+
+    import pyarrow.compute as pc
+
+    def parsed_only(t):
+        return t.filter(pc.is_null(t["error"])).select(["doc_id", "spans"])
+
+    jl = read_documents_jsonl(jsonl_fixture(sf_dir)).map_batches(
+        parsed_only, batch_format="pyarrow"
+    )
+    got = validate_dataset(jl, p, registry_keys=reg, emit_details=False)
+    got_rows = sorted(map(tuple, got.select_columns(RESULT_COLS).to_pandas().values))
+
+    import pyarrow as pa
+
+    def drop_corrupted(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("U")
+        keep = (hash_str(ids) % np.uint64(CORRUPT_MOD)) != 0
+        return t.filter(pa.array(keep))
+
+    pq_docs = read_documents(paths["docs"]).map_batches(
+        drop_corrupted, batch_format="pyarrow"
+    )
+    want = validate_dataset(pq_docs, p, registry_keys=reg, emit_details=False)
+    want_rows = sorted(map(tuple, want.select_columns(RESULT_COLS).to_pandas().values))
+    assert got_rows == want_rows and len(got_rows) > 0
