@@ -415,8 +415,6 @@ def test_jsonl_ingest_quarantine(ray_session, tmp_path):
     """Clean blocks take the vectorized parse; corrupted lines fall to the
     per-line quarantine with INVALID_JSON and the raw line preserved;
     parsed spans round-trip exactly (order, nulls, offsets)."""
-    import pandas as pd
-
     from fhir_data_validation_ray.sources.json_ingest import (
         INVALID_JSON,
         read_documents_jsonl,
@@ -431,13 +429,13 @@ def test_jsonl_ingest_quarantine(ray_session, tmp_path):
         '{"truncated": \n',
         encoding="utf-8",
     )
-    t = read_documents_jsonl(str(p)).to_pandas()
-    by_id = t.set_index("doc_id", drop=False)
-    assert pd.isna(by_id.loc["a", "error"])
-    assert len(by_id.loc["a", "spans"]) == 1
-    assert by_id.loc["a", "spans"][0]["kind"] == "Patient"
-    assert len(by_id.loc["b", "spans"]) == 0
-    assert by_id.loc["c", "spans"][0]["media_ref"] == "m://1"
-    bad = t[t["error"] == INVALID_JSON]
+    rows_out = read_documents_jsonl(str(p)).take_all()
+    by_id = {r["doc_id"]: r for r in rows_out if r["doc_id"] is not None}
+    assert by_id["a"]["error"] is None
+    assert len(by_id["a"]["spans"]) == 1
+    assert by_id["a"]["spans"][0]["kind"] == "Patient"
+    assert len(by_id["b"]["spans"]) == 0
+    assert by_id["c"]["spans"][0]["media_ref"] == "m://1"
+    bad = [r for r in rows_out if r["error"] == INVALID_JSON]
     assert len(bad) == 2
-    assert set(bad["raw"]) == {"not json at all", '{"truncated": '}
+    assert {r["raw"] for r in bad} == {"not json at all", '{"truncated": '}
