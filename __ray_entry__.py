@@ -89,6 +89,9 @@ _QUERY_V_SACRIFICE = [
     # reference_join details — stays in)
     "v_primitive_date", "v_filter_scope", "v_exclusivity",
     "v_required_spans", "v_reference_inbundle",
+    # v_json_ingest (new, oracle-bearing) takes the next slot: out goes the
+    # unchanged single-regex kernel
+    "v_regex",
 ]
 
 # (4) stable r02-green queries pushed past the window (still run in the
@@ -107,7 +110,7 @@ _QUERY_STABLE_TAIL = [
 # weakest signal, always last
 _QUERY_ROWS_ONLY_TAIL = [
     "a_kind_drift", "a_column_profile", "a_drift_by_source",
-    "s_lsh_topk", "s_ivf_topk",
+    "s_lsh_topk", "s_ivf_topk", "a_top_words_sketch",
 ]
 
 

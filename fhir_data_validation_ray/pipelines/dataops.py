@@ -141,6 +141,15 @@ def q_top_words(sf_dir: str):
     return top_words(_docs(sf_dir), k=TOP_WORDS_K)
 
 
+def q_top_words_sketch(sf_dir: str):
+    """Count-Min heavy hitters (rows-only: approximate by design; the exact
+    lane t_top_words carries the SQL oracle, and the sketch's one-sided
+    bound is property-tested against it)."""
+    from ..stages.textops import top_words_sketch
+
+    return top_words_sketch(_docs(sf_dir), k=TOP_WORDS_K)
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over the NRIC-bearing Patient spans of the interleaved
     fixture (count + redact, streaming Arrow regex kernels)."""
@@ -1096,6 +1105,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_oov": q_oov,
         "t_shuffle": q_shuffle,
         "t_top_words": q_top_words,
+        "a_top_words_sketch": q_top_words_sketch,
         "t_chunks": q_chunks,
         "t_normalize": q_normalize,
         "d_seg_dedup": q_seg_dedup,

@@ -92,6 +92,86 @@ def text_features(docs, *, batch_size: int | None = None):
     return docs.map_batches(feats, batch_format="pyarrow", batch_size=batch_size)
 
 
+def top_words_sketch(docs, k: int = 20, *, width: int = 1 << 16, depth: int = 4,
+                     cand_per_batch: int = 256, batch_size: int | None = None):
+    """Heavy hitters by Count-Min sketch — the UNBOUNDED-vocabulary lane
+    next to the exact ``top_words`` (whose bucketed exchange assumes word
+    totals fit a groupby; a 10^12-doc web corpus's tail vocabulary does
+    not). Per-batch partial = one (CMS, local-candidates) row; partials
+    merge associatively through the same two-level fold as the
+    TDigest/HLL sketches — no shuffle of words anywhere, driver state is
+    O(width x depth + candidates).
+
+    One-sided guarantee inherited from CMS: estimates only overshoot, and a
+    true heavy hitter is always in some batch's local top candidates, so
+    top-k recall degrades gracefully (tested against the exact lane)."""
+    import ray.data as rd
+
+    from ..functions.collect import collect_table
+    from ..state.sketches import CountMinSketch
+
+    cand_cap = max(cand_per_batch * 4, k * 8)
+
+    def _word_counts(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(texts, " "))
+        da = pc.dictionary_encode(flat)
+        counts = np.bincount(np.asarray(da.indices), minlength=len(da.dictionary))
+        words = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        keep = words != ""
+        return words[keep], counts[keep].astype(np.int64)
+
+    def _row(cms: CountMinSketch, cand: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "cms": pa.array([cms.to_bytes()], pa.binary()),
+                "cand": pa.array([list(cand)], pa.list_(pa.string())),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, counts = _word_counts(t)
+        cms = CountMinSketch.empty(width, depth)
+        cms.add_strings(words, counts)
+        order = np.lexsort((words, -counts))[:cand_per_batch]
+        return _row(cms, words[order])
+
+    def _merge_rows(t: pa.Table) -> tuple[CountMinSketch, np.ndarray]:
+        cms = CountMinSketch.empty(width, depth)
+        cands: list[np.ndarray] = []
+        for i in range(t.num_rows):
+            cms = cms.merge(CountMinSketch.from_bytes(
+                t["cms"][i].as_py(), width, depth))
+            cands.append(np.asarray(t["cand"][i].as_py(), dtype="U"))
+        cand = np.unique(np.concatenate(cands)) if cands else np.empty(0, "U1")
+        return cms, cand
+
+    def combine(t: pa.Table) -> pa.Table:
+        cms, cand = _merge_rows(t)
+        est = cms.estimate_strings(cand)
+        order = np.lexsort((cand, -est))[:cand_cap]  # bounded combine output
+        return _row(cms, cand[order])
+
+    parts = collect_table(
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("cms", pa.binary()),
+                                ("cand", pa.list_(pa.string()))]),
+    )
+    cms, cand = _merge_rows(parts)
+    est = cms.estimate_strings(cand)
+    order = np.lexsort((cand, -est))[:k]
+    return rd.from_arrow(pa.table(
+        {
+            "word": pa.array(cand[order], pa.string()),
+            "est_n": pa.array(est[order].astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    ))
+
+
 QS_DIM = 1 << 20          # hashed feature space (fasttext default 2M is close)
 QS_MIX = 2654435761       # Knuth multiplicative mix for the arithmetic weights
 

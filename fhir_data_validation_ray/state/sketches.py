@@ -15,6 +15,11 @@ fold over per-batch sketch rows, never a shuffle of raw values.
   simpler merge.
 - **HyperLogLog**: p-bit register HLL (default p=14 -> 16 KiB, ~0.8% error)
   over 64-bit FNV hashes, with linear-counting small-range correction.
+- **CountMinSketch**: depth x width counter grid over 64-bit FNV hashes —
+  point-frequency estimates for UNBOUNDED key spaces where the exact
+  value-count fold's distinct-cardinality assumption breaks. One-sided
+  error: estimate >= true count always; overshoot <= 2N/width with
+  probability 1 - 2^-depth per query.
 """
 
 from __future__ import annotations
@@ -148,3 +153,74 @@ class HyperLogLog:
         if e <= 2.5 * m and zeros:
             return m * np.log(m / zeros)  # linear counting
         return e
+
+
+# -------------------------------------------------------------- count-min
+_CMS_MIX_A = np.uint64(0x9E3779B97F4A7C15)  # per-row odd multipliers derive
+_CMS_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)  # from splitmix64's constants
+
+
+@dataclass
+class CountMinSketch:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows over a ``width``-counter grid. Updates and point
+    queries are fully vectorized; merge is elementwise add, so per-batch
+    partials fold exactly like TDigest/HLL. Estimates are one-sided
+    (``estimate >= true``); keep-side decisions built on it can only
+    over-keep, never silently drop."""
+
+    counts: np.ndarray  # int64[depth, width]
+    width: int = 2048
+    depth: int = 4
+
+    @classmethod
+    def empty(cls, width: int = 2048, depth: int = 4) -> "CountMinSketch":
+        return cls(np.zeros((depth, width), dtype=np.int64), width, depth)
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices — splitmix-style per-row remix of the
+        FNV hashes (pure function of the hash: merges stay consistent)."""
+        h = np.asarray(h, dtype=np.uint64)
+        j = np.arange(self.depth, dtype=np.uint64).reshape(-1, 1)
+        x = h[None, :] * (_CMS_MIX_A + np.uint64(2) * j) + _CMS_MIX_B * j
+        x ^= x >> np.uint64(29)
+        x *= _CMS_MIX_A
+        x ^= x >> np.uint64(32)
+        return (x % np.uint64(self.width)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if len(h) == 0:
+            return
+        c = np.ones(len(h), dtype=np.int64) if counts is None else \
+            np.asarray(counts, dtype=np.int64)
+        idx = self._rows(h)
+        for j in range(self.depth):
+            np.add.at(self.counts[j], idx[j], c)
+
+    def add_strings(self, arr: np.ndarray, counts: np.ndarray | None = None) -> None:
+        self.add_hashes(hash_str(np.asarray(arr, dtype="U")), counts)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._rows(h)
+        est = self.counts[0][idx[0]]
+        for j in range(1, self.depth):
+            est = np.minimum(est, self.counts[j][idx[j]])
+        return est.astype(np.int64)
+
+    def estimate_strings(self, arr: np.ndarray) -> np.ndarray:
+        return self.estimate_hashes(hash_str(np.asarray(arr, dtype="U")))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cannot merge CMS of different shapes")
+        return CountMinSketch(self.counts + other.counts, self.width, self.depth)
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, width: int = 2048, depth: int = 4) -> "CountMinSketch":
+        return cls(np.frombuffer(b, dtype=np.int64).reshape(depth, width).copy(),
+                   width, depth)

@@ -119,3 +119,44 @@ def test_kind_histogram_drift(ray_session):
     skew = {k: v for k, v in snap.items() if k != "Patient"}
     hot = kind_drift(read_documents(paths["docs"]), skew).to_pandas()
     assert hot["drifted"].all()
+
+
+def test_cms_one_sided_and_merge():
+    """CMS estimates never undercount; split+merge equals whole; overshoot
+    stays within the eps*N bound for a comfortably wide sketch."""
+    import numpy as np
+
+    from fhir_data_validation_ray.state.sketches import CountMinSketch
+
+    rng = np.random.RandomState(7)
+    words = np.array([f"w{i}" for i in rng.zipf(1.5, 20000) if i < 5000], dtype="U")
+    uniq, true = np.unique(words, return_counts=True)
+
+    whole = CountMinSketch.empty(width=4096, depth=4)
+    whole.add_strings(words)
+    est = whole.estimate_strings(uniq)
+    assert (est >= true).all()
+    assert (est - true).max() <= 2 * len(words) / 4096 + 1
+
+    half = len(words) // 2
+    a = CountMinSketch.empty(width=4096, depth=4)
+    b = CountMinSketch.empty(width=4096, depth=4)
+    a.add_strings(words[:half])
+    b.add_strings(words[half:])
+    assert (a.merge(b).counts == whole.counts).all()
+
+
+def test_top_words_sketch_tracks_exact_lane(ray_session):
+    """Sketch-lane heavy hitters: every exact top-k word appears in the
+    sketch top-2k, and its estimate is >= its true count (one-sided)."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import top_words, top_words_sketch
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    exact = top_words(docs, k=10).to_pandas().set_index("word")
+    sk = top_words_sketch(docs, k=20).to_pandas().set_index("word")
+    assert set(exact.index) <= set(sk.index)
+    for w in exact.index:
+        assert sk.loc[w, "est_n"] >= exact.loc[w, "n"]
