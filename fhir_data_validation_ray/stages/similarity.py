@@ -239,8 +239,11 @@ def _list_matrix(col: pa.Array) -> np.ndarray:
     return flat.reshape(n, len(flat) // max(n, 1))
 
 
+WIDE_CODE_MIN_VECTORS = 2_000_000  # auto planes_per_rep 4 -> 8 above this
+
+
 def cosine_pairs_lsh(embeddings, threshold: float = 0.9, *,
-                     planes_per_rep: int = 4, target_miss: float = 1e-6,
+                     planes_per_rep: int | None = None, target_miss: float = 1e-6,
                      max_reps: int = 128, verify_buckets: int = 64,
                      max_bucket_size: int | None = None,
                      batch_size: int | None = None, seed: int = 0xA11CE):
@@ -263,8 +266,18 @@ def cosine_pairs_lsh(embeddings, threshold: float = 0.9, *,
     cluster of near-identical vectors) — set it at web scale, leave None for
     oracle-exact runs. Verification is the same routed shuffle as
     ``dedup.minhash_lsh_pairs``: pair half-rows meet their vector in a
-    vec-bucket groupby, both unit vectors meet in a pair-bucket groupby."""
+    vec-bucket groupby, both unit vectors meet in a pair-bucket groupby.
+
+    ``planes_per_rep`` sizes the candidate groups: one bucket holds ~n/2^g
+    vectors, so g=4 keeps recall-per-rep high for small corpora while g=8
+    shrinks the largest exchange group 16x (at ~2.3x more repetitions for
+    the same miss bound — still exact after verification). The default
+    (``None``) auto-picks by corpus size the way the other lanes do,
+    at ``WIDE_CODE_MIN_VECTORS``; lane equivalence is tested."""
     from .dedup import _intmix
+
+    if planes_per_rep is None:
+        planes_per_rep = 4 if embeddings.count() <= WIDE_CODE_MIN_VECTORS else 8
 
     theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
     p_plane = 1.0 - theta / np.pi

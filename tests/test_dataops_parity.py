@@ -240,6 +240,25 @@ def test_cosine_pairs_lsh_matches_broadcast(ray_session):
     assert len(a) > 0
 
 
+def test_cosine_pairs_lsh_code_width_equivalence(ray_session):
+    """The wide-code lane (planes_per_rep=8, the >2M-vector auto-pick that
+    shrinks the largest exchange group 16x) must produce the same verified
+    pairs as the narrow default — exactness survives the bucket reshaping."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.dataops import COSINE_PAIR_THRESHOLD
+    from fhir_data_validation_ray.stages.similarity import cosine_pairs_lsh
+
+    emb = lambda: rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    a = cosine_pairs_lsh(emb(), threshold=COSINE_PAIR_THRESHOLD,
+                         planes_per_rep=4).to_pandas()
+    b = cosine_pairs_lsh(emb(), threshold=COSINE_PAIR_THRESHOLD,
+                         planes_per_rep=8).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b"]].values))
+    assert key(a) == key(b)
+    assert len(a) > 0
+
+
 def test_ivf_topk_recall_beats_probe_budget(ray_session):
     """IVF with nprobe=4 of 16 clusters scans ~25% of the corpus per query;
     recall vs the exact top-k should be well above that fraction."""
