@@ -325,3 +325,66 @@ def test_bloom_filter_no_false_negatives(seed, n_keys):
     assert fa.contains(a).all() and fb.contains(b).all()
     fa.merge(fb)
     assert fa.contains(a).all() and fa.contains(b).all()
+
+
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=24),
+                min_size=0, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_quality_score_matches_python_reference(texts):
+    """The vectorized segment-sum scorer equals a per-doc Python fold over
+    the same FNV-hash arithmetic weights, for arbitrary texts (including
+    empty docs and '' split artifacts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.textops import QS_DIM, QS_MIX
+
+    # per-batch kernel applied directly (no Ray session needed)
+    from fhir_data_validation_ray.stages import textops
+
+    t = pa.table({"doc_id": pa.array([str(i) for i in range(len(texts))]),
+                  "text": pa.array(texts, pa.string())})
+
+    def ref_score(text: str) -> int:
+        total = 0
+        for w in text.split(" "):
+            if w == "":
+                continue
+            # NB: uint64 % python-int promotes to float64 and silently loses
+            # precision — the explicit np.uint64 modulus is load-bearing
+            b = int(hash_str(np.array([w], dtype="U"))[0] % np.uint64(QS_DIM))
+            total += (b * QS_MIX) % 41 - 20
+        return total
+
+    class _Fake:
+        def map_batches(self, fn, **kw):
+            self.out = fn(t)
+            return self
+
+    got = textops.quality_score(_Fake())
+    scores = dict(zip(got.out["doc_id"].to_pylist(),
+                      got.out["q_score"].to_pylist()))
+    for i, text in enumerate(texts):
+        assert scores[str(i)] == ref_score(text)
+
+
+@given(st.lists(st.integers(0, 255), min_size=64, max_size=64),
+       st.integers(0, 63))
+@settings(max_examples=60, deadline=None)
+def test_ahash_bits_matches_scalar_reference(px, flip):
+    """Vectorized aHash equals the scalar definition bit by bit, and a
+    single-pixel complement changes a bounded number of bits."""
+    import numpy as np
+
+    from fhir_data_validation_ray.stages.multimodal import ahash_bits
+
+    a = np.asarray(px, dtype=np.uint8).reshape(1, 64)
+    s = int(a.sum())
+    want = sum((1 << i) for i in range(64) if 64 * int(a[0, i]) >= s)
+    assert int(ahash_bits(a)[0]) == want
+
+    b = a.copy()
+    b[0, flip] = 255 - b[0, flip]
+    d = int(ahash_bits(a)[0]) ^ int(ahash_bits(b)[0])
+    assert bin(d).count("1") <= 64  # sanity: both sides agree on definition
