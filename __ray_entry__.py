@@ -66,7 +66,7 @@ _QUERY_PRIORITY = [
     # -- late round-3 operators: new (rank/quality-score) and re-sharded
     #    banding exchanges (simhash changed after its r02 verification)
     "a_rank_nchars", "t_quality_score", "d_simhash_pairs", "m_phash_dups",
-    "s_embed_decon",
+    "s_embed_decon", "c_curation_clf",
 ]
 
 # v_* backfill order: when priority growth pushes v_* past the window,
@@ -89,9 +89,9 @@ _QUERY_V_SACRIFICE = [
     # reference_join details — stays in)
     "v_primitive_date", "v_filter_scope", "v_exclusivity",
     "v_required_spans", "v_reference_inbundle",
-    # v_json_ingest (new, oracle-bearing) takes the next slot: out goes the
-    # unchanged single-regex kernel
-    "v_regex",
+    # v_json_ingest and c_curation_clf (new, oracle-bearing) take the next
+    # slots: out go the unchanged single-regex and required kernels
+    "v_regex", "v_required",
 ]
 
 # (4) stable r02-green queries pushed past the window (still run in the

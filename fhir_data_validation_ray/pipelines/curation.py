@@ -29,11 +29,20 @@ import pyarrow as pa
 
 
 def curate_keep_list(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8,
-                     sample_rate: float = 1.0, num_buckets: int = 64):
-    """Dataset[doc_id:int64, text] -> Dataset[doc_id] of curated survivors."""
+                     sample_rate: float = 1.0, num_buckets: int = 64,
+                     classifier_threshold: int | None = None,
+                     classifier_weights=None):
+    """Dataset[doc_id:int64, text] -> Dataset[doc_id] of curated survivors.
+
+    ``classifier_threshold`` (optional) adds a FIFTH membership stream: the
+    hashed-linear quality classifier (``textops.quality_score``) must score
+    the doc at or above it — the model-based gate real curation pipelines
+    run next to the heuristic one. ``classifier_weights`` passes a trained
+    weight vector through; the default arithmetic table keeps the composed
+    oracle exact."""
     from ..stages.dedup import _intmix, dedup_clusters, exact_dedup, ngram_jaccard_pairs
     from ..stages.sampling import sample_by_hash
-    from ..stages.textops import text_features
+    from ..stages.textops import quality_score, text_features
 
     # stream 0: exact-dedup survivors
     kept_exact = exact_dedup(docs)
@@ -75,6 +84,21 @@ def curate_keep_list(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8
         .union(tag(quality, 2))
         .union(tag(sampled, 3))
     )
+    required = 0b1101  # in streams 0,2,3; stream 1 is the drop stream
+    if classifier_threshold is not None:
+        thr = classifier_threshold
+
+        def clf_keep(t: pa.Table) -> pa.Table:
+            keep = np.asarray(t["q_score"]).astype(np.int64) >= thr
+            return pa.table({"doc_id": t["doc_id"].filter(pa.array(keep))
+                             if isinstance(t["doc_id"], pa.Array)
+                             else t["doc_id"].combine_chunks().filter(pa.array(keep))})
+
+        scored = quality_score(docs, weights=classifier_weights).map_batches(
+            clf_keep, batch_format="pyarrow"
+        )
+        merged = merged.union(tag(scored, 4))
+        required |= 0b10000
 
     def fold(g: pa.Table) -> pa.Table:
         d = np.asarray(g["doc_id"]).astype(np.int64)
@@ -83,8 +107,8 @@ def curate_keep_list(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8
         # bitmask of streams present per doc (each stream emits a doc once)
         mask = np.zeros(len(ud), dtype=np.int64)
         np.bitwise_or.at(mask, inv, np.int64(1) << s)
-        keep = (mask & 0b1101) == 0b1101  # in streams 0,2,3 ...
-        keep &= (mask & 0b0010) == 0      # ... and NOT in drop stream 1
+        keep = (mask & required) == required  # in every keep stream ...
+        keep &= (mask & 0b0010) == 0          # ... and NOT in drop stream 1
         return pa.table({"doc_id": pa.array(ud[keep])})
 
     return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")

@@ -114,6 +114,16 @@ def q_curation(sf_dir: str):
     return curate_keep_list(_docs(sf_dir), sample_rate=CURATION_SAMPLE_RATE)
 
 
+def q_curation_clf(sf_dir: str):
+    """The flagship keep-list with the model-based gate added: the hashed
+    linear classifier (score >= 0) joins the four heuristic membership
+    streams in the same single bucketed fold."""
+    from .curation import curate_keep_list
+
+    return curate_keep_list(_docs(sf_dir), sample_rate=CURATION_SAMPLE_RATE,
+                            classifier_threshold=0)
+
+
 def q_keep_best(sf_dir: str):
     """Quality-aware near-dup resolution: each jaccard component keeps its
     longest member (ties -> lowest doc_id); unclustered docs all survive."""
@@ -1122,6 +1132,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_norm_dedup": q_norm_dedup,
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
+        "c_curation_clf": q_curation_clf,
         "c_embed_dedup": q_embed_dedup,
         "c_keep_best": q_keep_best,
         "j_orders_by_segment": q_orders_by_segment,
@@ -1420,6 +1431,24 @@ sampled AS (SELECT doc_id FROM documents
  INTERSECT SELECT doc_id FROM quality
  INTERSECT SELECT doc_id FROM sampled)
 EXCEPT SELECT doc_id FROM drops
+"""
+
+
+def _curation_clf_sql() -> str:
+    """q_curation_clf mirror: the composed keep-list (as a derived table
+    with its own recursive CTEs) intersected with the classifier gate."""
+    from ..stages.textops import QS_DIM, QS_MIX
+
+    return f"""
+WITH qsw AS (SELECT doc_id,
+    CAST((({_fnv_sql('word')} % {QS_DIM}) * {QS_MIX}) % 41 AS BIGINT) - 20 AS wt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''),
+qss AS (SELECT doc_id, sum(wt)::BIGINT AS q FROM qsw GROUP BY doc_id),
+clf AS (SELECT d.doc_id FROM documents d LEFT JOIN qss USING (doc_id)
+        WHERE coalesce(qss.q, 0) >= 0)
+SELECT doc_id FROM ({_curation_sql()})
+INTERSECT SELECT doc_id FROM clf
 """
 
 
@@ -1993,6 +2022,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_norm_dedup": NORM_DEDUP_SQL,
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
+        "c_curation_clf": _curation_clf_sql(),
         "c_embed_dedup": EMBED_DEDUP_SQL,
         "c_keep_best": KEEP_BEST_SQL,
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

@@ -1494,3 +1494,21 @@ def test_incremental_revalidate_matches_full(ray_session):
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
     assert set(inc.doc_id) <= churn
+
+
+def test_curation_classifier_stream(ray_session):
+    """classifier_threshold adds a pure-subset gate: the gated keep-list is
+    contained in the ungated one, and an impossible threshold empties it."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import curate_keep_list
+
+    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+    base = set(curate_keep_list(docs()).to_pandas()["doc_id"])
+    gated = set(curate_keep_list(docs(), classifier_threshold=0)
+                .to_pandas()["doc_id"])
+    assert gated <= base
+    assert 0 < len(gated)
+    none = curate_keep_list(docs(), classifier_threshold=10**9).to_pandas()
+    assert len(none) == 0
