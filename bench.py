@@ -219,6 +219,9 @@ def run_bench() -> dict:
     result = {
         "metric": "validated docs/sec (full default profile, fused validator)",
         "host_spin_ms": host_spin_ms(),
+        # granted aggregate capacity at this run's parallelism — normalizes
+        # cross-round comparisons taken in different host-throttle states
+        "effective_cores": effective_cores(NUM_CPUS),
         "value": headline,
         "unit": "sec",
         "queries": timings,
