@@ -49,18 +49,26 @@ def _parse_lines_slow(lines: list[str]) -> pa.Table:
     for line in lines:
         try:
             obj = json.loads(line)
-            if not isinstance(obj, dict) or "doc_id" not in obj:
+            if not isinstance(obj, dict) or not isinstance(
+                obj.get("doc_id"), (str, int)
+            ):
                 raise ValueError("not a document object")
-            ids.append(str(obj["doc_id"]))
-            spans.append([
+            # build BOTH values before appending either, so a mid-parse
+            # failure can't leave the column lists misaligned
+            doc_id = str(obj["doc_id"])
+            doc_spans = [
                 {"kind": s.get("kind"), "text": s.get("text"),
                  "media_ref": s.get("media_ref"),
                  "offset": s.get("offset")}
                 for s in (obj.get("spans") or [])
-            ])
+            ]
+            ids.append(doc_id)
+            spans.append(doc_spans)
             errs.append(None)
             raws.append(None)
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, AttributeError):
+            # AttributeError: a spans entry that isn't an object — same
+            # quarantine as unparseable JSON (the line, not the task, dies)
             ids.append(None)
             spans.append(None)
             errs.append(INVALID_JSON)
