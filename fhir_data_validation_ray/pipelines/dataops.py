@@ -709,6 +709,17 @@ def q_phash_dups(sf_dir: str):
     return phash_dups(media)
 
 
+def q_audio_dups(sf_dir: str):
+    """Audio near-dup pairs by waveform fingerprint over the variants media
+    table — the audio sibling of m_phash_dups on the shared banded Hamming
+    exchange."""
+    from ..stages.multimodal import audio_fingerprint_dups, synth_media_variants_parquet
+    from .validate import fixture_paths
+
+    media = synth_media_variants_parquet(fixture_paths(sf_dir)["registry"])
+    return audio_fingerprint_dups(media)
+
+
 def q_kind_drift(sf_dir: str):
     """Span-kind histogram drift of the interleaved corpus vs a deterministic
     SUBSET snapshot (docs with even FNV(doc_id), vectorized) — rows-only.
@@ -1094,6 +1105,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "m_audio_meta": q_audio_meta,
         "m_frame_sample": q_frame_sample,
         "m_phash_dups": q_phash_dups,
+        "m_audio_dups": q_audio_dups,
         "a_stats_nchars": q_stats_nchars,
         "a_histogram_nchars": q_histogram_nchars,
         "a_column_profile": q_column_profile,
@@ -1253,8 +1265,9 @@ SELECT media_ref, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_index FROM r
         "ELSE CAST(0 AS UBIGINT) END"
         for i in range(64)
     )
-    phash = f"""
-WITH r AS (SELECT media_ref, {h} AS h FROM read_parquet('{reg}') WHERE kind = 'image'),
+    def hamming_sql(kind: str) -> str:
+        return f"""
+WITH r AS (SELECT media_ref, {h} AS h FROM read_parquet('{reg}') WHERE kind = '{kind}'),
 v AS (
   SELECT media_ref, h, FALSE AS twin FROM r
   UNION ALL
@@ -1269,8 +1282,10 @@ SELECT a.media_ref AS ref_a, b.media_ref AS ref_b
 FROM sg a JOIN sg b ON a.media_ref < b.media_ref
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
+
     return {"m_image_meta": img, "m_audio_meta": aud, "m_frame_sample": vid,
-            "m_phash_dups": phash}
+            "m_phash_dups": hamming_sql("image"),
+            "m_audio_dups": hamming_sql("audio")}
 
 
 def _inlist(ws) -> str:

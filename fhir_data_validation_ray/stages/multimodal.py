@@ -109,6 +109,13 @@ class FakeCodec:
             raise ValueError("not a fake image payload")
         return np.frombuffer(payload, dtype=np.uint8, count=64, offset=9).copy()
 
+    def audio_frame64(self, payload: bytes) -> np.ndarray:
+        """First 64 decoded sample bytes (body starts after the 10-byte
+        FAUD header) — same oracle-recomputable property as the thumbnail."""
+        if payload[:4] != b"FAUD":
+            raise ValueError("not a fake audio payload")
+        return np.frombuffer(payload, dtype=np.uint8, count=64, offset=10).copy()
+
 
 class RealCodec:
     """Real decode via PIL/ffmpeg — NOT AVAILABLE in this container.
@@ -154,6 +161,9 @@ class RealCodec:
             return np.asarray(thumb, dtype=np.uint8).reshape(64)
 
     def audio_meta(self, payload: bytes):
+        raise NotImplementedError("real audio decode requires ffmpeg (not in container)")
+
+    def audio_frame64(self, payload: bytes):
         raise NotImplementedError("real audio decode requires ffmpeg (not in container)")
 
     def video_frames(self, payload: bytes):
@@ -271,60 +281,79 @@ def synth_media_parquet(registry_path: str, *, max_body: int = 4096) -> str:
     return out
 
 
-def synth_image_variants(registry_path: str, *, max_body: int = 4096) -> pa.Table:
-    """Image media table WITH near-duplicate twins: every image row from the
-    registry, plus — for rows with even hash — a ``<ref>~d`` twin whose
-    payload perturbs two thumbnail pixels (``255 - px`` at positions
-    ``h % 64`` and ``(h >> 6) % 64``). Twins land within a few aHash bits of
-    their base, so the perceptual-hash dedup has real positives; every byte
-    is a pure function of ``hash_str(media_ref)``, so the DuckDB oracle
-    recomputes both signatures exactly."""
+_VARIANTS_VERSION = "v2"  # bump when generated variant content changes
+
+
+def synth_media_variants(registry_path: str, *, max_body: int = 4096) -> pa.Table:
+    """Image + audio media table WITH near-duplicate twins: every image and
+    audio row from the registry, plus — for rows with even hash — a
+    ``<ref>~d`` twin whose payload perturbs two decoded bytes (``255 - x``
+    at body positions ``h % 64`` and ``(h >> 6) % 64``). Twins land within
+    a few signature bits of their base, so the perceptual-hash /
+    fingerprint dedups have real positives; every byte is a pure function
+    of ``hash_str(media_ref)``, so the DuckDB oracle recomputes both
+    signatures exactly."""
     import pyarrow.parquet as pq
 
     reg = pq.read_table(registry_path)
-    mask = np.asarray(reg["kind"].to_numpy(zero_copy_only=False) == "image")
+    kinds_all = reg["kind"].to_numpy(zero_copy_only=False)
+    mask = np.asarray((kinds_all == "image") | (kinds_all == "audio"))
     refs = reg["media_ref"].to_numpy(zero_copy_only=False)[mask]
+    kinds = kinds_all[mask]
     h = hash_str(refs.astype("U"))
-    out_refs, payloads = [], []
-    for i, r in enumerate(refs):
+    out_refs, out_kinds, payloads = [], [], []
+    for i, (r, k) in enumerate(zip(refs, kinds)):
         x = int(h[i])
         body = (x.to_bytes(8, "little") * ((max_body // 8) + 1))[: 64 + x % max_body]
-        w, ht, c = 16 + x % 1024, 16 + (x >> 10) % 1024, 1 + x % 4
-        head = b"FIMG" + struct.pack("<HHB", w, ht, c)
+        if k == "image":
+            w, ht, c = 16 + x % 1024, 16 + (x >> 10) % 1024, 1 + x % 4
+            head = b"FIMG" + struct.pack("<HHB", w, ht, c)
+        else:
+            dur, rate = 100 + x % 600_000, 8000 + (x % 5) * 8000
+            head = b"FAUD" + struct.pack("<IH", dur, rate)
         out_refs.append(str(r))
+        out_kinds.append(str(k))
         payloads.append(head + body)
         if x % 2 == 0:
             tb = bytearray(body)
             for p in (x % 64, (x >> 6) % 64):
                 tb[p] = 255 - tb[p]
             out_refs.append(f"{r}~d")
+            out_kinds.append(str(k))
             payloads.append(head + bytes(tb))
     return pa.table(
         {
             "media_ref": pa.array(out_refs, pa.string()),
-            "kind": pa.array(["image"] * len(out_refs), pa.string()),
+            "kind": pa.array(out_kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
         },
         schema=MEDIA_SCHEMA,
     )
 
 
-def synth_image_variants_parquet(registry_path: str) -> str:
-    """Write (once, cached, atomic) the image-variants table beside the
-    fixture registry, like ``synth_media_parquet``."""
+def synth_media_variants_parquet(registry_path: str) -> str:
+    """Write (once, cached, atomic) the variants table beside the fixture
+    registry, like ``synth_media_parquet`` (version-stamped filename so a
+    generation change never reads a stale cache)."""
     import os
 
     import pyarrow.parquet as pq
 
-    out = os.path.join(os.path.dirname(registry_path), "media_variants.parquet")
+    out = os.path.join(os.path.dirname(registry_path),
+                       f"media_variants-{_VARIANTS_VERSION}.parquet")
     if not os.path.exists(out):
         tmp = out + f".tmp.{os.getpid()}"
-        pq.write_table(synth_image_variants(registry_path), tmp)
+        pq.write_table(synth_media_variants(registry_path), tmp)
         try:
             os.rename(tmp, out)
         except OSError:
             os.unlink(tmp)
     return out
+
+
+# round-3 names kept for the image-only call sites
+synth_image_variants = synth_media_variants
+synth_image_variants_parquet = synth_media_variants_parquet
 
 
 def ahash_bits(thumbs: np.ndarray) -> np.ndarray:
@@ -358,32 +387,15 @@ class PHashStage:
         )
 
 
-def phash_dups(media_parquet: str, *, max_hamming: int = 3,
-               concurrency: int = 2, batch_size: int = 64):
-    """Image near-duplicate pairs by perceptual hash: stream the media
-    table, actor-pool decode -> aHash, then the same 4x16-bit pigeonhole
-    banding as ``dedup.simhash_pairs`` — grouped by the packed
-    (band << 16 | band_hash) key, so each exchange group is bounded by the
-    images sharing one 16-bit band value — with exact Hamming verification
-    on the full signatures. Returns (ref_a, ref_b), ref_a < ref_b.
-
-    Cites the reference's dedup ladder (SURVEY §2.8) extended to the media
-    payload lane; the codec boundary is the documented stub
-    (``RealCodec.image_thumb64`` is the PIL path where importable)."""
-    import ray.data as rd
-
+def hamming_band_pairs(sigs, *, max_hamming: int = 3):
+    """Generic banded Hamming near-dup search over a
+    Dataset[media_ref: string, sig: int64]: 4x16-bit pigeonhole banding
+    grouped by the packed (band << 16 | band_hash) key — each exchange
+    group bounded by the refs sharing one 16-bit band value — with exact
+    Hamming verification on the full signatures. Shared by the image
+    (aHash) and audio (fingerprint) near-dup lanes. Returns
+    (ref_a, ref_b), ref_a < ref_b lexicographically."""
     from .dedup import _expand_run_pairs
-
-    sigs = (
-        rd.read_parquet(media_parquet)
-        .filter(expr="kind == 'image'")
-        .map_batches(
-            PHashStage,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-    )
 
     def band_rows(t: pa.Table) -> pa.Table:
         sig = np.asarray(t["sig"]).view(np.uint64)
@@ -449,6 +461,72 @@ def phash_dups(media_parquet: str, *, max_hamming: int = 3,
         .map_groups(dedup_pairs, batch_format="pyarrow")
         .select_columns(["ref_a", "ref_b"])
     )
+
+
+def phash_dups(media_parquet: str, *, max_hamming: int = 3,
+               concurrency: int = 2, batch_size: int = 64):
+    """Image near-duplicate pairs by perceptual hash: stream the media
+    table, actor-pool decode -> aHash, then ``hamming_band_pairs``.
+
+    Cites the reference's dedup ladder (SURVEY §2.8) extended to the media
+    payload lane; the codec boundary is the documented stub
+    (``RealCodec.image_thumb64`` is the PIL path where importable)."""
+    import ray.data as rd
+
+    sigs = (
+        rd.read_parquet(media_parquet)
+        .filter(expr="kind == 'image'")
+        .map_batches(
+            PHashStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    )
+    return hamming_band_pairs(sigs, max_hamming=max_hamming)
+
+
+class AudioFingerprintStage:
+    """Actor: decode audio payloads -> 64-bit fingerprint. The fake-codec
+    lane folds the first 64 decoded sample bytes through the same
+    integer-mean bit rule as the image aHash (a Chromaprint-style spectral
+    fingerprint slots in behind the same signature contract where real
+    audio libs exist — the documented codec stub boundary)."""
+
+    def __init__(self, codec: str = "auto"):
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        frames = (
+            np.stack([self.codec.audio_frame64(p) for p in payloads])
+            if payloads else np.empty((0, 64), np.uint8)
+        )
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "sig": pa.array(ahash_bits(frames).astype(np.int64)),
+            }
+        )
+
+
+def audio_fingerprint_dups(media_parquet: str, *, max_hamming: int = 3,
+                           concurrency: int = 2, batch_size: int = 64):
+    """Audio near-duplicate pairs by waveform fingerprint — the audio
+    sibling of ``phash_dups`` over the same banded Hamming exchange."""
+    import ray.data as rd
+
+    sigs = (
+        rd.read_parquet(media_parquet)
+        .filter(expr="kind == 'audio'")
+        .map_batches(
+            AudioFingerprintStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    )
+    return hamming_band_pairs(sigs, max_hamming=max_hamming)
 
 
 def media_pipeline(source: str, *, kind: str, stage, concurrency: int = 2,

@@ -125,6 +125,9 @@ def test_phash_finds_twin_pairs(ray_session):
     )
 
     media = synth_image_variants(_registry())
+    media = media.filter(
+        np.asarray(media["kind"].to_numpy(zero_copy_only=False) == "image")
+    )
     refs = media["media_ref"].to_pylist()
     codec = FakeCodec()
     sigs = ahash_bits(
