@@ -151,6 +151,15 @@ def q_top_words(sf_dir: str):
     return top_words(_docs(sf_dir), k=TOP_WORDS_K)
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE vocabulary induction over the corpus (rows-only: iterative
+    argmax merges have no SQL analogue; the merge loop is pinned against
+    the Sennrich running example in the suite)."""
+    from ..stages.textops import bpe_merges
+
+    return bpe_merges(_docs(sf_dir), n_merges=24)
+
+
 def q_top_words_sketch(sf_dir: str):
     """Count-Min heavy hitters (rows-only: approximate by design; the exact
     lane t_top_words carries the SQL oracle, and the sketch's one-sided
@@ -1128,6 +1137,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_shuffle": q_shuffle,
         "t_top_words": q_top_words,
         "a_top_words_sketch": q_top_words_sketch,
+        "t_bpe_merges": q_bpe_merges,
         "t_chunks": q_chunks,
         "t_normalize": q_normalize,
         "d_seg_dedup": q_seg_dedup,

@@ -1512,3 +1512,38 @@ def test_curation_classifier_stream(ray_session):
     assert 0 < len(gated)
     none = curate_keep_list(docs(), classifier_threshold=10**9).to_pandas()
     assert len(none) == 0
+
+
+def test_bpe_merges_classic_example(ray_session):
+    """The Sennrich et al. running example: low/lower/newest/widest counts
+    produce the canonical first merges (highest pair count, lexicographic
+    tie-break)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import bpe_merges
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                   "text": pa.array([corpus], pa.string())}))
+    t = bpe_merges(docs, n_merges=5, min_freq=1).to_pydict()
+    got = list(zip(t["left"], t["right"]))
+    assert got == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                   ("l", "o"), ("lo", "w")]
+    assert t["token"][:3] == ["es", "est", "est</w>"]
+
+
+def test_word_counts_min_freq_prunes_in_bucket(ray_session):
+    """min_freq filtering happens inside the bucket fold — the returned
+    vocabulary only holds survivors (and totals are exact across batches)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import word_counts
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a a a b", "b c"], pa.string()),
+    })).repartition(2)
+    t = word_counts(docs, min_freq=2).to_pandas().set_index("word")["n"]
+    assert dict(t) == {"a": 3, "b": 2}
