@@ -110,7 +110,7 @@ _QUERY_STABLE_TAIL = [
 # weakest signal, always last
 _QUERY_ROWS_ONLY_TAIL = [
     "a_kind_drift", "a_column_profile", "a_drift_by_source",
-    "s_lsh_topk", "s_ivf_topk", "a_top_words_sketch", "t_bpe_merges",
+    "s_lsh_topk", "s_ivf_topk", "a_top_words_sketch", "t_bpe_merges", "t_bpe_tokens",
 ]
 
 

@@ -160,6 +160,15 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges(_docs(sf_dir), n_merges=24)
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Tokenizer inference: per-doc token counts under the corpus-trained
+    BPE vocab (rows-only, like the training half)."""
+    from ..stages.textops import bpe_encode, bpe_merges
+
+    merges = bpe_merges(_docs(sf_dir), n_merges=24)
+    return bpe_encode(_docs(sf_dir), merges)
+
+
 def q_top_words_sketch(sf_dir: str):
     """Count-Min heavy hitters (rows-only: approximate by design; the exact
     lane t_top_words carries the SQL oracle, and the sketch's one-sided
@@ -1138,6 +1147,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_top_words": q_top_words,
         "a_top_words_sketch": q_top_words_sketch,
         "t_bpe_merges": q_bpe_merges,
+        "t_bpe_tokens": q_bpe_tokens,
         "t_chunks": q_chunks,
         "t_normalize": q_normalize,
         "d_seg_dedup": q_seg_dedup,

@@ -211,6 +211,81 @@ def bpe_merges(docs, n_merges: int = 32, *, min_freq: int = 2,
     )
 
 
+_BPE_WORD_CACHE: dict[int, dict[str, int]] = {}
+
+
+def bpe_encode(docs, merges, *, batch_size: int | None = None):
+    """Apply learned BPE merges — the tokenizer-INFERENCE half: per-doc
+    token counts under the trained vocab (the real token-budget input for
+    mixture quotas / packing, where the whitespace count is a proxy).
+
+    ``merges`` is the Table returned by ``bpe_merges``. The rank dict ships
+    once via ``ray.put``; each batch tokenizes only its UNIQUE words (a
+    per-worker memo cache persists across batches, the module-level-cache
+    pattern from stages/validator.py) and maps counts back to rows with a
+    vectorized segment sum. Returns Dataset[doc_id, n_words, n_tokens]."""
+    import ray
+
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))}
+    ranks_ref = ray.put(ranks)
+    # full-content key: two different merge tables in one worker process
+    # must never share a memo (hash() is per-process stable, which is all
+    # a per-worker cache needs)
+    cache_key = hash(tuple(sorted(ranks.items())))
+
+    def encode_word(w: str, rk: dict) -> int:
+        seq = list(w) + [BPE_EOW]
+        while len(seq) > 1:
+            best, best_rank = -1, None
+            for i in range(len(seq) - 1):
+                r = rk.get((seq[i], seq[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best_rank is None:
+                break
+            seq[best:best + 2] = [seq[best] + seq[best + 1]]
+        return len(seq)
+
+    def enc(t: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        memo = _BPE_WORD_CACHE.setdefault(cache_key, {})
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(parts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        da = pc.dictionary_encode(flat)
+        uniq = da.dictionary.to_pylist()
+        per_word = np.empty(len(uniq), dtype=np.int64)
+        for j, w in enumerate(uniq):
+            if w == "":
+                per_word[j] = 0
+                continue
+            n = memo.get(w)
+            if n is None:
+                n = encode_word(w, rk)
+                memo[w] = n
+            per_word[j] = n
+        tok = per_word[np.asarray(da.indices)] if len(uniq) else np.zeros(0, np.int64)
+        cs = np.concatenate([[np.int64(0)], np.cumsum(tok)])
+        ends = np.cumsum(lens)
+        n_tokens = cs[ends] - cs[ends - lens]
+        wcs = np.concatenate([[np.int64(0)], np.cumsum((tok > 0).astype(np.int64))])
+        n_words = wcs[ends] - wcs[ends - lens]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "n_tokens": pa.array(n_tokens),
+            }
+        )
+
+    return docs.map_batches(enc, batch_format="pyarrow", batch_size=batch_size)
+
+
 def top_words_sketch(docs, k: int = 20, *, width: int = 1 << 16, depth: int = 4,
                      cand_per_batch: int = 256, batch_size: int | None = None):
     """Heavy hitters by Count-Min sketch — the UNBOUNDED-vocabulary lane

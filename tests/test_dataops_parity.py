@@ -1547,3 +1547,29 @@ def test_word_counts_min_freq_prunes_in_bucket(ray_session):
     })).repartition(2)
     t = word_counts(docs, min_freq=2).to_pandas().set_index("word")["n"]
     assert dict(t) == {"a": 3, "b": 2}
+
+
+def test_bpe_encode_applies_merges(ray_session):
+    """Tokenizer inference: with the classic example's merges, 'lowest'
+    tokenizes as lo|w|est</w> (3 tokens) and unseen chars stay atomic."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import bpe_encode, bpe_merges
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    train = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                    "text": pa.array([corpus], pa.string())}))
+    merges = bpe_merges(train, n_merges=5, min_freq=1)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["lowest", "low low", "xyz"], pa.string()),
+    }))
+    t = bpe_encode(docs, merges).to_pandas().set_index("doc_id")
+    # lowest: es -> est -> est</w> -> lo -> low  =>  low | est</w>
+    assert t.loc[1, "n_tokens"] == 2 and t.loc[1, "n_words"] == 1
+    # low: lo -> low  =>  low | </w>, twice
+    assert t.loc[2, "n_tokens"] == 4 and t.loc[2, "n_words"] == 2
+    # xyz: no merges apply -> x y z </w> stay atomic
+    assert t.loc[3, "n_tokens"] == 4 and t.loc[3, "n_words"] == 1
