@@ -212,6 +212,7 @@ def bpe_merges(docs, n_merges: int = 32, *, min_freq: int = 2,
 
 
 _BPE_WORD_CACHE: dict[int, dict[str, int]] = {}
+_BPE_CACHE_MAX_WORDS = 4_000_000  # per-worker memo cap (~a few hundred MB)
 
 
 def bpe_encode(docs, merges, *, batch_size: int | None = None):
@@ -267,7 +268,8 @@ def bpe_encode(docs, merges, *, batch_size: int | None = None):
             n = memo.get(w)
             if n is None:
                 n = encode_word(w, rk)
-                memo[w] = n
+                if len(memo) < _BPE_CACHE_MAX_WORDS:  # bound worker memory
+                    memo[w] = n
             per_word[j] = n
         tok = per_word[np.asarray(da.indices)] if len(uniq) else np.zeros(0, np.int64)
         cs = np.concatenate([[np.int64(0)], np.cumsum(tok)])
