@@ -67,6 +67,8 @@ _QUERY_PRIORITY = [
     #    banding exchanges (simhash changed after its r02 verification)
     "a_rank_nchars", "t_quality_score", "d_simhash_pairs", "m_phash_dups",
     "s_embed_decon", "c_curation_clf",
+    # final-session additions, both oracle-bearing and never driver-verified
+    "m_audio_dups", "t_sample_n",
 ]
 
 # v_* backfill order: when priority growth pushes v_* past the window,
@@ -92,6 +94,12 @@ _QUERY_V_SACRIFICE = [
     # v_json_ingest and c_curation_clf (new, oracle-bearing) take the next
     # slots: out go the unchanged single-regex and required kernels
     "v_regex", "v_required",
+    # m_audio_dups and t_sample_n (new, oracle-bearing) take the last two:
+    # out go v_custom_predicate (the reworked expression lane is driver-
+    # covered by v_custom_predicate_or at higher priority) and v_structure
+    # (its only r3 change, the empty-doc mask, is directly driver-covered
+    # by v_empty_doc; the rest was r02-green and is parity-suite-covered)
+    "v_custom_predicate", "v_structure",
 ]
 
 # (4) stable r02-green queries pushed past the window (still run in the

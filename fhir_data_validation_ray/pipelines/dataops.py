@@ -102,6 +102,34 @@ def q_sample_stratified(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+BADWORDS = ("dup", "spark")
+BADWORD_MAX_HITS = 2
+
+
+def q_badwords(sf_dir: str):
+    """C4-style blocklist gate: whole-word blocklist hit counts + keep flag
+    (``textops.badword_filter``); stateless vectorized map."""
+    from ..stages.textops import badword_filter
+
+    return badword_filter(_docs(sf_dir), BADWORDS, max_hits=BADWORD_MAX_HITS)
+
+
+SAMPLE_EXACT_N = 97
+
+
+def q_sample_n(sf_dir: str):
+    """Deterministic exactly-N sample: the N smallest (FNV(doc_id), doc_id)
+    keys — global ORDER BY hash LIMIT N via iterative histogram refinement,
+    no global sort (``stages/sampling.py:sample_exact_n``)."""
+    from ..stages.sampling import sample_exact_n
+
+    # num_buckets=16 forces multi-round refinement even at fixture scale so
+    # the oracle exercises the same path a 10^12-row corpus takes.
+    return sample_exact_n(
+        _docs(sf_dir), SAMPLE_EXACT_N, num_buckets=16, max_boundary=8
+    ).select_columns(["doc_id"])
+
+
 CURATION_SAMPLE_RATE = 0.9
 
 
@@ -1171,6 +1199,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "j_lineitem_priority": q_lineitem_priority,
         "j_customer_region": q_customer_region,
         "t_sample": q_sample,
+        "t_badwords": q_badwords,
+        "t_sample_n": q_sample_n,
         "t_sample_stratified": q_sample_stratified,
         "s_cosine_topk": q_cosine_topk,
         "s_cosine_pairs": q_cosine_pairs,
@@ -1634,6 +1664,18 @@ WHERE rank <= {TOP_WORDS_K}
 """
 
 
+# badword_filter mirror: same whole-word split, list_filter membership count
+_BADWORD_SET = ", ".join(f"'{w}'" for w in BADWORDS)
+BADWORDS_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+                       w -> w IN ({_BADWORD_SET})))::BIGINT AS hits,
+       len(list_filter(string_split(text, ' '),
+                       w -> w IN ({_BADWORD_SET}))) <= {BADWORD_MAX_HITS} AS keep
+FROM documents
+"""
+
+
 def _chunks_sql() -> str:
     """chunk_documents mirror: same kept-word split, chunk starts every
     STRIDE words (DuckDB range is stop-exclusive, like numpy), 1-based
@@ -1971,6 +2013,15 @@ SAMPLE_SQL = f"""
 SELECT doc_id FROM documents WHERE {_SAMPLE_H} < {int(0.1 * 1_000_000)}
 """
 
+# exactly-N sample: the N smallest (FNV(doc_id), doc_id) — the kernel's
+# iterative histogram refinement converges to the same set as a global sort
+SAMPLE_N_SQL = f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM documents
+  ORDER BY {_fnv_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+  LIMIT {SAMPLE_EXACT_N})
+"""
+
 SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id FROM documents
 WHERE {_SAMPLE_H} < CASE source
@@ -2064,6 +2115,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "j_lineitem_priority": LINEITEM_PRIORITY_SQL,
         "j_customer_region": CUSTOMER_REGION_SQL,
         "t_sample": SAMPLE_SQL,
+        "t_badwords": BADWORDS_SQL,
+        "t_sample_n": SAMPLE_N_SQL,
         "t_sample_stratified": SAMPLE_STRATIFIED_SQL,
         "s_cosine_topk": COSINE_TOPK_SQL,
         "s_cosine_pairs": COSINE_PAIRS_SQL,

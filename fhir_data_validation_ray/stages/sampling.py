@@ -69,6 +69,143 @@ def stratified_sample_by_hash(ds, rates: dict[str, float], *, group_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _range_histogram(ds, key: str, lo: int, hi: int, num_buckets: int):
+    """Distributed histogram of ``FNV(str(key))`` restricted to ``[lo, hi)``,
+    split into ``num_buckets`` equal-width buckets. Per-batch bincount
+    partials, a per-task combine level, then a driver fold of O(n_tasks)
+    nonzero-bucket rows — driver state is one ``num_buckets`` array.
+    Returns (counts ndarray, bucket width)."""
+    from ..functions.collect import collect_table
+
+    width = -(-(hi - lo) // num_buckets)  # ceil: buckets cover [lo, hi)
+    full_hi = hi >= (1 << 64)
+
+    def mask_range(h: np.ndarray) -> np.ndarray:
+        m = h >= np.uint64(lo) if lo > 0 else np.ones(len(h), dtype=bool)
+        if not full_hi:
+            m &= h < np.uint64(hi)
+        return m
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash_str(_key_strings(t[key]))
+        hm = h[mask_range(h)]
+        b = ((hm - np.uint64(lo)) // np.uint64(width)).astype(np.int64)
+        np.minimum(b, num_buckets - 1, out=b)
+        cnt = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"b": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz])})
+
+    def combine(t: pa.Table) -> pa.Table:
+        tot = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(tot, np.asarray(t["b"]), np.asarray(t["cnt"]))
+        nz = np.nonzero(tot)[0]
+        return pa.table({"b": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(tot[nz])})
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("b", pa.int64()), ("cnt", pa.int64())]),
+    )
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    if parts.num_rows:
+        np.add.at(counts, np.asarray(parts["b"]), np.asarray(parts["cnt"]))
+    return counts, width
+
+
+def sample_exact_n(ds, n: int, *, key: str = "doc_id", num_buckets: int = 4096,
+                   max_boundary: int = 100_000, max_rounds: int = 8):
+    """Deterministic EXACTLY-``n`` sample: the ``n`` rows with the smallest
+    ``(FNV(str(key)), key)`` — the global ``ORDER BY hash LIMIT n`` of the
+    hash-threshold family, without a global sort.
+
+    Scale shape: iterative hash-range histogram refinement. Each round is one
+    streaming bincount fold over the corpus (driver state = one
+    ``num_buckets`` array); the bucket containing the n-th smallest hash
+    narrows the range by ~``num_buckets``×, so a 10^12-row corpus reaches a
+    ``max_boundary``-bounded boundary slice in 2-3 rounds. Only that slice —
+    never the corpus — is collected and sorted to pick the last
+    ``n - |below-threshold|`` keys; the final pass is a stateless filter
+    (``hash < threshold`` OR key in the broadcast boundary set).
+
+    Assumes near-unique keys (doc ids): duplicate key strings share a hash,
+    and a duplicate-key row admitted at the boundary admits ALL rows with
+    that key (set semantics), which can overshoot ``n`` — deterministic
+    either way. ``n >= corpus`` returns the dataset unchanged; ``n == 0``
+    returns an empty-filtered dataset with the input schema."""
+    import ray
+
+    from ..functions.collect import collect_table
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if n == 0:
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+    lo, hi = 0, 1 << 64
+    acc_below = 0  # rows with hash < lo, exact, from prior rounds
+    in_bucket = 0
+    for _ in range(max_rounds):
+        counts, width = _range_histogram(ds, key, lo, hi, num_buckets)
+        if lo == 0 and hi >= (1 << 64):
+            total = int(counts.sum())
+            if n >= total:
+                return ds
+        cum = np.cumsum(counts)
+        bidx = int(np.searchsorted(cum, n - acc_below, side="left"))
+        acc_below += int(cum[bidx - 1]) if bidx > 0 else 0
+        lo = lo + bidx * width
+        hi = min(lo + width, hi)
+        in_bucket = int(counts[bidx])
+        if n == acc_below or in_bucket <= max_boundary or hi - lo <= 1:
+            break
+    else:
+        raise RuntimeError(
+            f"sample_exact_n did not converge in {max_rounds} rounds "
+            f"(boundary still {in_bucket} rows)")
+
+    k = n - acc_below  # rows still needed from the boundary slice [lo, hi)
+    keep_ref = None
+    if k > 0:
+        if in_bucket > max(8 * max_boundary, 1_000_000):
+            raise RuntimeError(
+                f"boundary slice holds {in_bucket} rows at width {hi - lo} — "
+                "mass hash collision; raise max_boundary or change the key")
+
+        def slice_rows(t: pa.Table) -> pa.Table:
+            ksb = _key_strings(t[key])
+            h = hash_str(ksb)
+            m = h >= np.uint64(lo)
+            if hi < (1 << 64):
+                m &= h < np.uint64(hi)
+            return pa.table({"k": pa.array(ksb[m]), "h": pa.array(h[m])})
+
+        boundary = collect_table(
+            ds.map_batches(slice_rows, batch_format="pyarrow"),
+            empty_schema=pa.schema([("k", pa.string()), ("h", pa.uint64())]),
+        )
+        ks = _key_strings(boundary["k"])
+        hcol = boundary["h"]
+        if isinstance(hcol, pa.ChunkedArray):
+            hcol = hcol.combine_chunks()
+        hs = np.asarray(hcol).astype(np.uint64)
+        order = np.lexsort((ks, hs))
+        keep_ref = ray.put(ks[order[:k]])
+
+    thr = lo
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        ksb = _key_strings(t[key])
+        h = hash_str(ksb)
+        m = h < np.uint64(thr) if thr > 0 else np.zeros(len(h), dtype=bool)
+        if keep_ref is not None:
+            m |= np.isin(ksb, ray.get(keep_ref))
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(final_filter, batch_format="pyarrow")
+
+
 SPLIT_BANDS: tuple[tuple[str, float], ...] = (
     ("train", 0.90), ("val", 0.05), ("test", 0.05))
 

@@ -92,6 +92,31 @@ def text_features(docs, *, batch_size: int | None = None):
     return docs.map_batches(feats, batch_format="pyarrow", batch_size=batch_size)
 
 
+def badword_filter(docs, words, *, max_hits: int = 0,
+                   batch_size: int | None = None):
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 'bad words' filter):
+    per-doc whole-word hit count over a small blocklist; ``keep`` = hits <=
+    ``max_hits``. The blocklist ships in the task closure (tiny, fixed); one
+    stateless vectorized map — no shuffle, no per-doc Python. Returns
+    (doc_id, hits, keep); callers drop with ``keep == false``."""
+    wl = sorted(set(words))
+
+    def gate(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        hits = _split_counts(texts, wl)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "hits": pa.array(hits),
+                "keep": pa.array(hits <= max_hits),
+            }
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow", batch_size=batch_size)
+
+
 def word_counts(docs, *, min_freq: int = 1, num_buckets: int = 64,
                 batch_size: int | None = None):
     """EXACT corpus word counts: per-batch dictionary-encoded partials, one

@@ -1212,6 +1212,41 @@ def test_split_assign_bands_and_composability(ray_session):
         split_assign(ds, bands=(("a", 0.5), ("b", 0.3))).count()
 
 
+def test_sample_exact_n_matches_global_sort(ray_session):
+    """The exactly-N sample equals the N smallest (hash, key) rows of a
+    reference global sort, is independent of partitioning and refinement
+    parameters (multi-round path forced via tiny num_buckets/max_boundary),
+    and handles the n=0 / n>=corpus edges."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.sampling import sample_exact_n
+
+    ids = np.arange(1, 2001).astype("U")
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(7)
+
+    got = sample_exact_n(ds, 137, num_buckets=8, max_boundary=4)
+    got_ids = sorted(got.to_pandas().doc_id)
+    assert len(got_ids) == 137
+
+    h = hash_str(ids)
+    order = np.lexsort((ids, h))
+    assert got_ids == sorted(ids[order[:137]])
+
+    # same set on a different partitioning with wide single-round parameters
+    alt = sample_exact_n(ds.repartition(3), 137, num_buckets=4096,
+                         max_boundary=100_000)
+    assert sorted(alt.to_pandas().doc_id) == got_ids
+
+    assert sample_exact_n(ds, 5000).count() == 2000  # n >= corpus: unchanged
+    assert sample_exact_n(ds, 0).count() == 0
+    with pytest.raises(ValueError):
+        sample_exact_n(ds, -1)
+
+
 def test_norm_dedup_collapses_case_twins(ray_session):
     """The uppercased twin rows (doc_id + 1e9) always drop; survivors are a
     subset of real doc_ids."""
