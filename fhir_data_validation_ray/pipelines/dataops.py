@@ -114,6 +114,36 @@ def q_badwords(sf_dir: str):
     return badword_filter(_docs(sf_dir), BADWORDS, max_hits=BADWORD_MAX_HITS)
 
 
+WEIGHT_PPM_PER_CHAR = 1500  # keep probability grows with doc length
+
+
+def q_weighted_sample(sf_dir: str):
+    """Quality-weighted deterministic sampling: per-doc keep probability
+    (ppm) derived from n_chars, gated by the shared FNV fold
+    (``sampling.weighted_sample_by_hash``)."""
+    import ray.data as rd
+
+    from ..stages.sampling import weighted_sample_by_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def add_weight(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        w = pc.min_element_wise(
+            pc.multiply(pc.cast(t["n_chars"], pa.int64()),
+                        WEIGHT_PPM_PER_CHAR),
+            1_000_000,
+        )
+        return t.append_column("w_ppm", w)
+
+    return weighted_sample_by_hash(
+        ds.map_batches(add_weight, batch_format="pyarrow"), "w_ppm"
+    ).select_columns(["doc_id"])
+
+
 SAMPLE_EXACT_N = 97
 
 
@@ -1200,6 +1230,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "j_customer_region": q_customer_region,
         "t_sample": q_sample,
         "t_badwords": q_badwords,
+        "t_sample_weighted": q_weighted_sample,
         "t_sample_n": q_sample_n,
         "t_sample_stratified": q_sample_stratified,
         "s_cosine_topk": q_cosine_topk,
@@ -2013,6 +2044,12 @@ SAMPLE_SQL = f"""
 SELECT doc_id FROM documents WHERE {_SAMPLE_H} < {int(0.1 * 1_000_000)}
 """
 
+# weighted sampling: keep iff FNV % 1e6 < per-doc ppm weight (from n_chars)
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id FROM documents
+WHERE {_SAMPLE_H} < least(n_chars * {WEIGHT_PPM_PER_CHAR}, 1000000)
+"""
+
 # exactly-N sample: the N smallest (FNV(doc_id), doc_id) — the kernel's
 # iterative histogram refinement converges to the same set as a global sort
 SAMPLE_N_SQL = f"""
@@ -2116,6 +2153,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "j_customer_region": CUSTOMER_REGION_SQL,
         "t_sample": SAMPLE_SQL,
         "t_badwords": BADWORDS_SQL,
+        "t_sample_weighted": WEIGHTED_SAMPLE_SQL,
         "t_sample_n": SAMPLE_N_SQL,
         "t_sample_stratified": SAMPLE_STRATIFIED_SQL,
         "s_cosine_topk": COSINE_TOPK_SQL,

@@ -69,6 +69,27 @@ def stratified_sample_by_hash(ds, rates: dict[str, float], *, group_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample_by_hash(ds, weight_col: str, *, key: str = "doc_id"):
+    """Per-row-probability deterministic sampling — the importance-resampling
+    gate of quality-weighted data selection (DSIR-style, Xie et al. 2023):
+    keep a row iff ``FNV(str(key)) % 1e6 < weight_col``, where ``weight_col``
+    holds the row's keep probability in parts-per-million (computed upstream
+    from quality / importance scores; values >= 1e6 always keep, <= 0 never).
+    Same purity and composability as ``sample_by_hash`` — membership is a
+    pure function of (key, weight), one stateless ``map_batches``, no RNG
+    state, reproducible at any scale or partitioning."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = (hash_str(_key_strings(t[key])) % np.uint64(SAMPLE_MOD)).astype(
+            np.int64)
+        w = t[weight_col]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        return t.filter(pa.array(h < np.asarray(w).astype(np.int64)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _range_histogram(ds, key: str, lo: int, hi: int, num_buckets: int):
     """Distributed histogram of ``FNV(str(key))`` restricted to ``[lo, hi)``,
     split into ``num_buckets`` equal-width buckets. Per-batch bincount
