@@ -114,6 +114,14 @@ def q_badwords(sf_dir: str):
     return badword_filter(_docs(sf_dir), BADWORDS, max_hits=BADWORD_MAX_HITS)
 
 
+def q_winnow(sf_dir: str):
+    """Winnowing (MOSS) local fingerprints: per-window minimum k-gram hash,
+    rightmost on ties (``textops.winnow_fingerprints``); stateless map."""
+    from ..stages.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir))
+
+
 WEIGHT_PPM_PER_CHAR = 1500  # keep probability grows with doc length
 
 
@@ -1230,6 +1238,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "j_customer_region": q_customer_region,
         "t_sample": q_sample,
         "t_badwords": q_badwords,
+        "t_winnow": q_winnow,
         "t_sample_weighted": q_weighted_sample,
         "t_sample_n": q_sample_n,
         "t_sample_stratified": q_sample_stratified,
@@ -1853,6 +1862,36 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _winnow_sql() -> str:
+    """winnow_fingerprints mirror: same kept-word split and gram join, FNV
+    gram hashes (UBIGINT, so ORDER BY h matches numpy uint64 order), each
+    w-window's rightmost minimum via row_number over (h ASC, pos DESC),
+    window starts restricted to spans fully inside the document."""
+    from ..stages.textops import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS ws FROM documents),
+g0 AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i : i + {k - 1}], ' ')
+              AS gram
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {k} + 2)) AS i
+             FROM w0)),
+g AS (SELECT doc_id, pos, {_fnv_sql("gram")} AS h FROM g0),
+np AS (SELECT doc_id, count(*) AS npos FROM g GROUP BY doc_id),
+exp AS (SELECT g.doc_id, g.pos, g.h, g.pos - o.off AS ws_start
+        FROM g CROSS JOIN (SELECT unnest(range({w})) AS off) o
+        JOIN np USING (doc_id)
+        WHERE g.pos - o.off >= 0 AND g.pos - o.off <= np.npos - {w}),
+sel AS (SELECT doc_id, pos, h,
+               row_number() OVER (PARTITION BY doc_id, ws_start
+                                  ORDER BY h ASC, pos DESC) AS rn
+        FROM exp)
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, {_s64("h")} AS fp
+FROM sel WHERE rn = 1
+"""
+
+
 def _mixture_apply_sql() -> str:
     """mixture_apply mirror: identical largest-remainder quota math
     (``textops.mixture_quota``) + per-group hash-ordered cumulative token
@@ -2153,6 +2192,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "j_customer_region": CUSTOMER_REGION_SQL,
         "t_sample": SAMPLE_SQL,
         "t_badwords": BADWORDS_SQL,
+        "t_winnow": _winnow_sql(),
         "t_sample_weighted": WEIGHTED_SAMPLE_SQL,
         "t_sample_n": SAMPLE_N_SQL,
         "t_sample_stratified": SAMPLE_STRATIFIED_SQL,

@@ -501,6 +501,66 @@ def fingerprints(docs, *, batch_size: int | None = None):
     return docs.map_batches(fp, batch_format="pyarrow", batch_size=batch_size)
 
 
+WINNOW_K = 3  # words per k-gram
+WINNOW_W = 4  # winnowing window, in k-gram positions
+
+
+def winnow_fingerprints(docs, *, k: int = WINNOW_K, w: int = WINNOW_W,
+                        column: str = "text",
+                        batch_size: int | None = None):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local fingerprinting algorithm): hash every overlapping word
+    k-gram, slide a ``w``-position window, keep each window's minimum hash
+    (rightmost position on ties). Any shared run of ``w + k - 1`` words
+    between two documents is guaranteed to share a selected fingerprint,
+    while only ~2/(w+1) of positions are kept — the local, position-robust
+    complement of the whole-document FNV/SimHash ``fingerprints``.
+
+    One stateless vectorized map, no shuffle: the batch's k-gram hashes form
+    one flat array; ``sliding_window_view`` + reversed ``argmin`` selects
+    rightmost window minima, and window starts whose span crosses a document
+    boundary are masked out. Documents with fewer than ``w`` k-gram
+    positions emit no rows (whole-doc sketches cover them). Returns
+    (doc_id, pos, fp) rows; fp is the gram FNV hash as signed int64."""
+
+    def winnow(t: pa.Table) -> pa.Table:
+        from .dedup import _gram_strings
+        from ..functions.hashing import hash_str
+
+        dcol = t["doc_id"]
+        if isinstance(dcol, pa.ChunkedArray):
+            dcol = dcol.combine_chunks()
+
+        def empty() -> pa.Table:
+            return pa.table({"doc_id": dcol.slice(0, 0),
+                             "pos": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+
+        parent, grams, n_pos, _ = _gram_strings(t, k, column)
+        m = len(parent)
+        if m < w:
+            return empty()
+        h = hash_str(grams.to_numpy(zero_copy_only=False).astype("U"))
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)
+        valid = parent[: m - w + 1] == parent[w - 1:]
+        if not valid.any():
+            return empty()
+        a = np.argmin(sw[:, ::-1], axis=1)  # first-min reversed = rightmost
+        sel = np.arange(m - w + 1, dtype=np.int64)[valid] + (
+            w - 1 - a[valid])
+        sel = np.unique(sel)
+        pos_starts = np.zeros(len(n_pos), dtype=np.int64)
+        np.cumsum(n_pos[:-1], out=pos_starts[1:])
+        return pa.table({
+            "doc_id": dcol.take(pa.array(parent[sel])),
+            "pos": pa.array(sel - pos_starts[parent[sel]]),
+            "fp": pa.array(h[sel].view(np.int64)),
+        })
+
+    return docs.map_batches(winnow, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 def top_words(docs, k: int = 20, *, num_buckets: int = 64,
               batch_size: int | None = None):
     """EXACT global top-k words by occurrence count (vocabulary heavy

@@ -1247,6 +1247,38 @@ def test_sample_exact_n_matches_global_sort(ray_session):
         sample_exact_n(ds, -1)
 
 
+def test_winnow_shared_run_guarantee(ray_session):
+    """Winnowing's core guarantee: two documents sharing a run of w+k-1
+    words share at least one selected fingerprint; short docs (< w k-gram
+    positions) emit no rows; selection density is well under 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"run{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma " + shared + " delta epsilon zeta eta",
+            "one two three four five " + shared + " six seven",
+            "too short",  # fewer than w k-gram positions
+        ]),
+    })
+    rows = winnow_fingerprints(rd.from_arrow(docs)).take_all()
+    by_doc: dict[int, set[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert 3 not in by_doc
+    n_pos_1 = len(docs["text"][0].as_py().split()) - WINNOW_K + 1
+    assert len([r for r in rows if r["doc_id"] == 1]) < n_pos_1
+
+
 def test_norm_dedup_collapses_case_twins(ray_session):
     """The uppercased twin rows (doc_id + 1e9) always drop; survivors are a
     subset of real doc_ids."""
