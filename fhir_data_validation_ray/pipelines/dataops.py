@@ -1225,6 +1225,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
         "a_rank_nchars": q_rank_nchars,
+        "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
         "c_mixture_apply": q_mixture_apply,
         "d_norm_dedup": q_norm_dedup,
@@ -1931,6 +1932,27 @@ FROM t
 """
 
 
+def q_rank_by_source(sf_dir: str):
+    """Exact WITHIN-SOURCE percentile rank of n_chars (per-domain
+    keep-top-X% normalization; ``stats.percentile_rank_by_group``)."""
+    import ray.data as rd
+
+    from ..stages.stats import percentile_rank_by_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    return percentile_rank_by_group(docs, "n_chars", "source")
+
+
+RANK_BY_SOURCE_SQL = """
+WITH n AS (SELECT source, count(*)::BIGINT AS total FROM documents GROUP BY source)
+SELECT doc_id, d.source, n_chars::BIGINT AS n_chars,
+  (rank() OVER (PARTITION BY d.source ORDER BY n_chars) - 1)::BIGINT AS n_smaller,
+  ((rank() OVER (PARTITION BY d.source ORDER BY n_chars) - 1) * 1000000
+     // greatest(n.total - 1, 1))::BIGINT AS pct_ppm
+FROM documents d JOIN n USING (source)
+"""
+
 RANK_NCHARS_SQL = """
 WITH n AS (SELECT count(*)::BIGINT AS total FROM documents)
 SELECT doc_id, n_chars::BIGINT AS n_chars,
@@ -2179,6 +2201,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
+        "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),
         "c_mixture_apply": _mixture_apply_sql(),
         "d_norm_dedup": NORM_DEDUP_SQL,

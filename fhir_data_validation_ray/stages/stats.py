@@ -404,6 +404,104 @@ def percentile_rank(ds, col: str, *, id_col: str = "doc_id"):
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def percentile_rank_by_group(ds, col: str, group_col: str, *,
+                             id_col: str = "doc_id"):
+    """EXACT percentile rank of ``col`` WITHIN each ``group_col`` value —
+    the per-domain score normalization of a keep-top-X%-per-source gate
+    (a global threshold would empty rare domains whose score scale sits
+    lower). Integer outputs mirror ``percentile_rank``: ``n_smaller`` =
+    rows in the SAME group with a strictly smaller value, ``pct_ppm`` =
+    ``n_smaller * 1e6 // (n_group - 1)``.
+
+    Scale shape: one distributed (group, value)-count fold — per-batch
+    lexsort boundary counts, a per-task combine, a driver fold bounded by
+    the (group × distinct-value) cardinality (the same stated assumption
+    as ``percentile_rank``) — the per-group CDFs broadcast once via
+    ``ray.put``, then a stateless searchsorted probe per batch."""
+    import ray
+
+    def _pair_counts(g: np.ndarray, v: np.ndarray, c: np.ndarray):
+        """Sum counts ``c`` over distinct (g, v) pairs (g string, v int)."""
+        order = np.lexsort((v, g))
+        gs, vs, cs = g[order], v[order], c[order]
+        if len(gs) == 0:
+            return gs, vs, cs
+        new = np.concatenate(
+            [[True], (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])])
+        idx = np.nonzero(new)[0]
+        sums = np.add.reduceat(cs, idx)
+        return gs[idx], vs[idx], sums.astype(np.int64)
+
+    def _cols(t: pa.Table):
+        gcol = t[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        g = np.asarray(gcol).astype("U")
+        v = np.asarray(t[col]).astype(np.int64)
+        return g, v
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, v = _cols(t)
+        gs, vs, cs = _pair_counts(g, v, np.ones(len(v), np.int64))
+        return pa.table({"g": pa.array(gs), "v": pa.array(vs),
+                         "cnt": pa.array(cs)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        gcol = t["g"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gs, vs, cs = _pair_counts(
+            np.asarray(gcol).astype("U"),
+            np.asarray(t["v"]).astype(np.int64),
+            np.asarray(t["cnt"]).astype(np.int64))
+        return pa.table({"g": pa.array(gs), "v": pa.array(vs),
+                         "cnt": pa.array(cs)})
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema(
+            [("g", pa.string()), ("v", pa.int64()), ("cnt", pa.int64())]),
+    )
+    cdfs: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    if parts.num_rows:
+        gcol = parts["g"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gs, vs, cs = _pair_counts(
+            np.asarray(gcol).astype("U"),
+            np.asarray(parts["v"]).astype(np.int64),
+            np.asarray(parts["cnt"]).astype(np.int64))
+        starts = np.concatenate([[0], np.nonzero(gs[1:] != gs[:-1])[0] + 1])
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(gs)
+            cum_excl = np.concatenate(
+                [[np.int64(0)], np.cumsum(cs[s:e])[:-1]]).astype(np.int64)
+            cdfs[str(gs[s])] = (vs[s:e], cum_excl, int(cs[s:e].sum()))
+    cdf_ref = ray.put(cdfs)
+
+    def probe(t: pa.Table) -> pa.Table:
+        lut = ray.get(cdf_ref)
+        g, v = _cols(t)
+        smaller = np.zeros(len(v), np.int64)
+        ppm = np.zeros(len(v), np.int64)
+        for grp in np.unique(g):
+            vals, cexc, n_g = lut[str(grp)]
+            m = g == grp
+            sm = cexc[np.searchsorted(vals, v[m])]
+            smaller[m] = sm
+            ppm[m] = sm * 1_000_000 // max(n_g - 1, 1)
+        return pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            col: pa.array(v),
+            "n_smaller": pa.array(smaller),
+            "pct_ppm": pa.array(ppm),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def exact_int_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
     """EXACT quantiles of an integer column — the precise lane next to the
     TDigest approximation: quantile q = the smallest value v with
