@@ -540,7 +540,12 @@ def winnow_fingerprints(docs, *, k: int = WINNOW_K, w: int = WINNOW_W,
         m = len(parent)
         if m < w:
             return empty()
-        h = hash_str(grams.to_numpy(zero_copy_only=False).astype("U"))
+        # hash the batch's UNIQUE grams only (the U-string materialization
+        # is the expensive step), then gather per occurrence
+        da = pc.dictionary_encode(grams)
+        h_dict = hash_str(
+            da.dictionary.to_numpy(zero_copy_only=False).astype("U"))
+        h = h_dict[np.asarray(da.indices, dtype=np.int64)]
         sw = np.lib.stride_tricks.sliding_window_view(h, w)
         valid = parent[: m - w + 1] == parent[w - 1:]
         if not valid.any():
