@@ -430,13 +430,17 @@ def quality_score(docs, *, dim: int = QS_DIM, threshold: int = 0,
         lens = pc.list_value_length(parts).fill_null(0).to_numpy(zero_copy_only=False)
         lens = lens.astype(np.int64)
         flat = pc.list_flatten(parts)
-        words = flat.to_numpy(zero_copy_only=False).astype("U")
-        bucket = hash_str(words) % np.uint64(dim)
+        # hash only the batch's UNIQUE words (the U-string materialization
+        # is the expensive step), then gather weights per occurrence
+        da = pc.dictionary_encode(flat)
+        uw = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        bucket = hash_str(uw) % np.uint64(dim)
         if wref is not None:
-            w = ray.get(wref)[bucket.astype(np.int64)]
+            wd = ray.get(wref)[bucket.astype(np.int64)]
         else:
-            w = ((bucket * np.uint64(QS_MIX)) % np.uint64(41)).astype(np.int64) - 20
-        w[words == ""] = 0  # '' split artifacts carry no weight (SQL filters them)
+            wd = ((bucket * np.uint64(QS_MIX)) % np.uint64(41)).astype(np.int64) - 20
+        wd[uw == ""] = 0  # '' split artifacts carry no weight (SQL filters them)
+        w = wd[np.asarray(da.indices, dtype=np.int64)]
         cs = np.concatenate([[np.int64(0)], np.cumsum(w)])
         ends = np.cumsum(lens)
         starts = ends - lens
