@@ -168,6 +168,25 @@ def q_sample_n(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+SAMPLE_N_PER_GROUP = 10
+
+
+def q_sample_n_by_source(sf_dir: str):
+    """Balanced exactly-N-per-source sample (ORDER BY hash LIMIT N
+    PARTITION BY source, no sort — ``sampling.sample_exact_n_by_group``).
+    Tiny num_buckets/max_boundary force the multi-round refinement path."""
+    import ray.data as rd
+
+    from ..stages.sampling import sample_exact_n_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return sample_exact_n_by_group(
+        ds, SAMPLE_N_PER_GROUP, group_col="source", num_buckets=16,
+        max_boundary=2,
+    ).select_columns(["doc_id", "source"])
+
+
 CURATION_SAMPLE_RATE = 0.9
 
 
@@ -1240,6 +1259,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_sample": q_sample,
         "t_badwords": q_badwords,
         "t_winnow": q_winnow,
+        "t_sample_n_by_source": q_sample_n_by_source,
         "t_sample_weighted": q_weighted_sample,
         "t_sample_n": q_sample_n,
         "t_sample_stratified": q_sample_stratified,
@@ -2120,6 +2140,15 @@ SELECT doc_id FROM (
   LIMIT {SAMPLE_EXACT_N})
 """
 
+# balanced per-group exactly-N: partitioned window rank over the same fold
+SAMPLE_N_GROUP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+      PARTITION BY source
+      ORDER BY {_fnv_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents) WHERE rn <= {SAMPLE_N_PER_GROUP}
+"""
+
 SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id FROM documents
 WHERE {_SAMPLE_H} < CASE source
@@ -2216,6 +2245,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_sample": SAMPLE_SQL,
         "t_badwords": BADWORDS_SQL,
         "t_winnow": _winnow_sql(),
+        "t_sample_n_by_source": SAMPLE_N_GROUP_SQL,
         "t_sample_weighted": WEIGHTED_SAMPLE_SQL,
         "t_sample_n": SAMPLE_N_SQL,
         "t_sample_stratified": SAMPLE_STRATIFIED_SQL,

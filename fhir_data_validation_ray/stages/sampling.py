@@ -135,8 +135,20 @@ def _range_histogram(ds, key: str, lo: int, hi: int, num_buckets: int):
     return counts, width
 
 
+def _resolve_rounds(num_buckets: int, max_rounds: int | None) -> int:
+    """Rounds that GUARANTEE termination: the range width shrinks by
+    ``num_buckets``× per round whatever the hash distribution (bucket
+    COUNTS can shrink slowly on skewed-bit data — FNV of short numeric
+    keys clusters at coarse granularity), so width reaches 1 (a forced
+    break) within ceil(64 / log2(B)) rounds."""
+    if max_rounds is not None:
+        return max_rounds
+    return int(np.ceil(64 / np.log2(num_buckets))) + 1
+
+
 def sample_exact_n(ds, n: int, *, key: str = "doc_id", num_buckets: int = 4096,
-                   max_boundary: int = 100_000, max_rounds: int = 8):
+                   max_boundary: int = 100_000,
+                   max_rounds: int | None = None):
     """Deterministic EXACTLY-``n`` sample: the ``n`` rows with the smallest
     ``(FNV(str(key)), key)`` — the global ``ORDER BY hash LIMIT n`` of the
     hash-threshold family, without a global sort.
@@ -164,6 +176,7 @@ def sample_exact_n(ds, n: int, *, key: str = "doc_id", num_buckets: int = 4096,
     if n == 0:
         return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
 
+    max_rounds = _resolve_rounds(num_buckets, max_rounds)
     lo, hi = 0, 1 << 64
     acc_below = 0  # rows with hash < lo, exact, from prior rounds
     in_bucket = 0
@@ -222,6 +235,231 @@ def sample_exact_n(ds, n: int, *, key: str = "doc_id", num_buckets: int = 4096,
         m = h < np.uint64(thr) if thr > 0 else np.zeros(len(h), dtype=bool)
         if keep_ref is not None:
             m |= np.isin(ksb, ray.get(keep_ref))
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(final_filter, batch_format="pyarrow")
+
+
+def sample_exact_n_by_group(ds, n: int, *, group_col: str,
+                            key: str = "doc_id", num_buckets: int = 4096,
+                            max_boundary: int = 100_000,
+                            max_rounds: int | None = None):
+    """Balanced EXACTLY-``n``-per-group sample: within every ``group_col``
+    value, the ``n`` rows with the smallest ``(FNV(str(key)), key)`` —
+    ``ORDER BY hash LIMIT n PARTITION BY group`` without a sort. Groups
+    holding <= ``n`` rows keep every row (rare domains survive intact),
+    which is the balanced-corpus construction a uniform global sample
+    can't give.
+
+    Scale shape: the ``sample_exact_n`` histogram refinement run for ALL
+    groups in one shared pass per round — each round is one streaming fold
+    emitting (group, bucket, count) rows against each unconverged group's
+    CURRENT hash range (the range table ships in the task closure,
+    O(#groups)); converged groups drop out. One boundary pass collects all
+    groups' boundary slices together (bounded by #groups × ``max_boundary``)
+    and the final pass filters with a broadcast per-group threshold + keep
+    set. Stated assumption: bounded group cardinality (sources / domains /
+    languages) — the same as ``histogram_by_group``."""
+    import ray
+
+    from ..functions.collect import collect_table
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if n == 0:
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+    FULL = 1 << 64
+
+    def _gcols(t: pa.Table):
+        gcol = t[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return np.asarray(gcol).astype("U"), hash_str(_key_strings(t[key]))
+
+    def _round_fold(ranges: dict | None) -> dict:
+        """One streaming (group, bucket, count) fold. ``ranges`` maps group
+        -> (lo, hi); None = first round, full range for every group."""
+        snapshot = dict(ranges) if ranges is not None else None
+
+        def bounds_of(grp: str):
+            if snapshot is None:
+                return 0, FULL
+            return snapshot.get(grp, (None, None))
+
+        def partial(t: pa.Table) -> pa.Table:
+            g, h = _gcols(t)
+            og, ob, oc = [], [], []
+            for grp in np.unique(g):
+                lo, hi = bounds_of(str(grp))
+                if lo is None:
+                    continue  # group already converged
+                width = -(-(hi - lo) // num_buckets)
+                m = g == grp
+                hm = h[m]
+                if lo > 0:
+                    hm = hm[hm >= np.uint64(lo)]
+                if hi < FULL:
+                    hm = hm[hm < np.uint64(hi)]
+                b = ((hm - np.uint64(lo)) // np.uint64(width)).astype(np.int64)
+                np.minimum(b, num_buckets - 1, out=b)
+                cnt = np.bincount(b, minlength=num_buckets)
+                nz = np.nonzero(cnt)[0]
+                og.extend([str(grp)] * len(nz))
+                ob.append(nz.astype(np.int64))
+                oc.append(cnt[nz].astype(np.int64))
+            if not og:
+                return pa.table({"g": pa.array([], pa.string()),
+                                 "b": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"g": pa.array(og),
+                             "b": pa.array(np.concatenate(ob)),
+                             "cnt": pa.array(np.concatenate(oc))})
+
+        def combine(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            gcol = t["g"]
+            if isinstance(gcol, pa.ChunkedArray):
+                gcol = gcol.combine_chunks()
+            da = pc.dictionary_encode(gcol)
+            code = np.asarray(da.indices, dtype=np.int64)
+            packed = code * num_buckets + np.asarray(t["b"], dtype=np.int64)
+            tot = np.bincount(
+                packed, weights=np.asarray(t["cnt"], dtype=np.int64),
+                minlength=len(da.dictionary) * num_buckets).astype(np.int64)
+            nz = np.nonzero(tot)[0]
+            return pa.table({
+                "g": da.dictionary.take(pa.array(nz // num_buckets)),
+                "b": pa.array((nz % num_buckets).astype(np.int64)),
+                "cnt": pa.array(tot[nz]),
+            })
+
+        parts = collect_table(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow", batch_size=64),
+            empty_schema=pa.schema([("g", pa.string()), ("b", pa.int64()),
+                                    ("cnt", pa.int64())]),
+        )
+        counts: dict[str, np.ndarray] = {}
+        if parts.num_rows:
+            gcol = parts["g"]
+            if isinstance(gcol, pa.ChunkedArray):
+                gcol = gcol.combine_chunks()
+            gs = np.asarray(gcol).astype("U")
+            bs = np.asarray(parts["b"]).astype(np.int64)
+            cs = np.asarray(parts["cnt"]).astype(np.int64)
+            for grp in np.unique(gs):
+                m = gs == grp
+                arr = np.zeros(num_buckets, dtype=np.int64)
+                np.add.at(arr, bs[m], cs[m])
+                counts[str(grp)] = arr
+        return counts
+
+    max_rounds = _resolve_rounds(num_buckets, max_rounds)
+    ranges: dict[str, tuple[int, int]] = {}
+    acc: dict[str, int] = {}
+    keep_all: set[str] = set()
+    thr: dict[str, int] = {}          # converged: keep hash < thr
+    boundary: dict[str, tuple[int, int, int]] = {}  # g -> (lo, hi, k)
+
+    counts = _round_fold(None)
+    for grp, c in counts.items():
+        if int(c.sum()) <= n:
+            keep_all.add(grp)
+        else:
+            ranges[grp] = (0, FULL)
+            acc[grp] = 0
+
+    for _ in range(max_rounds):
+        if not ranges:
+            break
+        for grp in list(ranges):
+            lo, hi = ranges[grp]
+            c = counts[grp]
+            width = -(-(hi - lo) // num_buckets)
+            cum = np.cumsum(c)
+            bidx = int(np.searchsorted(cum, n - acc[grp], side="left"))
+            acc[grp] += int(cum[bidx - 1]) if bidx > 0 else 0
+            lo2 = lo + bidx * width
+            hi2 = min(lo2 + width, hi)
+            in_bucket = int(c[bidx])
+            k = n - acc[grp]
+            if k == 0:
+                thr[grp] = lo2
+                del ranges[grp]
+            elif in_bucket <= max_boundary or hi2 - lo2 <= 1:
+                if in_bucket > max(8 * max_boundary, 1_000_000):
+                    raise RuntimeError(
+                        f"group {grp!r}: boundary slice holds {in_bucket} "
+                        "rows — mass hash collision")
+                boundary[grp] = (lo2, hi2, k)
+                del ranges[grp]
+            else:
+                ranges[grp] = (lo2, hi2)
+        if ranges:
+            counts = _round_fold(ranges)
+    if ranges:
+        raise RuntimeError(
+            f"sample_exact_n_by_group did not converge in {max_rounds} "
+            f"rounds for groups {sorted(ranges)}")
+
+    keep_sets: dict[str, np.ndarray] = {}
+    if boundary:
+        bsnap = dict(boundary)
+
+        def slice_rows(t: pa.Table) -> pa.Table:
+            g, h = _gcols(t)
+            ksb = _key_strings(t[key])
+            m = np.zeros(len(g), dtype=bool)
+            for grp, (lo, hi, _) in bsnap.items():
+                gm = g == grp
+                gm &= h >= np.uint64(lo)
+                if hi < FULL:
+                    gm &= h < np.uint64(hi)
+                m |= gm
+            return pa.table({"g": pa.array(g[m]), "k": pa.array(ksb[m]),
+                             "h": pa.array(h[m])})
+
+        btab = collect_table(
+            ds.map_batches(slice_rows, batch_format="pyarrow"),
+            empty_schema=pa.schema([("g", pa.string()), ("k", pa.string()),
+                                    ("h", pa.uint64())]),
+        )
+        gcol = btab["g"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gs = np.asarray(gcol).astype("U")
+        ks = _key_strings(btab["k"])
+        hcol = btab["h"]
+        if isinstance(hcol, pa.ChunkedArray):
+            hcol = hcol.combine_chunks()
+        hs = np.asarray(hcol).astype(np.uint64)
+        for grp, (lo, hi, k) in bsnap.items():
+            m = gs == grp
+            order = np.lexsort((ks[m], hs[m]))
+            keep_sets[str(grp)] = ks[m][order[:k]]
+            thr[str(grp)] = lo
+
+    state_ref = ray.put((dict(thr), keep_sets, set(keep_all)))
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        thr_d, keeps, all_d = ray.get(state_ref)
+        g, h = _gcols(t)
+        ksb = _key_strings(t[key])
+        m = np.zeros(len(g), dtype=bool)
+        for grp in np.unique(g):
+            gm = g == grp
+            gs_ = str(grp)
+            if gs_ in all_d:
+                m |= gm
+                continue
+            tg = thr_d.get(gs_, 0)
+            sel = gm & (h < np.uint64(tg)) if tg > 0 else np.zeros(
+                len(g), dtype=bool)
+            if gs_ in keeps:
+                sel |= gm & np.isin(ksb, keeps[gs_])
+            m |= sel
         return t.filter(pa.array(m))
 
     return ds.map_batches(final_filter, batch_format="pyarrow")

@@ -1247,6 +1247,43 @@ def test_sample_exact_n_matches_global_sort(ray_session):
         sample_exact_n(ds, -1)
 
 
+def test_sample_exact_n_by_group_balanced(ray_session):
+    """Each group keeps exactly n rows (its n smallest (hash, key)); groups
+    with <= n rows keep everything; result is partitioning-independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.sampling import sample_exact_n_by_group
+
+    ids = np.arange(1, 831)
+    grp = np.where(ids <= 400, "big_a", np.where(ids <= 800, "big_b", "tiny"))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids.astype("U")),
+        "src": pa.array(grp.astype("U")),
+    })).repartition(6)
+
+    got = sample_exact_n_by_group(
+        ds, 37, group_col="src", num_buckets=4, max_boundary=3
+    ).to_pandas()
+    sizes = got.groupby("src").size().to_dict()
+    assert sizes == {"big_a": 37, "big_b": 37, "tiny": 30}  # tiny kept whole
+
+    sids = ids.astype("U")
+    h = hash_str(sids)
+    for g in ("big_a", "big_b"):
+        m = grp == g
+        order = np.lexsort((sids[m], h[m]))
+        want = set(sids[m][order[:37]])
+        assert set(got[got.src == g].doc_id) == want
+
+    alt = sample_exact_n_by_group(
+        ds.repartition(2), 37, group_col="src", num_buckets=4096,
+        max_boundary=100_000).to_pandas()
+    assert sorted(alt.doc_id) == sorted(got.doc_id)
+
+
 def test_winnow_shared_run_guarantee(ray_session):
     """Winnowing's core guarantee: two documents sharing a run of w+k-1
     words share at least one selected fingerprint; short docs (< w k-gram
