@@ -152,6 +152,14 @@ def q_weighted_sample(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_truncate(sf_dir: str):
+    """Token-budget truncation to the first 40 whitespace tokens
+    (``textops.truncate_docs``); streaming Arrow split/slice/rejoin."""
+    from ..stages.textops import truncate_docs
+
+    return truncate_docs(_docs(sf_dir))
+
+
 SAMPLE_EXACT_N = 97
 
 
@@ -1259,6 +1267,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_sample": q_sample,
         "t_badwords": q_badwords,
         "t_winnow": q_winnow,
+        "t_truncate": q_truncate,
         "t_sample_n_by_source": q_sample_n_by_source,
         "t_sample_weighted": q_weighted_sample,
         "t_sample_n": q_sample_n,
@@ -2125,6 +2134,19 @@ SAMPLE_SQL = f"""
 SELECT doc_id FROM documents WHERE {_SAMPLE_H} < {int(0.1 * 1_000_000)}
 """
 
+# truncation mirror: 1-based end-inclusive list slice = first 40 tokens;
+# '' split artifacts count (doc rebuilt verbatim), null text -> 0 tokens
+def _truncate_sql() -> str:
+    from ..stages.textops import TRUNCATE_TOKENS as T
+
+    return f"""
+SELECT doc_id,
+       array_to_string(string_split(text, ' ')[1 : {T}], ' ') AS text,
+       coalesce(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens,
+       coalesce(len(string_split(text, ' ')) > {T}, FALSE) AS truncated
+FROM documents
+"""
+
 # weighted sampling: keep iff FNV % 1e6 < per-doc ppm weight (from n_chars)
 WEIGHTED_SAMPLE_SQL = f"""
 SELECT doc_id FROM documents
@@ -2245,6 +2267,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_sample": SAMPLE_SQL,
         "t_badwords": BADWORDS_SQL,
         "t_winnow": _winnow_sql(),
+        "t_truncate": _truncate_sql(),
         "t_sample_n_by_source": SAMPLE_N_GROUP_SQL,
         "t_sample_weighted": WEIGHTED_SAMPLE_SQL,
         "t_sample_n": SAMPLE_N_SQL,

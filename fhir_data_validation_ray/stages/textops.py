@@ -1270,6 +1270,42 @@ def chunk_documents(docs, *, size: int = CHUNK_SIZE,
 _CTRL_RE = r"[\x00-\x1f\x7f]"
 
 
+TRUNCATE_TOKENS = 40
+
+
+def truncate_docs(docs, *, max_tokens: int = TRUNCATE_TOKENS,
+                  column: str = "text", batch_size: int | None = None):
+    """Token-budget truncation — trim every document to its first
+    ``max_tokens`` whitespace tokens instead of dropping long docs (the
+    standard context-window preprocessing step). Streaming Arrow kernels
+    only: split -> list_slice -> binary_join rebuild; adds integer
+    ``n_tokens`` (original count) and a ``truncated`` flag. '' split
+    artifacts count as tokens here (the doc is rebuilt verbatim either
+    way); run ``normalize_text`` first for canonical spacing.
+
+    Returns Dataset[doc_id, text, n_tokens, truncated]."""
+
+    def trunc(t: pa.Table) -> pa.Table:
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts, " ")
+        n_tok = pc.list_value_length(parts).fill_null(0)
+        out = pc.binary_join(
+            pc.list_slice(parts, 0, max_tokens, return_fixed_size_list=False),
+            " ")
+        truncated = pc.greater(n_tok, max_tokens).fill_null(False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": out,
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+            "truncated": truncated,
+        })
+
+    return docs.map_batches(trunc, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 def normalize_text(docs, *, column: str = "text",
                    batch_size: int | None = None):
     """Deterministic text normalization (the cleanup pass before dedup /
