@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--split", action="store_true",
                    help="partition output split=train|val|test/shard=N "
                         "(leak-free 90/5/5 doc_id hash bands)")
+    e.add_argument("--format", choices=("parquet", "jsonl"),
+                   default="parquet", dest="fmt",
+                   help="shard file format (jsonl writes deterministic "
+                        "pos-sorted part files per shard chunk)")
 
     args = ap.parse_args(argv)
     _ensure_ray()
@@ -126,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
             sample_rate=args.sample_rate,
             jaccard_threshold=args.jaccard_threshold,
             split_bands=SPLIT_BANDS if args.split else None,
+            fmt=args.fmt,
         )
         print(json.dumps(manifest))
     else:

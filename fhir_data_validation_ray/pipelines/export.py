@@ -26,7 +26,7 @@ import pyarrow as pa
 def export_training_shards(docs, out_dir: str, *, n_shards: int = 64,
                            sample_rate: float = 1.0,
                            jaccard_threshold: float = 0.8,
-                           split_bands=None) -> dict:
+                           split_bands=None, fmt: str = "parquet") -> dict:
     """Dataset[doc_id:int64, text] -> curated, shuffled, sharded parquet under
     ``out_dir`` (one ``shard=N`` directory per shard; rows carry
     ``doc_id, pos, text`` with ``pos`` the in-shard reading order).
@@ -56,6 +56,13 @@ def export_training_shards(docs, out_dir: str, *, n_shards: int = 64,
 
         layout = split_assign(layout, bands=split_bands)
         partition_cols = ["split", "shard"]
+    if fmt == "jsonl":
+        res = write_jsonl_shards(layout, out_dir, n_shards=n_shards)
+        return {"out": out_dir, "n_docs": res["rows"], "n_shards": n_shards,
+                "n_files": res["files"], "fmt": "jsonl",
+                "split": bool(split_bands)}
+    if fmt != "parquet":
+        raise ValueError(f"unknown export fmt {fmt!r}")
     layout.write_parquet(out_dir, partition_cols=partition_cols)
 
     import pyarrow.dataset as pads
@@ -63,3 +70,72 @@ def export_training_shards(docs, out_dir: str, *, n_shards: int = 64,
     n = pads.dataset(out_dir, partitioning="hive").count_rows()
     return {"out": out_dir, "n_docs": int(n), "n_shards": n_shards,
             "split": bool(split_bands)}
+
+
+JSONL_ROWS_PER_FILE = 100_000
+
+
+def write_jsonl_shards(layout, out_dir: str, *, n_shards: int,
+                       rows_per_file: int = JSONL_ROWS_PER_FILE) -> dict:
+    """Deterministic distributed JSONL sink — the trainer-facing lingua
+    franca next to the parquet lane (Ray's ``write_json`` has no
+    ``partition_cols``). ``layout`` rows carry (doc_id, shard, pos, text
+    [, split]); each (split, shard, pos // rows_per_file) chunk becomes ONE
+    group in a bucketed groupby whose task writes a single pos-sorted file
+    ``[split=S/]shard=N/part-<chunk>.jsonl`` — file names AND contents are
+    pure functions of the row set, so re-runs are byte-identical at any
+    read parallelism, every group is bounded by ``rows_per_file``, and a
+    failed export re-runs per chunk. Returns the number of files written."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    has_split = "split" in layout.schema().names
+    CHUNK_UB = 1 << 32
+
+    def add_key(t: pa.Table) -> pa.Table:
+        shard = np.asarray(t["shard"]).astype(np.int64)
+        pos = np.asarray(t["pos"]).astype(np.int64)
+        if has_split:
+            scol = t["split"]
+            if isinstance(scol, pa.ChunkedArray):
+                scol = scol.combine_chunks()
+            sidx = np.array(
+                [0 if s == "train" else (1 if s == "val" else 2)
+                 for s in scol.to_pylist()], dtype=np.int64)
+        else:
+            sidx = np.zeros(len(shard), dtype=np.int64)
+        key = (sidx * n_shards + shard) * CHUNK_UB + pos // rows_per_file
+        return t.append_column("file_key", pa.array(key))
+
+    def write_group(g: pa.Table) -> pa.Table:
+        pos = np.asarray(g["pos"]).astype(np.int64)
+        order = np.argsort(pos, kind="stable")  # pos unique within a shard
+        texts = g["text"].to_pylist()
+        shard = int(g["shard"][0].as_py())
+        chunk = int(g["file_key"][0].as_py()) % CHUNK_UB
+        sub = f"split={g['split'][0].as_py()}/" if has_split else ""
+        d = os.path.join(out_dir, f"{sub}shard={shard}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{chunk:06d}.jsonl")
+        tmp = path + ".tmp"
+        all_ids = np.asarray(g["doc_id"]).astype(np.int64)
+        with open(tmp, "w") as f:
+            for i in order:
+                f.write(json.dumps({"doc_id": int(all_ids[i]),
+                                    "pos": int(pos[i]),
+                                    "text": texts[i]},
+                                   ensure_ascii=False) + "\n")
+        os.replace(tmp, path)  # atomic per chunk: resumable re-runs
+        return pa.table({"file": pa.array([path]),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    manifest = (layout.map_batches(add_key, batch_format="pyarrow")
+                .groupby("file_key")
+                .map_groups(write_group, batch_format="pyarrow")
+                .materialize())
+    n_files = int(manifest.count())
+    return {"files": n_files,
+            "rows": int(manifest.sum("rows")) if n_files else 0}

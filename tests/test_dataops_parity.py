@@ -800,6 +800,56 @@ def test_export_training_shards_end_to_end(ray_session, tmp_path):
         tbl2.sort_values(key).reset_index(drop=True))
 
 
+def test_export_jsonl_lane_matches_parquet(ray_session, tmp_path):
+    """The JSONL sink holds the same contract as the parquet lane: the
+    file union is exactly the curated keep-list in the same shuffle layout,
+    files are pos-sorted, chunked under rows_per_file, and a re-run is
+    byte-identical file by file."""
+    import glob
+    import json as _json
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.export import export_training_shards
+
+    src = f"{SF_DIR}/documents.parquet"
+
+    def docs():
+        return rd.read_parquet(src, columns=["doc_id", "text"])
+
+    outp = str(tmp_path / "pq")
+    outj = str(tmp_path / "jl")
+    mp = export_training_shards(docs(), outp, n_shards=8, sample_rate=0.9)
+    mj = export_training_shards(docs(), outj, n_shards=8, sample_rate=0.9,
+                                fmt="jsonl")
+    assert mj["n_docs"] == mp["n_docs"] and mj["fmt"] == "jsonl"
+
+    want = (pads.dataset(outp, partitioning="hive").to_table()
+            .to_pandas().astype({"shard": "int64"}))
+    rows = []
+    for path in glob.glob(f"{outj}/shard=*/part-*.jsonl"):
+        shard = int(path.split("shard=")[1].split("/")[0])
+        chunk = [_json.loads(line) for line in open(path)]
+        poss = [r["pos"] for r in chunk]
+        assert poss == sorted(poss)  # pos-sorted within each file
+        rows += [dict(r, shard=shard) for r in chunk]
+    assert len(rows) == mp["n_docs"]
+    got = {(r["shard"], r["pos"], r["doc_id"], r["text"]) for r in rows}
+    assert got == set(map(tuple, want[["shard", "pos", "doc_id", "text"]]
+                          .itertuples(index=False)))
+
+    outj2 = str(tmp_path / "jl2")
+    export_training_shards(docs(), outj2, n_shards=8, sample_rate=0.9,
+                           fmt="jsonl")
+    f1 = sorted(glob.glob(f"{outj}/shard=*/part-*.jsonl"))
+    f2 = sorted(glob.glob(f"{outj2}/shard=*/part-*.jsonl"))
+    assert [p.replace(outj, "") for p in f1] == [
+        p.replace(outj2, "") for p in f2]
+    for a, b in zip(f1, f2):
+        assert open(a).read() == open(b).read()  # byte-identical re-run
+
+
 def test_chunk_documents_semantics(ray_session):
     """Overlap layout, short-tail chunks, empty/null docs, empty blocks."""
     import pyarrow as pa
