@@ -152,6 +152,59 @@ def q_weighted_sample(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_split_leakage(sf_dir: str):
+    """Train/val/test near-dup LEAKAGE AUDIT — the check that hash-band
+    splitting alone can't give: counts near-dup pairs (exact n-gram Jaccard,
+    the ``d_ngram_jaccard`` edges) by the unordered split-band pair of their
+    endpoints. Off-diagonal rows (train|test etc.) are evaluation
+    contamination the splitter can't see because near-dups have DIFFERENT
+    doc_ids; a curation pipeline drops one side of each such pair first
+    (``c_keep_best``) and this audit verifies the outcome. Bands are the
+    same pure hash function as ``split_assign`` (no join — labels computed
+    endpoint-wise in a stateless map), then a tiny low-cardinality count."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_str
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.joins import lowcard_count
+    from ..stages.sampling import SAMPLE_MOD, SPLIT_BANDS
+
+    names = np.array([n for n, _ in SPLIT_BANDS])
+    rates = np.cumsum([r for _, r in SPLIT_BANDS])
+    cuts = np.minimum((rates * SAMPLE_MOD).round().astype(np.int64),
+                      SAMPLE_MOD)[:-1]
+
+    def band(col) -> np.ndarray:
+        h = (hash_str(np.asarray(col).astype("U"))
+             % np.uint64(SAMPLE_MOD)).astype(np.int64)
+        return names[np.searchsorted(cuts, h, side="right")]
+
+    def label(t: pa.Table) -> pa.Table:
+        a, b = band(t["doc_a"]), band(t["doc_b"])
+        swap = a <= b  # np.minimum has no ufunc loop for unicode dtypes
+        lo, hi = np.where(swap, a, b), np.where(swap, b, a)
+        return pa.table(
+            {"splits": pa.array(np.char.add(np.char.add(lo, "|"), hi))})
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    counted = lowcard_count(
+        pairs.map_batches(label, batch_format="pyarrow"), "splits")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(t["splits"], "|")
+        return pa.table({
+            "split_a": pc.list_element(parts, 0),
+            "split_b": pc.list_element(parts, 1),
+            "n_pairs": t["n"],
+        })
+
+    return counted.map_batches(unpack, batch_format="pyarrow")
+
+
 def q_truncate(sf_dir: str):
     """Token-budget truncation to the first 40 whitespace tokens
     (``textops.truncate_docs``); streaming Arrow split/slice/rejoin."""
@@ -1268,6 +1321,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_badwords": q_badwords,
         "t_winnow": q_winnow,
         "t_truncate": q_truncate,
+        "c_split_leakage": q_split_leakage,
         "t_sample_n_by_source": q_sample_n_by_source,
         "t_sample_weighted": q_weighted_sample,
         "t_sample_n": q_sample_n,
@@ -1466,6 +1520,31 @@ JOIN z za ON za.doc_id = da JOIN z zb ON zb.doc_id = db
 WHERE inter::DOUBLE / (za.ns + zb.ns - inter) >= {JACCARD_THRESHOLD})"""
 
 NGRAM_JACCARD_SQL = f"WITH {_NGRAM_CTES}\nSELECT doc_a, doc_b FROM edges"
+
+
+def _split_leakage_sql() -> str:
+    """q_split_leakage mirror: the jaccard edges joined to the split-band
+    CASE on both endpoints, counted by the unordered (least, greatest)
+    split pair."""
+    from ..stages.sampling import SAMPLE_MOD, SPLIT_BANDS
+
+    cuts = np.cumsum([r for _, r in SPLIT_BANDS])
+    c0 = int(round(cuts[0] * SAMPLE_MOD))
+    c1 = int(round(cuts[1] * SAMPLE_MOD))
+    h = ("CAST(" + _fnv_sql("CAST(doc_id AS VARCHAR)")
+         + f" % {SAMPLE_MOD} AS BIGINT)")
+    return f"""
+WITH {_NGRAM_CTES},
+bands AS (SELECT doc_id, CASE WHEN {h} < {c0} THEN 'train'
+                              WHEN {h} < {c1} THEN 'val' ELSE 'test' END
+                 AS split FROM documents)
+SELECT least(ba.split, bb.split) AS split_a,
+       greatest(ba.split, bb.split) AS split_b,
+       count(*)::BIGINT AS n_pairs
+FROM edges JOIN bands ba ON edges.doc_a = ba.doc_id
+           JOIN bands bb ON edges.doc_b = bb.doc_id
+GROUP BY 1, 2
+"""
 
 # connected components over the near-dup pair graph: recursive min-label walk
 # (each node reaches every root of its component; min(root) = cluster id)
@@ -2268,6 +2347,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_badwords": BADWORDS_SQL,
         "t_winnow": _winnow_sql(),
         "t_truncate": _truncate_sql(),
+        "c_split_leakage": _split_leakage_sql(),
         "t_sample_n_by_source": SAMPLE_N_GROUP_SQL,
         "t_sample_weighted": WEIGHTED_SAMPLE_SQL,
         "t_sample_n": SAMPLE_N_SQL,
