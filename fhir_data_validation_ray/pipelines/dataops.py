@@ -205,6 +205,14 @@ def q_split_leakage(sf_dir: str):
     return counted.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_hash_embed(sf_dir: str):
+    """Deterministic hashed doc embeddings (integer fasttext-shaped
+    producer; ``textops.hash_embed``); stateless vectorized map."""
+    from ..stages.textops import hash_embed
+
+    return hash_embed(_docs(sf_dir))
+
+
 def q_truncate(sf_dir: str):
     """Token-budget truncation to the first 40 whitespace tokens
     (``textops.truncate_docs``); streaming Arrow split/slice/rejoin."""
@@ -1321,6 +1329,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_badwords": q_badwords,
         "t_winnow": q_winnow,
         "t_truncate": q_truncate,
+        "t_hash_embed": q_hash_embed,
         "c_split_leakage": q_split_leakage,
         "t_sample_n_by_source": q_sample_n_by_source,
         "t_sample_weighted": q_weighted_sample,
@@ -2215,6 +2224,27 @@ SELECT doc_id FROM documents WHERE {_SAMPLE_H} < {int(0.1 * 1_000_000)}
 
 # truncation mirror: 1-based end-inclusive list slice = first 40 tokens;
 # '' split artifacts count (doc rebuilt verbatim), null text -> 0 tokens
+def _hash_embed_sql() -> str:
+    """hash_embed mirror: per-(word, j) signed bucket from the same FNV
+    fold over word || '#' || j, per-doc integer sums; wordless docs -> 0s."""
+    from ..stages.textops import HASH_EMBED_DIM as D
+
+    comps = ",\n  ".join(
+        f"coalesce(sum(CASE WHEN j = {j} THEN v END), 0)::BIGINT AS e{j}"
+        for j in range(D))
+    fnv = _fnv_sql("word || '#' || CAST(j AS VARCHAR)")
+    return f"""
+WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS word
+           FROM documents),
+c AS (SELECT doc_id, j, CAST({fnv} % 15 AS BIGINT) - 7 AS v
+      FROM w CROSS JOIN (SELECT unnest(range({D})) AS j)),
+agg AS (SELECT doc_id, {comps} FROM c GROUP BY doc_id)
+SELECT d.doc_id, {", ".join(f"coalesce(a.e{j}, 0)::BIGINT AS e{j}" for j in range(D))}
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _truncate_sql() -> str:
     from ..stages.textops import TRUNCATE_TOKENS as T
 
@@ -2347,6 +2377,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_badwords": BADWORDS_SQL,
         "t_winnow": _winnow_sql(),
         "t_truncate": _truncate_sql(),
+        "t_hash_embed": _hash_embed_sql(),
         "c_split_leakage": _split_leakage_sql(),
         "t_sample_n_by_source": SAMPLE_N_GROUP_SQL,
         "t_sample_weighted": WEIGHTED_SAMPLE_SQL,

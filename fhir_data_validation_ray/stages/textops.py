@@ -1270,6 +1270,50 @@ def chunk_documents(docs, *, size: int = CHUNK_SIZE,
 _CTRL_RE = r"[\x00-\x1f\x7f]"
 
 
+HASH_EMBED_DIM = 8
+
+
+def hash_embed(docs, *, dim: int = HASH_EMBED_DIM, column: str = "text",
+               batch_size: int | None = None):
+    """Deterministic hashed document embeddings — the fasttext-shaped
+    producer edge (text -> vector) for the similarity/embed-dedup operators
+    when no trained encoder is available: component ``j`` of a word's
+    vector is ``FNV(word + '#' + j) % 15 - 7`` (a signed bucket of the
+    shared fold), and a document embeds as the integer SUM of its word
+    vectors. Integer outputs make the oracle exact — no float drift.
+
+    Stateless vectorized map: words dictionary-encode per batch, each
+    dimension hashes only the dictionary (the winnowing lesson), per-doc
+    sums via bincount. Returns (doc_id, e0..e{dim-1}); normalize / cast
+    downstream if cosine geometry is wanted."""
+
+    def embed(t: pa.Table) -> pa.Table:
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").fill_null(False).to_numpy(
+            zero_copy_only=False)
+        da = pc.dictionary_encode(flat)
+        uw = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        codes = np.asarray(da.indices, dtype=np.int64)
+        n_docs = len(texts)
+        out: dict = {"doc_id": t["doc_id"]}
+        pk, ck = parent[keep], codes[keep]
+        for j in range(dim):
+            vals = (hash_str(np.char.add(uw, f"#{j}"))
+                    % np.uint64(15)).astype(np.int64) - 7
+            comp = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(comp, pk, vals[ck])
+            out[f"e{j}"] = pa.array(comp)
+        return pa.table(out)
+
+    return docs.map_batches(embed, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 TRUNCATE_TOKENS = 40
 
 
