@@ -852,37 +852,44 @@ def mixture_quota(docs, *, budget: int = 1_000_000,
 TFIDF_SCALE = 1_000_000
 
 
+def _doc_term_tf(t: pa.Table):
+    """Per-batch exact per-(doc, term) counts — each doc lives whole in one
+    row so the counts are final, not partial. Returns (doc_ids, terms as a
+    sorted-per-doc U array, tf); '' split artifacts dropped."""
+    texts = t["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parts = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").fill_null(False).to_numpy(zero_copy_only=False)
+    da = pc.dictionary_encode(flat)
+    wid = np.asarray(da.indices, dtype=np.int64)[keep]
+    parent = parent[keep]
+    order = np.lexsort((wid, parent))
+    p, w = parent[order], wid[order]
+    new = np.ones(len(p), dtype=bool)
+    if len(p):
+        new[1:] = (p[1:] != p[:-1]) | (w[1:] != w[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, len(p))).astype(np.int64)
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    d = ids[p[starts]] if len(starts) else np.empty(0, np.int64)
+    vocab = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+    terms = vocab[w[starts]] if len(starts) else np.empty(0, "U1")
+    return d, terms, tf
+
+
 def _term_tf_partial(num_buckets: int):
     """Per-batch (term-bucket, term, doc_id, tf) partial — the shared first
     stage of the inverted-index operators (``tfidf_top_terms``, ``oov_rate``).
-    Each doc lives whole in one row, so per-(doc, term) tf is exact per
-    batch; the shuffle moves one row per distinct (doc, term), never raw
-    tokens. Terms travel as strings (bucket is routing only — matches inside
-    a bucket compare the string itself, no hash-collision caveat)."""
+    The shuffle moves one row per distinct (doc, term), never raw tokens.
+    Terms travel as strings (bucket is routing only — matches inside a
+    bucket compare the string itself, no hash-collision caveat)."""
     from ..functions.hashing import hash_str
 
     def tf_partial(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        parts = pc.split_pattern(texts, " ")
-        flat = pc.list_flatten(parts)
-        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").fill_null(False).to_numpy(zero_copy_only=False)
-        da = pc.dictionary_encode(flat)
-        wid = np.asarray(da.indices, dtype=np.int64)[keep]
-        parent = parent[keep]
-        order = np.lexsort((wid, parent))
-        p, w = parent[order], wid[order]
-        new = np.ones(len(p), dtype=bool)
-        if len(p):
-            new[1:] = (p[1:] != p[:-1]) | (w[1:] != w[:-1])
-        starts = np.flatnonzero(new)
-        tf = np.diff(np.append(starts, len(p))).astype(np.int64)
-        ids = np.asarray(t["doc_id"], dtype=np.int64)
-        d = ids[p[starts]] if len(starts) else np.empty(0, np.int64)
-        vocab = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
-        terms = vocab[w[starts]] if len(starts) else np.empty(0, "U1")
+        d, terms, tf = _doc_term_tf(t)
         bucket = (hash_str(terms) % np.uint64(num_buckets)).astype(np.int32)
         return pa.table(
             {
@@ -896,14 +903,78 @@ def _term_tf_partial(num_buckets: int):
     return tf_partial
 
 
+def _df_fold(docs, batch_size=None) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed exact document-frequency fold: per-batch per-term
+    distinct-doc counts (final per batch — docs live whole in one row), a
+    per-task combine, then a driver fold. State everywhere is bounded by
+    the VOCABULARY size, never token or doc count. Returns (sorted unique
+    terms, df)."""
+    from ..functions.collect import collect_table
+
+    def _sum_by_term(terms: np.ndarray, cnts: np.ndarray):
+        order = np.argsort(terms, kind="stable")
+        ts, cs = terms[order], cnts[order]
+        if len(ts) == 0:
+            return ts, cs
+        new = np.concatenate([[True], ts[1:] != ts[:-1]])
+        idx = np.flatnonzero(new)
+        return ts[idx], np.add.reduceat(cs, idx).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, terms, _ = _doc_term_tf(t)
+        ut, dfp = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(ut, pa.string()),
+                         "df": pa.array(dfp.astype(np.int64))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        term = t["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        ts, cs = _sum_by_term(term.to_numpy(zero_copy_only=False).astype("U"),
+                              np.asarray(t["df"], dtype=np.int64))
+        return pa.table({"term": pa.array(ts, pa.string()),
+                         "df": pa.array(cs)})
+
+    parts = collect_table(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+    if not parts.num_rows:
+        return np.empty(0, "U1"), np.empty(0, np.int64)
+    term = parts["term"]
+    if isinstance(term, pa.ChunkedArray):
+        term = term.combine_chunks()
+    return _sum_by_term(term.to_numpy(zero_copy_only=False).astype("U"),
+                        np.asarray(parts["df"], dtype=np.int64))
+
+
+TFIDF_BROADCAST_MAX_DOCS = 5_000_000
+
+
 def tfidf_top_terms(docs, *, num_buckets: int = 64, doc_shard: int = 4096,
+                    lane: str = "auto",
+                    broadcast_max_docs: int = TFIDF_BROADCAST_MAX_DOCS,
                     batch_size: int | None = None):
     """Per-document most-salient term by exact integer TF-IDF score
     ``tf * TFIDF_SCALE // df`` (ties: term ASC). Emits one row per doc that
     has ≥1 non-empty word: ``doc_id, term, tf, df, score``.
 
-    Two bounded exchanges, no broadcast vocabulary and no hash-collision
-    caveat (terms travel as strings and match exactly):
+    Two lanes, identical outputs (lane-equivalence tested), auto-picked by
+    corpus size like ``dedup.ngram_jaccard_pairs``:
+
+    - ``broadcast`` (default under ``broadcast_max_docs``): ONE bounded
+      document-frequency fold (state = vocabulary size) broadcast via
+      ``ray.put``, then a single stateless pass computes scores and the
+      per-doc argmax inside the batch — no (doc, term) exchange at all.
+      Right whenever the vocabulary fits a worker (bounded/curated corpora).
+    - ``index``: the exchange lane below, for corpora whose RAW vocabulary
+      is unbounded (web-scale token soup) — nothing vocabulary-sized is
+      ever held in one place.
+
+    The index lane — two bounded exchanges, no broadcast vocabulary and no
+    hash-collision caveat (terms travel as strings and match exactly):
     1. per-batch (term-bucket, term, doc_id, tf) partials — each doc lives
        whole in one row so per-doc tf is exact per batch; the shuffle moves
        one row per distinct (doc, term), never raw tokens;
@@ -914,6 +985,39 @@ def tfidf_top_terms(docs, *, num_buckets: int = 64, doc_shard: int = 4096,
        like ``packing.pack_sequences``): vectorized per-doc argmax via
        lexsort + first-per-run boundaries.
     """
+    if lane == "auto":
+        lane = "broadcast" if docs.count() <= broadcast_max_docs else "index"
+    if lane == "broadcast":
+        import ray
+
+        terms_sorted, dfs = _df_fold(docs, batch_size=batch_size)
+        df_ref = ray.put((terms_sorted, dfs))
+
+        def probe(t: pa.Table) -> pa.Table:
+            ts, dfv = ray.get(df_ref)
+            d, terms, tf = _doc_term_tf(t)
+            df = dfv[np.searchsorted(ts, terms)] if len(terms) else (
+                np.empty(0, np.int64))
+            score = tf * TFIDF_SCALE // df if len(terms) else (
+                np.empty(0, np.int64))
+            order = np.lexsort((terms, -score, d))
+            p = d[order]
+            new = np.ones(len(p), dtype=bool)
+            if len(p):
+                new[1:] = p[1:] != p[:-1]
+            pick = order[np.flatnonzero(new)]
+            return pa.table({
+                "doc_id": pa.array(d[pick]),
+                "term": pa.array(terms[pick], pa.string()),
+                "tf": pa.array(tf[pick]),
+                "df": pa.array(df[pick]),
+                "score": pa.array(score[pick]),
+            })
+
+        return docs.map_batches(probe, batch_format="pyarrow",
+                                batch_size=batch_size)
+    if lane != "index":
+        raise ValueError(f"unknown tfidf lane {lane!r}")
     tf_partial = _term_tf_partial(num_buckets)
 
     def df_attach(g: pa.Table) -> pa.Table:

@@ -1334,6 +1334,31 @@ def test_sample_exact_n_by_group_balanced(ray_session):
     assert sorted(alt.doc_id) == sorted(got.doc_id)
 
 
+def test_tfidf_lanes_equivalent(ray_session):
+    """The broadcast-df lane and the inverted-index exchange lane produce
+    identical rows; auto picks broadcast under the doc threshold and index
+    above it."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import tfidf_top_terms
+
+    def docs():
+        return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    key = ["doc_id", "term", "tf", "df", "score"]
+    a = (tfidf_top_terms(docs(), lane="broadcast").to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (tfidf_top_terms(docs(), lane="index").to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[key], b[key], check_dtype=False)
+
+    c = (tfidf_top_terms(docs(), lane="auto", broadcast_max_docs=1)
+         .to_pandas().sort_values(key).reset_index(drop=True))  # -> index
+    pd.testing.assert_frame_equal(c[key], b[key], check_dtype=False)
+
+
 def test_winnow_shared_run_guarantee(ray_session):
     """Winnowing's core guarantee: two documents sharing a run of w+k-1
     words share at least one selected fingerprint; short docs (< w k-gram
