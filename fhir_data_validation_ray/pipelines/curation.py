@@ -166,6 +166,83 @@ def embed_dedup_keep_list(embeddings, *, threshold: float = 0.92,
     return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")
 
 
+def hash_centroids(seed_docs, k: int, *, dim: int | None = None) -> np.ndarray:
+    """K x dim integer centroid matrix: the hashed embeddings
+    (``textops.hash_embed``) of the ``k`` lowest doc_ids in ``seed_docs``.
+
+    Pass a PRE-FILTERED tiny dataset (e.g. a pushdown-filtered
+    ``read_parquet(..., filter=doc_id < k)``), never the corpus — the
+    collect here is O(k). Production pipelines substitute trained k-means
+    centroids; this derivation exists so the cluster-cap oracle is an exact
+    pure function of the corpus."""
+    from ..functions.collect import collect_table
+    from ..stages.textops import HASH_EMBED_DIM, hash_embed
+
+    dim = HASH_EMBED_DIM if dim is None else dim
+    tbl = collect_table(hash_embed(seed_docs, dim=dim))
+    d = np.asarray(tbl["doc_id"]).astype(np.int64)
+    order = np.argsort(d)[:k]
+    if len(order) < k:
+        raise ValueError(f"seed_docs holds {len(order)} rows < k={k}")
+    return np.stack(
+        [np.asarray(tbl[f"e{j}"]).astype(np.int64)[order] for j in range(dim)],
+        axis=1)
+
+
+def cluster_assign(docs, centroids, *, dim: int | None = None):
+    """Nearest-centroid assignment over the deterministic hashed embeddings
+    — the SemDeDup-shaped partition of a corpus into K semantic buckets.
+
+    Assignment is max INNER PRODUCT (ties -> lowest cluster id, matching
+    ``np.argmax``'s first-hit rule): with integer embeddings and integer
+    centroids the score is exactly representable, so the DuckDB oracle
+    (``dataops._cluster_cap_sql``) reproduces it bit-for-bit — no float
+    cosine drift. Centroids are a tiny K x dim matrix captured in the task
+    closure (ships once per worker); one stateless vectorized matmul per
+    batch, nothing corpus-sized anywhere.
+
+    Dataset[doc_id, text] -> Dataset[doc_id, cluster, score]."""
+    from ..stages.textops import HASH_EMBED_DIM, hash_embed
+
+    dim = HASH_EMBED_DIM if dim is None else dim
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.int64))
+    if C.ndim != 2 or C.shape[1] != dim:
+        raise ValueError(f"centroids must be K x {dim}, got {C.shape}")
+
+    def assign(t: pa.Table) -> pa.Table:
+        X = np.stack(
+            [np.asarray(t[f"e{j}"]).astype(np.int64) for j in range(dim)],
+            axis=1)
+        dots = X @ C.T
+        cl = dots.argmax(axis=1).astype(np.int64)
+        score = dots[np.arange(len(cl)), cl]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "cluster": pa.array(cl),
+            "score": pa.array(score.astype(np.int64)),
+        })
+
+    return hash_embed(docs, dim=dim).map_batches(assign, batch_format="pyarrow")
+
+
+def cluster_cap_keep(docs, centroids, *, cap: int, dim: int | None = None):
+    """Diversity-capped curation: assign every doc to its nearest centroid,
+    then keep AT MOST ``cap`` docs per cluster — the per-cluster balanced
+    selection (SemDeDup / DCLM-style) that stops one dominant semantic
+    bucket from flooding a training mix. Within a cluster the survivors are
+    the ``cap`` lowest ``(FNV(str(doc_id)), doc_id)`` keys — an unbiased
+    deterministic draw via ``sampling.sample_exact_n_by_group`` (iterative
+    histogram refinement; no sort, no corpus-sized group: cluster count K
+    is bounded, and the per-group machinery folds (group, bucket, count)
+    partials only).
+
+    Dataset[doc_id, text] -> Dataset[doc_id, cluster, score] survivors."""
+    from ..stages.sampling import sample_exact_n_by_group
+
+    return sample_exact_n_by_group(
+        cluster_assign(docs, centroids, dim=dim), cap, group_col="cluster")
+
+
 def curate_keep_best(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8,
                      num_buckets: int = 64):
     """Quality-aware near-dup resolution: like ``curate_keep_list``'s

@@ -213,6 +213,29 @@ def q_hash_embed(sf_dir: str):
     return hash_embed(_docs(sf_dir))
 
 
+CLUSTER_CAP_K = 8
+CLUSTER_CAP_N = 40
+
+
+def q_cluster_cap(sf_dir: str):
+    """Diversity-capped curation (SemDeDup-shaped): nearest-centroid
+    assignment over the integer hashed embeddings, then at most
+    CLUSTER_CAP_N survivors per cluster via the exactly-N-per-group
+    histogram refinement (``curation.cluster_cap_keep``). Centroids derive
+    from the CLUSTER_CAP_K lowest doc_ids through a pushdown-filtered read
+    — the corpus is never scanned to seed them."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .curation import cluster_cap_keep, hash_centroids
+
+    seed = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < CLUSTER_CAP_K)
+    cents = hash_centroids(seed, CLUSTER_CAP_K)
+    return cluster_cap_keep(_docs(sf_dir), cents, cap=CLUSTER_CAP_N)
+
+
 def q_truncate(sf_dir: str):
     """Token-budget truncation to the first 40 whitespace tokens
     (``textops.truncate_docs``); streaming Arrow split/slice/rejoin."""
@@ -1320,6 +1343,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_redact": q_pii_redact,
         "c_curation": q_curation,
         "c_curation_clf": q_curation_clf,
+        "c_cluster_cap": q_cluster_cap,
         "c_embed_dedup": q_embed_dedup,
         "c_keep_best": q_keep_best,
         "j_orders_by_segment": q_orders_by_segment,
@@ -2224,24 +2248,56 @@ SELECT doc_id FROM documents WHERE {_SAMPLE_H} < {int(0.1 * 1_000_000)}
 
 # truncation mirror: 1-based end-inclusive list slice = first 40 tokens;
 # '' split artifacts count (doc rebuilt verbatim), null text -> 0 tokens
-def _hash_embed_sql() -> str:
-    """hash_embed mirror: per-(word, j) signed bucket from the same FNV
-    fold over word || '#' || j, per-doc integer sums; wordless docs -> 0s."""
+def _hash_embed_ctes() -> str:
+    """CTE chain ending in ``emb(doc_id, e0..e{D-1})`` — the hash_embed
+    mirror: per-(word, j) signed bucket from the same FNV fold over
+    word || '#' || j, per-doc integer sums; wordless docs -> 0s. Shared by
+    the t_hash_embed oracle and the cluster-cap oracle."""
     from ..stages.textops import HASH_EMBED_DIM as D
 
     comps = ",\n  ".join(
         f"coalesce(sum(CASE WHEN j = {j} THEN v END), 0)::BIGINT AS e{j}"
         for j in range(D))
     fnv = _fnv_sql("word || '#' || CAST(j AS VARCHAR)")
-    return f"""
-WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+    sel = ", ".join(f"coalesce(a.e{j}, 0)::BIGINT AS e{j}" for j in range(D))
+    return f"""he_w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                                              x -> x <> '')) AS word
            FROM documents),
-c AS (SELECT doc_id, j, CAST({fnv} % 15 AS BIGINT) - 7 AS v
-      FROM w CROSS JOIN (SELECT unnest(range({D})) AS j)),
-agg AS (SELECT doc_id, {comps} FROM c GROUP BY doc_id)
-SELECT d.doc_id, {", ".join(f"coalesce(a.e{j}, 0)::BIGINT AS e{j}" for j in range(D))}
-FROM documents d LEFT JOIN agg a USING (doc_id)
+he_c AS (SELECT doc_id, j, CAST({fnv} % 15 AS BIGINT) - 7 AS v
+      FROM he_w CROSS JOIN (SELECT unnest(range({D})) AS j)),
+he_agg AS (SELECT doc_id, {comps} FROM he_c GROUP BY doc_id),
+emb AS (SELECT d.doc_id, {sel}
+        FROM documents d LEFT JOIN he_agg a USING (doc_id))"""
+
+
+def _hash_embed_sql() -> str:
+    return f"WITH {_hash_embed_ctes()} SELECT * FROM emb"
+
+
+def _cluster_cap_sql() -> str:
+    """cluster_cap_keep mirror: integer inner-product argmax against the
+    doc_id < K centroid rows (ties -> lowest k, = np.argmax first hit),
+    then the cap's ORDER BY (FNV(str(doc_id)), doc_id) LIMIT N per cluster
+    — the same key ``sampling.sample_exact_n_by_group`` ranks by."""
+    from ..stages.textops import HASH_EMBED_DIM as D
+
+    dot = " + ".join(f"d.e{j} * c.e{j}" for j in range(D))
+    cols = ", ".join(f"e{j}" for j in range(D))
+    fnv = _fnv_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_hash_embed_ctes()},
+cent AS (SELECT doc_id AS k, {cols} FROM emb WHERE doc_id < {CLUSTER_CAP_K}),
+dots AS (SELECT d.doc_id, c.k, ({dot})::BIGINT AS dot
+         FROM emb d CROSS JOIN cent c),
+best AS (SELECT doc_id, k AS cluster, dot AS score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY dot DESC, k ASC) AS rn
+         FROM dots),
+a AS (SELECT doc_id, cluster::BIGINT AS cluster, score, {fnv} AS h
+      FROM best WHERE rn = 1)
+SELECT doc_id, cluster, score FROM a
+QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY h, doc_id)
+        <= {CLUSTER_CAP_N}
 """
 
 
@@ -2368,6 +2424,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_pii_redact": _pii_sql(paths["flat"]),
         "c_curation": _curation_sql(),
         "c_curation_clf": _curation_clf_sql(),
+        "c_cluster_cap": _cluster_cap_sql(),
         "c_embed_dedup": EMBED_DEDUP_SQL,
         "c_keep_best": KEEP_BEST_SQL,
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

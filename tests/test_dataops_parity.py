@@ -1752,3 +1752,55 @@ def test_bpe_encode_applies_merges(ray_session):
     assert t.loc[2, "n_tokens"] == 4 and t.loc[2, "n_words"] == 2
     # xyz: no merges apply -> x y z </w> stay atomic
     assert t.loc[3, "n_tokens"] == 4 and t.loc[3, "n_words"] == 1
+
+
+def test_cluster_cap_binds_and_respects_assignment(ray_session):
+    """Survivors are a subset of the full assignment, every cluster holds
+    at most the cap, and any cluster that exceeded the cap is cut to it."""
+    import numpy as np
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import (
+        cluster_assign,
+        cluster_cap_keep,
+        hash_centroids,
+    )
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    seed = docs.map_batches(
+        lambda t: t.filter(np.asarray(t["doc_id"]).astype("int64") < 8),
+        batch_format="pyarrow")
+    cents = hash_centroids(seed, 8)
+    assert cents.shape == (8, 8)
+
+    full = cluster_assign(docs, cents).to_pandas()
+    cap = 5
+    kept = cluster_cap_keep(docs, cents, cap=cap).to_pandas()
+
+    merged = kept.merge(full, on="doc_id", suffixes=("", "_full"))
+    assert len(merged) == len(kept)
+    assert (merged.cluster == merged.cluster_full).all()
+    assert (merged.score == merged.score_full).all()
+
+    kept_sizes = kept.groupby("cluster").size()
+    full_sizes = full.groupby("cluster").size()
+    assert (kept_sizes <= cap).all()
+    for cl, n in full_sizes.items():
+        assert kept_sizes.get(cl, 0) == min(n, cap)
+
+
+def test_hash_centroids_rejects_short_seed(ray_session):
+    import numpy as np
+    import pytest as _pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import hash_centroids
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    seed = docs.map_batches(
+        lambda t: t.filter(np.asarray(t["doc_id"]).astype("int64") < 3),
+        batch_format="pyarrow")
+    with _pytest.raises(ValueError, match="3 rows < k=8"):
+        hash_centroids(seed, 8)
