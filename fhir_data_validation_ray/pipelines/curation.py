@@ -225,6 +225,92 @@ def cluster_assign(docs, centroids, *, dim: int | None = None):
     return hash_embed(docs, dim=dim).map_batches(assign, batch_format="pyarrow")
 
 
+def kmeans_train(docs, init_centroids, *, iters: int = 3,
+                 dim: int | None = None):
+    """Distributed integer Lloyd k-means over the hashed embeddings — the
+    scale path for training the centroids ``cluster_cap_keep`` consumes
+    (``hash_centroids`` is only the deterministic seed).
+
+    Every step is integer-exact so the DuckDB oracle reproduces the run
+    bit-for-bit: assignment is ``argmin ||e - c||^2 = argmin(|c|^2 -
+    2 e.c)`` (ties -> lowest k, = np.argmin's first hit); the update is
+    elementwise ``floor(sum / count)`` (floor toward -inf on both sides);
+    an empty cluster keeps its previous centroid. Fixed ``iters`` rounds —
+    no data-dependent convergence test — keeps the SQL mirror a finite CTE
+    chain.
+
+    Plan shape: the (doc_id, e0..e{D-1}) projection materializes ONCE
+    (~(1+D)*8 bytes/row — the iteration working set; the corpus text is
+    read and embedded a single time), then each round is one streaming
+    map_batches emitting <= K partial rows per batch (per-cluster count +
+    coordinate sums via bincount), a per-task combine level (batch_size=64,
+    the stats.py two-level fold), and a driver fold over the few survivors.
+    Driver state is O(K * D) integers.
+
+    Returns ``(centroids, counts)``: the K x dim int64 matrix after
+    ``iters`` updates and the member counts of the assignment that produced
+    the final update."""
+    from ..functions.collect import collect_table
+    from ..stages.textops import HASH_EMBED_DIM, hash_embed
+
+    dim = HASH_EMBED_DIM if dim is None else dim
+    C = np.ascontiguousarray(np.asarray(init_centroids, dtype=np.int64))
+    if C.ndim != 2 or C.shape[1] != dim:
+        raise ValueError(f"init_centroids must be K x {dim}, got {C.shape}")
+    K = C.shape[0]
+
+    emb = hash_embed(docs, dim=dim).materialize()
+
+    def to_rows(cnt: np.ndarray, sums: np.ndarray) -> pa.Table:
+        return pa.table({
+            "cluster": pa.array(np.arange(K, dtype=np.int64)),
+            "n": pa.array(cnt),
+            **{f"s{j}": pa.array(sums[:, j]) for j in range(dim)},
+        })
+
+    def fold_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        cnt = np.zeros(K, np.int64)
+        sums = np.zeros((K, dim), np.int64)
+        if t.num_rows:
+            cl = np.asarray(t["cluster"]).astype(np.int64)
+            np.add.at(cnt, cl, np.asarray(t["n"]).astype(np.int64))
+            for j in range(dim):
+                np.add.at(sums[:, j], cl,
+                          np.asarray(t[f"s{j}"]).astype(np.int64))
+        return cnt, sums
+
+    def combine(t: pa.Table) -> pa.Table:
+        return to_rows(*fold_rows(t))
+
+    counts = np.zeros(K, np.int64)
+    for _ in range(iters):
+        snap = C
+        c_norm = (snap * snap).sum(axis=1)
+
+        def partial(t: pa.Table, _C=snap, _cn=c_norm) -> pa.Table:
+            X = np.stack(
+                [np.asarray(t[f"e{j}"]).astype(np.int64)
+                 for j in range(dim)], axis=1)
+            score = _cn[None, :] - 2 * (X @ _C.T)
+            cl = score.argmin(axis=1)
+            cnt = np.bincount(cl, minlength=K).astype(np.int64)
+            # bincount weights are float64; coordinate sums stay < 2^53 so
+            # the round-trip through float is exact
+            sums = np.stack(
+                [np.bincount(cl, weights=X[:, j], minlength=K)
+                 for j in range(dim)], axis=1).astype(np.int64)
+            return to_rows(cnt, sums)
+
+        parts = collect_table(
+            emb.map_batches(partial, batch_format="pyarrow")
+               .map_batches(combine, batch_format="pyarrow", batch_size=64))
+        cnt, sums = fold_rows(parts)
+        upd = np.floor_divide(sums, np.maximum(cnt, 1)[:, None])
+        C = np.where((cnt > 0)[:, None], upd, snap).astype(np.int64)
+        counts = cnt
+    return C, counts
+
+
 def cluster_cap_keep(docs, centroids, *, cap: int, dim: int | None = None):
     """Diversity-capped curation: assign every doc to its nearest centroid,
     then keep AT MOST ``cap`` docs per cluster — the per-cluster balanced

@@ -236,6 +236,31 @@ def q_cluster_cap(sf_dir: str):
     return cluster_cap_keep(_docs(sf_dir), cents, cap=CLUSTER_CAP_N)
 
 
+KMEANS_ITERS = 3
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed integer Lloyd k-means (``curation.kmeans_train``):
+    3 fixed rounds from the hash_centroids seed, each one streaming
+    bincount fold; returns the K centroid rows + final member counts."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .curation import hash_centroids, kmeans_train
+
+    seed = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < CLUSTER_CAP_K)
+    init = hash_centroids(seed, CLUSTER_CAP_K)
+    C, counts = kmeans_train(_docs(sf_dir), init, iters=KMEANS_ITERS)
+    return pa.table({
+        "cluster": pa.array(np.arange(len(C), dtype=np.int64)),
+        "n_members": pa.array(counts),
+        **{f"c{j}": pa.array(C[:, j]) for j in range(C.shape[1])},
+    })
+
+
 def q_truncate(sf_dir: str):
     """Token-budget truncation to the first 40 whitespace tokens
     (``textops.truncate_docs``); streaming Arrow split/slice/rejoin."""
@@ -1344,6 +1369,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_curation": q_curation,
         "c_curation_clf": q_curation_clf,
         "c_cluster_cap": q_cluster_cap,
+        "c_kmeans": q_kmeans,
         "c_embed_dedup": q_embed_dedup,
         "c_keep_best": q_keep_best,
         "j_orders_by_segment": q_orders_by_segment,
@@ -2301,6 +2327,51 @@ QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY h, doc_id)
 """
 
 
+def _kmeans_sql() -> str:
+    """kmeans_train mirror: the same fixed Lloyd rounds as a generated CTE
+    chain — argmin(|c|^2 - 2 e.c) assignment (ties -> lowest k), update
+    floor(sum/count) via double division (coordinate sums are far below
+    2^53, so the float round-trip is exact, matching the bincount path);
+    empty clusters coalesce to the previous centroid."""
+    from ..stages.textops import HASH_EMBED_DIM as D
+
+    K, iters = CLUSTER_CAP_K, KMEANS_ITERS
+    ctes = [_hash_embed_ctes()]
+    ctes.append(
+        f"cent0 AS (SELECT doc_id AS k, "
+        + ", ".join(f"e{j} AS c{j}" for j in range(D))
+        + f" FROM emb WHERE doc_id < {K})")
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        cn = " + ".join(f"c.c{j} * c.c{j}" for j in range(D))
+        dot = " + ".join(f"e.e{j} * c.c{j}" for j in range(D))
+        ecols = ", ".join(f"e.e{j}" for j in range(D))
+        ctes.append(
+            f"sc{i} AS (SELECT e.doc_id, c.k, ({cn}) - 2 * ({dot}) AS dist, "
+            f"{ecols} FROM emb e CROSS JOIN {prev} c)")
+        ctes.append(
+            f"a{i} AS (SELECT * FROM (SELECT sc{i}.*, row_number() OVER "
+            f"(PARTITION BY doc_id ORDER BY dist ASC, k ASC) AS rn "
+            f"FROM sc{i}) WHERE rn = 1)")
+        upd = ", ".join(
+            f"CAST(floor(sum(e{j})::DOUBLE / count(*)) AS BIGINT) AS f{j}"
+            for j in range(D))
+        ctes.append(
+            f"u{i} AS (SELECT k, count(*)::BIGINT AS n, {upd} "
+            f"FROM a{i} GROUP BY k)")
+        newc = ", ".join(f"coalesce(u.f{j}, p.c{j}) AS c{j}"
+                         for j in range(D))
+        ctes.append(
+            f"cent{i} AS (SELECT p.k, {newc} "
+            f"FROM {prev} p LEFT JOIN u{i} u USING (k))")
+    final_cols = ", ".join(f"c.c{j}" for j in range(D))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT c.k AS cluster, coalesce(u.n, 0)::BIGINT AS n_members, "
+        f"{final_cols}\nFROM cent{iters} c LEFT JOIN u{iters} u USING (k)"
+    )
+
+
 def _truncate_sql() -> str:
     from ..stages.textops import TRUNCATE_TOKENS as T
 
@@ -2425,6 +2496,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_curation": _curation_sql(),
         "c_curation_clf": _curation_clf_sql(),
         "c_cluster_cap": _cluster_cap_sql(),
+        "c_kmeans": _kmeans_sql(),
         "c_embed_dedup": EMBED_DEDUP_SQL,
         "c_keep_best": KEEP_BEST_SQL,
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

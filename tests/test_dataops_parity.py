@@ -1804,3 +1804,38 @@ def test_hash_centroids_rejects_short_seed(ray_session):
         batch_format="pyarrow")
     with _pytest.raises(ValueError, match="3 rows < k=8"):
         hash_centroids(seed, 8)
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    """Two blobs of identical texts seeded with one centroid each: Lloyd
+    must land each centroid exactly on its blob's embedding point with
+    exact member counts (integer arithmetic -> bitwise deterministic)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import (
+        hash_centroids,
+        kmeans_train,
+    )
+    from fhir_data_validation_ray.stages.textops import hash_embed
+
+    texts = ["alpha beta gamma"] * 30 + ["delta epsilon zeta qq"] * 20
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    seed = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"],
+                                    value_set=pa.array([0, 30], pa.int64()))),
+        batch_format="pyarrow")
+    init = hash_centroids(seed, 2)
+
+    C, counts = kmeans_train(docs, init, iters=2)
+    pts = hash_embed(docs, dim=8).to_pandas().set_index("doc_id")
+    blob_a = pts.loc[0].to_numpy()
+    blob_b = pts.loc[30].to_numpy()
+    np.testing.assert_array_equal(C[0], blob_a)
+    np.testing.assert_array_equal(C[1], blob_b)
+    np.testing.assert_array_equal(counts, [30, 20])
