@@ -189,17 +189,21 @@ def hash_centroids(seed_docs, k: int, *, dim: int | None = None) -> np.ndarray:
         axis=1)
 
 
-def cluster_assign(docs, centroids, *, dim: int | None = None):
+def cluster_assign(docs, centroids, *, dim: int | None = None,
+                   metric: str = "ip"):
     """Nearest-centroid assignment over the deterministic hashed embeddings
     — the SemDeDup-shaped partition of a corpus into K semantic buckets.
 
-    Assignment is max INNER PRODUCT (ties -> lowest cluster id, matching
-    ``np.argmax``'s first-hit rule): with integer embeddings and integer
-    centroids the score is exactly representable, so the DuckDB oracle
-    (``dataops._cluster_cap_sql``) reproduces it bit-for-bit — no float
-    cosine drift. Centroids are a tiny K x dim matrix captured in the task
-    closure (ships once per worker); one stateless vectorized matmul per
-    batch, nothing corpus-sized anywhere.
+    ``metric="ip"``: max INNER PRODUCT, score = the dot product (the MIPS
+    bucketing for seed/externally-normalized centroids). ``metric="l2"``:
+    min squared Euclidean distance, score = ``|e|^2 + |c|^2 - 2 e.c`` —
+    the assignment Lloyd optimizes, so use this with ``kmeans_train``
+    output. Both break ties toward the lowest cluster id (np.argmax /
+    argmin first-hit) and both are integer-exact, so the DuckDB oracles
+    reproduce them bit-for-bit — no float cosine drift. Centroids are a
+    tiny K x dim matrix captured in the task closure (ships once per
+    worker); one stateless vectorized matmul per batch, nothing
+    corpus-sized anywhere.
 
     Dataset[doc_id, text] -> Dataset[doc_id, cluster, score]."""
     from ..stages.textops import HASH_EMBED_DIM, hash_embed
@@ -208,14 +212,22 @@ def cluster_assign(docs, centroids, *, dim: int | None = None):
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.int64))
     if C.ndim != 2 or C.shape[1] != dim:
         raise ValueError(f"centroids must be K x {dim}, got {C.shape}")
+    if metric not in ("ip", "l2"):
+        raise ValueError(f"metric must be 'ip' or 'l2', got {metric!r}")
+    c_norm = (C * C).sum(axis=1)
 
     def assign(t: pa.Table) -> pa.Table:
         X = np.stack(
             [np.asarray(t[f"e{j}"]).astype(np.int64) for j in range(dim)],
             axis=1)
         dots = X @ C.T
-        cl = dots.argmax(axis=1).astype(np.int64)
-        score = dots[np.arange(len(cl)), cl]
+        if metric == "ip":
+            cl = dots.argmax(axis=1).astype(np.int64)
+            score = dots[np.arange(len(cl)), cl]
+        else:
+            d2 = (X * X).sum(axis=1)[:, None] + c_norm[None, :] - 2 * dots
+            cl = d2.argmin(axis=1).astype(np.int64)
+            score = d2[np.arange(len(cl)), cl]
         return pa.table({
             "doc_id": t["doc_id"],
             "cluster": pa.array(cl),
@@ -311,7 +323,8 @@ def kmeans_train(docs, init_centroids, *, iters: int = 3,
     return C, counts
 
 
-def cluster_cap_keep(docs, centroids, *, cap: int, dim: int | None = None):
+def cluster_cap_keep(docs, centroids, *, cap: int, dim: int | None = None,
+                     metric: str = "ip"):
     """Diversity-capped curation: assign every doc to its nearest centroid,
     then keep AT MOST ``cap`` docs per cluster — the per-cluster balanced
     selection (SemDeDup / DCLM-style) that stops one dominant semantic
@@ -320,13 +333,14 @@ def cluster_cap_keep(docs, centroids, *, cap: int, dim: int | None = None):
     deterministic draw via ``sampling.sample_exact_n_by_group`` (iterative
     histogram refinement; no sort, no corpus-sized group: cluster count K
     is bounded, and the per-group machinery folds (group, bucket, count)
-    partials only).
+    partials only). Pass ``metric="l2"`` with ``kmeans_train`` centroids.
 
     Dataset[doc_id, text] -> Dataset[doc_id, cluster, score] survivors."""
     from ..stages.sampling import sample_exact_n_by_group
 
     return sample_exact_n_by_group(
-        cluster_assign(docs, centroids, dim=dim), cap, group_col="cluster")
+        cluster_assign(docs, centroids, dim=dim, metric=metric),
+        cap, group_col="cluster")
 
 
 def curate_keep_best(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8,

@@ -261,6 +261,23 @@ def q_kmeans(sf_dir: str):
     })
 
 
+def q_cluster_cap_trained(sf_dir: str):
+    """The full SemDeDup composition end-to-end: hash_centroids seed ->
+    3 Lloyd rounds (``kmeans_train``) -> L2 nearest-centroid assignment ->
+    per-cluster cap. One oracle covers training AND application."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .curation import cluster_cap_keep, hash_centroids, kmeans_train
+
+    seed = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < CLUSTER_CAP_K)
+    init = hash_centroids(seed, CLUSTER_CAP_K)
+    C, _ = kmeans_train(_docs(sf_dir), init, iters=KMEANS_ITERS)
+    return cluster_cap_keep(_docs(sf_dir), C, cap=CLUSTER_CAP_N, metric="l2")
+
+
 def q_truncate(sf_dir: str):
     """Token-budget truncation to the first 40 whitespace tokens
     (``textops.truncate_docs``); streaming Arrow split/slice/rejoin."""
@@ -1370,6 +1387,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_curation_clf": q_curation_clf,
         "c_cluster_cap": q_cluster_cap,
         "c_kmeans": q_kmeans,
+        "c_cluster_cap_trained": q_cluster_cap_trained,
         "c_embed_dedup": q_embed_dedup,
         "c_keep_best": q_keep_best,
         "j_orders_by_segment": q_orders_by_segment,
@@ -2327,12 +2345,13 @@ QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY h, doc_id)
 """
 
 
-def _kmeans_sql() -> str:
-    """kmeans_train mirror: the same fixed Lloyd rounds as a generated CTE
-    chain — argmin(|c|^2 - 2 e.c) assignment (ties -> lowest k), update
+def _kmeans_chain() -> tuple[list, str, str]:
+    """kmeans_train mirror as a reusable CTE chain: the same fixed Lloyd
+    rounds — argmin(|c|^2 - 2 e.c) assignment (ties -> lowest k), update
     floor(sum/count) via double division (coordinate sums are far below
     2^53, so the float round-trip is exact, matching the bincount path);
-    empty clusters coalesce to the previous centroid."""
+    empty clusters coalesce to the previous centroid. Returns (ctes,
+    final-centroid CTE name, final-update CTE name)."""
     from ..stages.textops import HASH_EMBED_DIM as D
 
     K, iters = CLUSTER_CAP_K, KMEANS_ITERS
@@ -2364,11 +2383,48 @@ def _kmeans_sql() -> str:
         ctes.append(
             f"cent{i} AS (SELECT p.k, {newc} "
             f"FROM {prev} p LEFT JOIN u{i} u USING (k))")
+    return ctes, f"cent{iters}", f"u{iters}"
+
+
+def _kmeans_sql() -> str:
+    from ..stages.textops import HASH_EMBED_DIM as D
+
+    ctes, cent, u = _kmeans_chain()
     final_cols = ", ".join(f"c.c{j}" for j in range(D))
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT c.k AS cluster, coalesce(u.n, 0)::BIGINT AS n_members, "
-        f"{final_cols}\nFROM cent{iters} c LEFT JOIN u{iters} u USING (k)"
+        f"{final_cols}\nFROM {cent} c LEFT JOIN {u} u USING (k)"
+    )
+
+
+def _cluster_cap_trained_sql() -> str:
+    """cluster_cap_keep(metric="l2", centroids=kmeans_train(...)) mirror:
+    the Lloyd chain's final centroids, L2 assignment with the full
+    ``|e|^2 + |c|^2 - 2 e.c`` score (ties -> lowest k), then the same
+    FNV-keyed per-cluster cap as _cluster_cap_sql."""
+    from ..stages.textops import HASH_EMBED_DIM as D
+
+    ctes, cent, _ = _kmeans_chain()
+    en = " + ".join(f"e.e{j} * e.e{j}" for j in range(D))
+    cn = " + ".join(f"c.c{j} * c.c{j}" for j in range(D))
+    dot = " + ".join(f"e.e{j} * c.c{j}" for j in range(D))
+    fnv = _fnv_sql("CAST(doc_id AS VARCHAR)")
+    ctes.append(
+        f"fsc AS (SELECT e.doc_id, c.k, (({en}) + ({cn}) - 2 * ({dot}))"
+        f"::BIGINT AS dist FROM emb e CROSS JOIN {cent} c)")
+    ctes.append(
+        "fa AS (SELECT * FROM (SELECT fsc.*, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY dist ASC, k ASC) AS rn FROM fsc) "
+        "WHERE rn = 1)")
+    ctes.append(
+        f"fh AS (SELECT doc_id, k::BIGINT AS cluster, dist AS score, "
+        f"{fnv} AS h FROM fa)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, cluster, score FROM fh"
+        f"\nQUALIFY row_number() OVER (PARTITION BY cluster ORDER BY h, doc_id)"
+        f" <= {CLUSTER_CAP_N}"
     )
 
 
@@ -2497,6 +2553,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_curation_clf": _curation_clf_sql(),
         "c_cluster_cap": _cluster_cap_sql(),
         "c_kmeans": _kmeans_sql(),
+        "c_cluster_cap_trained": _cluster_cap_trained_sql(),
         "c_embed_dedup": EMBED_DEDUP_SQL,
         "c_keep_best": KEEP_BEST_SQL,
         "j_orders_by_segment": ORDERS_BY_SEGMENT_SQL,

@@ -1839,3 +1839,35 @@ def test_kmeans_recovers_planted_blobs(ray_session):
     np.testing.assert_array_equal(C[0], blob_a)
     np.testing.assert_array_equal(C[1], blob_b)
     np.testing.assert_array_equal(counts, [30, 20])
+
+
+def test_cluster_assign_l2_metric(ray_session):
+    """With l2 the blob's own centroid wins at distance 0; a bad metric
+    name raises."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import (
+        cluster_assign,
+        hash_centroids,
+    )
+
+    texts = ["alpha beta gamma"] * 5 + ["delta epsilon zeta qq"] * 5
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9], pa.int64()),
+        "text": pa.array(texts),
+    }))
+    seed = docs.map_batches(
+        lambda t: t.filter(np.isin(np.asarray(t["doc_id"]), [0, 5])),
+        batch_format="pyarrow")
+    cents = hash_centroids(seed, 2)
+
+    out = cluster_assign(docs, cents, metric="l2").to_pandas()
+    assert (out.score == 0).all()  # every doc sits ON its blob centroid
+    assert set(out[out.doc_id < 5].cluster) == {0}
+    assert set(out[out.doc_id >= 5].cluster) == {1}
+
+    with _pytest.raises(ValueError, match="metric"):
+        cluster_assign(docs, cents, metric="cosine")
