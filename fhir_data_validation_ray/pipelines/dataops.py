@@ -484,6 +484,19 @@ def q_quantiles_nchars(sf_dir: str):
     return exact_int_quantiles(docs, "n_chars")
 
 
+def q_quantile_bands(sf_dir: str):
+    """Exact quantile-band tag per doc (curriculum / stratified-mix key):
+    band = #{p25,p50,p75 boundaries} strictly below n_chars. One value-count
+    fold for the boundaries, one stateless tagging map."""
+    import ray.data as rd
+
+    from ..stages.stats import quantile_band_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return quantile_band_assign(docs, col="n_chars")
+
+
 def q_rank_nchars(sf_dir: str):
     """Exact corpus-wide percentile rank of n_chars per document (the
     score-normalization step of a keep-top-X% quality gate)."""
@@ -1377,6 +1390,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
+        "a_quantile_bands": q_quantile_bands,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2117,6 +2131,23 @@ FROM t
 """
 
 
+# quantile_band_assign mirror: identical boundary rule, band = count of
+# boundaries strictly below the value
+QUANTILE_BANDS_SQL = """
+WITH c AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT count(*)::BIGINT AS n FROM documents),
+b AS (SELECT
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.25 * t.n), 1)) AS b0,
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.5 * t.n), 1)) AS b1,
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.75 * t.n), 1)) AS b2)
+SELECT d.doc_id, d.n_chars,
+  ((d.n_chars > b.b0)::INT + (d.n_chars > b.b1)::INT
+   + (d.n_chars > b.b2)::INT)::BIGINT AS band
+FROM documents d, b
+"""
+
+
 def q_rank_by_source(sf_dir: str):
     """Exact WITHIN-SOURCE percentile rank of n_chars (per-domain
     keep-top-X% normalization; ``stats.percentile_rank_by_group``)."""
@@ -2543,6 +2574,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
+        "a_quantile_bands": QUANTILE_BANDS_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

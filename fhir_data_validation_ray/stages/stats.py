@@ -529,3 +529,39 @@ def exact_int_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 
             out[name] = pa.array(
                 [int(uv[np.searchsorted(cum, max(rank, 1))])], pa.int64())
     return pa.table(out)
+
+
+def quantile_band_assign(ds, *, col: str,
+                         qs: tuple[float, ...] = (0.25, 0.5, 0.75)):
+    """Tag every row with its exact quantile BAND of ``col`` — the
+    length/score banding step curriculum ordering and stratified mixing key
+    on: band = number of quantile boundaries strictly below the value
+    (0..len(qs)), boundaries from the same smallest-v-with-cum>=ceil(q*n)
+    rule as ``exact_int_quantiles``.
+
+    Scale shape: ONE two-level value-count fold over a single-column
+    projection computes all boundaries (driver state bounded by distinct
+    values), then one stateless vectorized map tags the corpus — the
+    boundary list rides in the task closure (len(qs) integers). No shuffle,
+    no sort.
+
+    Dataset[..., col] -> Dataset[..., col, band]."""
+    uv, total = _value_count_fold(ds.select_columns([col]), col)
+    cum = np.cumsum(total)
+    n = int(cum[-1]) if len(cum) else 0
+    bounds = []
+    for q in qs:
+        if n == 0:
+            bounds.append(0)
+        else:
+            rank = int(np.ceil(q * n))
+            bounds.append(int(uv[np.searchsorted(cum, max(rank, 1))]))
+
+    def band(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.int64)
+        b = np.zeros(len(v), np.int64)
+        for x in bounds:
+            b += v > x
+        return t.append_column("band", pa.array(b))
+
+    return ds.map_batches(band, batch_format="pyarrow")
