@@ -1871,3 +1871,34 @@ def test_cluster_assign_l2_metric(ray_session):
 
     with _pytest.raises(ValueError, match="metric"):
         cluster_assign(docs, cents, metric="cosine")
+
+
+def test_cluster_ops_tolerate_empty_corpus(ray_session):
+    """Zero-row corpora: kmeans keeps its init centroids with zero counts,
+    assignment and band tagging pass empty blocks through cleanly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import (
+        cluster_assign,
+        cluster_cap_keep,
+        kmeans_train,
+    )
+    from fhir_data_validation_ray.stages.stats import quantile_band_assign
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    init = np.arange(16, dtype=np.int64).reshape(2, 8)
+
+    C, counts = kmeans_train(empty_docs, init, iters=2)
+    np.testing.assert_array_equal(C, init)
+    np.testing.assert_array_equal(counts, [0, 0])
+
+    assert len(cluster_assign(empty_docs, init).take_all()) == 0
+    assert len(cluster_cap_keep(empty_docs, init, cap=3).take_all()) == 0
+
+    empty_vals = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_chars": pa.array([], pa.int64())}))
+    assert len(quantile_band_assign(empty_vals, col="n_chars").take_all()) == 0
