@@ -684,6 +684,30 @@ def q_dup_ngrams(sf_dir: str):
         n=5, min_docs=2)
 
 
+def q_strip_dup_spans(sf_dir: str):
+    """Duplicated-substring removal (ExactSubstr-lite transform): same
+    passage-augmented corpus as q_dup_ngrams, but every word position
+    covered by a corpus-duplicated 5-gram window is DELETED and the doc
+    rebuilt (``dedup.strip_dup_spans``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import strip_dup_spans
+
+    def add_passage(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        mod = pc.binary_join_element_wise(texts, pa.scalar(NGRAM_SNIPPET), " ")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.if_else(pa.array(ids % 4 == 0), mod, texts)})
+
+    return strip_dup_spans(
+        _docs(sf_dir).map_batches(add_passage, batch_format="pyarrow"),
+        n=5, min_docs=2)
+
+
 # corpus_diff mutation recipe: drop %11, mutate %13, add %17 under +20M ids
 DIFF_ADD_OFFSET = 20_000_000
 
@@ -1386,6 +1410,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_prefix_dups": q_prefix_dups,
         "d_corpus_diff": q_corpus_diff,
         "d_dup_ngrams": q_dup_ngrams,
+        "d_strip_dup_spans": q_strip_dup_spans,
         "t_lm_coverage": q_lm_coverage,
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
@@ -2062,6 +2087,40 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _strip_dup_spans_sql() -> str:
+    """strip_dup_spans mirror over the passage-augmented corpus: covered
+    word index = any frequent gram start i reaches it (wi in [i, i+n-1]),
+    rebuild = string_agg of uncovered words in order; null/wordless docs
+    -> '' with zero counts (matching the kernel's empty rebuild)."""
+    n = 5
+    return f"""
+WITH d2 AS (SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN text || ' ' || '{NGRAM_SNIPPET}'
+       ELSE text END AS text FROM documents),
+w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS ws FROM d2),
+g AS (SELECT doc_id, i, array_to_string(ws[i : i + {n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {n} + 2)) AS i
+            FROM w)),
+freq AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                           FROM g GROUP BY gram) WHERE nd >= 2),
+cov AS (SELECT DISTINCT g.doc_id, g.i + o.off AS wi
+        FROM g JOIN freq USING (gram)
+        CROSS JOIN (SELECT unnest(range({n})) AS off) o),
+ww AS (SELECT doc_id, ws[wi] AS word, wi
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi FROM w)),
+kept AS (SELECT ww.doc_id, ww.word, ww.wi FROM ww
+         LEFT JOIN cov ON ww.doc_id = cov.doc_id AND ww.wi = cov.wi
+         WHERE cov.wi IS NULL),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS text,
+               count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+wc AS (SELECT doc_id, coalesce(len(ws), 0)::BIGINT AS n_words FROM w)
+SELECT wc.doc_id, coalesce(a.text, '') AS text, wc.n_words,
+       (wc.n_words - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM wc LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _winnow_sql() -> str:
     """winnow_fingerprints mirror: same kept-word split and gram join, FNV
     gram hashes (UBIGINT, so ORDER BY h matches numpy uint64 order), each
@@ -2570,6 +2629,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_prefix_dups": _prefix_dups_sql(),
         "d_corpus_diff": _corpus_diff_sql(),
         "d_dup_ngrams": _dup_ngrams_sql(),
+        "d_strip_dup_spans": _strip_dup_spans_sql(),
         "t_lm_coverage": _lm_coverage_sql(),
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),

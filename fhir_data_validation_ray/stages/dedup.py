@@ -1379,6 +1379,41 @@ def dup_ngram_coverage(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
     to the caller so the outputs stay integer-exact for the SQL oracle."""
     import ray
 
+    freq_ref = _frequent_gram_set(docs, n=n, min_docs=min_docs, column=column,
+                                  num_buckets=num_buckets,
+                                  max_frequent=max_frequent,
+                                  batch_size=batch_size,
+                                  caller="dup_ngram_coverage")
+
+    def cover(t: pa.Table) -> pa.Table:
+        fr = ray.get(freq_ref)
+        parent, grams, n_pos, n_docs = _gram_strings(t, n, column)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(grams):
+            member = pc.is_in(grams, value_set=fr).to_numpy(zero_copy_only=False)
+            n_dup = np.bincount(parent[member], minlength=n_docs)
+        else:
+            n_dup = np.zeros(n_docs, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "n_grams": pa.array(n_pos.astype(np.int64)),
+            "n_dup": pa.array(n_dup.astype(np.int64)),
+        })
+
+    return docs.map_batches(cover, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
+def _frequent_gram_set(docs, *, n: int, min_docs: int, column: str,
+                       num_buckets: int, max_frequent: int,
+                       batch_size: int | None, caller: str):
+    """Frequency-discovery pass shared by ``dup_ngram_coverage`` and
+    ``strip_dup_spans``: exact distinct-doc counts per n-gram STRING via a
+    bucketed groupby over per-batch per-doc-distinct partials, returning a
+    ``ray.put`` handle on the >= ``min_docs`` gram set (raises past
+    ``max_frequent`` instead of silently exploding the broadcast)."""
+    import ray
+
     def freq_partial(t: pa.Table) -> pa.Table:
         parent, grams, _, _ = _gram_strings(t, n, column)
         if len(grams) == 0:
@@ -1417,29 +1452,89 @@ def dup_ngram_coverage(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
     )
     if freq_tbl.num_rows > max_frequent:
         raise RuntimeError(
-            f"dup_ngram_coverage: {freq_tbl.num_rows} frequent n-grams "
+            f"{caller}: {freq_tbl.num_rows} frequent n-grams "
             f"exceed max_frequent={max_frequent}; run whole-doc dedup first")
     gram_col = freq_tbl["gram"]
     if isinstance(gram_col, pa.ChunkedArray):
         gram_col = gram_col.combine_chunks()
-    freq_ref = ray.put(gram_col)
+    return ray.put(gram_col)
 
-    def cover(t: pa.Table) -> pa.Table:
+
+def strip_dup_spans(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
+                    column: str = "text", num_buckets: int = 64,
+                    max_frequent: int = 2_000_000,
+                    batch_size: int | None = None):
+    """Duplicated-substring REMOVAL — the transform half of the Lee et al.
+    2022 ExactSubstr family that ``dup_ngram_coverage`` only measures:
+    rebuild every document with each word position covered by a
+    corpus-duplicated sliding ``n``-gram window (gram in >= ``min_docs``
+    DISTINCT docs) deleted, so boilerplate passages vanish while the
+    document's unique text survives. The fixed-window form trades the
+    suffix-array generality of true ExactSubstr for a broadcastable
+    frequent-gram set and a fully streaming rewrite.
+
+    Scale shape: the same two passes as ``dup_ngram_coverage`` (shared
+    ``_frequent_gram_set`` discovery, then one stateless probe). Coverage
+    resolves per batch with a difference array over the flat word index —
+    +1 at each flagged window start, -1 past its end, cumsum > 0 = covered
+    (windows never cross a doc boundary, so the flat cumsum is safe);
+    kept words rebuild via one filter + ListArray + binary_join.
+
+    Returns Dataset[doc_id, text, n_words, n_removed] — one row per input
+    doc (null/empty text -> '', 0, 0); integer counts keep the SQL oracle
+    exact."""
+    import ray
+
+    from .textops import _word_lists
+
+    freq_ref = _frequent_gram_set(docs, n=n, min_docs=min_docs, column=column,
+                                  num_buckets=num_buckets,
+                                  max_frequent=max_frequent,
+                                  batch_size=batch_size,
+                                  caller="strip_dup_spans")
+
+    def strip(t: pa.Table) -> pa.Table:
         fr = ray.get(freq_ref)
-        parent, grams, n_pos, n_docs = _gram_strings(t, n, column)
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, offs = _word_lists(texts)
+        n_docs = len(counts)
         doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        total_words = int(counts.sum())
+        parent, grams, n_pos, _ = _gram_strings(t, n, column)
+        diff = np.zeros(total_words + n + 1, dtype=np.int64)
         if len(grams):
             member = pc.is_in(grams, value_set=fr).to_numpy(zero_copy_only=False)
-            n_dup = np.bincount(parent[member], minlength=n_docs)
-        else:
-            n_dup = np.zeros(n_docs, dtype=np.int64)
+            # global word index of each position's first word (the same
+            # arithmetic _gram_strings uses internally)
+            pos_starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(n_pos[:-1], out=pos_starts[1:])
+            in_doc = (np.arange(len(parent), dtype=np.int64)
+                      - np.repeat(pos_starts, n_pos))
+            starts = (offs[parent] + in_doc)[member]
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + n, -1)
+        covered = np.cumsum(diff[:total_words]) > 0
+        keep = ~covered
+        word_parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        kept_counts = (np.bincount(word_parent[keep], minlength=n_docs)
+                       if total_words else np.zeros(n_docs, dtype=np.int64))
+        bounds = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=bounds[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32())
+            if bounds[-1] <= np.iinfo(np.int32).max
+            else pa.array(bounds, pa.int64()),
+            words.filter(pa.array(keep)))
         return pa.table({
             "doc_id": pa.array(doc_ids),
-            "n_grams": pa.array(n_pos.astype(np.int64)),
-            "n_dup": pa.array(n_dup.astype(np.int64)),
+            "text": pc.binary_join(la, " "),
+            "n_words": pa.array(counts.astype(np.int64)),
+            "n_removed": pa.array((counts - kept_counts).astype(np.int64)),
         })
 
-    return docs.map_batches(cover, batch_format="pyarrow",
+    return docs.map_batches(strip, batch_format="pyarrow",
                             batch_size=batch_size)
 
 

@@ -1902,3 +1902,30 @@ def test_cluster_ops_tolerate_empty_corpus(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "n_chars": pa.array([], pa.int64())}))
     assert len(quantile_band_assign(empty_vals, col="n_chars").take_all()) == 0
+
+
+def test_strip_dup_spans_removes_only_shared_windows(ray_session):
+    """The duplicated passage vanishes from every doc carrying it; text
+    unique to a doc survives verbatim; singleton docs pass untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import strip_dup_spans
+
+    shared = "one two three four five"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            f"alpha beta {shared} gamma",
+            f"{shared} delta epsilon",
+            "lonely unique words only here",
+        ]),
+    }))
+    out = (strip_dup_spans(docs, n=5, min_docs=2).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "text"] == "alpha beta gamma"
+    assert out.loc[0, "n_removed"] == 5
+    assert out.loc[1, "text"] == "delta epsilon"
+    assert out.loc[1, "n_removed"] == 5
+    assert out.loc[2, "text"] == "lonely unique words only here"
+    assert out.loc[2, "n_removed"] == 0
