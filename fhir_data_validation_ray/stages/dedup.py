@@ -1390,7 +1390,7 @@ def dup_ngram_coverage(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
         parent, grams, n_pos, n_docs = _gram_strings(t, n, column)
         doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
         if len(grams):
-            member = pc.is_in(grams, value_set=fr).to_numpy(zero_copy_only=False)
+            member = _member_mask(grams, fr)
             n_dup = np.bincount(parent[member], minlength=n_docs)
         else:
             n_dup = np.zeros(n_docs, dtype=np.int64)
@@ -1402,6 +1402,17 @@ def dup_ngram_coverage(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
 
     return docs.map_batches(cover, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+def _member_mask(grams, value_set) -> np.ndarray:
+    """Per-occurrence membership of gram strings in a broadcast set —
+    dictionary-encode first and probe only the UNIQUE grams (the winnowing
+    lesson: per-occurrence string work is the hidden hot cost), then gather
+    the verdicts by code."""
+    da = pc.dictionary_encode(grams)
+    hit = pc.is_in(da.dictionary, value_set=value_set).to_numpy(
+        zero_copy_only=False)
+    return hit[np.asarray(da.indices, dtype=np.int64)]
 
 
 def _frequent_gram_set(docs, *, n: int, min_docs: int, column: str,
@@ -1505,7 +1516,7 @@ def strip_dup_spans(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
         parent, grams, n_pos, _ = _gram_strings(t, n, column)
         diff = np.zeros(total_words + n + 1, dtype=np.int64)
         if len(grams):
-            member = pc.is_in(grams, value_set=fr).to_numpy(zero_copy_only=False)
+            member = _member_mask(grams, fr)
             # global word index of each position's first word (the same
             # arithmetic _gram_strings uses internally)
             pos_starts = np.zeros(n_docs, dtype=np.int64)
