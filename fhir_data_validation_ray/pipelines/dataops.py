@@ -497,6 +497,45 @@ def q_quantile_bands(sf_dir: str):
     return quantile_band_assign(docs, col="n_chars")
 
 
+def q_moments(sf_dir: str):
+    """Exact joint second moments of (n_chars, n_words) — the integer
+    covariance/correlation fold (``stats.exact_moments``); word count
+    mirrors the standard ''-dropping split."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.stats import exact_moments
+    from ..stages.textops import _word_lists
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "n_chars"])
+
+    def add_words(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, counts, _ = _word_lists(texts)
+        return pa.table({"n_chars": t["n_chars"],
+                         "n_words": pa.array(counts.astype(np.int64))})
+
+    return exact_moments(docs.map_batches(add_words, batch_format="pyarrow"),
+                         "n_chars", "n_words")
+
+
+MOMENTS_SQL = """
+WITH v AS (SELECT n_chars::BIGINT AS x,
+  coalesce(len(list_filter(string_split(text, ' '), w -> w <> '')), 0)::BIGINT
+  AS y FROM documents)
+SELECT count(*)::BIGINT AS n,
+  coalesce(sum(x), 0)::BIGINT AS sum_x,
+  coalesce(sum(y), 0)::BIGINT AS sum_y,
+  coalesce(sum(x * x), 0)::BIGINT AS sum_xx,
+  coalesce(sum(y * y), 0)::BIGINT AS sum_yy,
+  coalesce(sum(x * y), 0)::BIGINT AS sum_xy
+FROM v
+"""
+
+
 def q_rank_nchars(sf_dir: str):
     """Exact corpus-wide percentile rank of n_chars per document (the
     score-normalization step of a keep-top-X% quality gate)."""
@@ -1416,6 +1455,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
         "a_quantile_bands": q_quantile_bands,
+        "a_moments": q_moments,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2635,6 +2675,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
         "a_quantile_bands": QUANTILE_BANDS_SQL,
+        "a_moments": MOMENTS_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

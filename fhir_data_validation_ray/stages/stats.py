@@ -565,3 +565,43 @@ def quantile_band_assign(ds, *, col: str,
         return t.append_column("band", pa.array(b))
 
     return ds.map_batches(band, batch_format="pyarrow")
+
+
+def exact_moments(ds, xcol: str, ycol: str):
+    """Exact joint second moments of two integer columns — the covariance /
+    correlation / least-squares building block, kept in integer sums so the
+    SQL oracle compares bitwise (derive cov = (n*sxy - sx*sy) / n^2 etc.
+    downstream in whatever float precision the caller wants).
+
+    Scale shape: one 6-integer partial row per batch, a per-task combine
+    level (batch_size=64), then a driver fold of the few survivors — the
+    same two-level shape as the sketch fold. Stated bound: |x| <= ~2e3-scale
+    values keep sum(x^2) inside int64 to ~10^12 rows; larger magnitudes
+    need the float TDigest lane instead.
+
+    Returns a one-row pyarrow Table: n, sum_x, sum_y, sum_xx, sum_yy,
+    sum_xy."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[xcol]).astype(np.int64)
+        y = np.asarray(t[ycol]).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sum_x": pa.array([int(x.sum())], pa.int64()),
+            "sum_y": pa.array([int(y.sum())], pa.int64()),
+            "sum_xx": pa.array([int((x * x).sum())], pa.int64()),
+            "sum_yy": pa.array([int((y * y).sum())], pa.int64()),
+            "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([int(np.asarray(t[c]).sum())], pa.int64())
+                         for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy",
+                                   "sum_xy")})
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64))
+    return combine(parts) if parts.num_rows else pa.table({
+        c: pa.array([0], pa.int64())
+        for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")})
