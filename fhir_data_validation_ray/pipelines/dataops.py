@@ -497,6 +497,29 @@ def q_quantile_bands(sf_dir: str):
     return quantile_band_assign(docs, col="n_chars")
 
 
+VOCAB_CUTS = (100, 200, 300, 400, 500)
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: distinct words first appearing below
+    each doc-id prefix cut (``textops.vocab_growth``)."""
+    from ..stages.textops import vocab_growth
+
+    return vocab_growth(_docs(sf_dir), VOCAB_CUTS)
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS word
+           FROM documents),
+m AS (SELECT word, min(doc_id) AS md FROM w GROUP BY word),
+cuts AS (SELECT unnest({list(VOCAB_CUTS)}) AS cut)
+SELECT cut::BIGINT AS n_docs,
+  (SELECT count(*) FROM m WHERE md < cut)::BIGINT AS vocab_size
+FROM cuts
+"""
+
+
 def q_moments(sf_dir: str):
     """Exact joint second moments of (n_chars, n_words) — the integer
     covariance/correlation fold (``stats.exact_moments``); word count
@@ -1456,6 +1479,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_quantiles_nchars": q_quantiles_nchars,
         "a_quantile_bands": q_quantile_bands,
         "a_moments": q_moments,
+        "a_vocab_growth": q_vocab_growth,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2676,6 +2700,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
         "a_quantile_bands": QUANTILE_BANDS_SQL,
         "a_moments": MOMENTS_SQL,
+        "a_vocab_growth": VOCAB_GROWTH_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

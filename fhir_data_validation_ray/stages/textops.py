@@ -1661,3 +1661,77 @@ def mixture_apply(docs, *, budget: int = 1_000_000, block_bits: int = 12,
         .groupby("grp").map_groups(resolve, batch_format="pyarrow")
     )
     return keeps.union(resolved)
+
+
+def vocab_growth(docs, cuts: tuple[int, ...], *, column: str = "text",
+                 num_buckets: int = 64, batch_size: int | None = None):
+    """Vocabulary growth curve (Heaps' law probe): for each doc-id prefix
+    cut ``c``, the number of DISTINCT words whose first appearance (minimum
+    doc_id) falls below ``c`` — how fast the vocabulary grows as the corpus
+    is consumed in id order, the curve tokenizer-vocab sizing and
+    open-vocabulary risk estimates read off.
+
+    Plan: per-batch dictionary-encoded per-word MIN doc_id (pre-aggregated
+    — the exchange moves (bucket, word, min_doc) partials, never
+    occurrences) -> one bucketed groupby takes the global min per word
+    STRING and emits len(cuts) count rows per bucket (searchsorted over the
+    sorted mins) -> driver sums num_buckets x len(cuts) tiny rows. Returns
+    a pyarrow Table (n_docs, vocab_size), one row per cut."""
+    from ..functions.collect import collect_table
+
+    cuts_arr = np.asarray(sorted(cuts), dtype=np.int64)
+    if len(cuts_arr) == 0:
+        raise ValueError("cuts must be non-empty")
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, _ = _word_lists(texts)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(words) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "word": pa.array([], pa.string()),
+                             "md": pa.array([], pa.int64())})
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        da = pc.dictionary_encode(words)
+        code = np.asarray(da.indices, dtype=np.int64)
+        md = np.full(len(da.dictionary), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(md, code, ids[parent])
+        uw = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(uw) % np.uint64(num_buckets)).astype(np.int32)),
+            "word": da.dictionary,
+            "md": pa.array(md),
+        })
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        s = g["word"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        da = pc.dictionary_encode(s)
+        md = np.full(len(da.dictionary), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(md, np.asarray(da.indices, dtype=np.int64),
+                      np.asarray(g["md"]).astype(np.int64))
+        md.sort()
+        n_below = np.searchsorted(md, cuts_arr, side="left")
+        return pa.table({"n_docs": pa.array(cuts_arr),
+                         "vocab_size": pa.array(n_below.astype(np.int64))})
+
+    parts = collect_table(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pyarrow"),
+        empty_schema=pa.schema([("n_docs", pa.int64()),
+                                ("vocab_size", pa.int64())]),
+    )
+    total = np.zeros(len(cuts_arr), np.int64)
+    if parts.num_rows:
+        nd = np.asarray(parts["n_docs"]).astype(np.int64)
+        vs = np.asarray(parts["vocab_size"]).astype(np.int64)
+        idx = np.searchsorted(cuts_arr, nd)
+        np.add.at(total, idx, vs)
+    return pa.table({"n_docs": pa.array(cuts_arr),
+                     "vocab_size": pa.array(total)})
