@@ -1480,6 +1480,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_quantile_bands": q_quantile_bands,
         "a_moments": q_moments,
         "a_vocab_growth": q_vocab_growth,
+        "t_lang_confusion": q_lang_confusion,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -1681,6 +1682,34 @@ LANGUAGE_ID_SQL = (
     + " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in _LANGS)
     + " END AS pred_lang, m::BIGINT AS score FROM m"
 )
+
+LANG_CONFUSION_SQL = (
+    "WITH s AS (SELECT lang, "
+    + ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({_inlist(LANG_MARKERS[l])}))) AS s_{l}"
+        for l in _LANGS
+    )
+    + " FROM documents),\n"
+    + "m AS (SELECT *, greatest("
+    + ", ".join("s_" + l for l in _LANGS)
+    + ") AS m FROM s)\n"
+    + "SELECT lang, CASE WHEN m = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in _LANGS)
+    + " END AS pred_lang, count(*)::BIGINT AS n FROM m GROUP BY 1, 2"
+)
+
+
+def q_lang_confusion(sf_dir: str):
+    """Declared-vs-detected language confusion counts
+    (``textops.lang_confusion``) — the label-quality audit."""
+    import ray.data as rd
+
+    from ..stages.textops import lang_confusion
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    return lang_confusion(docs)
+
 
 EXACT_DEDUP_SQL = """
 SELECT doc_id FROM documents
@@ -2701,6 +2730,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_quantile_bands": QUANTILE_BANDS_SQL,
         "a_moments": MOMENTS_SQL,
         "a_vocab_growth": VOCAB_GROWTH_SQL,
+        "t_lang_confusion": LANG_CONFUSION_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

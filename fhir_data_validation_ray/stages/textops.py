@@ -1735,3 +1735,57 @@ def vocab_growth(docs, cuts: tuple[int, ...], *, column: str = "text",
         np.add.at(total, idx, vs)
     return pa.table({"n_docs": pa.array(cuts_arr),
                      "vocab_size": pa.array(total)})
+
+
+def lang_confusion(docs, *, batch_size: int | None = None):
+    """Declared-vs-detected language confusion counts — the metadata-quality
+    audit that catches mislabeled subcorpora before a lang-stratified
+    mixture trusts the labels. Same stopword-voting detector as
+    ``language_id``; the exchange moves pre-aggregated (lang, pred_lang, n)
+    rows (bounded by #langs^2 per batch), folded by one tiny driver pass
+    with a per-task combine level.
+
+    Returns a pyarrow Table (lang, pred_lang, n)."""
+    from ..functions.collect import collect_table
+
+    langs = list(LANG_MARKERS)
+
+    def _fold_rows(decl: np.ndarray, pred: np.ndarray,
+                   n: np.ndarray) -> pa.Table:
+        keys = np.char.add(np.char.add(decl, "|"), pred)
+        order = np.argsort(keys, kind="stable")
+        keys, n = keys[order], n[order]
+        uk, start = np.unique(keys, return_index=True)
+        totals = np.add.reduceat(n, start) if len(n) else np.empty(0, np.int64)
+        parts = np.char.partition(uk, "|")
+        return pa.table({
+            "lang": pa.array(parts[:, 0].tolist(), pa.string()),
+            "pred_lang": pa.array(parts[:, 2].tolist(), pa.string()),
+            "n": pa.array(totals.astype(np.int64)),
+        })
+
+    def part(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        decl = np.asarray(t["lang"]).astype("U")
+        scores = np.stack([_split_counts(texts, LANG_MARKERS[l]) for l in langs])
+        best = np.argmax(scores, axis=0)
+        pred = np.array(langs, dtype=object)[best]
+        pred[scores.max(axis=0) == 0] = "und"
+        return _fold_rows(decl, pred.astype("U"),
+                          np.ones(len(decl), dtype=np.int64))
+
+    def combine(t: pa.Table) -> pa.Table:
+        return _fold_rows(np.asarray(t["lang"]).astype("U"),
+                          np.asarray(t["pred_lang"]).astype("U"),
+                          np.asarray(t["n"]).astype(np.int64))
+
+    parts = collect_table(
+        docs.map_batches(part, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("lang", pa.string()),
+                                ("pred_lang", pa.string()),
+                                ("n", pa.int64())]),
+    )
+    return combine(parts) if parts.num_rows else parts
