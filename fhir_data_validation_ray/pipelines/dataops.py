@@ -497,6 +497,36 @@ def q_quantile_bands(sf_dir: str):
     return quantile_band_assign(docs, col="n_chars")
 
 
+COOC_K, COOC_WINDOW = 10, 2
+
+
+def q_cooccurrence(sf_dir: str):
+    """Top-k-anchored co-occurrence counts (PMI building block,
+    ``textops.cooccurrence``): symmetric ±2-window pairs whose context side
+    is one of the exact global top-10 words."""
+    from ..stages.textops import cooccurrence
+
+    return cooccurrence(_docs(sf_dir), k=COOC_K, window=COOC_WINDOW)
+
+
+COOCCURRENCE_SQL = f"""
+WITH ww AS (SELECT doc_id, ws[i] AS word, i
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                  FROM (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS ws
+                        FROM documents))),
+top AS (SELECT word FROM (SELECT word, count(*) AS n FROM ww GROUP BY 1
+                          ORDER BY n DESC, word LIMIT {COOC_K}))
+SELECT a.word AS context, b.word AS word, count(*)::BIGINT AS n
+FROM ww a
+JOIN ww b ON a.doc_id = b.doc_id AND a.i <> b.i
+         AND abs(a.i - b.i) <= {COOC_WINDOW}
+JOIN top ON a.word = top.word
+GROUP BY 1, 2
+"""
+
+
 VOCAB_CUTS = (100, 200, 300, 400, 500)
 
 
@@ -1481,6 +1511,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_moments": q_moments,
         "a_vocab_growth": q_vocab_growth,
         "t_lang_confusion": q_lang_confusion,
+        "t_cooccurrence": q_cooccurrence,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2731,6 +2762,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_moments": MOMENTS_SQL,
         "a_vocab_growth": VOCAB_GROWTH_SQL,
         "t_lang_confusion": LANG_CONFUSION_SQL,
+        "t_cooccurrence": COOCCURRENCE_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

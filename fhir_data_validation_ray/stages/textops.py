@@ -1789,3 +1789,105 @@ def lang_confusion(docs, *, batch_size: int | None = None):
                                 ("n", pa.int64())]),
     )
     return combine(parts) if parts.num_rows else parts
+
+
+def cooccurrence(docs, *, k: int = 20, window: int = 2,
+                 num_buckets: int = 64, batch_size: int | None = None):
+    """Context co-occurrence counts against the exact global top-``k``
+    words — the PMI / word-vector building block, bounded so it scales:
+    unrestricted (w1, w2) pair counting is vocabulary² and cannot shuffle,
+    but anchoring the CONTEXT side to the top-k set caps the output at
+    k × vocabulary rows.
+
+    Plan: pass 1 = exact ``top_words`` (its own bucketed exchange), the k
+    context words broadcast via ``ray.put``. Pass 2 = per batch, symmetric
+    ±``window`` pairs with the context side in the top set, pre-aggregated
+    to UNIQUE (context, word, n) rows by integer pair codes (bincount over
+    top_idx * batch_vocab + word_code); one word-bucket groupby sums
+    exactly per (context, word) STRING pair — a word's rows all land in its
+    own bucket.
+
+    Returns Dataset[context, word, n]."""
+    import ray
+
+    from ..functions.collect import collect_table
+    from ..functions.hashing import hash_str
+
+    top_tbl = collect_table(top_words(docs, k=k))
+    top_col = top_tbl["word"]
+    if isinstance(top_col, pa.ChunkedArray):
+        top_col = top_col.combine_chunks()
+    top_ref = ray.put(top_col)
+
+    def part(t: pa.Table) -> pa.Table:
+        top = ray.get(top_ref)
+        texts = t[
+            "text"] if not isinstance(t["text"], pa.ChunkedArray) else t["text"].combine_chunks()
+        words, counts, offs = _word_lists(texts)
+        empty = pa.table({"bucket": pa.array([], pa.int32()),
+                          "context": pa.array([], pa.string()),
+                          "word": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(words) == 0:
+            return empty
+        da = pc.dictionary_encode(words)
+        code = np.asarray(da.indices, dtype=np.int64)
+        ndict = len(da.dictionary)
+        # map each dictionary word to its top-set index (or -1)
+        top_idx_of = np.full(ndict, -1, np.int64)
+        pos = pc.index_in(da.dictionary, value_set=top)
+        valid = np.asarray(pos.is_valid())
+        pos_np = np.asarray(pos.fill_null(0)).astype(np.int64)
+        top_idx_of[valid] = pos_np[valid]
+        # same-doc index pairs at distances 1..window
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        keys = []
+        for d in range(1, window + 1):
+            i = np.arange(len(code) - d, dtype=np.int64)
+            same = doc_of[i] == doc_of[i + d]
+            a, b = code[i][same], code[i + d][same]
+            for ctx, w in ((a, b), (b, a)):   # symmetric context
+                ti = top_idx_of[ctx]
+                m = ti >= 0
+                keys.append(ti[m] * ndict + w[m])
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        if len(key) == 0:
+            return empty
+        uk, cnt = np.unique(key, return_counts=True)
+        ctx_words = top.take(pa.array(uk // ndict))
+        pair_words = da.dictionary.take(pa.array(uk % ndict))
+        wu = pair_words.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(wu) % np.uint64(num_buckets)).astype(np.int32)),
+            "context": ctx_words,
+            "word": pair_words,
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        ctx = g["context"]
+        w = g["word"]
+        if isinstance(ctx, pa.ChunkedArray):
+            ctx = ctx.combine_chunks()
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        pair = pc.binary_join_element_wise(ctx, w, "\x1f")
+        da = pc.dictionary_encode(pair)
+        totals = np.bincount(np.asarray(da.indices),
+                             weights=np.asarray(g["n"]),
+                             minlength=len(da.dictionary)).astype(np.int64)
+        split = pc.split_pattern(da.dictionary, "\x1f")
+        return pa.table({
+            "context": pc.list_element(split, 0),
+            "word": pc.list_element(split, 1),
+            "n": pa.array(totals),
+        })
+
+    return (docs.map_batches(part, batch_format="pyarrow",
+                             batch_size=batch_size)
+            .groupby("bucket")
+            .map_groups(bucket_sum, batch_format="pyarrow")
+            .select_columns(["context", "word", "n"]))
