@@ -1813,7 +1813,10 @@ def cooccurrence(docs, *, k: int = 20, window: int = 2,
     from ..functions.collect import collect_table
     from ..functions.hashing import hash_str
 
-    top_tbl = collect_table(top_words(docs, k=k))
+    top_tbl = collect_table(
+        top_words(docs, k=k),
+        empty_schema=pa.schema([("word", pa.string()), ("n", pa.int64()),
+                                ("rank", pa.int64())]))
     top_col = top_tbl["word"]
     if isinstance(top_col, pa.ChunkedArray):
         top_col = top_col.combine_chunks()

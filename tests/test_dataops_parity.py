@@ -1929,3 +1929,24 @@ def test_strip_dup_spans_removes_only_shared_windows(ray_session):
     assert out.loc[1, "n_removed"] == 5
     assert out.loc[2, "text"] == "lonely unique words only here"
     assert out.loc[2, "n_removed"] == 0
+
+
+def test_cooccurrence_and_confusion_tolerate_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import (
+        cooccurrence,
+        lang_confusion,
+        vocab_growth,
+    )
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+    }))
+    assert len(cooccurrence(empty, k=5).take_all()) == 0
+    assert lang_confusion(empty).num_rows == 0
+    vg = vocab_growth(empty, (10, 20))
+    assert vg.to_pydict() == {"n_docs": [10, 20], "vocab_size": [0, 0]}
