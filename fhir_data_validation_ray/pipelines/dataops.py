@@ -497,6 +497,35 @@ def q_quantile_bands(sf_dir: str):
     return quantile_band_assign(docs, col="n_chars")
 
 
+IA_BUCKET_US, IA_MAX_BUCKET = 60_000_000, 128
+
+
+def q_interarrival(sf_dir: str):
+    """Per-user inter-arrival-time histogram (1-minute buckets, capped) —
+    the distribution the sessionize gap is read off
+    (``windows.interarrival_histogram``)."""
+    import ray.data as rd
+
+    from ..stages.windows import interarrival_histogram
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    return interarrival_histogram(events, bucket_us=IA_BUCKET_US,
+                                  max_bucket=IA_MAX_BUCKET)
+
+
+INTERARRIVAL_SQL = f"""
+WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                  AS pt
+           FROM events),
+d AS (SELECT least((t - pt) // {IA_BUCKET_US}, {IA_MAX_BUCKET})::BIGINT
+             AS bucket FROM o WHERE pt IS NOT NULL)
+SELECT bucket, count(*)::BIGINT AS n FROM d GROUP BY 1
+"""
+
+
 COOC_K, COOC_WINDOW = 10, 2
 
 
@@ -1512,6 +1541,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_vocab_growth": q_vocab_growth,
         "t_lang_confusion": q_lang_confusion,
         "t_cooccurrence": q_cooccurrence,
+        "w_interarrival": q_interarrival,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2763,6 +2793,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_vocab_growth": VOCAB_GROWTH_SQL,
         "t_lang_confusion": LANG_CONFUSION_SQL,
         "t_cooccurrence": COOCCURRENCE_SQL,
+        "w_interarrival": INTERARRIVAL_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

@@ -714,3 +714,106 @@ def funnel_levels(events, *, steps: tuple[str, ...] = FUNNEL_STEPS,
         .map_batches(count_partial, batch_format="pyarrow")
         .groupby("level").map_groups(count_final, batch_format="pyarrow")
     )
+
+
+def interarrival_histogram(events, *, bucket_us: int = 60_000_000,
+                           max_bucket: int = 128,
+                           block_us: int = US_PER_HOUR):
+    """Histogram of per-user inter-arrival times (consecutive-event ts
+    deltas, ordered by (ts, event_id) per user) in linear ``bucket_us``
+    buckets capped at ``max_bucket`` — the distribution the sessionize gap
+    parameter and bot-burst detectors are read off.
+
+    Skew-safe plan (the sessionize skeleton, split so nothing rides an
+    exchange it doesn't need): shard (user, ts//block_us); each block
+    emits its INTERNAL delta histogram (pre-aggregated; equal-ts runs
+    contribute zero deltas, identical to SQL's lag multiset) plus one
+    boundary summary row. The reduced stage-1 output MATERIALIZES (it is
+    O(buckets + 1) per block, far smaller than the events), then only the
+    summary rows flow through the per-user merge that adds cross-block
+    deltas — last event of a block to the first event of the user's next
+    non-empty block (always positive: blocks partition time) — so a hot
+    user's merge group holds per-BLOCK summaries, never events, exactly
+    like sessionize. A per-task combine + driver fold return the
+    <= max_bucket+1 rows.
+
+    Returns a pyarrow Table (bucket, n), nonzero buckets only."""
+    import pyarrow.dataset  # noqa: F401
+
+    from ..functions.collect import collect_table
+
+    base = events.select_columns(["event_id", "user_id", "ts"])
+
+    def add_ub(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        b = _ts_np(t) // block_us
+        if len(u) and (u.min() < 0 or u.max() >= _UB):
+            raise ValueError(
+                f"interarrival_histogram: user_id must be in [0, {int(_UB)})")
+        return t.append_column("ub", pa.array(u * _UB + b))
+
+    def _bucketize(deltas: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        bucket = np.minimum(deltas // bucket_us, max_bucket)
+        ub_, cnt = np.unique(bucket, return_counts=True)
+        return ub_.astype(np.int64), cnt.astype(np.int64)
+
+    def block_partial(g: pa.Table) -> pa.Table:
+        ts = np.sort(_ts_np(g))
+        user = int(np.asarray(g["user_id"])[0])
+        block = int(np.asarray(g["ub"])[0]) % int(_UB)
+        if len(ts) > 1:
+            hb, hn = _bucketize(np.diff(ts))
+        else:
+            hb = hn = np.empty(0, np.int64)
+        k = len(hb)
+        return pa.table({
+            "role": pa.array(np.r_[np.zeros(k, np.int8), np.int8(1)]),
+            "user_id": pa.array(np.r_[np.zeros(k, np.int64), user]),
+            "bucket": pa.array(np.r_[hb, np.int64(block)]),
+            "n": pa.array(np.r_[hn, np.int64(ts[0])]),
+            "last_ts": pa.array(np.r_[np.zeros(k, np.int64), np.int64(ts[-1])]),
+        })
+
+    def user_merge(g: pa.Table) -> pa.Table:
+        blk = np.asarray(g["bucket"]).astype(np.int64)
+        fts = np.asarray(g["n"]).astype(np.int64)
+        lts = np.asarray(g["last_ts"]).astype(np.int64)
+        order = np.argsort(blk)
+        deltas = fts[order][1:] - lts[order][:-1]
+        if not len(deltas):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        hb, hn = _bucketize(deltas)
+        return pa.table({"bucket": pa.array(hb), "n": pa.array(hn)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["bucket"]).astype(np.int64)
+        n = np.asarray(t["n"]).astype(np.int64)
+        ub_, inv = np.unique(b, return_inverse=True)
+        tot = np.zeros(len(ub_), np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"bucket": pa.array(ub_), "n": pa.array(tot)})
+
+    stage1 = (base.map_batches(add_ub, batch_format="pyarrow")
+              .groupby("ub").map_groups(block_partial, batch_format="pyarrow")
+              ).materialize()
+
+    def only_hist(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["role"], 0)
+        f = t.filter(m)
+        return pa.table({"bucket": f["bucket"], "n": f["n"]})
+
+    def only_summaries(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["role"], 1))
+
+    boundary = (stage1.map_batches(only_summaries, batch_format="pyarrow")
+                .groupby("user_id")
+                .map_groups(user_merge, batch_format="pyarrow"))
+    hist = stage1.map_batches(only_hist, batch_format="pyarrow")
+
+    parts = collect_table(
+        hist.union(boundary)
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("bucket", pa.int64()), ("n", pa.int64())]),
+    )
+    return combine(parts) if parts.num_rows else parts
