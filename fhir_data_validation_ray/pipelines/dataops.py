@@ -497,6 +497,30 @@ def q_quantile_bands(sf_dir: str):
     return quantile_band_assign(docs, col="n_chars")
 
 
+def q_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (Markov counts; order ties
+    broken by (ts, event_id) — ``windows.transition_counts``)."""
+    import ray.data as rd
+
+    from ..stages.windows import transition_counts
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return transition_counts(events)
+
+
+TRANSITIONS_SQL = """
+WITH o AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                  AS prev_type
+           FROM events)
+SELECT prev_type AS type_from, event_type AS type_to, count(*)::BIGINT AS n
+FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 IA_BUCKET_US, IA_MAX_BUCKET = 60_000_000, 128
 
 
@@ -1542,6 +1566,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_confusion": q_lang_confusion,
         "t_cooccurrence": q_cooccurrence,
         "w_interarrival": q_interarrival,
+        "w_transitions": q_transitions,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2794,6 +2819,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_lang_confusion": LANG_CONFUSION_SQL,
         "t_cooccurrence": COOCCURRENCE_SQL,
         "w_interarrival": INTERARRIVAL_SQL,
+        "w_transitions": TRANSITIONS_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

@@ -817,3 +817,122 @@ def interarrival_histogram(events, *, bucket_us: int = 60_000_000,
         empty_schema=pa.schema([("bucket", pa.int64()), ("n", pa.int64())]),
     )
     return combine(parts) if parts.num_rows else parts
+
+
+def transition_counts(events, *, block_us: int = US_PER_HOUR):
+    """Per-user event-type transition matrix (Markov counts): for every
+    consecutive event pair per user — ordered by (ts, event_id), the order
+    ties MATTER here unlike the inter-arrival deltas — count (type_from,
+    type_to). The behavioral-modeling companion to funnel_levels.
+
+    Same split sessionize skeleton as ``interarrival_histogram``: in-block
+    transition counts pre-aggregate per (user, time-block) group and bypass
+    the per-user merge; one summary row per block (first/last event type
+    under the same order) rides the merge for the cross-block transitions.
+    Event types are low-cardinality, so every exchange row is a bounded
+    (from, to, n) triple.
+
+    Returns a pyarrow Table (type_from, type_to, n)."""
+    from ..functions.collect import collect_table
+
+    base = events.select_columns(["event_id", "user_id", "ts", "event_type"])
+
+    def add_ub(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        b = _ts_np(t) // block_us
+        if len(u) and (u.min() < 0 or u.max() >= _UB):
+            raise ValueError(
+                f"transition_counts: user_id must be in [0, {int(_UB)})")
+        return t.append_column("ub", pa.array(u * _UB + b))
+
+    def _pair_rows(tf: np.ndarray, tt: np.ndarray) -> pa.Table:
+        keys = np.char.add(np.char.add(tf, "|"), tt)
+        uk, cnt = np.unique(keys, return_counts=True)
+        parts = np.char.partition(uk, "|")
+        return pa.table({
+            "role": pa.array(np.zeros(len(uk), np.int8)),
+            "user_id": pa.array(np.zeros(len(uk), np.int64)),
+            "type_from": pa.array(parts[:, 0].tolist(), pa.string()),
+            "type_to": pa.array(parts[:, 2].tolist(), pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+            "block": pa.array(np.zeros(len(uk), np.int64)),
+        })
+
+    def block_partial(g: pa.Table) -> pa.Table:
+        ts = _ts_np(g)
+        eid = np.asarray(g["event_id"]).astype(np.int64)
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        types = et.to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((eid, ts))
+        types = types[order]
+        user = int(np.asarray(g["user_id"])[0])
+        block = int(np.asarray(g["ub"])[0]) % int(_UB)
+        rows = _pair_rows(types[:-1], types[1:]) if len(types) > 1 else None
+        summary = pa.table({
+            "role": pa.array([np.int8(1)]),
+            "user_id": pa.array([user], pa.int64()),
+            "type_from": pa.array([str(types[0])], pa.string()),
+            "type_to": pa.array([str(types[-1])], pa.string()),
+            "n": pa.array([0], pa.int64()),
+            "block": pa.array([block], pa.int64()),
+        })
+        return pa.concat_tables([rows, summary]) if rows is not None else summary
+
+    def user_merge(g: pa.Table) -> pa.Table:
+        blk = np.asarray(g["block"]).astype(np.int64)
+        tf = np.asarray(g["type_from"]).astype("U")
+        tt = np.asarray(g["type_to"]).astype("U")
+        order = np.argsort(blk)
+        # cross-block transition: last type of block i -> first type of i+1
+        frm, to = tt[order][:-1], tf[order][1:]
+        if not len(frm):
+            return pa.table({"type_from": pa.array([], pa.string()),
+                             "type_to": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = _pair_rows(frm, to)
+        return pa.table({"type_from": t["type_from"],
+                         "type_to": t["type_to"], "n": t["n"]})
+
+    def combine(t: pa.Table) -> pa.Table:
+        tf = np.asarray(t["type_from"]).astype("U")
+        tt = np.asarray(t["type_to"]).astype("U")
+        n = np.asarray(t["n"]).astype(np.int64)
+        keys = np.char.add(np.char.add(tf, "|"), tt)
+        order = np.argsort(keys, kind="stable")
+        keys, n = keys[order], n[order]
+        uk, start = np.unique(keys, return_index=True)
+        tot = np.add.reduceat(n, start) if len(n) else np.empty(0, np.int64)
+        parts = np.char.partition(uk, "|")
+        return pa.table({
+            "type_from": pa.array(parts[:, 0].tolist(), pa.string()),
+            "type_to": pa.array(parts[:, 2].tolist(), pa.string()),
+            "n": pa.array(tot.astype(np.int64)),
+        })
+
+    stage1 = (base.map_batches(add_ub, batch_format="pyarrow")
+              .groupby("ub").map_groups(block_partial, batch_format="pyarrow")
+              ).materialize()
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["role"], 0))
+        return pa.table({"type_from": f["type_from"],
+                         "type_to": f["type_to"], "n": f["n"]})
+
+    def only_summaries(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["role"], 1))
+
+    boundary = (stage1.map_batches(only_summaries, batch_format="pyarrow")
+                .groupby("user_id")
+                .map_groups(user_merge, batch_format="pyarrow"))
+    pairs = stage1.map_batches(only_pairs, batch_format="pyarrow")
+
+    parts = collect_table(
+        pairs.union(boundary)
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("type_from", pa.string()),
+                                ("type_to", pa.string()),
+                                ("n", pa.int64())]),
+    )
+    return combine(parts) if parts.num_rows else parts
