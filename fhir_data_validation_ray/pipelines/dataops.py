@@ -1567,6 +1567,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_cooccurrence": q_cooccurrence,
         "w_interarrival": q_interarrival,
         "w_transitions": q_transitions,
+        "d_dup_degree": q_dup_degree,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -1815,6 +1816,26 @@ JOIN z za ON za.doc_id = da JOIN z zb ON zb.doc_id = db
 WHERE inter::DOUBLE / (za.ns + zb.ns - inter) >= {JACCARD_THRESHOLD})"""
 
 NGRAM_JACCARD_SQL = f"WITH {_NGRAM_CTES}\nSELECT doc_a, doc_b FROM edges"
+
+
+def q_dup_degree(sf_dir: str):
+    """Degree distribution of the near-dup pair graph
+    (``dedup.dup_degree_histogram``), degree-0 docs included."""
+    from ..stages.dedup import dup_degree_histogram
+
+    return dup_degree_histogram(_docs(sf_dir), n=JACCARD_N,
+                                threshold=JACCARD_THRESHOLD)
+
+
+DUP_DEGREE_SQL = f"""
+WITH {_NGRAM_CTES},
+deg AS (SELECT node, count(*)::BIGINT AS d
+        FROM (SELECT doc_a AS node FROM edges
+              UNION ALL SELECT doc_b FROM edges) GROUP BY node),
+alld AS (SELECT d.doc_id, coalesce(g.d, 0)::BIGINT AS d
+         FROM documents d LEFT JOIN deg g ON d.doc_id = g.node)
+SELECT d AS degree, count(*)::BIGINT AS n_docs FROM alld GROUP BY 1
+"""
 
 
 def _split_leakage_sql() -> str:
@@ -2820,6 +2841,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_cooccurrence": COOCCURRENCE_SQL,
         "w_interarrival": INTERARRIVAL_SQL,
         "w_transitions": TRANSITIONS_SQL,
+        "d_dup_degree": DUP_DEGREE_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

@@ -1599,3 +1599,69 @@ class BloomFilter:
         assert (self.n_bits, self.k) == (other.n_bits, other.k)
         self.bits |= other.bits
         return self
+
+
+def dup_degree_histogram(docs, *, n: int = 2, threshold: float = 0.8,
+                         num_buckets: int = 64):
+    """Degree distribution of the near-dup pair graph — the corpus-health
+    dial that separates isolated duplicate pairs (degree 1) from template
+    explosions (hub docs with hundreds of neighbors) before cluster
+    resolution is even attempted.
+
+    Plan: ``ngram_jaccard_pairs`` edges -> per-batch pre-aggregated
+    endpoint counts -> one doc-bucket groupby sums exact degrees and emits
+    per-bucket DEGREE value counts (distinct degrees are few) -> per-task
+    combine + driver fold; degree-0 docs are the corpus count minus the
+    paired docs (one metadata count, no extra scan).
+
+    Returns a pyarrow Table (degree, n_docs), degree 0 included."""
+    from ..functions.collect import collect_table
+
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    total_docs = docs.count()
+
+    def ends(t: pa.Table) -> pa.Table:
+        d = np.concatenate([
+            np.asarray(t["doc_a"]).astype(np.int64),
+            np.asarray(t["doc_b"]).astype(np.int64),
+        ]) if t.num_rows else np.empty(0, np.int64)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(_intmix(ud, num_buckets).astype(np.int32)),
+            "doc_id": pa.array(ud),
+            "k": pa.array(cnt.astype(np.int64)),
+        })
+
+    def bucket_degrees(g: pa.Table) -> pa.Table:
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        k = np.asarray(g["k"]).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        deg = np.zeros(len(ud), np.int64)
+        np.add.at(deg, inv, k)
+        vd, cnt = np.unique(deg, return_counts=True)
+        return pa.table({"degree": pa.array(vd),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        dg = np.asarray(t["degree"]).astype(np.int64)
+        nn = np.asarray(t["n_docs"]).astype(np.int64)
+        ud, inv = np.unique(dg, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, nn)
+        return pa.table({"degree": pa.array(ud), "n_docs": pa.array(tot)})
+
+    parts = collect_table(
+        pairs.map_batches(ends, batch_format="pyarrow")
+        .groupby("bucket").map_groups(bucket_degrees, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("degree", pa.int64()),
+                                ("n_docs", pa.int64())]),
+    )
+    hist = combine(parts) if parts.num_rows else parts
+    paired = int(np.asarray(hist["n_docs"]).sum()) if hist.num_rows else 0
+    n0 = total_docs - paired
+    if n0 > 0:
+        hist = pa.concat_tables([
+            pa.table({"degree": pa.array([0], pa.int64()),
+                      "n_docs": pa.array([n0], pa.int64())}), hist])
+    return hist
