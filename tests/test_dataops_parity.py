@@ -1950,3 +1950,38 @@ def test_cooccurrence_and_confusion_tolerate_empty_corpus(ray_session):
     assert lang_confusion(empty).num_rows == 0
     vg = vocab_growth(empty, (10, 20))
     assert vg.to_pydict() == {"n_docs": [10, 20], "vocab_size": [0, 0]}
+
+
+def test_interarrival_and_transitions_cross_block_boundaries(ray_session):
+    """A user whose events sit in distant time blocks: the cross-block
+    consecutive pair must be counted exactly once, with the (ts, event_id)
+    order deciding transitions on ts ties."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import (
+        US_PER_HOUR,
+        interarrival_histogram,
+        transition_counts,
+    )
+
+    h = US_PER_HOUR
+    ts = pa.array([0, 60_000_000, 3 * h, 3 * h], pa.int64()).cast(
+        pa.timestamp("us"))
+    events = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(["a", "b", "c", "d"]),
+    }))
+
+    # deltas: 60s (bucket 1), 3h-60s (capped at 128), 0 (bucket 0)
+    ia = interarrival_histogram(events).to_pydict()
+    assert dict(zip(ia["bucket"], ia["n"])) == {0: 1, 1: 1, 128: 1}
+
+    # transitions: a->b in block 0; b->c across blocks; c->d on the ts tie
+    # (event_id order)
+    tr = transition_counts(events).to_pydict()
+    got = {(f, t): n for f, t, n in zip(tr["type_from"], tr["type_to"],
+                                       tr["n"])}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1}
