@@ -497,6 +497,28 @@ def q_quantile_bands(sf_dir: str):
     return quantile_band_assign(docs, col="n_chars")
 
 
+def q_user_gini(sf_dir: str):
+    """Exact Gini concentration of events per user
+    (``stats.exact_gini``) — the activity-skew dial."""
+    import ray.data as rd
+
+    from ..stages.stats import exact_gini
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+    return exact_gini(events, key="user_id")
+
+
+USER_GINI_SQL = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM c)
+SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS total,
+  (2 * sum(i * c) - (count(*) + 1) * sum(c))::BIGINT AS gini_num,
+  (count(*) * sum(c))::BIGINT AS gini_den
+FROM r
+"""
+
+
 def q_transitions(sf_dir: str):
     """Per-user event-type transition matrix (Markov counts; order ties
     broken by (ts, event_id) — ``windows.transition_counts``)."""
@@ -1568,6 +1590,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_interarrival": q_interarrival,
         "w_transitions": q_transitions,
         "d_dup_degree": q_dup_degree,
+        "a_user_gini": q_user_gini,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2842,6 +2865,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_interarrival": INTERARRIVAL_SQL,
         "w_transitions": TRANSITIONS_SQL,
         "d_dup_degree": DUP_DEGREE_SQL,
+        "a_user_gini": USER_GINI_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

@@ -605,3 +605,78 @@ def exact_moments(ds, xcol: str, ycol: str):
     return combine(parts) if parts.num_rows else pa.table({
         c: pa.array([0], pa.int64())
         for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")})
+
+
+def exact_gini(ds, key: str = "user_id", *, num_buckets: int = 64):
+    """Exact Gini concentration of row counts per ``key`` (how unevenly
+    activity concentrates across users/domains — the skew dial that decides
+    whether hot-key salting is needed downstream). Integer-exact: returns
+    numerator and denominator separately (G = gini_num / gini_den) so the
+    SQL oracle compares bitwise.
+
+    With per-key counts c sorted ascending, G = (2*sum(i*c_i) -
+    (n+1)*sum(c)) / (n*sum(c)); ties share a value so any order among
+    equals gives the same sum, making the statistic well-defined from
+    VALUE COUNTS alone. Plan: per-batch pre-aggregated (bucket, key, n)
+    partials -> one key-bucket groupby sums exact per-key totals and emits
+    per-bucket count-value counts (distinct totals are few) -> driver fold
+    of value counts -> closed-form integer Gini terms.
+
+    Returns a one-row pyarrow Table (n_keys, total, gini_num, gini_den)."""
+    from ..functions.collect import collect_table
+    from ..stages.dedup import _intmix
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key]).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(_intmix(uk, num_buckets).astype(np.int32)),
+            "key": pa.array(uk),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def bucket_vcounts(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["key"]).astype(np.int64)
+        n = np.asarray(g["n"]).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, n)
+        v, m = np.unique(tot, return_counts=True)
+        return pa.table({"v": pa.array(v),
+                         "m": pa.array(m.astype(np.int64))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"]).astype(np.int64)
+        m = np.asarray(t["m"]).astype(np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        tm = np.zeros(len(uv), np.int64)
+        np.add.at(tm, inv, m)
+        return pa.table({"v": pa.array(uv), "m": pa.array(tm)})
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(bucket_vcounts, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("v", pa.int64()), ("m", pa.int64())]),
+    )
+    if parts.num_rows:
+        parts = combine(parts)
+        v = np.asarray(parts["v"]).astype(object)  # python ints: no overflow
+        m = np.asarray(parts["m"]).astype(object)
+    else:
+        v = m = np.empty(0, object)
+    n = int(sum(m)) if len(m) else 0
+    total = int(sum(v[j] * m[j] for j in range(len(v)))) if len(v) else 0
+    s = 0
+    ic = 0
+    for j in range(len(v)):  # v is sorted ascending (np.unique)
+        ic += v[j] * (m[j] * s + m[j] * (m[j] + 1) // 2)
+        s += m[j]
+    gini_num = 2 * ic - (n + 1) * total
+    gini_den = n * total
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "total": pa.array([total], pa.int64()),
+        "gini_num": pa.array([int(gini_num)], pa.int64()),
+        "gini_den": pa.array([int(gini_den)], pa.int64()),
+    })
