@@ -1591,6 +1591,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_transitions": q_transitions,
         "d_dup_degree": q_dup_degree,
         "a_user_gini": q_user_gini,
+        "c_mixture_upsample": q_mixture_upsample,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2065,6 +2066,38 @@ SELECT source, lang, n_docs, n_tokens,
        ELSE fl + CASE WHEN rr <= {b} - fl_sum THEN 1 ELSE 0 END
   END::BIGINT AS quota
 FROM a
+"""
+
+
+def q_mixture_upsample(sf_dir: str):
+    """Domain-mixture upsampling: explicit (doc_id, copy_id) replication
+    table from the largest-remainder quotas
+    (``textops.mixture_upsample``)."""
+    import ray.data as rd
+
+    from ..stages.textops import mixture_upsample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source", "lang"])
+    return mixture_upsample(docs)
+
+
+def _mixture_upsample_sql() -> str:
+    """mixture_upsample mirror: the _mixture_sql quota chain joined back to
+    docs; per doc k = quota // n_tokens + (FNV(doc_id) % n_tokens <
+    quota % n_tokens), rows unnested 0..k-1."""
+    fnv = _fnv_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH q AS ({_mixture_sql()}),
+j AS (SELECT d.doc_id,
+             q.quota // q.n_tokens AS r,
+             CASE WHEN {fnv} % CAST(q.n_tokens AS UBIGINT)
+                       < CAST(q.quota % q.n_tokens AS UBIGINT)
+                  THEN 1 ELSE 0 END AS extra
+      FROM documents d JOIN q USING (source, lang)
+      WHERE q.n_tokens > 0),
+reps AS (SELECT doc_id, (r + extra)::BIGINT AS k FROM j WHERE r + extra > 0)
+SELECT doc_id, unnest(range(k))::BIGINT AS copy_id FROM reps
 """
 
 
@@ -2866,6 +2899,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_transitions": TRANSITIONS_SQL,
         "d_dup_degree": DUP_DEGREE_SQL,
         "a_user_gini": USER_GINI_SQL,
+        "c_mixture_upsample": _mixture_upsample_sql(),
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

@@ -1894,3 +1894,68 @@ def cooccurrence(docs, *, k: int = 20, window: int = 2,
             .groupby("bucket")
             .map_groups(bucket_sum, batch_format="pyarrow")
             .select_columns(["context", "word", "n"]))
+
+
+def mixture_upsample(docs, *, budget: int = 1_000_000,
+                     batch_size: int | None = None):
+    """Domain-mixture UPSAMPLING — the replication complement of
+    ``mixture_apply``'s keep-list: when a group's quota EXCEEDS its token
+    mass, emit each doc ``quota // n_tokens`` times plus one extra copy for
+    a deterministic hash-gated subset (``FNV(str(doc_id)) % n_tokens <
+    quota % n_tokens``, which lands the remainder exactly in expectation) —
+    The-Pile-style per-source epochs as an explicit copy table.
+
+    Plan: quotas from ``mixture_quota`` (G bounded group rows collected
+    once, broadcast in the task closure), then ONE stateless vectorized
+    pass emitting (doc_id, copy_id) rows by np.repeat — no shuffle, no
+    driver state beyond the G-row table. Groups with zero tokens emit
+    nothing.
+
+    Returns Dataset[doc_id, copy_id]."""
+    from ..functions.collect import collect_table
+    from ..functions.hashing import hash_str
+
+    q = collect_table(mixture_quota(docs, budget=budget,
+                                    batch_size=batch_size))
+    if q.num_rows:
+        gsrc = q["source"].to_numpy(zero_copy_only=False).astype("U")
+        glng = q["lang"].to_numpy(zero_copy_only=False).astype("U")
+        gkey = np.char.add(np.char.add(gsrc, "\x1f"), glng)
+        # \x1f survives numpy U (only NUL is the terminator trap)
+        gtok = np.asarray(q["n_tokens"]).astype(np.int64)
+        gquota = np.asarray(q["quota"]).astype(np.int64)
+    else:
+        gkey = np.empty(0, "U1")
+        gtok = gquota = np.empty(0, np.int64)
+    order = np.argsort(gkey)
+    gkey, gtok, gquota = gkey[order], gtok[order], gquota[order]
+
+    def rep(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["source"], t["lang"], "\x1f")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        k = key.to_numpy(zero_copy_only=False).astype("U")
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        gi = np.searchsorted(gkey, k)
+        ok = (gi < len(gkey))
+        gi = np.minimum(gi, max(len(gkey) - 1, 0))
+        ok &= (gkey[gi] == k) if len(gkey) else False
+        tokc = np.where(ok, gtok[gi], 0)
+        quo = np.where(ok, gquota[gi], 0)
+        m = tokc > 0
+        ids, tokc, quo = ids[m], tokc[m], quo[m]
+        h = hash_str(ids.astype("U"))
+        base = quo // tokc
+        extra = (h % tokc.astype(np.uint64)
+                 < (quo % tokc).astype(np.uint64)).astype(np.int64)
+        reps = base + extra
+        out_ids = np.repeat(ids, reps)
+        starts = np.zeros(len(reps), np.int64)
+        np.cumsum(reps[:-1], out=starts[1:])
+        copy_id = (np.arange(int(reps.sum()), dtype=np.int64)
+                   - np.repeat(starts, reps))
+        return pa.table({"doc_id": pa.array(out_ids),
+                         "copy_id": pa.array(copy_id)})
+
+    return docs.map_batches(rep, batch_format="pyarrow",
+                            batch_size=batch_size)
