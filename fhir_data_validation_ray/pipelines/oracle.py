@@ -404,3 +404,15 @@ def summary_sql() -> str:
         + body
         + "\n) GROUP BY error_code, severity"
     )
+
+
+def examples_sql(n: int = 3) -> str:
+    """Per-error-code example rows: the ``n`` smallest (doc_id, span_index)
+    of each code over the same full-profile union ``summary_sql`` counts —
+    the debugging drill-down next to the summary."""
+    body = summary_sql().split("FROM (\n", 1)[1].rsplit("\n) GROUP BY", 1)[0]
+    return (
+        f"SELECT doc_id, span_index, error_code FROM (\n{body}\n) "
+        f"QUALIFY row_number() OVER (PARTITION BY error_code "
+        f"ORDER BY doc_id, span_index) <= {n}"
+    )

@@ -261,6 +261,45 @@ def _summary_query(sf_dir: str):
     return v.groupby(["error_code", "severity"]).aggregate(Count(alias_name="n"))
 
 
+EXAMPLES_PER_CODE = 3
+
+
+def _examples_query(sf_dir: str):
+    """Per-error-code debugging examples: the 3 smallest (doc_id,
+    span_index) rows of each code across the full default profile — the
+    drill-down next to v_summary. Per-batch vectorized trim to 3 per code
+    BEFORE the low-cardinality code groupby, so the exchange carries
+    <= 3 x codes rows per batch, never the violation stream."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = EXAMPLES_PER_CODE
+    v = _violations_for(sf_dir, default_profile())
+
+    def trim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"error_code": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.string()),
+                             "span_index": pa.array([], pa.int32())})
+        code = np.asarray(t["error_code"]).astype("U")
+        doc = np.asarray(t["doc_id"]).astype("U")
+        span = np.asarray(t["span_index"]).astype(np.int64)
+        order = np.lexsort((span, doc, code))
+        cs = code[order]
+        starts = np.r_[0, np.flatnonzero(cs[1:] != cs[:-1]) + 1]
+        runs = np.diff(np.r_[starts, len(cs)])
+        rank = np.arange(len(cs)) - np.repeat(starts, runs)
+        keep = order[rank < n]
+        f = t.take(pa.array(keep))
+        return pa.table({"error_code": f["error_code"],
+                         "doc_id": f["doc_id"],
+                         "span_index": f["span_index"]})
+
+    return (v.map_batches(trim, batch_format="pyarrow")
+            .groupby("error_code")
+            .map_groups(trim, batch_format="pyarrow"))
+
+
 def validation_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "v_required": _rule_query("R1"),
@@ -291,6 +330,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_reference_join": _reference_join_query,
         "v_uniqueness": _uniqueness_query,
         "v_summary": _summary_query,
+        "v_examples": _examples_query,
     }
 
 
@@ -324,6 +364,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_reference_join": oracle.V_REFERENCE_JOIN,
         "v_uniqueness": oracle.V_UNIQUENESS,
         "v_summary": oracle.summary_sql(),
+        "v_examples": oracle.examples_sql(EXAMPLES_PER_CODE),
     }
     full = dict(paths)
     full.setdefault("dup", paths["docs"].replace("docs_spans.parquet", "docs_dup.parquet"))
