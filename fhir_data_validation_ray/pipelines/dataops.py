@@ -1592,6 +1592,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_dup_degree": q_dup_degree,
         "a_user_gini": q_user_gini,
         "c_mixture_upsample": q_mixture_upsample,
+        "a_corpus_card": q_corpus_card,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -2066,6 +2067,82 @@ SELECT source, lang, n_docs, n_tokens,
        ELSE fl + CASE WHEN rr <= {b} - fl_sum THEN 1 ELSE 0 END
   END::BIGINT AS quota
 FROM a
+"""
+
+
+def q_corpus_card(sf_dir: str):
+    """One-row corpus card — the at-a-glance report a dataset release
+    ships: doc/token totals, distinct languages/sources (low-cardinality
+    exact sets folded from per-batch uniques), and the exact distinct-text
+    count (the string-verified ``exact_dedup`` survivor count, no hash
+    collisions). Two streaming passes, driver state O(langs + sources)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.collect import collect_table
+    from ..stages.dedup import exact_dedup
+    from ..stages.textops import _word_lists
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, counts, _ = _word_lists(texts)
+        langs = np.unique(np.asarray(t["lang"]).astype("U"))
+        srcs = np.unique(np.asarray(t["source"]).astype("U"))
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_tokens": pa.array([int(counts.sum())], pa.int64()),
+            "langs": pa.array(["|".join(langs)], pa.string()),
+            "sources": pa.array(["|".join(srcs)], pa.string()),
+        })
+
+    def fold(t: pa.Table):
+        ls = set()
+        ss = set()
+        for v in t["langs"].to_pylist():
+            ls.update(x for x in v.split("|") if x)
+        for v in t["sources"].to_pylist():
+            ss.update(x for x in v.split("|") if x)
+        return (int(np.asarray(t["n_docs"]).sum()),
+                int(np.asarray(t["n_tokens"]).sum()), ls, ss)
+
+    def combine(t: pa.Table) -> pa.Table:
+        nd, nt, ls, ss = fold(t)
+        return pa.table({
+            "n_docs": pa.array([nd], pa.int64()),
+            "n_tokens": pa.array([nt], pa.int64()),
+            "langs": pa.array(["|".join(sorted(ls))], pa.string()),
+            "sources": pa.array(["|".join(sorted(ss))], pa.string()),
+        })
+
+    parts = collect_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64))
+    nd, nt, ls, ss = fold(parts)
+    uniq = exact_dedup(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])).count()
+    return pa.table({
+        "n_docs": pa.array([nd], pa.int64()),
+        "n_tokens": pa.array([nt], pa.int64()),
+        "n_langs": pa.array([len(ls)], pa.int64()),
+        "n_sources": pa.array([len(ss)], pa.int64()),
+        "n_unique_texts": pa.array([uniq], pa.int64()),
+    })
+
+
+CORPUS_CARD_SQL = """
+SELECT count(*)::BIGINT AS n_docs,
+  coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))),
+           0)::BIGINT AS n_tokens,
+  count(DISTINCT lang)::BIGINT AS n_langs,
+  count(DISTINCT source)::BIGINT AS n_sources,
+  count(DISTINCT text)::BIGINT AS n_unique_texts
+FROM documents
 """
 
 
@@ -2900,6 +2977,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_dup_degree": DUP_DEGREE_SQL,
         "a_user_gini": USER_GINI_SQL,
         "c_mixture_upsample": _mixture_upsample_sql(),
+        "a_corpus_card": CORPUS_CARD_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),
