@@ -1858,7 +1858,11 @@ def cooccurrence(docs, *, k: int = 20, window: int = 2,
         key = np.concatenate(keys)
         if len(key) == 0:
             return empty
-        uk, cnt = np.unique(key, return_counts=True)
+        # dense O(n) bincount beats sort-based unique: the code space is
+        # k x batch_vocab (a few MB), the key stream is ~2*window*positions
+        counts = np.bincount(key, minlength=len(top) * ndict)
+        uk = np.flatnonzero(counts)
+        cnt = counts[uk]
         ctx_words = top.take(pa.array(uk // ndict))
         pair_words = da.dictionary.take(pa.array(uk % ndict))
         wu = pair_words.to_numpy(zero_copy_only=False).astype("U")
