@@ -388,3 +388,67 @@ def test_ahash_bits_matches_scalar_reference(px, flip):
     b[0, flip] = 255 - b[0, flip]
     d = int(ahash_bits(a)[0]) ^ int(ahash_bits(b)[0])
     assert bin(d).count("1") <= 64  # sanity: both sides agree on definition
+
+
+@given(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0,
+                max_size=40),
+       st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=3,
+                unique=True))
+@settings(max_examples=60, deadline=None)
+def test_member_mask_matches_direct_is_in(grams, value_set):
+    """Dictionary-encoded membership must equal the per-occurrence probe."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fhir_data_validation_ray.stages.dedup import _member_mask
+
+    ga = pa.array(grams, pa.string())
+    vs = pa.array(value_set, pa.string())
+    if len(ga) == 0:
+        return
+    got = _member_mask(ga, vs)
+    want = pc.is_in(ga, value_set=vs).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5), min_size=0,
+                max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_repeat_copy_id_arithmetic(reps_list):
+    """The np.repeat + arange copy-id construction used by
+    mixture_upsample must enumerate 0..k-1 per row."""
+    import numpy as np
+
+    reps = np.asarray(reps_list, dtype=np.int64)
+    ids = np.arange(len(reps), dtype=np.int64) * 10
+    out_ids = np.repeat(ids, reps)
+    starts = np.zeros(len(reps), np.int64)
+    np.cumsum(reps[:-1], out=starts[1:])
+    copy_id = (np.arange(int(reps.sum()), dtype=np.int64)
+               - np.repeat(starts, reps))
+    # reference: python loop
+    ref = [(i * 10, c) for i, k in enumerate(reps_list) for c in range(k)]
+    assert list(zip(out_ids.tolist(), copy_id.tolist())) == ref
+
+
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=0,
+                max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_gini_closed_form_matches_bruteforce(counts):
+    """The value-count closed form in exact_gini must equal the sorted
+    rank-sum definition."""
+    import numpy as np
+
+    c = np.sort(np.asarray(counts, dtype=np.int64))
+    n, total = len(c), int(c.sum())
+    brute_num = 2 * int(np.sum((np.arange(n) + 1) * c)) - (n + 1) * total
+    brute_den = n * total
+    v, m = np.unique(c, return_counts=True)
+    s = 0
+    ic = 0
+    for j in range(len(v)):
+        ic += int(v[j]) * (int(m[j]) * s + int(m[j]) * (int(m[j]) + 1) // 2)
+        s += int(m[j])
+    assert 2 * ic - (n + 1) * total == brute_num
+    assert n * total == brute_den
