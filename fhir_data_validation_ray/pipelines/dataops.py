@@ -1593,6 +1593,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_user_gini": q_user_gini,
         "c_mixture_upsample": q_mixture_upsample,
         "a_corpus_card": q_corpus_card,
+        "d_pagerank": q_pagerank,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -1841,6 +1842,41 @@ JOIN z za ON za.doc_id = da JOIN z zb ON zb.doc_id = db
 WHERE inter::DOUBLE / (za.ns + zb.ns - inter) >= {JACCARD_THRESHOLD})"""
 
 NGRAM_JACCARD_SQL = f"WITH {_NGRAM_CTES}\nSELECT doc_a, doc_b FROM edges"
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-round integer PageRank over the near-dup pair graph
+    (``dedup.pagerank_dup``) — centrality for canonical selection."""
+    from ..stages.dedup import pagerank_dup
+
+    return pagerank_dup(_docs(sf_dir), iters=3, n=JACCARD_N,
+                        threshold=JACCARD_THRESHOLD)
+
+
+def _pagerank_sql() -> str:
+    """pagerank_dup mirror: same half-edge table, degree fold and
+    integer-exact rounds — contribution (85*p)//(100*deg), new score
+    PR_BASE + sum; graph nodes only."""
+    from ..stages.dedup import PR_BASE, PR_SCALE
+
+    iters = 3
+    ctes = [_NGRAM_CTES]
+    ctes.append("he AS (SELECT doc_a AS src, doc_b AS dst FROM edges "
+                "UNION ALL SELECT doc_b, doc_a FROM edges)")
+    ctes.append("nd AS (SELECT src AS node, count(*)::BIGINT AS deg "
+                "FROM he GROUP BY 1)")
+    ctes.append(f"pr0 AS (SELECT node, deg, {PR_SCALE}::BIGINT AS p FROM nd)")
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"c{t} AS (SELECT he.dst AS node, "
+            f"sum((85 * p.p) // (100 * p.deg))::BIGINT AS c "
+            f"FROM he JOIN pr{t - 1} p ON p.node = he.src GROUP BY 1)")
+        ctes.append(
+            f"pr{t} AS (SELECT n.node, n.deg, "
+            f"({PR_BASE} + coalesce(c.c, 0))::BIGINT AS p "
+            f"FROM nd n LEFT JOIN c{t} c USING (node))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, p AS rank FROM pr{iters}")
 
 
 def q_dup_degree(sf_dir: str):
@@ -2978,6 +3014,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_user_gini": USER_GINI_SQL,
         "c_mixture_upsample": _mixture_upsample_sql(),
         "a_corpus_card": CORPUS_CARD_SQL,
+        "d_pagerank": _pagerank_sql(),
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

@@ -1665,3 +1665,127 @@ def dup_degree_histogram(docs, *, n: int = 2, threshold: float = 0.8,
             pa.table({"degree": pa.array([0], pa.int64()),
                       "n_docs": pa.array([n0], pa.int64())}), hist])
     return hist
+
+
+PR_SCALE = 1_000_000
+PR_BASE = 150_000  # floor(0.15 * PR_SCALE)
+
+
+def pagerank_dup(docs, *, iters: int = 3, n: int = 2, threshold: float = 0.8,
+                 num_buckets: int = 64):
+    """Fixed-round integer PageRank over the near-dup pair graph — a
+    centrality signal for canonical-document selection inside template
+    clusters (the hub copy everyone near-duplicates outranks its
+    satellites). Every step is integer-exact so a generated per-round SQL
+    CTE chain mirrors the run bitwise: contribution = ``(85 * p) //
+    (100 * deg)`` (= floor(0.85 p / deg), no floats), new score =
+    ``PR_BASE + sum(contributions)``; isolated docs keep PR_BASE +
+    nothing and are excluded (graph nodes only), matching the oracle.
+
+    Plan: half-edges materialize ONCE (2 rows per pair); per round, one
+    src-bucket groupby meets score rows with half-edges (role-tagged — the
+    established membership-meets-payload pattern) and emits pre-aggregated
+    (dst, contribution) rows; one dst-bucket groupby folds them with the
+    static (node, degree) rows into the next score table. Driver holds
+    nothing graph-sized.
+
+    Returns Dataset[doc_id, rank] (scaled by PR_SCALE), graph nodes only."""
+    import ray.data as rd
+
+    edges = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+
+    def halves(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "bucket": pa.array(_intmix(src, num_buckets).astype(np.int32)),
+            "role": pa.array(np.zeros(len(src), np.int8)),
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+            "p": pa.array(np.zeros(len(src), np.int64)),
+        })
+
+    half = edges.map_batches(halves, batch_format="pyarrow").materialize()
+
+    def degrees(g: pa.Table) -> pa.Table:
+        s = np.asarray(g["src"]).astype(np.int64)
+        us, cnt = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(us),
+                         "deg": pa.array(cnt.astype(np.int64)),
+                         "p": pa.array(np.full(len(us), PR_SCALE, np.int64))})
+
+    # (node, deg, p0): degree fold groups by the same src bucket
+    scores = (half.groupby("bucket")
+              .map_groups(degrees, batch_format="pyarrow").materialize())
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"]).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(_intmix(node, num_buckets).astype(np.int32)),
+            "role": pa.array(np.ones(len(node), np.int8)),
+            "src": pa.array(node),
+            "dst": pa.array(np.asarray(t["deg"]).astype(np.int64)),  # deg
+            "p": pa.array(np.asarray(t["p"]).astype(np.int64)),
+        })
+
+    def contribute(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"]).astype(np.int64)
+        src = np.asarray(g["src"]).astype(np.int64)
+        dst = np.asarray(g["dst"]).astype(np.int64)
+        p = np.asarray(g["p"]).astype(np.int64)
+        sn, sdeg, sp = src[role == 1], dst[role == 1], p[role == 1]
+        order = np.argsort(sn)
+        sn, sdeg, sp = sn[order], sdeg[order], sp[order]
+        es, ed = src[role == 0], dst[role == 0]
+        pos = np.searchsorted(sn, es)  # every edge src has a score row
+        c = (85 * sp[pos]) // (100 * sdeg[pos])
+        ud, inv = np.unique(ed, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({
+            "bucket": pa.array(_intmix(ud, num_buckets).astype(np.int32)),
+            "role": pa.array(np.zeros(len(ud), np.int8)),
+            "node": pa.array(ud),
+            "v": pa.array(tot),
+        })
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"]).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(_intmix(node, num_buckets).astype(np.int32)),
+            "role": pa.array(np.ones(len(node), np.int8)),
+            "node": pa.array(node),
+            "v": pa.array(np.asarray(t["deg"]).astype(np.int64)),
+        })
+
+    def fold_scores(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"]).astype(np.int64)
+        node = np.asarray(g["node"]).astype(np.int64)
+        v = np.asarray(g["v"]).astype(np.int64)
+        nn, ndeg = node[role == 1], v[role == 1]
+        order = np.argsort(nn)
+        nn, ndeg = nn[order], ndeg[order]
+        p = np.full(len(nn), PR_BASE, np.int64)
+        cn, cv = node[role == 0], v[role == 0]
+        pos = np.searchsorted(nn, cn)
+        np.add.at(p, pos, cv)
+        return pa.table({"node": pa.array(nn), "deg": pa.array(ndeg),
+                         "p": pa.array(p)})
+
+    for _ in range(iters):
+        tagged = (half.union(
+            scores.map_batches(score_rows, batch_format="pyarrow")))
+        contribs = (tagged.groupby("bucket")
+                    .map_groups(contribute, batch_format="pyarrow"))
+        tagged2 = contribs.union(
+            scores.map_batches(node_rows, batch_format="pyarrow"))
+        scores = (tagged2.groupby("bucket")
+                  .map_groups(fold_scores, batch_format="pyarrow")
+                  ).materialize()
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "rank": t["p"]})
+
+    return scores.map_batches(out, batch_format="pyarrow")
