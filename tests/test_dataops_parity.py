@@ -1985,3 +1985,45 @@ def test_interarrival_and_transitions_cross_block_boundaries(ray_session):
     got = {(f, t): n for f, t, n in zip(tr["type_from"], tr["type_to"],
                                        tr["n"])}
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1}
+
+
+def test_pagerank_hub_outranks_satellites(ray_session):
+    """A hub duplicated by several satellites must get the highest rank;
+    satellites of the same hub tie exactly (integer determinism)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import PR_BASE, pagerank_dup
+
+    hub = "the quick brown fox jumps over the lazy dog again and again"
+    sat = hub + " tail"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([hub, sat, sat + " x", sat + " y",
+                          "completely unrelated words elsewhere entirely"]),
+    }))
+    out = (pagerank_dup(docs, iters=3, n=2, threshold=0.5).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert 4 not in out.index            # isolated doc is not a graph node
+    assert out.loc[0, "rank"] == out["rank"].max()
+    assert out.loc[0, "rank"] > PR_BASE
+
+
+def test_mixture_upsample_epoch_semantics(ray_session):
+    """With a budget of exactly 2x the corpus tokens and one group, every
+    doc appears exactly twice (remainder 0 -> no hash-gated extras)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import mixture_upsample
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b", "c d", "e f"]),
+        "source": pa.array(["web"] * 3),
+        "lang": pa.array(["en"] * 3),
+    }))
+    out = mixture_upsample(docs, budget=12).to_pandas()  # 6 tokens * 2
+    counts = out.groupby("doc_id").size()
+    assert (counts == 2).all() and len(counts) == 3
+    assert set(out.copy_id) == {0, 1}
