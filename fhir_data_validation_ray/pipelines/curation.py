@@ -452,3 +452,51 @@ def curate_keep_best(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8
         return pa.table({"doc_id": pa.array(ud[keep])})
 
     return merged.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def cluster_shards(docs, centroids, *, blocks_per_cluster: int = 4,
+                   dim: int | None = None, metric: str = "ip"):
+    """Semantic shard layout: every doc gets ``(shard, pos)`` where shard =
+    cluster * blocks_per_cluster + FNV(doc_id) % blocks_per_cluster and pos
+    = the doc's rank within its shard by (hash, doc_id) — a reader
+    streaming shards in order sees the corpus CLUSTER-CONTIGUOUS (the
+    curriculum / locality layout), while the hash sub-blocking keeps every
+    rank group bounded at ~corpus/(K*B) rows even though K itself is tiny
+    (never rank inside a bare O(1)-cardinality cluster group).
+
+    Same exchange shape as ``packing.shuffle_assign``: one bounded shard
+    groupby, each group sorts only its own (hash, id) tags.
+
+    Dataset[doc_id, text] -> Dataset[doc_id, cluster, shard, pos]."""
+    from ..functions.hashing import hash_str
+
+    B = int(blocks_per_cluster)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        cl = np.asarray(t["cluster"]).astype(np.int64)
+        h = hash_str(ids.astype("U"))
+        shard = cl * B + (h % np.uint64(B)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "cluster": pa.array(cl),
+            "shard": pa.array(shard),
+            "h": pa.array(h.astype(np.int64)),  # two's-complement carry
+        })
+
+    def rank(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        h = np.asarray(g["h"]).astype(np.int64).astype(np.uint64)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "cluster": g["cluster"],
+            "shard": g["shard"],
+            "pos": pa.array(pos),
+        })
+
+    assigned = cluster_assign(docs, centroids, dim=dim, metric=metric)
+    return (assigned.map_batches(tag, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pyarrow"))

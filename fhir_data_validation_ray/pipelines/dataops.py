@@ -236,6 +236,56 @@ def q_cluster_cap(sf_dir: str):
     return cluster_cap_keep(_docs(sf_dir), cents, cap=CLUSTER_CAP_N)
 
 
+CLUSTER_SHARD_BLOCKS = 4
+
+
+def q_cluster_shards(sf_dir: str):
+    """Semantic shard layout (``curation.cluster_shards``): shard =
+    cluster * B + hash-block, pos = rank within shard — cluster-contiguous
+    training shards with bounded rank groups."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .curation import cluster_shards, hash_centroids
+
+    seed = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < CLUSTER_CAP_K)
+    cents = hash_centroids(seed, CLUSTER_CAP_K)
+    return cluster_shards(_docs(sf_dir), cents,
+                          blocks_per_cluster=CLUSTER_SHARD_BLOCKS)
+
+
+def _cluster_shards_sql() -> str:
+    """cluster_shards mirror: the cluster-cap assignment chain (no cap),
+    shard = cluster * B + FNV(doc_id) % B, pos = rank by (h, doc_id)."""
+    from ..stages.textops import HASH_EMBED_DIM as D
+
+    B = CLUSTER_SHARD_BLOCKS
+    dot = " + ".join(f"d.e{j} * c.e{j}" for j in range(D))
+    cols = ", ".join(f"e{j}" for j in range(D))
+    fnv = _fnv_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_hash_embed_ctes()},
+cent AS (SELECT doc_id AS k, {cols} FROM emb WHERE doc_id < {CLUSTER_CAP_K}),
+dots AS (SELECT d.doc_id, c.k, ({dot})::BIGINT AS dot
+         FROM emb d CROSS JOIN cent c),
+best AS (SELECT doc_id, k AS cluster,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY dot DESC, k ASC) AS rn
+         FROM dots),
+a AS (SELECT doc_id, cluster::BIGINT AS cluster, {fnv} AS h
+      FROM best WHERE rn = 1),
+s AS (SELECT doc_id, cluster,
+             (cluster * {B} + CAST(h % {B} AS BIGINT))::BIGINT AS shard, h
+      FROM a)
+SELECT doc_id, cluster, shard,
+  (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT
+  AS pos
+FROM s
+"""
+
+
 KMEANS_ITERS = 3
 
 
@@ -1594,6 +1644,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_mixture_upsample": q_mixture_upsample,
         "a_corpus_card": q_corpus_card,
         "d_pagerank": q_pagerank,
+        "c_cluster_shards": q_cluster_shards,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -3015,6 +3066,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_mixture_upsample": _mixture_upsample_sql(),
         "a_corpus_card": CORPUS_CARD_SQL,
         "d_pagerank": _pagerank_sql(),
+        "c_cluster_shards": _cluster_shards_sql(),
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),
