@@ -32,44 +32,44 @@ def entry() -> Any:
 
 
 # The driver evaluates queries() in dict order and checks only a prefix
-# (~50: round 2 verified the first 50 of 60). With 126 queries / 118 oracles,
-# ~68 oracle-bearing queries necessarily fall outside the window (every one
-# still runs in the repo's identical-protocol parity suite at sf0.001 each
-# pytest session), so order = correctness-signal priority:
-# (1) queries with NO driver-verified row in any round (CORRECTNESS_r01/r02)
-#     — the 22 never-verified entries, all oracle-bearing;
-# (2) s_cosine_* (r1-green, named in VERDICT item 1's done-criteria) and the
-#     two dedup flagships whose implementation changed this round
-#     (d_minhash_lsh lane auto-pick, d_dedup_clusters folded convergence);
-# (3) the previously-verified v_* validation core (kernels changed in r3:
-#     +14:00 tz, spec-hint gating, expression lane — re-verify);
-# (4) stable r02-green operators whose code didn't change (w_*, a_*, m_*,
-#     remaining t_*/d_*) — covered by the repo's identical-protocol parity
-#     suite at sf0.001 every pytest run;
+# (~50 per round). With 126+ queries / 118+ oracles, most fall outside any
+# single window (every one still runs in the repo's identical-protocol
+# parity suite at sf0.001 each pytest session), so order = correctness-signal
+# priority. Round-4 rotation (VERDICT r3 "Next round" #1):
+# (1) the 27 oracle-bearing queries that have NEVER had a driver CORRECTNESS
+#     row across r01-r03 (all late-round-3 additions);
+# (2) NEW round-4 queries (lint catalog, rule suggestions, extension kernel,
+#     ...) — inserted here as they land;
+# (3) queries whose implementation CHANGES in round 4 and therefore needs
+#     re-verification (join-lane fallback: d_seg_dedup / d_dup_ngrams —
+#     d_strip_dup_spans is already in group 1);
+# (4) previously-verified flagships as window filler (re-verification is
+#     still signal), then the stable r02/r03-green remainder;
 # (5) rows-only queries last (float sketches + approximate ANN — no oracle
 #     by design, weakest signal).
 _QUERY_PRIORITY = [
-    # -- (1) never driver-verified: flagship data-ops unchecked in r02 ...
-    "c_curation",
-    "j_orders_by_segment", "j_lineitem_priority", "j_customer_region",
-    "t_sample", "t_sample_stratified",
-    # -- ... and round-3 operators (all oracle-bearing, new)
-    "v_custom_predicate_or", "v_empty_doc",
-    "d_decontaminate", "t_top_words", "t_pii_redact",
-    "t_repetition", "t_pack", "t_mixture", "t_tfidf", "t_oov", "t_shuffle",
-    "t_chunks", "t_normalize", "d_seg_dedup", "d_prefix_dups", "d_corpus_diff",
-    "d_dup_ngrams",
-    "c_embed_dedup", "t_lm_coverage", "t_top_per_source", "c_keep_best",
-    "t_split", "d_norm_dedup", "a_quantiles_nchars", "c_mixture_apply",
-    "w_retention", "w_funnel", "j_segment_returnflag",
-    # -- (2) VERDICT-named + changed-this-round dedup flagships
-    "s_cosine_topk", "s_cosine_pairs", "d_minhash_lsh", "d_dedup_clusters",
-    # -- late round-3 operators: new (rank/quality-score) and re-sharded
-    #    banding exchanges (simhash changed after its r02 verification)
-    "a_rank_nchars", "t_quality_score", "d_simhash_pairs", "m_phash_dups",
-    "s_embed_decon", "c_curation_clf",
-    # final-session additions, both oracle-bearing and never driver-verified
-    "m_audio_dups", "t_sample_n",
+    # -- (1) never driver-verified, oracle-bearing (VERDICT r3 list, all 27)
+    "c_kmeans", "c_cluster_cap", "c_cluster_cap_trained", "c_cluster_shards",
+    "c_mixture_upsample", "c_split_leakage",
+    "d_pagerank", "d_dup_degree", "d_containment", "d_strip_dup_spans",
+    "t_winnow", "t_cooccurrence", "t_badwords", "t_truncate", "t_hash_embed",
+    "t_lang_confusion", "t_sample_weighted", "t_sample_n_by_source",
+    "a_vocab_growth", "a_moments", "a_quantile_bands", "a_user_gini",
+    "a_corpus_card", "a_rank_by_source",
+    "w_transitions", "w_interarrival",
+    "v_examples",
+    # -- (2) new in round 4 (oracle-bearing)
+    "v_lint", "v_extension", "c_suggest_rules", "d_cross_shard_overlap",
+    "t_domain_mix", "a_ngram_entropy", "t_dtype_audit", "w_burst_windows",
+    # -- (3) changed in round 4: frequent-set join-lane fallback reworks the
+    #    shared probe path of these two (strip_dup_spans is in group 1)
+    "d_seg_dedup", "d_dup_ngrams",
+    # -- (4) previously-verified flagship filler (changed least recently
+    #    verified first): validation core + headline data-ops
+    "v_reference_join", "v_primitive_datetime", "v_question_answer",
+    "v_json_ingest", "c_curation", "d_minhash_lsh", "d_dedup_clusters",
+    "s_cosine_pairs", "s_cosine_topk", "t_tfidf", "t_mixture", "t_pack",
+    "w_retention", "j_segment_returnflag",
 ]
 
 # v_* backfill order: when priority growth pushes v_* past the window,
