@@ -35,6 +35,10 @@ from ..functions.hashing import hash_str
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# doc-shard width for the no-broadcast join lanes (see the "join lane"
+# section below); used as a signature default so it lives at module top
+_JOIN_DOC_SHARD = 4096
+
 
 # ------------------------------------------------------------- exact dedup
 def exact_dedup(docs, *, key: str = "text", num_buckets: int = 256,
@@ -1106,9 +1110,75 @@ def _segments(t: pa.Table, seg_words: int, column: str = "text"):
     return doc_idx, seg_id, pc.binary_join(la, " "), len(texts)
 
 
+def _segment_join_lane(docs, *, seg_words: int, min_docs: int, column: str,
+                       num_buckets: int, doc_shard: int,
+                       batch_size: int | None):
+    """No-broadcast lane of ``segment_dedup`` — identical output. One fused
+    segment-bucket exchange (frequency = rows per segment string, flagged
+    rows carry in-doc segment ordinals) plus a doc-shard rendezvous that
+    rebuilds each doc from its surviving segments."""
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        doc_idx, seg_id, segs, _ = _segments(t, seg_words, column)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        return _join_pair_rows(doc_idx, seg_id, segs, ids,
+                               num_buckets=num_buckets, doc_shard=doc_shard,
+                               with_starts=True)
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"]).astype(np.int8)
+        base = g.filter(pa.array(role == 0))
+        texts = base["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = np.asarray(base["doc_id"]).astype(np.int64)
+        tmp = pa.table({"text": texts})
+        doc_idx, _, segs, n = _segments(tmp, seg_words, "text")
+        k = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        seg_first = np.zeros(n, dtype=np.int64)
+        np.cumsum(k[:-1], out=seg_first[1:])
+        member = np.zeros(len(segs), dtype=bool)
+        flag = g.filter(pa.array(role == 1))
+        if flag.num_rows:
+            loc, ordinal = _flag_flat(flag, ids)
+            member[seg_first[loc] + ordinal] = True
+        n_dropped = (np.bincount(doc_idx[member], minlength=n)
+                     if len(segs) else np.zeros(n, dtype=np.int64))
+        kept = ~member
+        kept_segs = segs.filter(pa.array(kept)) if len(segs) else segs
+        kept_counts = (np.bincount(doc_idx[kept], minlength=n)
+                       if len(segs) else np.zeros(n, dtype=np.int64))
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=bounds[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32())
+            if bounds[-1] <= np.iinfo(np.int32).max
+            else pa.array(bounds, pa.int64()),
+            kept_segs)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_segs": pa.array(k),
+            "n_dropped": pa.array(n_dropped.astype(np.int64)),
+            "cleaned_text": pc.binary_join(la, " "),
+        })
+
+    flagged = (docs.map_batches(pair_partial, batch_format="pyarrow",
+                                batch_size=batch_size)
+               .groupby("bucket")
+               .map_groups(lambda g: _bucket_flag_starts(g, min_docs),
+                           batch_format="pyarrow"))
+    payload = docs.map_batches(
+        lambda t: _payload_rows(t, column, doc_shard),
+        batch_format="pyarrow", batch_size=batch_size)
+    return (payload.union(flagged)
+            .groupby("dshard")
+            .map_groups(rebuild, batch_format="pyarrow"))
+
+
 def segment_dedup(docs, *, seg_words: int = SEG_WORDS, min_docs: int = 2,
                   column: str = "text", num_buckets: int = 64,
                   max_frequent: int = 2_000_000,
+                  doc_shard: int = _JOIN_DOC_SHARD, lane: str = "auto",
                   batch_size: int | None = None):
     """Boilerplate-segment removal (CCNet-style line dedup, cf. the public
     CCNet / RefinedWeb corpus pipelines): a segment ("line") that appears in
@@ -1126,16 +1196,27 @@ def segment_dedup(docs, *, seg_words: int = SEG_WORDS, min_docs: int = 2,
        by the actual STRING, so hash collisions cannot merge segments).
        Only segments with count >= ``min_docs`` leave the groupby — the
        frequent (boilerplate) set, which is small by construction (banners,
-       headers, licence lines). Raises if it exceeds ``max_frequent`` rather
-       than silently exploding the broadcast (a corpus that frequent-heavy
-       needs the inverted-index join lane of ``ngram_jaccard_pairs``).
+       headers, licence lines).
     2. **Scrub.** The frequent set is broadcast once via ``ray.put``; a pure
        ``map_batches`` membership probe (``pc.is_in``) drops member segments
        and ``binary_join``s the survivors back into ``cleaned_text``.
 
+    Past ``max_frequent`` the broadcast would explode: ``lane="auto"``
+    (default) falls back to the no-broadcast join lane
+    (``_segment_join_lane`` — identical output, lane-equivalence tested),
+    ``lane="broadcast"`` raises loudly, ``lane="join"`` always joins.
+
     Returns Dataset[doc_id, n_segs, n_dropped, cleaned_text] — one row per
     input document (zero-segment docs: 0/0/'')."""
     import ray
+
+    if lane not in ("auto", "broadcast", "join"):
+        raise ValueError(f"segment_dedup: unknown lane {lane!r}")
+    if lane == "join":
+        return _segment_join_lane(docs, seg_words=seg_words,
+                                  min_docs=min_docs, column=column,
+                                  num_buckets=num_buckets,
+                                  doc_shard=doc_shard, batch_size=batch_size)
 
     def freq_partial(t: pa.Table) -> pa.Table:
         doc_idx, _, segs, _ = _segments(t, seg_words, column)
@@ -1176,9 +1257,15 @@ def segment_dedup(docs, *, seg_words: int = SEG_WORDS, min_docs: int = 2,
         empty_schema=pa.schema([("seg", pa.string())]),
     )
     if freq_tbl.num_rows > max_frequent:
+        if lane == "auto":
+            return _segment_join_lane(docs, seg_words=seg_words,
+                                      min_docs=min_docs, column=column,
+                                      num_buckets=num_buckets,
+                                      doc_shard=doc_shard,
+                                      batch_size=batch_size)
         raise RuntimeError(
             f"segment_dedup: {freq_tbl.num_rows} frequent segments exceed "
-            f"max_frequent={max_frequent}; use the inverted-index lane")
+            f"max_frequent={max_frequent}; use lane='join'")
     seg_col = freq_tbl["seg"]
     if isinstance(seg_col, pa.ChunkedArray):
         seg_col = seg_col.combine_chunks()
@@ -1365,9 +1452,85 @@ def _gram_strings(t: pa.Table, n: int, column: str = "text"):
     return parent, pc.binary_join(la, " "), n_pos, len(texts)
 
 
+def _coverage_join_lane(docs, *, n: int, min_docs: int, column: str,
+                        num_buckets: int, doc_shard: int,
+                        batch_size: int | None):
+    """No-broadcast lane of ``dup_ngram_coverage`` — identical output.
+    One fused gram-bucket exchange computes each gram's exact distinct-doc
+    count AND each doc's per-bucket duplicated-position partial (sum of tf
+    over its frequent grams); a bounded doc-shard groupby sums the partials
+    against per-doc base rows carrying n_grams."""
+    from .textops import _word_lists
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        parent, grams, _, _ = _gram_strings(t, n, column)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        return _join_pair_rows(parent, np.empty(0, np.int64), grams, ids,
+                               num_buckets=num_buckets, doc_shard=doc_shard,
+                               with_starts=False)
+
+    def bucket_tf(g: pa.Table) -> pa.Table:
+        u = g["unit"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        da = pc.dictionary_encode(u)
+        gi = np.asarray(da.indices, dtype=np.int64)
+        nd = np.bincount(gi, minlength=len(da.dictionary))
+        km = nd[gi] >= min_docs
+        d = np.asarray(g["doc_id"]).astype(np.int64)[km]
+        f = np.asarray(g["tf"]).astype(np.int64)[km]
+        dd = pc.dictionary_encode(pa.array(d))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        n_dup = np.bincount(di, weights=f, minlength=len(uids))
+        return pa.table({
+            "dshard": pa.array(uids // doc_shard),
+            "doc_id": pa.array(uids),
+            "n_grams": pa.array(np.zeros(len(uids), dtype=np.int64)),
+            "n_dup": pa.array(n_dup.astype(np.int64)),
+        })
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, counts, _ = _word_lists(texts)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        n_pos = np.maximum(counts - (n - 1), 0).astype(np.int64)
+        return pa.table({
+            "dshard": pa.array(ids // doc_shard),
+            "doc_id": pa.array(ids),
+            "n_grams": pa.array(n_pos),
+            "n_dup": pa.array(np.zeros(len(ids), dtype=np.int64)),
+        })
+
+    def doc_fold(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        dd = pc.dictionary_encode(pa.array(ids))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        cols = {}
+        for c in ("n_grams", "n_dup"):
+            cols[c] = pa.array(np.bincount(
+                di, weights=np.asarray(g[c]).astype(np.int64),
+                minlength=len(uids)).astype(np.int64))
+        return pa.table({"doc_id": pa.array(uids), **cols})
+
+    flagged = (docs.map_batches(pair_partial, batch_format="pyarrow",
+                                batch_size=batch_size)
+               .groupby("bucket")
+               .map_groups(bucket_tf, batch_format="pyarrow"))
+    base = docs.map_batches(base_rows, batch_format="pyarrow",
+                            batch_size=batch_size)
+    return (base.union(flagged)
+            .groupby("dshard")
+            .map_groups(doc_fold, batch_format="pyarrow"))
+
+
 def dup_ngram_coverage(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
                        column: str = "text", num_buckets: int = 64,
                        max_frequent: int = 2_000_000,
+                       doc_shard: int = _JOIN_DOC_SHARD, lane: str = "auto",
                        batch_size: int | None = None):
     """Exact duplicate-n-gram coverage — the per-document substring-dup
     signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -1386,24 +1549,35 @@ def dup_ngram_coverage(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
        (bucket, gram, partial_distinct_doc_count) pre-aggregated rows; one
        bucketed groupby sums exact distinct-doc counts per gram STRING (no
        hash-collision merging by construction) and keeps only grams with
-       count >= ``min_docs``. Raises past ``max_frequent`` instead of
-       silently exploding the broadcast — a corpus that duplicated needs
-       whole-doc dedup (``exact_dedup``/``minhash_lsh_pairs``) first.
+       count >= ``min_docs``.
     2. **Coverage probe.** The frequent set is broadcast once via
        ``ray.put``; a pure ``map_batches`` ``pc.is_in`` probe counts, per
        document, the positions (every occurrence, not distinct) whose gram
        is frequent.
+
+    Past ``max_frequent`` the broadcast would explode: ``lane="auto"``
+    (default) falls back to the no-broadcast join lane
+    (``_coverage_join_lane`` — identical output, lane-equivalence tested),
+    ``lane="broadcast"`` raises loudly, ``lane="join"`` skips discovery
+    and always joins.
 
     Returns Dataset[doc_id, n_grams, n_dup] — one row per input document
     (docs with < n words: 0/0). ``dup_fraction = n_dup / n_grams`` is left
     to the caller so the outputs stay integer-exact for the SQL oracle."""
     import ray
 
-    freq_ref = _frequent_gram_set(docs, n=n, min_docs=min_docs, column=column,
-                                  num_buckets=num_buckets,
-                                  max_frequent=max_frequent,
-                                  batch_size=batch_size,
-                                  caller="dup_ngram_coverage")
+    if lane not in ("auto", "broadcast", "join"):
+        raise ValueError(f"dup_ngram_coverage: unknown lane {lane!r}")
+    freq_ref = None if lane == "join" else _frequent_gram_set(
+        docs, n=n, min_docs=min_docs, column=column,
+        num_buckets=num_buckets, max_frequent=max_frequent,
+        batch_size=batch_size, caller="dup_ngram_coverage",
+        on_overflow="raise" if lane == "broadcast" else "fallback")
+    if freq_ref is None:
+        return _coverage_join_lane(docs, n=n, min_docs=min_docs,
+                                   column=column, num_buckets=num_buckets,
+                                   doc_shard=doc_shard,
+                                   batch_size=batch_size)
 
     def cover(t: pa.Table) -> pa.Table:
         fr = ray.get(freq_ref)
@@ -1437,12 +1611,15 @@ def _member_mask(grams, value_set) -> np.ndarray:
 
 def _frequent_gram_set(docs, *, n: int, min_docs: int, column: str,
                        num_buckets: int, max_frequent: int,
-                       batch_size: int | None, caller: str):
+                       batch_size: int | None, caller: str,
+                       on_overflow: str = "raise"):
     """Frequency-discovery pass shared by ``dup_ngram_coverage`` and
     ``strip_dup_spans``: exact distinct-doc counts per n-gram STRING via a
     bucketed groupby over per-batch per-doc-distinct partials, returning a
-    ``ray.put`` handle on the >= ``min_docs`` gram set (raises past
-    ``max_frequent`` instead of silently exploding the broadcast)."""
+    ``ray.put`` handle on the >= ``min_docs`` gram set. Past
+    ``max_frequent`` the broadcast would explode: ``on_overflow="raise"``
+    fails loudly, ``"fallback"`` returns None so the caller can switch to
+    the no-broadcast join lane."""
     import ray
 
     def freq_partial(t: pa.Table) -> pa.Table:
@@ -1482,18 +1659,203 @@ def _frequent_gram_set(docs, *, n: int, min_docs: int, column: str,
         empty_schema=pa.schema([("gram", pa.string())]),
     )
     if freq_tbl.num_rows > max_frequent:
+        if on_overflow == "fallback":
+            return None
         raise RuntimeError(
             f"{caller}: {freq_tbl.num_rows} frequent n-grams "
-            f"exceed max_frequent={max_frequent}; run whole-doc dedup first")
+            f"exceed max_frequent={max_frequent}; run whole-doc dedup first "
+            f"or use lane='join'")
     gram_col = freq_tbl["gram"]
     if isinstance(gram_col, pa.ChunkedArray):
         gram_col = gram_col.combine_chunks()
     return ray.put(gram_col)
 
 
+# ------------------------------------------ no-broadcast join lane (shared)
+# When the corpus-duplicated gram/segment set overflows the ``ray.put``
+# ceiling (boilerplate-heavy corpora at 100 TB), membership cannot be
+# broadcast. The join lane FUSES frequency discovery and the probe into a
+# single gram-bucket exchange: each batch emits one row per DISTINCT
+# (doc, unit) pair (docs never split across batches, so these rows are
+# globally unique); inside a unit's bucket group the distinct-doc count is
+# simply its row count, and the rows of frequent units are re-keyed by
+# doc shard to meet the document payload in a second groupby (the round-2
+# distributed pair-verify pattern). Nothing corpus-sized is ever collected
+# or broadcast; both exchanges stream pre-aggregated rows.
+def _join_pair_rows(parent: np.ndarray, pos: np.ndarray, units,
+                    doc_ids: np.ndarray, *, num_buckets: int, doc_shard: int,
+                    with_starts: bool) -> pa.Table:
+    """Per-batch per-(doc, unit)-DISTINCT rows for the join lane. ``units``
+    are the occurrence strings (grams or segments), ``parent`` the local doc
+    index per occurrence, ``pos`` the in-doc position per occurrence (word
+    start for grams, segment ordinal for segments). Emits (bucket, unit,
+    dshard, doc_id, starts|tf) with ``starts`` the in-doc position list
+    (``with_starts``) or ``tf`` the occurrence count."""
+    if len(units) == 0:
+        cols = {"bucket": pa.array([], pa.int32()),
+                "unit": pa.array([], pa.string()),
+                "dshard": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64())}
+        if with_starts:
+            cols["starts"] = pa.array([], pa.list_(pa.int64()))
+        else:
+            cols["tf"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    da = pc.dictionary_encode(units)
+    code = np.asarray(da.indices, dtype=np.int64)
+    ndict = len(da.dictionary)
+    pairkey = parent * ndict + code
+    order = np.argsort(pairkey, kind="stable")
+    pk = pairkey[order]
+    first = np.ones(len(pk), dtype=bool)
+    first[1:] = pk[1:] != pk[:-1]
+    run_starts = np.flatnonzero(first)
+    run_code = (pk[run_starts] % ndict).astype(np.int64)
+    run_parent = (pk[run_starts] // ndict).astype(np.int64)
+    unit_str = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+    bucket = (hash_str(unit_str) % np.uint64(num_buckets)).astype(np.int32)
+    ids = doc_ids[run_parent]
+    cols = {
+        "bucket": pa.array(bucket[run_code]),
+        "unit": da.dictionary.take(pa.array(run_code)),
+        "dshard": pa.array(ids // doc_shard),
+        "doc_id": pa.array(ids),
+    }
+    bounds = np.append(run_starts, len(pk))
+    if with_starts:
+        cols["starts"] = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), pa.array(pos[order], pa.int64()))
+    else:
+        cols["tf"] = pa.array(np.diff(bounds).astype(np.int64))
+    return pa.table(cols)
+
+
+def _bucket_flag_starts(g: pa.Table, min_docs: int) -> pa.Table:
+    """Unit-bucket fold: a unit is frequent iff its (globally unique)
+    per-(doc, unit) rows number >= ``min_docs``; frequent rows pass through
+    re-keyed for the doc-shard rendezvous (role 1, null text)."""
+    u = g["unit"]
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    da = pc.dictionary_encode(u)
+    gi = np.asarray(da.indices, dtype=np.int64)
+    nd = np.bincount(gi, minlength=len(da.dictionary))
+    kept = g.filter(pa.array(nd[gi] >= min_docs))
+    n = kept.num_rows
+    return pa.table({
+        "role": pa.array(np.ones(n, dtype=np.int8)),
+        "dshard": kept["dshard"],
+        "doc_id": kept["doc_id"],
+        "text": pa.nulls(n, pa.string()),
+        "starts": kept["starts"],
+    })
+
+
+def _payload_rows(t: pa.Table, column: str, doc_shard: int) -> pa.Table:
+    """Role-0 document payload rows for the doc-shard rendezvous."""
+    ids = np.asarray(t["doc_id"]).astype(np.int64)
+    texts = t[column]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(ids)
+    return pa.table({
+        "role": pa.array(np.zeros(n, dtype=np.int8)),
+        "dshard": pa.array(ids // doc_shard),
+        "doc_id": pa.array(ids),
+        "text": texts.cast(pa.string()),
+        "starts": pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+            pa.array([], pa.int64())),
+    })
+
+
+def _flag_flat(flag: pa.Table, ids: np.ndarray):
+    """Flatten role-1 rows' position lists to (doc-local index, position)
+    against the role-0 doc_id vector ``ids`` (each flagged doc_id is
+    guaranteed present: both sides shard by doc_id // doc_shard)."""
+    sl = flag["starts"]
+    if isinstance(sl, pa.ChunkedArray):
+        sl = sl.combine_chunks()
+    flat = np.asarray(sl.flatten(), dtype=np.int64)
+    lens = np.asarray(pc.list_value_length(sl), dtype=np.int64)
+    fdoc = np.asarray(flag["doc_id"]).astype(np.int64)
+    order = np.argsort(ids)
+    loc = order[np.searchsorted(ids, fdoc, sorter=order)]
+    return np.repeat(loc, lens), flat
+
+
+def _strip_join_lane(docs, *, n: int, min_docs: int, column: str,
+                     num_buckets: int, doc_shard: int,
+                     batch_size: int | None):
+    """No-broadcast lane of ``strip_dup_spans`` — identical output, two
+    streaming exchanges (fused frequency+probe gram-bucket groupby, then a
+    doc-shard rendezvous where flagged window starts meet the doc text)."""
+    from .textops import _word_lists
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        parent, grams, n_pos, n_docs = _gram_strings(t, n, column)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        pos_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(n_pos[:-1], out=pos_starts[1:])
+        in_doc = (np.arange(len(parent), dtype=np.int64)
+                  - np.repeat(pos_starts, n_pos))
+        return _join_pair_rows(parent, in_doc, grams, ids,
+                               num_buckets=num_buckets, doc_shard=doc_shard,
+                               with_starts=True)
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"]).astype(np.int8)
+        base = g.filter(pa.array(role == 0))
+        texts = base["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = np.asarray(base["doc_id"]).astype(np.int64)
+        words, counts, offs = _word_lists(texts)
+        n_docs = len(ids)
+        total_words = int(counts.sum())
+        diff = np.zeros(total_words + n + 1, dtype=np.int64)
+        flag = g.filter(pa.array(role == 1))
+        if flag.num_rows:
+            loc, in_doc = _flag_flat(flag, ids)
+            gstarts = offs[loc] + in_doc
+            np.add.at(diff, gstarts, 1)
+            np.add.at(diff, gstarts + n, -1)
+        covered = np.cumsum(diff[:total_words]) > 0
+        keep = ~covered
+        word_parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        kept_counts = (np.bincount(word_parent[keep], minlength=n_docs)
+                       if total_words else np.zeros(n_docs, dtype=np.int64))
+        bounds = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=bounds[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32())
+            if bounds[-1] <= np.iinfo(np.int32).max
+            else pa.array(bounds, pa.int64()),
+            words.filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text": pc.binary_join(la, " "),
+            "n_words": pa.array(counts.astype(np.int64)),
+            "n_removed": pa.array((counts - kept_counts).astype(np.int64)),
+        })
+
+    flagged = (docs.map_batches(pair_partial, batch_format="pyarrow",
+                                batch_size=batch_size)
+               .groupby("bucket")
+               .map_groups(lambda g: _bucket_flag_starts(g, min_docs),
+                           batch_format="pyarrow"))
+    payload = docs.map_batches(
+        lambda t: _payload_rows(t, column, doc_shard),
+        batch_format="pyarrow", batch_size=batch_size)
+    return (payload.union(flagged)
+            .groupby("dshard")
+            .map_groups(rebuild, batch_format="pyarrow"))
+
+
 def strip_dup_spans(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
                     column: str = "text", num_buckets: int = 64,
                     max_frequent: int = 2_000_000,
+                    doc_shard: int = _JOIN_DOC_SHARD, lane: str = "auto",
                     batch_size: int | None = None):
     """Duplicated-substring REMOVAL — the transform half of the Lee et al.
     2022 ExactSubstr family that ``dup_ngram_coverage`` only measures:
@@ -1504,12 +1866,19 @@ def strip_dup_spans(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
     suffix-array generality of true ExactSubstr for a broadcastable
     frequent-gram set and a fully streaming rewrite.
 
-    Scale shape: the same two passes as ``dup_ngram_coverage`` (shared
-    ``_frequent_gram_set`` discovery, then one stateless probe). Coverage
-    resolves per batch with a difference array over the flat word index —
-    +1 at each flagged window start, -1 past its end, cumsum > 0 = covered
-    (windows never cross a doc boundary, so the flat cumsum is safe);
-    kept words rebuild via one filter + ListArray + binary_join.
+    Scale shape, two lanes with IDENTICAL output (lane-equivalence tested):
+    the default broadcast lane runs the same two passes as
+    ``dup_ngram_coverage`` (shared ``_frequent_gram_set`` discovery, then
+    one stateless probe); when the frequent set overflows ``max_frequent``
+    (``lane="auto"``) or on request (``lane="join"``), the no-broadcast
+    join lane (``_strip_join_lane``) fuses discovery+probe into one
+    gram-bucket exchange and rendezvous the flagged window starts with the
+    doc text in a doc-shard groupby — nothing corpus-sized is collected.
+    ``lane="broadcast"`` keeps the loud overflow failure. Coverage resolves
+    with a difference array over the flat word index — +1 at each flagged
+    window start, -1 past its end, cumsum > 0 = covered (windows never
+    cross a doc boundary, so the flat cumsum is safe); kept words rebuild
+    via one filter + ListArray + binary_join.
 
     Returns Dataset[doc_id, text, n_words, n_removed] — one row per input
     doc (null/empty text -> '', 0, 0); integer counts keep the SQL oracle
@@ -1518,11 +1887,17 @@ def strip_dup_spans(docs, *, n: int = NGRAM_COVER_N, min_docs: int = 2,
 
     from .textops import _word_lists
 
-    freq_ref = _frequent_gram_set(docs, n=n, min_docs=min_docs, column=column,
-                                  num_buckets=num_buckets,
-                                  max_frequent=max_frequent,
-                                  batch_size=batch_size,
-                                  caller="strip_dup_spans")
+    if lane not in ("auto", "broadcast", "join"):
+        raise ValueError(f"strip_dup_spans: unknown lane {lane!r}")
+    freq_ref = None if lane == "join" else _frequent_gram_set(
+        docs, n=n, min_docs=min_docs, column=column,
+        num_buckets=num_buckets, max_frequent=max_frequent,
+        batch_size=batch_size, caller="strip_dup_spans",
+        on_overflow="raise" if lane == "broadcast" else "fallback")
+    if freq_ref is None:
+        return _strip_join_lane(docs, n=n, min_docs=min_docs, column=column,
+                                num_buckets=num_buckets, doc_shard=doc_shard,
+                                batch_size=batch_size)
 
     def strip(t: pa.Table) -> pa.Table:
         fr = ray.get(freq_ref)

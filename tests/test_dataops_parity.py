@@ -930,8 +930,15 @@ def test_segment_dedup_semantics(ray_session):
         "u1 u2 u3 u4 tail", "v1 v2 v3 v4",
         "r1 r2 r3 r4 r1 r2 r3 r4", "", ""]
 
+    # pinned broadcast lane still fails loudly on overflow; auto falls back
+    # to the join lane with identical output (equivalence tested at corpus
+    # scale in test_frequent_set_lane_equivalence)
     with pytest.raises(RuntimeError, match="max_frequent"):
-        segment_dedup(docs, seg_words=4, min_docs=2, max_frequent=0).to_pandas()
+        (segment_dedup(docs, seg_words=4, min_docs=2, max_frequent=0,
+                       lane="broadcast").to_pandas())
+    fb = (segment_dedup(docs, seg_words=4, min_docs=2, max_frequent=0)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert fb.n_dropped.tolist() == [1, 1, 0, 0, 0]
 
 
 def test_prefix_containment_semantics(ray_session):
@@ -1110,7 +1117,11 @@ def test_dup_ngram_coverage_semantics(ray_session):
     assert df.n_dup.tolist() == [1, 2, 0, 0, 0, 0]
 
     with pytest.raises(RuntimeError, match="max_frequent"):
-        dup_ngram_coverage(docs, n=3, min_docs=2, max_frequent=0).to_pandas()
+        (dup_ngram_coverage(docs, n=3, min_docs=2, max_frequent=0,
+                            lane="broadcast").to_pandas())
+    fb = (dup_ngram_coverage(docs, n=3, min_docs=2, max_frequent=0)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert fb.n_dup.tolist() == [1, 2, 0, 0, 0, 0]
 
 
 def test_dup_ngram_coverage_identical_across_read_parallelism(ray_session):
@@ -1929,6 +1940,42 @@ def test_strip_dup_spans_removes_only_shared_windows(ray_session):
     assert out.loc[1, "n_removed"] == 5
     assert out.loc[2, "text"] == "lonely unique words only here"
     assert out.loc[2, "n_removed"] == 0
+
+
+def test_frequent_set_lane_equivalence(ray_session):
+    """The no-broadcast join lane is bit-identical to the broadcast lane on
+    a real multi-block corpus — the 100-TB fallback for boilerplate-heavy
+    inputs whose frequent set overflows the ray.put ceiling (VERDICT r3
+    finding #1). Multi-block reads exercise the cross-batch distinct-doc
+    counting (one row per (doc, unit) only holds because docs never split
+    across batches; blocks shuffle unit rows across buckets)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import (
+        dup_ngram_coverage,
+        segment_dedup,
+        strip_dup_spans,
+    )
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           override_num_blocks=8)
+    # tiny doc_shard so the rendezvous groupby has many multi-doc groups
+    for op, sort_col in (
+        (lambda lane: segment_dedup(docs, seg_words=4, min_docs=2,
+                                    lane=lane, doc_shard=16), "doc_id"),
+        (lambda lane: dup_ngram_coverage(docs, n=3, min_docs=2,
+                                         lane=lane, doc_shard=16), "doc_id"),
+        (lambda lane: strip_dup_spans(docs, n=3, min_docs=2,
+                                      lane=lane, doc_shard=16), "doc_id"),
+    ):
+        a = (op("broadcast").to_pandas()
+             .sort_values(sort_col).reset_index(drop=True))
+        b = (op("join").to_pandas()
+             .sort_values(sort_col).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == docs.count()
 
 
 def test_cooccurrence_and_confusion_tolerate_empty_corpus(ray_session):
