@@ -28,11 +28,16 @@ SRC_BUSINESS = "Business"
 SRC_REFERENCE = "Reference"
 SRC_CODEMASTER = "CodeMaster"
 SRC_PIPELINE = "Pipeline"
+SRC_LINT = "LINT"
 
 # Stage rank reproduces the reference's pipeline-stage ordering of errors
 # (``docs/05_validation_pipeline.md:20-31``): STRUCTURE first, then business
-# rules, then CodeMaster, then Reference.
+# rules, then CodeMaster, then Reference. The LINT layer is the reference's
+# pre-parse best-effort pass (``Authoring/LintValidationService.cs``; its
+# rows lead the unified list and are counted separately,
+# ``Core/ValidationPipeline.cs:765``), so it ranks before STRUCTURE.
 SOURCE_STAGE_RANK = {
+    SRC_LINT: -1,
     SRC_STRUCTURE: 0,
     SRC_BUSINESS: 1,
     SRC_CODEMASTER: 2,
@@ -101,6 +106,12 @@ EMPTY_BUNDLE = "EMPTY_BUNDLE"
 FHIR_INVALID_PRIMITIVE = "FHIR_INVALID_PRIMITIVE"
 FHIR_INVALID_REFERENCE_FORMAT = "FHIR_INVALID_REFERENCE_FORMAT"
 FHIR_MULTIPLE_VALUE_X = "FHIR_MULTIPLE_VALUE_X"
+# Extension grammar (``JsonNodeStructuralValidator.cs:1087-1185``): url
+# required + single-payload shape; the span model's flat struct cannot hold
+# a nested extension[] list, so only shapeReason "empty" is reachable
+# (documented divergence, SURVEY §2.3)
+FHIR_EXTENSION_MISSING_URL = "FHIR_EXTENSION_MISSING_URL"
+FHIR_EXTENSION_INVALID_SHAPE = "FHIR_EXTENSION_INVALID_SHAPE"
 INVALID_ENUM_VALUE = "INVALID_ENUM_VALUE"
 SPAN_SEQUENCE_INVALID = "SPAN_SEQUENCE_INVALID"  # offset monotonicity per row
 

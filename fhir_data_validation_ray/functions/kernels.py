@@ -1029,6 +1029,42 @@ def k_exclusivity(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
     )
 
 
+def k_extension(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
+                sink: ViolationSink) -> None:
+    """Extension grammar (``JsonNodeStructuralValidator.cs:1087-1185``) as a
+    dedicated kernel over the span mapping url<->media_ref, value[x]<->text:
+
+    - ``FHIR_EXTENSION_MISSING_URL`` (``:1095-1122``): media_ref null or
+      whitespace-only (the reference's hasUrl/urlValid check). The shape
+      check still runs on such spans (":1123 Continue validation").
+    - ``FHIR_EXTENSION_INVALID_SHAPE`` (``:1126-1185``): no payload — text
+      null/whitespace-only (shapeReason "empty"). The reference's second
+      invalid shape, value[x] AND nested extension[] together ("both"), is
+      unreachable here: the flat span struct has exactly one value slot and
+      no nested list, so a span cannot carry both payloads. Recorded as the
+      model's stated divergence (SURVEY §2.3) and pinned by
+      ``test_extension_both_shape_unreachable``.
+    """
+    sev = E.resolve_severity(rule.severity, rule.validation_class,
+                             rule.is_heuristic, rule.is_spec_hint)
+    url_missing = np.flatnonzero(sel & fs.empty_mask("media_ref"))
+    sink.add_spans(
+        fs, url_missing,
+        source=E.SRC_STRUCTURE, severity=sev, rule_id=rule.id,
+        error_code=E.FHIR_EXTENSION_MISSING_URL, pointer_field="media_ref",
+        details=[_canon_details({"hasUrl": False})] * url_missing.size
+        if sink.emit_details else None,
+    )
+    no_value = np.flatnonzero(sel & fs.empty_mask("text"))
+    sink.add_spans(
+        fs, no_value,
+        source=E.SRC_STRUCTURE, severity=sev, rule_id=rule.id,
+        error_code=E.FHIR_EXTENSION_INVALID_SHAPE, pointer_field="text",
+        details=[_canon_details({"shapeReason": "empty"})] * no_value.size
+        if sink.emit_details else None,
+    )
+
+
 def k_code_master(rule: RuleDef, fs: FlatSpans, sel: np.ndarray,
                   sink: ViolationSink) -> None:
     """CodeMaster screening lookup (``RuleEngines/CodeMasterEngine.cs:12-235``):
@@ -1235,6 +1271,99 @@ def k_primitive(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: ViolationSi
 
 
 # -------------------------------------------------------- structural kernels
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def k_lint(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
+    """Best-effort LINT layer (``Authoring/LintValidationService.cs``,
+    catalog ``Catalogs/LintRuleCatalog.cs:17-357`` -> ``catalogs.py``):
+    value-quality / plausibility / duplicate-entry heuristics over the span
+    model, auto-injected in full/debug validation mode only. All emissions
+    are Advisory-class heuristics — ``resolve_severity`` downgrades every
+    configured error to a warning, so the layer can never change a blocking
+    decision (the identical-blocking-decisions contract the mode gating
+    preserves, ``kernels.py`` validate_batch).
+
+    Vectorized throughout: one regex/compare kernel per rule; the
+    duplicate-entry check dictionary-encodes the composite span key and
+    marks non-first per-doc occurrences with one ``np.unique`` — no Python
+    row loop. The null sentinel chr(1) in the composite key matches the
+    oracle's ``coalesce(col, chr(1))`` exactly (a real chr(1) value would
+    collide identically on both sides)."""
+    from ..catalogs import LINT_CATALOG, LINT_YEAR_MAX, LINT_YEAR_MIN
+
+    if fs.n_spans == 0:
+        return
+
+    def emit(mask: np.ndarray, code: str, pointer_field: str) -> None:
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            return
+        entry = LINT_CATALOG[code]
+        sink.add_spans(
+            fs, idx,
+            source=E.SRC_LINT,
+            severity=E.resolve_severity(entry["severity"], E.CLASS_ADVISORY,
+                                        is_heuristic=True),
+            rule_id=code, error_code=code, pointer_field=pointer_field,
+            details=[_canon_details({"confidence": entry["confidence"]})]
+            * idx.size if sink.emit_details else None,
+        )
+
+    text = fs.text
+    empty = pc.equal(text, "").fill_null(False).to_numpy(zero_copy_only=False)
+    ws_only = (pc.match_substring_regex(text, r"^\s+$").fill_null(False)
+               .to_numpy(zero_copy_only=False))
+    edge_ws = (pc.match_substring_regex(text, r"(^\s)|(\s$)").fill_null(False)
+               .to_numpy(zero_copy_only=False))
+    emit(empty, "LINT_EMPTY_VALUE", "text")
+    emit(ws_only, "LINT_WHITESPACE_ONLY", "text")
+    emit(edge_ws & ~ws_only, "LINT_UNTRIMMED_VALUE", "text")
+
+    kind_missing = pc.or_kleene(
+        pc.is_null(fs.kind), pc.equal(fs.kind, "")
+    ).fill_null(True).to_numpy(zero_copy_only=False)
+    emit(kind_missing, "LINT_MISSING_KIND", "kind")
+
+    y_min = int(profile.settings.get("lintYearMin", LINT_YEAR_MIN))
+    y_max = int(profile.settings.get("lintYearMax", LINT_YEAR_MAX))
+    datekind = (pc.is_in(fs.kind, value_set=pa.array(["date", "dateTime"]))
+                .fill_null(False).to_numpy(zero_copy_only=False))
+    has4 = pc.match_substring_regex(text, r"^\d{4}").fill_null(False)
+    year = pc.cast(
+        pc.if_else(has4, pc.utf8_slice_codeunits(text, 0, 4), "0"),
+        pa.int64())
+    year_bad = pc.or_(pc.less(year, y_min), pc.greater(year, y_max))
+    susp = (datekind & has4.to_numpy(zero_copy_only=False)
+            & year_bad.fill_null(False).to_numpy(zero_copy_only=False))
+    emit(susp, "LINT_SUSPICIOUS_DATE", "text")
+
+    boolkind = (pc.equal(fs.kind, "boolean").fill_null(False)
+                .to_numpy(zero_copy_only=False))
+    if boolkind.any():
+        tf = pa.array(["true", "false"])
+        low_ok = (pc.is_in(pc.utf8_lower(text), value_set=tf)
+                  .fill_null(False).to_numpy(zero_copy_only=False))
+        exact = (pc.is_in(text, value_set=tf).fill_null(False)
+                 .to_numpy(zero_copy_only=False))
+        emit(boolkind & low_ok & ~exact, "LINT_BOOLEAN_CASE", "text")
+
+    key = pc.binary_join_element_wise(
+        pc.fill_null(fs.kind, "\x01"), pc.fill_null(text, "\x01"),
+        pc.fill_null(fs.media_ref, "\x01"), "\x1f")
+    da = pc.dictionary_encode(key)
+    code = np.asarray(da.indices, dtype=np.int64)
+    pairkey = fs.parent * len(da.dictionary) + code
+    _, first_idx = np.unique(pairkey, return_index=True)
+    dup = np.ones(fs.n_spans, dtype=bool)
+    dup[first_idx] = False
+    emit(dup, "LINT_DUPLICATE_ENTRY", "text")
+
+    ctrl = (pc.match_substring_regex(text, _CTRL_RE).fill_null(False)
+            .to_numpy(zero_copy_only=False))
+    emit(ctrl, "LINT_CONTROL_CHARS", "text")
+
+
 def k_structural(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
     """STRUCTURE stage — the primary structural authority
     (``Core/ValidationPipeline.cs:131-141``; kernels from
@@ -1372,6 +1501,15 @@ class CompiledProfile:
     # blocking decisions — the reference's contract. Contract/Structural
     # rules run in every mode regardless of flags.
     validation_mode: str = "standard"
+    # Terminology-service fallback (``FhirPathRuleEngine.cs:1527-1561``):
+    # when a CodeSystem rule's params.system URL is not among the pre-loaded
+    # codeSystems, the resolver callable (url -> iterable of concept codes,
+    # or None) is consulted ONCE at compile time; an exception or None leaves
+    # the system unresolved and the rule degrades to RULE_CONFIGURATION_ERROR
+    # at runtime — the stateless-DLL-mode behavior (resolver errors are
+    # swallowed exactly like the reference's catch-and-log at ``:1556-1559``).
+    # Must be a plain top-level callable so Ray can ship it to workers.
+    terminology_resolver: Any = None
 
     def __post_init__(self):
         from .hashing import hash_str
@@ -1379,6 +1517,19 @@ class CompiledProfile:
         self.plans = build_plan(self.profile)
         for url, cs in self.profile.code_systems.items():
             self.concept_sets[url] = np.array(cs.concepts, dtype="U")
+        if self.terminology_resolver is not None:
+            needed = {str(r.params.get("system", ""))
+                      for r in self.profile.rules if r.type == "CodeSystem"}
+            for url in needed:
+                if not url or url in self.concept_sets:
+                    continue  # pre-loaded systems win (":1531-1543")
+                try:
+                    concepts = self.terminology_resolver(url)
+                except Exception:
+                    concepts = None
+                if concepts is not None:
+                    self.concept_sets[url] = np.array(list(concepts),
+                                                      dtype="U")
         if self.registry_keys is not None:
             # store as sorted uint64 FNV hashes: 8 bytes/key regardless of
             # string length, integer searchsorted probes. A uint64 input is
@@ -1394,6 +1545,15 @@ class CompiledProfile:
         fs = flatten_batch(batch)
         sink = ViolationSink(emit_details=self.emit_details)
 
+        full = self.validation_mode.lower() in ("full", "debug")
+
+        # stage 0: LINT — the reference's pre-parse best-effort layer
+        # (``Authoring/LintValidationService.cs``), auto-injected in
+        # full/debug mode; every emission is a downgraded Advisory warning,
+        # so blocking decisions are identical with or without it.
+        if full and self.profile.settings.get("lint", True):
+            k_lint(self.profile, fs, sink)
+
         # stage 1: STRUCTURE (primary authority — runs before business rules)
         k_structural(self.profile, fs, sink)
 
@@ -1404,7 +1564,6 @@ class CompiledProfile:
         # strict pipeline order by source rank, then profile order. Advisory
         # layer (spec-hint / heuristic-advisory rules) runs in full/debug
         # mode only (``ValidationPipeline.cs:106-175``).
-        full = self.validation_mode.lower() in ("full", "debug")
         # Only ADVISORY-class flagged rules are gated: they downgrade to
         # warnings (SeverityResolver), so skipping them cannot change a
         # blocking decision. A Contract/Structural rule mis-flagged
@@ -1458,6 +1617,8 @@ class CompiledProfile:
                     k_exclusivity(rule, fs, sel, sink)
                 elif rule.type == "Primitive":
                     k_primitive(rule, fs, sel, sink)
+                elif rule.type == "Extension":
+                    k_extension(rule, fs, sel, sink)
                 elif rule.type == "Reference":
                     k_reference(rule, fs, sel, sink, self.registry_keys)
             except Exception as exc:  # error isolation per rule

@@ -123,7 +123,8 @@ def run_checkpointed(
             t0 = time.perf_counter()
             pf = pq.ParquetFile(row["file"])
             docs = pf.read_row_group(row["row_group"])
-            violations = _validate_stateless(pj, reg_ref, emit_details, validation_mode, docs)
+            violations = _validate_stateless(pj, reg_ref, emit_details,
+                                             validation_mode, None, docs)
             vio_path = os.path.join(
                 out_dir, "violations", f"part-{row['partition_id']}.parquet"
             )
@@ -175,27 +176,67 @@ def run_checkpointed(
             }
         )
 
-    processed = []
-    if pending:
-        results = rd.from_items(pending, override_num_blocks=len(pending)).map_batches(
-            process, batch_format="pyarrow", batch_size=1
-        )
-        processed = results.take_all()
+    # Run summary as a Dataset fold: fresh partitions stream their summary
+    # rows straight out of `process`; resumed partitions re-read their
+    # manifests in DISTRIBUTED tasks. A per-batch combine then one
+    # Dataset.sum leaves O(1) driver state — at 10^6 partitions (100 TB)
+    # the old driver loop was a million JSON reads + a million-row
+    # take_all.
+    def read_manifests(batch: pa.Table) -> pa.Table:
+        rows = []
+        for pid in batch["partition_id"].to_pylist():
+            m = json.load(open(os.path.join(out_dir, "_manifests",
+                                            f"{pid}.json")))
+            rows.append((m["partition_id"], m["n_docs"], m["n_violations"],
+                         m["pass"]))
+        return pa.table({
+            "partition_id": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_violations": pa.array([r[2] for r in rows], pa.int64()),
+            "pass": pa.array([r[3] for r in rows], pa.bool_()),
+        })
 
-    manifests = [
-        json.load(open(os.path.join(out_dir, "_manifests", f"{p['partition_id']}.json")))
-        for p in parts
-    ]
+    def fold(t: pa.Table) -> pa.Table:
+        passes = int(np.asarray(t["pass"]).sum()) if t.num_rows else 0
+        return pa.table({
+            "n_parts": pa.array([t.num_rows], pa.int64()),
+            "n_docs": pa.array([int(np.asarray(t["n_docs"]).sum())
+                                if t.num_rows else 0], pa.int64()),
+            "n_violations": pa.array([int(np.asarray(t["n_violations"]).sum())
+                                      if t.num_rows else 0], pa.int64()),
+            "n_passed": pa.array([passes], pa.int64()),
+        })
+
+    summary_ds = None
+    if pending:
+        summary_ds = rd.from_items(
+            pending, override_num_blocks=len(pending)
+        ).map_batches(process, batch_format="pyarrow", batch_size=1)
+    if done:
+        skipped = rd.from_items(
+            [{"partition_id": pid} for pid in sorted(done)]
+        ).map_batches(read_manifests, batch_format="pyarrow", batch_size=256)
+        summary_ds = skipped if summary_ds is None else summary_ds.union(skipped)
+
+    if summary_ds is not None:
+        totals = summary_ds.map_batches(fold, batch_format="pyarrow").sum(
+            ["n_parts", "n_docs", "n_violations", "n_passed"])
+        n_parts = int(totals["sum(n_parts)"])
+        n_docs = int(totals["sum(n_docs)"])
+        n_violations = int(totals["sum(n_violations)"])
+        n_passed = int(totals["sum(n_passed)"])
+    else:
+        n_parts = n_docs = n_violations = n_passed = 0
     run = {
         "engine_version": ENGINE_VERSION,
         "profile_hash": phash,
         "n_partitions": len(parts),
-        "n_processed_this_run": len(processed),
+        "n_processed_this_run": len(pending),
         "n_resumed_skips": len(done),
-        "n_docs": sum(m["n_docs"] for m in manifests),
-        "n_violations": sum(m["n_violations"] for m in manifests),
-        "partitions_passed": sum(1 for m in manifests if m["pass"]),
-        "partitions_failed": sum(1 for m in manifests if not m["pass"]),
+        "n_docs": n_docs,
+        "n_violations": n_violations,
+        "partitions_passed": n_passed,
+        "partitions_failed": n_parts - n_passed,
     }
     tmp = os.path.join(out_dir, "_run.json.tmp")
     with open(tmp, "w") as f:

@@ -22,11 +22,13 @@ from .validate import fixture_paths
 RESULT_COLS = ["doc_id", "span_index", "error_code", "severity"]
 
 
-def _violations_for(sf_dir: str, profile_obj: dict[str, Any]):
+def _violations_for(sf_dir: str, profile_obj: dict[str, Any],
+                    validation_mode: str = "standard"):
     paths = fixture_paths(sf_dir)
     docs = read_documents(paths["docs"])
     reg = registry_keys_numpy(paths["registry"])
-    v = validate_dataset(docs, profile_obj, registry_keys=reg, emit_details=False)
+    v = validate_dataset(docs, profile_obj, registry_keys=reg,
+                         emit_details=False, validation_mode=validation_mode)
     return v.select_columns(RESULT_COLS)
 
 
@@ -235,6 +237,155 @@ FROM d WHERE bad
 """
 
 
+LINT_YEAR_WINDOW = (2000, 2030)  # tightened so the fixture corpus fires
+
+
+def _lint_query(sf_dir: str):
+    """The LINT layer in isolation: rules/structural checks off, full mode,
+    every emission a downgraded Advisory warning (catalog ``catalogs.py``,
+    reference ``Catalogs/LintRuleCatalog.cs:17-357``)."""
+    p = single_rule_profile("R1")
+    p["rules"] = []
+    p["settings"].update({"lint": True,
+                          "lintYearMin": LINT_YEAR_WINDOW[0],
+                          "lintYearMax": LINT_YEAR_WINDOW[1]})
+    return _violations_for(sf_dir, p, validation_mode="full")
+
+
+def _lint_sql() -> str:
+    y0, y1 = LINT_YEAR_WINDOW
+    base = ("SELECT doc_id, CAST(span_index AS INTEGER) AS span_index, "
+            "'{code}' AS error_code, 'warning' AS severity "
+            "FROM read_parquet('{{flat}}') WHERE ")
+    parts = [
+        base.format(code="LINT_EMPTY_VALUE") + "text = ''",
+        base.format(code="LINT_WHITESPACE_ONLY")
+        + r"regexp_matches(text, '^\s+$')",
+        base.format(code="LINT_UNTRIMMED_VALUE")
+        + r"regexp_matches(text, '(^\s)|(\s$)') "
+          r"AND NOT regexp_matches(text, '^\s+$')",
+        base.format(code="LINT_MISSING_KIND") + "kind IS NULL OR kind = ''",
+        base.format(code="LINT_SUSPICIOUS_DATE")
+        + rf"kind IN ('date', 'dateTime') AND regexp_matches(text, '^\d{{4}}') "
+          rf"AND (CAST(substr(text, 1, 4) AS INTEGER) < {y0} "
+          rf"OR CAST(substr(text, 1, 4) AS INTEGER) > {y1})",
+        base.format(code="LINT_BOOLEAN_CASE")
+        + "kind = 'boolean' AND lower(text) IN ('true', 'false') "
+          "AND text NOT IN ('true', 'false')",
+        base.format(code="LINT_DUPLICATE_ENTRY") + "TRUE "
+        + "QUALIFY row_number() OVER ("
+          "PARTITION BY doc_id, coalesce(kind, chr(1)), "
+          "coalesce(text, chr(1)), coalesce(media_ref, chr(1)) "
+          "ORDER BY span_index) > 1",
+        base.format(code="LINT_CONTROL_CHARS")
+        + r"regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')",
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _extension_query(sf_dir: str):
+    """Extension grammar kernel (url<->media_ref, value<->text) applied to
+    the media spans — the kind whose payload layout matches the extension
+    shape (url required, single value). ``JsonNodeStructuralValidator.cs:
+    1087-1185``."""
+    p = single_rule_profile("R1")
+    p["rules"] = [
+        {"id": "E1", "type": "Extension", "kind": "image",
+         "fieldPath": "media_ref"}
+    ]
+    return _violations_for(sf_dir, p)
+
+
+V_EXTENSION_SQL = """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'FHIR_EXTENSION_MISSING_URL' AS error_code, 'error' AS severity
+FROM read_parquet('{flat}')
+WHERE kind = 'image' AND (media_ref IS NULL OR trim(media_ref) = '')
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'FHIR_EXTENSION_INVALID_SHAPE' AS error_code, 'error' AS severity
+FROM read_parquet('{flat}')
+WHERE kind = 'image' AND (text IS NULL OR trim(text) = '')
+"""
+
+
+def _suggest_rules_query(sf_dir: str):
+    """Debug-mode rule suggestions over the corpus (detector thresholds
+    from ``Authoring/SystemRuleSuggestionService.cs:33-38``)."""
+    from ..stages.suggest import suggest_rules
+
+    paths = fixture_paths(sf_dir)
+    return suggest_rules(read_documents(paths["docs"]))
+
+
+def _suggest_rules_sql() -> str:
+    from ..stages.suggest import (
+        HIGH_CONF,
+        MAX_ALLOWED_VALUES,
+        MAX_CODE_LEN,
+        MIN_REQUIRED,
+        MIN_SAMPLE_ALLOWED,
+        MIN_SAMPLE_FIXED,
+        MIN_SAMPLE_REGEX,
+        PATTERN_REGISTRY,
+        SUGGEST_BLOCKLIST,
+    )
+
+    blocklist = ", ".join(f"'{k}'" for k in SUGGEST_BLOCKLIST)
+    regex_parts = []
+    for name, pat in PATTERN_REGISTRY:
+        m = f"sum(CASE WHEN regexp_matches(text, '{pat}', 'i') THEN 1 ELSE 0 END)"
+        regex_parts.append(f"""
+SELECT kind, 'Regex' AS rule_type, '{name}' AS param,
+       count(*)::BIGINT AS n_samples, {m}::BIGINT AS n_match,
+       CASE WHEN {m} = count(*) THEN 'high' ELSE 'medium' END AS confidence
+FROM vals GROUP BY kind
+HAVING count(*) >= {MIN_SAMPLE_REGEX} AND 5 * {m} >= 4 * count(*)""")
+    return f"""
+WITH f AS (
+  SELECT kind, text,
+         (text IS NULL OR regexp_matches(text, '^\\s*$')) AS absent
+  FROM read_parquet('{{flat}}')
+  WHERE kind IS NOT NULL AND kind NOT IN ({blocklist})
+),
+k AS (
+  SELECT kind, count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN absent THEN 1 ELSE 0 END)::BIGINT AS n_absent
+  FROM f GROUP BY kind
+),
+vals AS (SELECT kind, text FROM f WHERE NOT absent),
+dv AS (SELECT kind, count(*)::BIGINT AS n_values FROM vals GROUP BY kind),
+dl AS (
+  SELECT kind, count(*)::BIGINT AS n_distinct,
+         sum(length(text))::BIGINT AS lensum,
+         array_to_string(list_sort(list(text)), ',') AS vlist,
+         min(text) AS one_val
+  FROM (SELECT DISTINCT kind, text FROM vals) GROUP BY kind
+)
+SELECT dv.kind, 'FixedValue' AS rule_type, dl.one_val AS param,
+       dv.n_values AS n_samples, dv.n_values AS n_match,
+       CASE WHEN dv.n_values >= {HIGH_CONF} THEN 'high' ELSE 'medium' END
+         AS confidence
+FROM dv JOIN dl USING (kind)
+WHERE dv.n_values >= {MIN_SAMPLE_FIXED} AND dl.n_distinct = 1
+UNION ALL
+SELECT dv.kind, 'AllowedValues' AS rule_type, dl.vlist AS param,
+       dv.n_values AS n_samples, dv.n_values AS n_match,
+       'medium' AS confidence
+FROM dv JOIN dl USING (kind)
+WHERE dv.n_values >= {MIN_SAMPLE_ALLOWED}
+  AND dl.n_distinct BETWEEN 2 AND {MAX_ALLOWED_VALUES}
+  AND dl.lensum <= {MAX_CODE_LEN} * dl.n_distinct
+UNION ALL
+SELECT k.kind, 'Required' AS rule_type, '' AS param,
+       k.n_spans AS n_samples, k.n_spans AS n_match,
+       CASE WHEN k.n_spans >= {HIGH_CONF} THEN 'high' ELSE 'medium' END
+         AS confidence
+FROM k WHERE k.n_spans >= {MIN_REQUIRED} AND k.n_absent = 0
+UNION ALL{"UNION ALL".join(regex_parts)}
+"""
+
+
 def _reference_join_query(sf_dir: str):
     paths = fixture_paths(sf_dir)
     docs = read_documents(paths["docs"])
@@ -318,6 +469,9 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_filter_scope": _filter_scope_query,
         "v_structure": _structure_query,
         "v_empty_doc": _empty_doc_query,
+        "v_lint": _lint_query,
+        "c_suggest_rules": _suggest_rules_query,
+        "v_extension": _extension_query,
         "v_json_ingest": _json_ingest_query,
         "v_primitive_date": _primitive_query("date", "date"),
         "v_primitive_datetime": _primitive_query("dateTime", "dateTime"),
@@ -352,6 +506,9 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_filter_scope": V_FILTER_SCOPE_SQL,
         "v_structure": oracle.V_STRUCTURE,
         "v_empty_doc": oracle.V_EMPTY_DOC,
+        "v_lint": _lint_sql(),
+        "c_suggest_rules": _suggest_rules_sql(),
+        "v_extension": V_EXTENSION_SQL,
         "v_json_ingest": _json_ingest_sql(),
         "v_primitive_date": oracle.primitive_sql("date", "date"),
         "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),

@@ -40,6 +40,7 @@ RULE_TYPES = (
     "CodeMaster",
     "Exclusivity",
     "Primitive",
+    "Extension",
 )
 
 # Primitive lexical types validated by the Primitive rule — the reference's

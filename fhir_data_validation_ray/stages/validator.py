@@ -24,6 +24,21 @@ from ..functions.kernels import CompiledProfile
 from ..profile import Profile, parse_profile
 
 
+class StaticTerminologyResolver:
+    """Simplest terminology-service fallback: resolve code-system URLs from
+    a fixed in-memory mapping (url -> list of concept codes). Serializable
+    by value, so it ships cleanly to Ray workers — the unit-test double AND
+    the building block for a real service-backed resolver (subclass and
+    override ``__call__`` with a fetch; compile-time invocation means one
+    call per worker, ``FhirPathRuleEngine.cs:1527-1561``)."""
+
+    def __init__(self, systems: dict[str, list[str]]):
+        self.systems = dict(systems)
+
+    def __call__(self, url: str):
+        return self.systems.get(url)
+
+
 class ValidatorActor:
     """Callable class for ``ds.map_batches(ValidatorActor, ...)``.
 
@@ -39,6 +54,7 @@ class ValidatorActor:
         registry_ref: Any = None,
         emit_details: bool = True,
         validation_mode: str = "standard",
+        terminology_resolver: Any = None,
     ):
         profile = parse_profile(profile_obj)
         registry_keys = None
@@ -50,6 +66,7 @@ class ValidatorActor:
         self.compiled = CompiledProfile(
             profile=profile, registry_keys=registry_keys, emit_details=emit_details,
             validation_mode=validation_mode,
+            terminology_resolver=terminology_resolver,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -65,10 +82,15 @@ _COMPILED_CACHE: dict[str, CompiledProfile] = {}
 
 
 def _validate_stateless(profile_json: str, reg_ref: Any, emit_details: bool,
-                        validation_mode: str, batch: pa.Table) -> pa.Table:
+                        validation_mode: str, terminology_resolver: Any,
+                        batch: pa.Table) -> pa.Table:
     import json
 
-    key = f"{hash(profile_json)}:{emit_details}:{validation_mode}:{reg_ref}"
+    # the cache is per worker process, so object identity is a sound
+    # resolver key (a resolver instance arrives once per task graph)
+    res_key = id(terminology_resolver) if terminology_resolver is not None else ""
+    key = (f"{hash(profile_json)}:{emit_details}:{validation_mode}:"
+           f"{reg_ref}:{res_key}")
     cp = _COMPILED_CACHE.get(key)
     if cp is None:
         registry_keys = None
@@ -82,6 +104,7 @@ def _validate_stateless(profile_json: str, reg_ref: Any, emit_details: bool,
             registry_keys=registry_keys,
             emit_details=emit_details,
             validation_mode=validation_mode,
+            terminology_resolver=terminology_resolver,
         )
         _COMPILED_CACHE[key] = cp
     return cp.validate_batch(batch)
@@ -97,8 +120,16 @@ def validate_dataset(
     emit_details: bool = True,
     mode: str = "tasks",
     validation_mode: str = "standard",
+    terminology_resolver=None,
 ):
     """docs Dataset -> violations Dataset (streaming, no materialization).
+
+    ``terminology_resolver``: optional top-level callable ``url ->
+    iterable-of-codes | None`` consulted once per worker compile for
+    CodeSystem rules whose ``params.system`` is not pre-loaded — the
+    authoring-mode terminology-service fallback
+    (``FhirPathRuleEngine.cs:1527-1561``). Unresolvable systems degrade to
+    RULE_CONFIGURATION_ERROR exactly as before.
 
     ``registry_keys``: numpy array / list of external media_ref keys, or an
     existing ObjectRef. Broadcast via ``ray.put`` so each worker reads it once
@@ -133,13 +164,15 @@ def validate_dataset(
         from functools import partial
 
         fn = partial(_validate_stateless, json.dumps(profile_obj, sort_keys=True),
-                     reg_ref, emit_details, validation_mode)
+                     reg_ref, emit_details, validation_mode,
+                     terminology_resolver)
         return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     return docs.map_batches(
         ValidatorActor,
-        fn_constructor_args=(profile_obj, reg_ref, emit_details, validation_mode),
+        fn_constructor_args=(profile_obj, reg_ref, emit_details, validation_mode,
+                             terminology_resolver),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

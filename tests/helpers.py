@@ -45,7 +45,10 @@ def profile_of(*rules: dict, **kw) -> dict:
         "version": "1.0",
         "rules": list(rules),
         "settings": {"checkDocId": False, "checkSpanOrder": False,
-                     "checkEmptyDoc": False, "dedupStructure": True},
+                     "checkEmptyDoc": False, "dedupStructure": True,
+                     # lint auto-injects in full mode; tests opt in
+                     # explicitly so rule-kernel assertions stay focused
+                     "lint": False},
         "allowedKinds": [],
     }
     p.update(kw)

@@ -73,6 +73,173 @@ def test_contract_spec_hint_rule_runs_in_standard_mode():
     assert rows(full.validate_batch(docs)) == want
 
 
+# ------------------------------------------------------------------ LINT layer
+def _lint_profile(**settings):
+    p = profile_of()
+    p["settings"]["lint"] = True
+    p["settings"].update(settings)
+    return p
+
+
+def test_lint_layer_gated_to_full_mode():
+    """The lint catalog auto-injects in full/debug mode only
+    (``Authoring/LintValidationService.cs`` is a playground-side layer) and
+    every emission is a downgraded warning — blocking decisions identical."""
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+
+    docs = make_docs([("d1", [s("text", "  padded  ", off=0),
+                              s("text", "", off=1)])])
+    prof = parse_profile(_lint_profile())
+    std = CompiledProfile(prof, validation_mode="standard")
+    full = CompiledProfile(prof, validation_mode="full")
+    assert rows(std.validate_batch(docs)) == []
+    got = rows(full.validate_batch(docs))
+    assert ("d1", 0, "LINT_UNTRIMMED_VALUE", "warning") in got
+    assert ("d1", 1, "LINT_EMPTY_VALUE", "warning") in got
+    # nothing lint emits can block
+    assert all(r[3] == "warning" for r in got)
+    # source column is the reference's LINT source (ValidationPipeline.cs:765)
+    src = set(full.validate_batch(docs)["source"].to_pylist())
+    assert src == {"LINT"}
+
+
+def test_lint_rules_fire_per_catalog():
+    """One fixture per catalog rule that the sf fixture corpus cannot
+    exercise: untrimmed, missing kind, boolean case, duplicate entry —
+    plus suspicious-date window overrides."""
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+
+    docs = make_docs([
+        ("d1", [s(None, "x", off=0),                 # missing kind
+                s("boolean", "TRUE", off=1),         # wrong case
+                s("boolean", "true", off=2),         # exact: ok
+                s("date", "1899-12-31", off=3),      # below default window
+                s("date", "2101-01-01", off=4),      # above default window
+                s("date", "2020-01-01", off=5)]),    # inside: ok
+        ("d2", [s("Patient", "S1234567A", off=0),
+                s("Patient", "S1234567A", off=1),    # duplicate entry
+                s("Patient", "S7654321B", off=2)]),
+    ])
+    full = CompiledProfile(parse_profile(_lint_profile()),
+                           validation_mode="full")
+    got = rows(full.validate_batch(docs))
+    assert ("d1", 0, "LINT_MISSING_KIND", "warning") in got
+    assert ("d1", 1, "LINT_BOOLEAN_CASE", "warning") in got
+    assert ("d1", 2, "LINT_BOOLEAN_CASE", "warning") not in got
+    assert ("d1", 3, "LINT_SUSPICIOUS_DATE", "warning") in got
+    assert ("d1", 4, "LINT_SUSPICIOUS_DATE", "warning") in got
+    assert ("d1", 5, "LINT_SUSPICIOUS_DATE", "warning") not in got
+    assert ("d2", 1, "LINT_DUPLICATE_ENTRY", "warning") in got
+    assert ("d2", 0, "LINT_DUPLICATE_ENTRY", "warning") not in got
+    assert ("d2", 2, "LINT_DUPLICATE_ENTRY", "warning") not in got
+
+    # year window override narrows the plausible range
+    tight = CompiledProfile(
+        parse_profile(_lint_profile(lintYearMin=2021, lintYearMax=2021)),
+        validation_mode="full")
+    got2 = rows(tight.validate_batch(docs))
+    assert ("d1", 5, "LINT_SUSPICIOUS_DATE", "warning") in got2
+
+
+def test_lint_opt_out_and_control_chars():
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+
+    docs = make_docs([("d1", [s("text", "bad\x01ref", off=0),
+                              s("text", "tab\tok", off=1)])])
+    off = CompiledProfile(parse_profile(profile_of()),  # lint: False default
+                          validation_mode="full")
+    assert rows(off.validate_batch(docs)) == []
+    on = CompiledProfile(parse_profile(_lint_profile()),
+                         validation_mode="full")
+    got = rows(on.validate_batch(docs))
+    assert ("d1", 0, "LINT_CONTROL_CHARS", "warning") in got
+    assert ("d1", 1, "LINT_CONTROL_CHARS", "warning") not in got
+
+
+def test_lint_catalog_metadata_complete():
+    """Catalog mirrors the reference's metadata-only design
+    (``Catalogs/LintRuleCatalog.cs:17-357``): every entry has the stable-id
+    fields and a resolvable severity."""
+    from fhir_data_validation_ray.catalogs import LINT_CATALOG
+    from fhir_data_validation_ray.errors import (
+        CLASS_ADVISORY,
+        SEV_WARNING,
+        resolve_severity,
+    )
+
+    assert len(LINT_CATALOG) >= 8
+    for code, entry in LINT_CATALOG.items():
+        assert code.startswith("LINT_")
+        for field in ("category", "title", "description", "severity",
+                      "confidence"):
+            assert entry[field]
+        assert resolve_severity(entry["severity"], CLASS_ADVISORY,
+                                is_heuristic=True) == SEV_WARNING
+
+
+# ----------------------------------------------------------- rule suggestions
+def test_suggest_rules_detectors(ray_session):
+    """Each detector fires on its designed distribution and respects the
+    reference thresholds (SystemRuleSuggestionService.cs:33-38): FixedValue
+    needs 30 samples / 1 distinct, AllowedValues 10 samples / 2-10 distinct,
+    Required 5 all-present, Regex 80% case-insensitive coverage. Blocklisted
+    kinds never suggest."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.suggest import suggest_rules
+
+    rows_in = []
+    # FixedValue: 60 spans, all "final" -> high confidence
+    rows_in += [(f"f{i}", [("Status", "final", "", 0)]) for i in range(60)]
+    # AllowedValues: 12 spans over 3 codes (also Required: all present)
+    rows_in += [(f"a{i}", [("Code", ["EN", "MS", "TA"][i % 3], "", 0)])
+                for i in range(12)]
+    # Regex: 10 NRICs, 9 matching (one lowercase still matches: IgnoreCase),
+    # 1 garbage -> 90% coverage, medium confidence
+    rows_in += [(f"r{i}", [("Nric", "s1234567A" if i == 0 else
+                            ("garbage!" if i == 1 else "S1234567A"), "", 0)])
+                for i in range(10)]
+    # blocklisted kind with a constant value: never suggested
+    rows_in += [(f"t{i}", [("text", "same", "", 0)]) for i in range(40)]
+    docs = rd.from_arrow(make_docs(rows_in))
+    got = {(r["kind"], r["rule_type"], r["param"]):
+           (r["n_samples"], r["n_match"], r["confidence"])
+           for r in suggest_rules(docs).take_all()}
+    assert got[("Status", "FixedValue", "final")] == (60, 60, "high")
+    assert got[("Status", "Required", "")] == (60, 60, "high")
+    assert got[("Code", "AllowedValues", "EN,MS,TA")] == (12, 12, "medium")
+    assert got[("Code", "Required", "")] == (12, 12, "medium")
+    assert got[("Nric", "Regex", "nric")] == (10, 9, "medium")
+    assert not any(k[0] == "text" for k in got)
+
+
+def test_suggested_rule_roundtrip(ray_session):
+    """A suggestion materializes into a rule that compiles and validates —
+    the apply surface of the suggestion service."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+    from fhir_data_validation_ray.stages.suggest import (
+        suggest_rules,
+        suggestion_to_rule,
+    )
+
+    docs_tbl = make_docs(
+        [(f"f{i}", [("Status", "final", "", 0)]) for i in range(30)])
+    sugg = [r for r in suggest_rules(rd.from_arrow(docs_tbl)).take_all()
+            if r["rule_type"] == "FixedValue"]
+    assert sugg
+    rule = suggestion_to_rule(sugg[0], "SUGG1")
+    prof = parse_profile(profile_of(rule))
+    cp = CompiledProfile(prof)
+    # conforming corpus: zero violations
+    assert cp.validate_batch(docs_tbl).num_rows == 0
+    # a deviating doc now fails the suggested rule
+    bad = make_docs([("x", [("Status", "amended", "", 0)])])
+    got = rows(cp.validate_batch(bad))
+    assert got == [("x", 0, "FIXED_VALUE_MISMATCH", "error")]
+
+
 # ------------------------------------------------------ duplicate definitions
 def test_duplicate_rule_definition_rejected():
     p = profile_of(

@@ -670,6 +670,139 @@ def test_unknown_code_system_degrades_to_config_error():
     ]
 
 
+def test_extension_grammar_kernel():
+    """Dedicated extension kernel (url<->media_ref, value<->text;
+    ``JsonNodeStructuralValidator.cs:1087-1185``): missing url and empty
+    shape fire independently and can stack on one span; whitespace-only
+    counts as missing (urlValid uses IsNullOrWhiteSpace)."""
+    docs = make_docs([
+        ("d1", [s("Extension", "v", "urn:uuid:00ff", off=0),   # ok
+                s("Extension", "v", "", off=1),                # url missing
+                s("Extension", "", "urn:uuid:00ff", off=2),    # shape empty
+                s("Extension", None, "   ", off=3),            # both
+                s("Other", None, "", off=4)]),                 # not selected
+    ])
+    p = profile_of(
+        {"id": "E1", "type": "Extension", "kind": "Extension",
+         "fieldPath": "media_ref"})
+    assert rows(validate(docs, p)) == [
+        ("d1", 1, "FHIR_EXTENSION_MISSING_URL", "error"),
+        ("d1", 2, "FHIR_EXTENSION_INVALID_SHAPE", "error"),
+        ("d1", 3, "FHIR_EXTENSION_INVALID_SHAPE", "error"),
+        ("d1", 3, "FHIR_EXTENSION_MISSING_URL", "error"),
+    ]
+
+
+def test_extension_both_shape_unreachable():
+    """The reference's shapeReason='both' (value[x] AND nested extension[])
+    cannot exist in the flat span model — one value slot, no nested list.
+    Pin the divergence: a span with BOTH payload fields populated is the
+    VALID single-value shape here, never an error."""
+    docs = make_docs([
+        ("d1", [s("Extension", "value", "urn:uuid:00ff", off=0)]),
+    ])
+    p = profile_of(
+        {"id": "E1", "type": "Extension", "kind": "Extension",
+         "fieldPath": "media_ref"})
+    assert rows(validate(docs, p)) == []
+
+
+def _fake_terminology(url):
+    """Top-level fake resolver (must be picklable for the Ray lanes)."""
+    if url == "https://example.org/cs/REMOTE":
+        return ["EN", "MS"]
+    if url == "https://example.org/cs/BROKEN":
+        raise RuntimeError("terminology service down")
+    return None
+
+
+def test_terminology_resolver_fallback():
+    """The authoring-mode terminology fallback
+    (``FhirPathRuleEngine.cs:1527-1561``): an unknown params.system is
+    resolved through the pluggable callable at compile time; resolver
+    errors/misses degrade to RULE_CONFIGURATION_ERROR (the stateless-DLL
+    behavior); pre-loaded systems always win over the resolver."""
+    import numpy as np
+
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+    from fhir_data_validation_ray.profile import parse_profile
+
+    docs = make_docs([
+        ("d1", [s("Coding", "EN", off=0)]),
+        ("d2", [s("Coding", "XX", off=0)]),
+    ])
+
+    def prof(system):
+        return parse_profile(profile_of(
+            {"id": "CS", "type": "CodeSystem", "kind": "Coding",
+             "fieldPath": "text", "params": {"system": system}}))
+
+    # resolved: codes validate against the fetched concept set
+    cp = CompiledProfile(prof("https://example.org/cs/REMOTE"),
+                         terminology_resolver=_fake_terminology)
+    assert rows(cp.validate_batch(docs)) == [
+        ("d2", 0, "CODE_NOT_IN_VALUESET", "error")]
+
+    # resolver miss and resolver crash both degrade, never raise
+    for system in ("https://example.org/cs/UNKNOWN",
+                   "https://example.org/cs/BROKEN"):
+        cp = CompiledProfile(prof(system),
+                             terminology_resolver=_fake_terminology)
+        assert {r[2] for r in rows(cp.validate_batch(docs))} == {
+            "RULE_CONFIGURATION_ERROR"}
+
+    # pre-loaded systems take precedence: resolver must not be consulted
+    calls = []
+
+    def tracking(url):
+        calls.append(url)
+        return ["ZZ"]
+
+    loaded = parse_profile(profile_of(
+        {"id": "CS", "type": "CodeSystem", "kind": "Coding",
+         "fieldPath": "text", "params": {"system": "https://cs/lang"}},
+        codeSystems=[{"url": "https://cs/lang",
+                      "concept": [{"code": "EN"}, {"code": "XX"}]}]))
+    cp = CompiledProfile(loaded, terminology_resolver=tracking)
+    assert calls == []
+    assert rows(cp.validate_batch(docs)) == []
+    assert np.array_equal(np.sort(cp.concept_sets["https://cs/lang"]),
+                          np.array(["EN", "XX"]))
+
+
+def test_terminology_resolver_through_dataset_lanes(ray_session):
+    """The resolver threads through validate_dataset in BOTH execution
+    lanes (stateless tasks + actor pool) — compile-once per worker."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.validator import validate_dataset
+
+    docs = rd.from_arrow(make_docs([
+        ("d1", [s("Coding", "EN", off=0)]),
+        ("d2", [s("Coding", "XX", off=0)]),
+    ]))
+    p = profile_of(
+        {"id": "CS", "type": "CodeSystem", "kind": "Coding",
+         "fieldPath": "text",
+         "params": {"system": "https://example.org/cs/REMOTE"}})
+    import pyarrow as pa
+
+    from fhir_data_validation_ray.stages.validator import (
+        StaticTerminologyResolver,
+    )
+
+    # a test-module function can't unpickle on Ray workers; the library's
+    # static resolver ships by value
+    resolver = StaticTerminologyResolver(
+        {"https://example.org/cs/REMOTE": ["EN", "MS"]})
+    for mode, kw in (("tasks", {}), ("actors", {"concurrency": 1})):
+        out = validate_dataset(
+            docs, p, mode=mode,
+            terminology_resolver=resolver, **kw).take_all()
+        got = rows(pa.Table.from_pylist(out))
+        assert got == [("d2", 0, "CODE_NOT_IN_VALUESET", "error")], mode
+
+
 def test_required_spans_consolidated_shape():
     """params.consolidate=True reproduces the reference's consolidated error
     (``FhirPathRuleEngine.cs:1994-2096``): ONE row per violating document,

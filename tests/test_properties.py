@@ -18,6 +18,102 @@ from hypothesis import strategies as st
 from fhir_data_validation_ray.functions.kernels import primitive_invalid_mask
 
 
+# ------------------------------------------------- independent reference BPE
+# A second, hand-written implementation of Sennrich et al. 2016 straight
+# from the paper's pseudo-code (word-frequency dict -> pair counts -> merge
+# loop; encode = SEQUENTIAL application of merges in rank order) — sharing
+# NO code with stages/textops.py, whose distributed bpe_merges counts words
+# via a bucketed exchange and whose bpe_encode uses the rank-GREEDY
+# inference. Agreement checks both the exchange and the classic
+# greedy-equals-sequential BPE equivalence.
+def _ref_bpe_train(texts, n_merges, min_freq):
+    from collections import Counter
+
+    eow = "</w>"
+    wc = Counter(w for t in texts if t is not None
+                 for w in t.split(" ") if w != "")
+    vocab = {tuple(w) + (eow,): c for w, c in sorted(wc.items())
+             if c >= min_freq}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for seq, c in vocab.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < max(min_freq, 2):
+            break
+        merges.append(best)
+        a, b = best
+        nv = {}
+        for seq, c in vocab.items():
+            ns, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(seq[i])
+                    i += 1
+            nv[tuple(ns)] = nv.get(tuple(ns), 0) + c
+        vocab = nv
+    return merges
+
+
+def _ref_bpe_encode_word(w, merges):
+    seq = list(w) + ["</w>"]
+    for a, b in merges:  # sequential rank-order application
+        ns, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                ns.append(a + b)
+                i += 2
+            else:
+                ns.append(seq[i])
+                i += 1
+        seq = ns
+    return len(seq)
+
+
+_bpe_corpus = st.lists(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+             min_size=0, max_size=6).map(" ".join),
+    min_size=1, max_size=10)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_bpe_corpus, st.integers(1, 8), st.sampled_from([1, 2, 3]))
+def test_bpe_matches_independent_reference(ray_session, corpus, n_merges,
+                                           min_freq):
+    """Distributed bpe_merges (bucketed word-count exchange + merge loop)
+    and bpe_encode (rank-greedy with per-worker memo) agree with the
+    from-the-paper reference on arbitrary corpora — VERDICT r3 item 10
+    (the pinned-example tests alone can't rule out systematic agreement
+    bugs between the two lanes)."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import bpe_encode, bpe_merges
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(corpus)), pa.int64()),
+        "text": pa.array(corpus, pa.string()),
+    }), override_num_blocks=min(3, len(corpus)))
+    merges_tbl = bpe_merges(docs, n_merges=n_merges, min_freq=min_freq)
+    got = list(zip(merges_tbl["left"].to_pylist(),
+                   merges_tbl["right"].to_pylist()))
+    want = _ref_bpe_train(corpus, n_merges, min_freq)
+    assert got == want
+
+    enc = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode(docs, merges_tbl).take_all()}
+    for i, t in enumerate(corpus):
+        words = [w for w in t.split(" ") if w != ""]
+        want_tokens = sum(_ref_bpe_encode_word(w, want) for w in words)
+        assert enc[i] == (len(words), want_tokens), (t, want)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.integers(1, 9999), st.integers(0, 99), st.integers(0, 99))
 def test_date_grammar_agrees_with_datetime(y, m, d):
