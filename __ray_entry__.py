@@ -60,7 +60,7 @@ _QUERY_PRIORITY = [
     "v_examples",
     # -- (2) new in round 4 (oracle-bearing)
     "v_lint", "v_extension", "c_suggest_rules", "d_cross_shard_overlap",
-    "t_domain_mix", "a_ngram_entropy", "t_dtype_audit", "w_burst_windows",
+    "a_gram_spectrum", "a_table_audit", "w_burst_windows",
     # -- (3) changed in round 4: frequent-set join-lane fallback reworks the
     #    shared probe path of these two (strip_dup_spans is in group 1)
     "d_seg_dedup", "d_dup_ngrams",

@@ -1578,6 +1578,129 @@ ASOF JOIN p ON l.user_id = p.user_id AND l.ts > p.ts
 """
 
 
+def q_table_audit(sf_dir: str):
+    """Exact per-column audit of the documents table (nulls + FNV-exact
+    distinct counts; float columns excluded by contract)."""
+    import ray.data as rd
+
+    from ..stages.stats import table_audit
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"])
+    return table_audit(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+# cross-shard clone recipe: the base corpus has no exact-duplicate texts,
+# so clone every doc_id % 7 == 0 document under +30M ids (mirrored in SQL);
+# the clone's shard differs from the original's with prob 63/64, making
+# real cross-shard leak groups (the 1/64 same-shard pairs are filtered by
+# n_shards >= 2 identically on both sides)
+SHARD_CLONE_OFFSET = 30_000_000
+
+
+def q_cross_shard_overlap(sf_dir: str):
+    """Duplicate text groups leaking across hash shards (shard =
+    FNV(str(doc_id)) % 64) over the clone-augmented corpus."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.dedup import cross_shard_overlap
+
+    def add_clones(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        m = ids % 7 == 0
+        clones = pa.table({
+            "doc_id": pa.array(ids[m] + SHARD_CLONE_OFFSET),
+            "text": t["text"].combine_chunks().filter(pa.array(m))
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"].filter(pa.array(m)),
+        })
+        return pa.concat_tables(
+            [pa.table({"doc_id": t["doc_id"], "text": t["text"]}), clones])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return cross_shard_overlap(
+        docs.map_batches(add_clones, batch_format="pyarrow"), n_shards=64)
+
+
+def q_gram_spectrum(sf_dir: str):
+    """Bigram frequency-of-frequencies, k capped at 10 (+ tail row, + k=0
+    total-distinct row)."""
+    import ray.data as rd
+
+    from ..stages.textops import gram_spectrum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return gram_spectrum(docs, n=2, k_cap=10)
+
+
+BURST_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_burst_windows(sf_dir: str):
+    """Per-user sliding-window burst maxima (10-minute window)."""
+    import ray.data as rd
+
+    from ..stages.windows import burst_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return burst_windows(ev, window_us=BURST_WINDOW_US)
+
+
+def _table_audit_sql() -> str:
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    parts = []
+    for c in cols:
+        expr = c if c in ("text", "lang", "source") else f"CAST({c} AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {_fnv_sql(expr)})::BIGINT AS n_distinct
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+CROSS_SHARD_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SHARD_CLONE_OFFSET}, text FROM documents
+  WHERE doc_id % 7 = 0),
+g AS (
+  SELECT text, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS group_id,
+         count(DISTINCT __FNV_DOC__ % 64)::BIGINT AS n_shards
+  FROM aug WHERE text IS NOT NULL GROUP BY text)
+SELECT group_id, n_docs, n_shards FROM g
+WHERE n_docs >= 2 AND n_shards >= 2
+"""
+
+GRAM_SPECTRUM_SQL = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                  AS ws FROM documents),
+g AS (SELECT array_to_string(ws[i : i + 1], ' ') AS gram
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+c AS (SELECT gram, count(*)::BIGINT AS c FROM g GROUP BY gram),
+spec AS (SELECT CASE WHEN c > 10 THEN 11 ELSE c END AS k,
+                count(*)::BIGINT AS n_grams FROM c GROUP BY 1),
+base AS (SELECT unnest(range(0, 12))::BIGINT AS k)
+SELECT base.k,
+       CASE WHEN base.k = 0 THEN (SELECT count(*)::BIGINT FROM c)
+            ELSE coalesce(spec.n_grams, 0) END AS n_grams
+FROM base LEFT JOIN spec USING (k)
+"""
+
+BURST_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+c AS (SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY tu
+        RANGE BETWEEN CURRENT ROW AND {BURST_WINDOW_US} FOLLOWING) AS cnt
+      FROM e)
+SELECT user_id, max(cnt)::BIGINT AS burst FROM c GROUP BY user_id
+"""
+
+
 def dataops_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "w_retention": q_retention,
@@ -1677,6 +1800,10 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "s_embed_decon": q_embed_decon,
         "s_lsh_topk": q_lsh_topk,
         "s_ivf_topk": q_ivf_topk,
+        "a_table_audit": q_table_audit,
+        "d_cross_shard_overlap": q_cross_shard_overlap,
+        "a_gram_spectrum": q_gram_spectrum,
+        "w_burst_windows": q_burst_windows,
     }
 
 
@@ -3126,5 +3253,10 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "s_cosine_topk": COSINE_TOPK_SQL,
         "s_cosine_pairs": COSINE_PAIRS_SQL,
         "s_embed_decon": EMBED_DECON_SQL,
+        "a_table_audit": _table_audit_sql(),
+        "d_cross_shard_overlap": CROSS_SHARD_SQL.replace(
+            "__FNV_DOC__", _fnv_sql("CAST(doc_id AS VARCHAR)")),
+        "a_gram_spectrum": GRAM_SPECTRUM_SQL,
+        "w_burst_windows": BURST_SQL,
         **_media_oracles(sf_dir),
     }

@@ -2184,3 +2184,70 @@ def pagerank_dup(docs, *, iters: int = 3, n: int = 2, threshold: float = 0.8,
         return pa.table({"doc_id": t["node"], "rank": t["p"]})
 
     return scores.map_batches(out, batch_format="pyarrow")
+
+
+# --------------------------------------------- cross-shard duplicate audit
+def cross_shard_overlap(docs, *, n_shards: int = 64, key: str = "text",
+                        num_buckets: int = 256,
+                        batch_size: int | None = None):
+    """Duplicate groups that LEAK ACROSS output shards — the shard-hygiene
+    audit for exported training data: with the hash shard layout
+    (shard = FNV(str(doc_id)) % n_shards, the ``pipelines/export.py``
+    assignment), an exact-duplicate text group whose members land in >= 2
+    DISTINCT shards defeats per-shard dedup downstream and double-counts
+    the passage across data-parallel ranks.
+
+    Returns Dataset[group_id, n_docs, n_shards] — one row per duplicate
+    ``key`` group spanning >= 2 shards, group_id = min member doc_id.
+
+    Scale shape: one exchange keyed by the text hash (the ``exact_dedup``
+    skeleton — verification on the actual strings inside the group, so
+    hash collisions cannot merge distinct texts); per-group distinct-shard
+    counting is one unique over (text-code, shard) pairs. Output bounded
+    by the number of offending groups."""
+    from ..functions.hashing import hash_str
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        texts = t[key]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        ok = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(ok)
+        texts = texts.take(pa.array(idx))
+        ids = ids[idx]
+        h = hash_str(texts.to_numpy(zero_copy_only=False))
+        shard = (hash_str(ids.astype("U")) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            "k": texts.cast(pa.string()),
+            "doc_id": pa.array(ids),
+            "shard": pa.array(shard),
+        })
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ks = g["k"]
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        da = pc.dictionary_encode(ks)
+        code = np.asarray(da.indices, dtype=np.int64)
+        nc = len(da.dictionary)
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        shard = np.asarray(g["shard"]).astype(np.int64)
+        n_docs = np.bincount(code, minlength=nc).astype(np.int64)
+        gid = np.full(nc, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(gid, code, ids)
+        ns = np.bincount(
+            (np.unique(code * n_shards + shard) // n_shards).astype(np.int64),
+            minlength=nc).astype(np.int64)
+        keep = (n_docs >= 2) & (ns >= 2)
+        return pa.table({
+            "group_id": pa.array(gid[keep]),
+            "n_docs": pa.array(n_docs[keep]),
+            "n_shards": pa.array(ns[keep]),
+        })
+
+    return (docs.map_batches(bucketize, batch_format="pyarrow",
+                             batch_size=batch_size)
+            .groupby("bucket")
+            .map_groups(per_group, batch_format="pyarrow"))

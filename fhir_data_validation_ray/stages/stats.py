@@ -680,3 +680,106 @@ def exact_gini(ds, key: str = "user_id", *, num_buckets: int = 64):
         "gini_num": pa.array([int(gini_num)], pa.int64()),
         "gini_den": pa.array([int(gini_den)], pa.int64()),
     })
+
+
+def table_audit(ds, columns: list[str], *, num_buckets: int = 64,
+                batch_size: int | None = None):
+    """Exact per-column data audit: (column, n_rows, n_nulls, n_distinct) —
+    the data-quality profile a pipeline runs before training-data export
+    (the exact-integer sibling of ``column_profile``'s sketches).
+
+    Distinct counting is EXACT over the 64-bit FNV hash of the string-cast
+    value — the identical fold the DuckDB oracle applies (``dataops.py
+    _fnv_sql``), so any collision is shared bitwise by both sides. Scale
+    shape: each batch emits its per-column DISTINCT hash set (pre-deduped)
+    plus one counts row; a (column, hash-bucket) groupby counts distinct
+    hashes per bucket; the driver folds columns x buckets tiny rows. The
+    exchange is bounded by per-column distinct cardinality — one shuffle,
+    same shape as ``exact_dedup``'s.
+
+    Int64 columns cast via decimal string (numpy ``astype("U")`` ==
+    DuckDB ``CAST(BIGINT AS VARCHAR)``); float columns are rejected (no
+    cross-engine formatting contract)."""
+    from ..functions.hashing import hash_str
+
+    def partials(t: pa.Table) -> pa.Table:
+        out_col: list[str] = []
+        out_role: list[np.ndarray] = []
+        out_bucket: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        cols = []
+        for c in columns:
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_floating(arr.type):
+                raise TypeError(f"table_audit: float column {c!r} has no "
+                                "cross-engine string contract")
+            n_rows = len(arr)
+            n_nulls = arr.null_count
+            valid = arr.drop_null()
+            vs = valid.to_numpy(zero_copy_only=False).astype("U")
+            h = np.unique(hash_str(vs)) if len(vs) else np.empty(0, np.uint64)
+            k = len(h)
+            cols.append((c, n_rows, n_nulls))
+            out_col.append(np.full(k, c, dtype=object))
+            out_role.append(np.ones(k, dtype=np.int8))
+            out_bucket.append((h % np.uint64(num_buckets)).astype(np.int32))
+            out_h.append(h.astype(np.int64))
+            out_n.append(np.zeros(k, dtype=np.int64))
+        # counts rows (role 0, bucket -1): one per column per batch
+        for c, n_rows, n_nulls in cols:
+            out_col.append(np.array([c, c], dtype=object))
+            out_role.append(np.zeros(2, dtype=np.int8))
+            out_bucket.append(np.array([-1, -2], dtype=np.int32))
+            out_h.append(np.zeros(2, dtype=np.int64))
+            out_n.append(np.array([n_rows, n_nulls], dtype=np.int64))
+        return pa.table({
+            "column": pa.array(np.concatenate(out_col).astype("U"), pa.string()),
+            "role": pa.array(np.concatenate(out_role)),
+            "bucket": pa.array(np.concatenate(out_bucket)),
+            "h": pa.array(np.concatenate(out_h)),
+            "n": pa.array(np.concatenate(out_n)),
+        })
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        col = str(g["column"][0].as_py())
+        bucket = int(g["bucket"][0].as_py())
+        if bucket == -1:   # n_rows partials
+            return pa.table({"column": pa.array([col]),
+                             "kind": pa.array(["rows"]),
+                             "v": pa.array([int(np.asarray(g["n"]).sum())],
+                                           pa.int64())})
+        if bucket == -2:   # n_nulls partials
+            return pa.table({"column": pa.array([col]),
+                             "kind": pa.array(["nulls"]),
+                             "v": pa.array([int(np.asarray(g["n"]).sum())],
+                                           pa.int64())})
+        nd = len(np.unique(np.asarray(g["h"])))
+        return pa.table({"column": pa.array([col]),
+                         "kind": pa.array(["distinct"]),
+                         "v": pa.array([nd], pa.int64())})
+
+    parts = collect_table(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=batch_size)
+        .groupby(["column", "bucket"])
+        .map_groups(bucket_fold, batch_format="pyarrow"),
+        empty_schema=pa.schema([("column", pa.string()),
+                                ("kind", pa.string()),
+                                ("v", pa.int64())]),
+    )
+    agg: dict[str, dict[str, int]] = {
+        c: {"rows": 0, "nulls": 0, "distinct": 0} for c in columns}
+    for col, kind, v in zip(parts["column"].to_pylist(),
+                            parts["kind"].to_pylist(),
+                            parts["v"].to_pylist()):
+        agg[col][kind] += int(v)
+    return pa.table({
+        "column": pa.array(list(columns), pa.string()),
+        "n_rows": pa.array([agg[c]["rows"] for c in columns], pa.int64()),
+        "n_nulls": pa.array([agg[c]["nulls"] for c in columns], pa.int64()),
+        "n_distinct": pa.array([agg[c]["distinct"] for c in columns],
+                               pa.int64()),
+    })

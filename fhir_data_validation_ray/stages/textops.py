@@ -1963,3 +1963,78 @@ def mixture_upsample(docs, *, budget: int = 1_000_000,
 
     return docs.map_batches(rep, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+# ------------------------------------------- gram frequency spectrum
+def gram_spectrum(docs, *, n: int = 2, k_cap: int = 10,
+                  column: str = "text", num_buckets: int = 64,
+                  batch_size: int | None = None):
+    """N-gram frequency-of-frequencies (the Good-Turing / unseen-species
+    input curve): for each occurrence count k, how many DISTINCT word
+    n-grams occur exactly k times corpus-wide. The spectrum's low-k mass is
+    the classic corpus-diversity dial (a template-heavy corpus has a thin
+    k=1 head; a diverse one is Zipf-shaped) and the k=1 row is the
+    Good-Turing unseen-mass numerator.
+
+    Counts are per OCCURRENCE (not distinct-doc). ``k_cap`` bounds the
+    output: rows k = 1..k_cap are exact, and one row k = k_cap + 1
+    aggregates every gram with count > k_cap (the capped tail keeps the
+    result set O(k_cap) at any corpus size). Also emits k = 0 carrying the
+    TOTAL distinct gram count, so the spectrum is self-normalizing.
+
+    Scale shape: per-batch pre-aggregated (bucket, gram, partial-count)
+    rows -> one gram-bucket groupby sums exact totals per gram STRING (no
+    hash-collision merging) and emits its bucket-local capped spectrum ->
+    the driver folds buckets x (k_cap + 2) tiny rows. The exchange is
+    vocabulary-bounded — the same stated assumption as ``word_counts``."""
+    from ..functions.collect import collect_table
+    from .dedup import _gram_strings
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, grams, _, _ = _gram_strings(t, n, column)
+        if len(grams) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "gram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        da = pc.dictionary_encode(grams)
+        counts = np.bincount(np.asarray(da.indices),
+                             minlength=len(da.dictionary)).astype(np.int64)
+        gram_str = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(gram_str) % np.uint64(num_buckets)).astype(np.int32)),
+            "gram": da.dictionary,
+            "c": pa.array(counts),
+        })
+
+    def bucket_spectrum(g: pa.Table) -> pa.Table:
+        s = g["gram"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        da = pc.dictionary_encode(s)
+        totals = np.bincount(np.asarray(da.indices),
+                             weights=np.asarray(g["c"]),
+                             minlength=len(da.dictionary)).astype(np.int64)
+        capped = np.minimum(totals, k_cap + 1)
+        spec = np.bincount(capped, minlength=k_cap + 2).astype(np.int64)
+        spec[0] = len(totals)  # total distinct grams in this bucket
+        return pa.table({
+            "k": pa.array(np.arange(k_cap + 2, dtype=np.int64)),
+            "n_grams": pa.array(spec),
+        })
+
+    parts = collect_table(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_spectrum, batch_format="pyarrow"),
+        empty_schema=pa.schema([("k", pa.int64()), ("n_grams", pa.int64())]),
+    )
+    spec = np.zeros(k_cap + 2, dtype=np.int64)
+    if parts.num_rows:
+        np.add.at(spec, np.asarray(parts["k"]).astype(np.int64),
+                  np.asarray(parts["n_grams"]).astype(np.int64))
+    return pa.table({
+        "k": pa.array(np.arange(k_cap + 2, dtype=np.int64)),
+        "n_grams": pa.array(spec),
+    })

@@ -936,3 +936,74 @@ def transition_counts(events, *, block_us: int = US_PER_HOUR):
                                 ("n", pa.int64())]),
     )
     return combine(parts) if parts.num_rows else parts
+
+
+def burst_windows(events, *, window_us: int = 10 * 60 * 1_000_000,
+                  block_us: int | None = None):
+    """Per-user burst detection: the maximum number of events inside ANY
+    sliding ``window_us`` window anchored at an event — the abuse/bot dial
+    of an event pipeline (count of events with ts in [t_i, t_i + W],
+    inclusive, maximized over the user's events t_i; matches SQL
+    ``count(*) OVER (... RANGE BETWEEN CURRENT ROW AND W FOLLOWING)``).
+
+    Skew-safe shape (the (user, time-block) shard + boundary-duplication
+    ladder): each event lands in its home block; an event within W of its
+    block's START is ADDITIONALLY shipped to the previous block as
+    countable-only (origin = 0) — a forward window anchored in block b can
+    only reach into b+1 because block_us >= window_us is enforced. Per
+    (user, block) group: one sort + two vectorized searchsorteds give every
+    anchored count; per-user max folds through a second tiny groupby whose
+    input is one row per (user, block).
+
+    Returns Dataset[user_id, burst]."""
+    if block_us is None:
+        block_us = max(64 * window_us, US_PER_HOUR)
+    if block_us < window_us:
+        raise ValueError("burst_windows: block_us must be >= window_us "
+                         "(a window may span at most two blocks)")
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        ts = _ts_np(t)
+        # +1 offset keeps the block-0 lookback key (b - 1) inside THIS
+        # user's key range — u*_UB - 1 would collide with user u-1's
+        # last block
+        b = ts // block_us + 1
+        dup = (ts % block_us) < window_us
+        ub = np.concatenate([u * _UB + b, (u[dup] * _UB + b[dup] - 1)])
+        return pa.table({
+            "ub": pa.array(ub),
+            "user_id": pa.array(np.concatenate([u, u[dup]])),
+            "ts": pa.array(np.concatenate([ts, ts[dup]])),
+            "origin": pa.array(np.concatenate([
+                np.ones(len(u), dtype=np.int8),
+                np.zeros(int(dup.sum()), dtype=np.int8)])),
+        })
+
+    def block_burst(g: pa.Table) -> pa.Table:
+        ts = np.sort(np.asarray(g["ts"]).astype(np.int64))
+        origin = np.asarray(g["origin"]).astype(bool)
+        anchors = np.asarray(g["ts"]).astype(np.int64)[origin]
+        if anchors.size == 0:  # lookback-only group (no home events)
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "burst": pa.array([], pa.int64())})
+        counts = (np.searchsorted(ts, anchors + window_us, side="right")
+                  - np.searchsorted(ts, anchors, side="left"))
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "burst": pa.array([int(counts.max())], pa.int64()),
+        })
+
+    def user_max(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "burst": pa.array([int(np.asarray(g["burst"]).max())], pa.int64()),
+        })
+
+    return (
+        events.map_batches(shard, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(block_burst, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(user_max, batch_format="pyarrow")
+    )

@@ -2074,3 +2074,109 @@ def test_mixture_upsample_epoch_semantics(ray_session):
     counts = out.groupby("doc_id").size()
     assert (counts == 2).all() and len(counts) == 3
     assert set(out.copy_id) == {0, 1}
+
+
+def test_burst_windows_boundary_equals_bruteforce(ray_session):
+    """Forcing block_us == window_us (the minimum, maximum boundary
+    crossings) must reproduce the plain per-user sliding-window maxima for
+    a random event multiset — exercises the lookback-duplication stitch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import burst_windows
+
+    rng = np.random.default_rng(0)
+    n, w = 600, 1_000
+    users = rng.integers(0, 5, n).astype(np.int64)
+    ts = rng.integers(0, 20 * w, n).astype(np.int64)  # ~20 blocks per user
+
+    want = {}
+    for u in np.unique(users):
+        uts = np.sort(ts[users == u])
+        counts = (np.searchsorted(uts, uts + w, side="right")
+                  - np.searchsorted(uts, uts, side="left"))
+        want[int(u)] = int(counts.max())
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    }))
+    got = {int(r["user_id"]): int(r["burst"])
+           for r in burst_windows(ev, window_us=w, block_us=w).take_all()}
+    assert got == want
+
+
+def test_burst_windows_rejects_small_block(ray_session):
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import burst_windows
+
+    with pytest.raises(ValueError, match="block_us"):
+        burst_windows(rd.range(1), window_us=100, block_us=50)
+
+
+def test_table_audit_rejects_float_column(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import table_audit
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1.5, 2.5])}))
+    with pytest.raises(Exception, match="float"):
+        table_audit(ds, ["x"])
+
+
+def test_gram_spectrum_tail_cap_and_total(ray_session):
+    """A gram occurring > k_cap times lands in the k_cap+1 tail row; the
+    k=0 row carries total distinct grams; sum of k>=1 rows == distinct."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import gram_spectrum
+
+    # "a b" occurs 5x (tail, cap=3); "b a" 4x (tail); "c d" once; "b c" 1x... build explicitly
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["a b a b a b", "a b a b a b", "c d", "x y", "x y"]),
+    }))
+    # bigram occurrence counts: "a b": 3+3=6, "b a": 2+2=4, "c d": 1, "x y": 2
+    spec = gram_spectrum(docs, n=2, k_cap=3)
+    out = dict(zip(spec["k"].to_pylist(), spec["n_grams"].to_pylist()))
+    assert out[0] == 4            # distinct bigrams
+    assert out[1] == 1            # "c d"
+    assert out[2] == 1            # "x y"
+    assert out[3] == 0
+    assert out[4] == 2            # tail: "a b"(6), "b a"(4)
+    assert sum(v for k, v in out.items() if k >= 1) == out[0]
+
+
+def test_cross_shard_overlap_counts_distinct_shards(ray_session):
+    """Duplicate group spanning 2 shards is reported once with exact
+    member/shard counts; unique texts and single-shard groups are not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.dedup import cross_shard_overlap
+
+    # find two ids in different shards and two in the same shard (n=4)
+    ids = np.arange(0, 64, dtype=np.int64)
+    sh = (hash_str(ids.astype("U")) % np.uint64(4)).astype(int)
+    a, b = ids[sh == sh[0]][:2]            # same shard pair
+    c = ids[sh != sh[0]][0]                # different shard vs a
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([int(a), int(b), int(c), 999], pa.int64()),
+        "text": pa.array(["same shard", "same shard", "cross", "cross"]),
+    }))
+    out = cross_shard_overlap(docs, n_shards=4).take_all()
+    got = {int(r["group_id"]): (int(r["n_docs"]), int(r["n_shards"]))
+           for r in out}
+    # "same shard" group: 2 docs, 1 shard -> excluded unless 999 collides
+    sh999 = int(hash_str(np.array(["999"], dtype="U"))[0] % np.uint64(4))
+    shc = int(hash_str(np.array([str(c)], dtype="U"))[0] % np.uint64(4))
+    if sh999 != shc:
+        assert got == {min(int(c), 999): (2, 2)}
+    else:
+        assert min(int(c), 999) not in got and int(a) not in got
