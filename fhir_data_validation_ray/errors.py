@@ -29,6 +29,9 @@ SRC_REFERENCE = "Reference"
 SRC_CODEMASTER = "CodeMaster"
 SRC_PIPELINE = "Pipeline"
 SRC_LINT = "LINT"
+# Advisory HL7 spec-hint layer (``Authoring/SpecHintService.cs``; classified
+# source ``UnifiedErrorModelBuilder.cs:473-505``).
+SRC_SPEC_HINT = "SPEC_HINT"
 
 # Stage rank reproduces the reference's pipeline-stage ordering of errors
 # (``docs/05_validation_pipeline.md:20-31``): STRUCTURE first, then business
@@ -38,6 +41,11 @@ SRC_LINT = "LINT"
 # ``Core/ValidationPipeline.cs:765``), so it ranks before STRUCTURE.
 SOURCE_STAGE_RANK = {
     SRC_LINT: -1,
+    # spec hints are generated alongside structural validation but are
+    # advisory-only; they rank between LINT and STRUCTURE so the unified
+    # ordering stays deterministic (UnifiedErrorModelBuilder groups them
+    # with the advisory layers).
+    SRC_SPEC_HINT: -1,
     SRC_STRUCTURE: 0,
     SRC_BUSINESS: 1,
     SRC_CODEMASTER: 2,

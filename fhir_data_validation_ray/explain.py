@@ -1,0 +1,249 @@
+"""Deterministic validation-issue explanations — the span-model analogue of
+the reference's template registry (``Authoring/ValidationExplanationService
+.cs:24-361``): rule-based, no guessing, confidence-scoped, templates
+immutable.
+
+Every explanation is a pure function of (source, error_code, per-row path)
+plus the rule's static params, so the layer is exactly SQL-checkable: the
+same template functions that drive the vectorized Arrow enrichment also
+emit the oracle's string literals/expressions.
+
+The instance-metadata branches of the reference templates (``Actual
+value: {actual}`` / ``Current item count: {n}``) key off the error's
+details payload; this engine's query lane runs ``emit_details=False``, so
+templates deterministically take their no-metadata branch — the rule-param
+halves (expected value, allowed values, pattern, min/max, code system) are
+static per rule and ARE interpolated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CONF_HIGH = "high"
+CONF_MEDIUM = "medium"
+CONF_LOW = "low"
+
+# ------------------------------------------------------- source-level templates
+# ``ValidationExplanationService.cs:27-67`` — static per source.
+STRUCTURAL_WHAT = "This issue was detected during FHIR structural validation."
+STRUCTURAL_HOW = ("The resource does not conform to the FHIR specification "
+                  "at this location. Correct the data type or structure "
+                  "indicated by the error.")
+ADVISORY_WHAT = ("This is a best-effort quality check to improve "
+                 "portability and correctness.")
+ADVISORY_HOW = ("This issue may still be accepted by permissive FHIR "
+                "engines. Review and correct it if interoperability is "
+                "required.")
+
+# ``:70-105`` reference-integrity templates, keyed by error code.
+REF_NOT_FOUND_WHAT = ("The reference at '", "' points to a resource that "
+                                            "does not exist in the bundle.")
+REF_NOT_FOUND_HOW = ("Ensure the referenced resource is included in the "
+                     "bundle, or use an external reference if appropriate.")
+REF_TYPE_WHAT = ("The referenced resource type does not match the expected "
+                 "type for this field.")
+REF_TYPE_HOW = ("Change the reference to point to the correct resource "
+                "type, or verify the resource type is allowed.")
+REF_FALLBACK_WHAT = ("This reference validation issue was detected during "
+                     "bundle integrity checks.")
+REF_FALLBACK_HOW = ("Verify that all references point to valid resources "
+                    "of the correct type.")
+
+
+def normalize_rule_type(rule_type: str) -> str:
+    """``ValidationExplanationService.cs:135-144`` NormalizeRuleType."""
+    return (rule_type or "").replace("_", "").replace("-", "").replace(" ", "").upper()
+
+
+@dataclass(frozen=True)
+class RuleTemplate:
+    """One project rule's explanation template: ``what`` always
+    interpolates the per-row path between its two halves; ``how`` does
+    only when ``how_uses_path`` (the Required template, ``:190-201``)."""
+
+    what_pre: str
+    what_suf: str
+    how_pre: str | None
+    how_uses_path: bool = False
+    how_suf: str = ""
+    confidence: str = CONF_MEDIUM
+    # authored explanation overrides are verbatim (no interpolation)
+    what_uses_path: bool = True
+
+    def what(self, path: str) -> str:
+        return (f"{self.what_pre}{path}{self.what_suf}"
+                if self.what_uses_path else self.what_pre)
+
+    def how(self, path: str) -> str | None:
+        if self.how_pre is None:
+            return None
+        return (f"{self.how_pre}{path}{self.how_suf}"
+                if self.how_uses_path else self.how_pre)
+
+
+def rule_template(rule: dict[str, Any]) -> RuleTemplate:
+    """Template for one rule dict (profile JSON shape) —
+    ``ValidationExplanationService.cs:150-187`` GenerateFromTemplate with
+    the metadata branches resolved from the rule's static params."""
+    expl = rule.get("explanation")
+    if expl:  # custom authored explanation wins (:117-124), high confidence
+        return RuleTemplate(str(expl.get("what", "")), "",
+                            expl.get("how"), confidence=CONF_HIGH,
+                            what_uses_path=False)
+    params = rule.get("params", {}) or {}
+    t = normalize_rule_type(rule.get("type", ""))
+    if t == "REQUIRED":
+        return RuleTemplate(
+            "This rule requires the field `", "` to be present.",
+            "The field `", True,
+            "` is missing or empty in this resource. Add a value to "
+            "satisfy the requirement.", CONF_HIGH)
+    if t == "FIXEDVALUE":
+        expected = params.get("value")
+        how = "Update the field to match the expected value."
+        if expected is not None:
+            how = f"Expected value: {expected}\n{how}"
+        return RuleTemplate(
+            "This rule enforces a fixed value for `",
+            "` to ensure consistent data.", how, confidence=CONF_HIGH)
+    if t == "ALLOWEDVALUES":
+        values = params.get("values") or ()
+        if values:
+            how = ("Choose one of the permitted values:\n"
+                   + "\n".join(f"  - {v}" for v in values))
+        else:
+            how = "Choose one of the permitted values defined in the rule."
+        return RuleTemplate(
+            "This rule restricts `",
+            "` to a predefined set of allowed values.", how,
+            confidence=CONF_HIGH)
+    if t in ("REGEX", "PATTERN"):
+        pattern = params.get("pattern")
+        how = "The value does not match the required format."
+        if pattern is not None:
+            how = f"{how}\nExpected pattern: {pattern}"
+        return RuleTemplate("This rule validates the format of `", "`.",
+                            how, confidence=CONF_MEDIUM)
+    if t in ("ARRAYLENGTH", "CARDINALITY", "ARRAYSIZE"):
+        lo, hi = params.get("min"), params.get("max")
+        if lo is not None and hi is not None:
+            bound = f"Allowed range: {lo} to {hi}\n"
+        elif lo is not None:
+            bound = f"Minimum required: {lo}\n"
+        elif hi is not None:
+            bound = f"Maximum allowed: {hi}\n"
+        else:
+            bound = ""
+        return RuleTemplate(
+            "This rule enforces how many items `", "` may contain.",
+            f"{bound}Adjust the number of items to meet this requirement.",
+            confidence=CONF_HIGH)
+    if t in ("CODESYSTEM", "VALUESET"):
+        system = params.get("system")
+        how = "Verify that `coding.system` and `coding.code` are valid."
+        if system is not None:
+            how = f"Expected code system: {system}\n{how}"
+        return RuleTemplate(
+            "This rule ensures `", "` uses codes from the correct code "
+            "system.", how, confidence=CONF_MEDIUM)
+    if t in ("CUSTOMFHIRPATH", "FHIRPATH", "CUSTOMPREDICATE"):
+        return RuleTemplate(
+            "This rule validates a project-specific condition involving `",
+            "`.",
+            "The condition defined for this rule is not satisfied. Review "
+            "the related data and ensure the condition is met.",
+            confidence=CONF_LOW)
+    # fallback (:180-186): unknown rule type, no How
+    return RuleTemplate("This rule validates '",
+                        "' according to project-specific requirements.",
+                        None, confidence=CONF_MEDIUM)
+
+
+_FALLBACK = RuleTemplate("This rule validates '",
+                         "' according to project-specific requirements.",
+                         None, confidence=CONF_MEDIUM)
+
+
+def _template_arrays(profile_obj: dict[str, Any]):
+    """Per-rule template columns + a trailing fallback slot for unknown
+    rule ids."""
+    rules = list(profile_obj.get("rules", ()) or ())
+    temps = [rule_template(r) for r in rules] + [_FALLBACK]
+    ids = [r["id"] for r in rules]
+    return (
+        pa.array(ids, pa.string()),
+        pa.array([t.what_pre for t in temps], pa.string()),
+        pa.array([t.what_suf for t in temps], pa.string()),
+        pa.array([bool(t.what_uses_path) for t in temps], pa.bool_()),
+        pa.array([t.how_pre for t in temps], pa.string()),
+        pa.array([bool(t.how_uses_path) for t in temps], pa.bool_()),
+        pa.array([t.how_suf for t in temps], pa.string()),
+        pa.array([t.confidence for t in temps], pa.string()),
+    )
+
+
+def explain_violations(violations, profile_obj: dict[str, Any]):
+    """Enrich a violations Dataset with ``explain_what`` / ``explain_how``
+    / ``explain_confidence`` columns (``UnifiedErrorModelBuilder`` attaches
+    the same triple as ``Explanation``).
+
+    Stateless Arrow map: project-rule rows join the per-rule template table
+    through their ``rule_id`` (dictionary-sized ``index_in`` probe, unknown
+    ids take the fallback slot); STRUCTURE / LINT / SPEC_HINT / Reference
+    rows take their source-level templates, with the per-row ``path``
+    interpolated where the reference template does."""
+    ids, wpre, wsuf, wup, hpre, hup, hsuf, conf = _template_arrays(profile_obj)
+    fallback_idx = len(ids)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        path = pc.coalesce(t["path"], pa.scalar("this location"))
+        idx = pc.index_in(t["rule_id"], value_set=ids)
+        idx = pc.fill_null(idx, fallback_idx)
+        r_wpre, r_wsuf = pc.take(wpre, idx), pc.take(wsuf, idx)
+        r_hpre, r_hsuf = pc.take(hpre, idx), pc.take(hsuf, idx)
+        r_hup, r_wup = pc.take(hup, idx), pc.take(wup, idx)
+        what = pc.binary_join_element_wise(
+            r_wpre, pc.if_else(r_wup, path, pa.scalar("")), r_wsuf, "")
+        how = pc.binary_join_element_wise(
+            r_hpre, pc.if_else(r_hup, path, pa.scalar("")), r_hsuf, "")
+        confidence = pc.take(conf, idx)
+
+        src = t["source"]
+        code = t["error_code"]
+        # reference-integrity templates by error code (:70-105)
+        m_ref = pc.equal(src, "Reference")
+        m_nf = pc.and_(m_ref, pc.equal(code, "REFERENCE_NOT_FOUND"))
+        m_tm = pc.and_(m_ref, pc.equal(code, "REFERENCE_TYPE_MISMATCH"))
+        m_rf = pc.and_(m_ref, pc.invert(pc.or_(
+            pc.equal(code, "REFERENCE_NOT_FOUND"),
+            pc.equal(code, "REFERENCE_TYPE_MISMATCH"))))
+        nf_what = pc.binary_join_element_wise(
+            pa.array([REF_NOT_FOUND_WHAT[0]] * n), path,
+            pa.array([REF_NOT_FOUND_WHAT[1]] * n), "")
+        what = pc.if_else(m_nf, nf_what, what)
+        how = pc.if_else(m_nf, pa.scalar(REF_NOT_FOUND_HOW), how)
+        what = pc.if_else(m_tm, pa.scalar(REF_TYPE_WHAT), what)
+        how = pc.if_else(m_tm, pa.scalar(REF_TYPE_HOW), how)
+        what = pc.if_else(m_rf, pa.scalar(REF_FALLBACK_WHAT), what)
+        how = pc.if_else(m_rf, pa.scalar(REF_FALLBACK_HOW), how)
+        confidence = pc.if_else(m_ref, pa.scalar(CONF_HIGH), confidence)
+        # structural + advisory layers (static, :27-67)
+        m_st = pc.equal(src, "STRUCTURE")
+        what = pc.if_else(m_st, pa.scalar(STRUCTURAL_WHAT), what)
+        how = pc.if_else(m_st, pa.scalar(STRUCTURAL_HOW), how)
+        confidence = pc.if_else(m_st, pa.scalar(CONF_HIGH), confidence)
+        m_adv = pc.or_(pc.equal(src, "LINT"), pc.equal(src, "SPEC_HINT"))
+        what = pc.if_else(m_adv, pa.scalar(ADVISORY_WHAT), what)
+        how = pc.if_else(m_adv, pa.scalar(ADVISORY_HOW), how)
+        confidence = pc.if_else(m_adv, pa.scalar(CONF_LOW), confidence)
+        return t.append_column("explain_what", what) \
+                .append_column("explain_how", how) \
+                .append_column("explain_confidence", confidence)
+
+    return violations.map_batches(enrich, batch_format="pyarrow")

@@ -570,25 +570,44 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
     code = rule.error_code or E.RESOURCE_REQUIREMENT_VIOLATION
     declared = set()
     per_req: list[tuple[SpanRequirement, np.ndarray, np.ndarray, np.ndarray]] = []
+    src = E.SRC_SPEC_HINT if rule.is_spec_hint else E.SRC_BUSINESS
     for req in reqs:
         declared.add(req.kind)
         mask = kind_codes == (kind_dict.index(req.kind) if req.kind in kind_dict else -1)
         for cond in req.where:
             mask &= eval_condition(cond, fs)
         counts = np.bincount(fs.parent[mask], minlength=fs.n_docs)
-        bad = counts < req.min
-        if req.max is not None:
-            bad |= counts > req.max
+        # conditional requirement: gate on >=1 ``when_kind`` span in the doc;
+        # ``per_parent`` requires one match per gating span
+        # (``SpecHintService.cs:230-300`` EvaluateConditionalHint analogue)
+        need: Any = req.min
+        if req.when_kind is not None:
+            wmask = kind_codes == (
+                kind_dict.index(req.when_kind) if req.when_kind in kind_dict else -1
+            )
+            parent_counts = np.bincount(fs.parent[wmask], minlength=fs.n_docs)
+            if req.per_parent:
+                need = parent_counts
+            bad = counts < need
+            if req.max is not None:
+                bad |= counts > req.max
+            bad &= parent_counts > 0
+        else:
+            bad = counts < need
+            if req.max is not None:
+                bad |= counts > req.max
         if consolidate:
             per_req.append((req, mask, counts, bad))
             continue
         doc_idx = np.flatnonzero(bad)
         sink.add_docs(
             fs, doc_idx,
-            source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+            source=src, severity=sev, rule_id=rule.id, error_code=code,
             path=req.kind,
             details=[
-                _canon_details({"kind": req.kind, "expected_min": req.min,
+                _canon_details({"kind": req.kind,
+                                "expected_min": int(need if np.isscalar(need)
+                                                    else need[d]),
                                 "expected_max": req.max, "actual": int(counts[d])})
                 for d in doc_idx
             ] if sink.emit_details else None,
@@ -602,7 +621,7 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
             doc_idx = np.flatnonzero(undecl_counts > 0)
             sink.add_docs(
                 fs, doc_idx,
-                source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+                source=src, severity=sev, rule_id=rule.id, error_code=code,
                 path="*",
                 details=[_canon_details({"undeclared_count": int(undecl_counts[d])})
                          for d in doc_idx] if sink.emit_details else None,
@@ -653,7 +672,7 @@ def k_required_spans(rule: RuleDef, fs: FlatSpans, sink: ViolationSink,
             ))
     sink.add_docs(
         fs, doc_idx,
-        source=E.SRC_BUSINESS, severity=sev, rule_id=rule.id, error_code=code,
+        source=src, severity=sev, rule_id=rule.id, error_code=code,
         path="spans", details=details,
     )
 

@@ -126,7 +126,7 @@ WHERE prev IS NOT NULL AND "offset" <= prev
 # offset within the SAME document.
 _REFS_CTE = """
 WITH refs AS (
-  SELECT doc_id, span_index, media_ref
+  SELECT doc_id, span_index, kind, media_ref
   FROM read_parquet('{flat}')
   WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''),
 parsed AS (

@@ -309,6 +309,140 @@ WHERE kind = 'image' AND (text IS NULL OR trim(text) = '')
 """
 
 
+def _spec_hints_query(sf_dir: str):
+    """Generated SPEC_HINT layer in isolation: hints extracted from the
+    default span schema (``spechint.py`` — the HL7 StructureDefinition
+    generator analogue, ``Authoring/Hl7SpecHintGenerator.cs``), compiled to
+    Advisory ``RequiredSpans`` rules and run in full mode. All emissions are
+    source=SPEC_HINT warnings (``UnifiedErrorModelBuilder.cs:497`` codes)."""
+    from ..spechint import DEFAULT_SPAN_SCHEMA, generate_spec_hints, spec_hint_rules
+
+    p = single_rule_profile("R1")
+    p["rules"] = spec_hint_rules(generate_spec_hints(DEFAULT_SPAN_SCHEMA))
+    p["settings"]["lint"] = False  # isolate the SPEC_HINT layer
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    v = validate_dataset(docs, p, emit_details=False, validation_mode="full")
+    return v.select_columns(["doc_id", "span_index", "error_code",
+                             "severity", "path"])
+
+
+def _spec_hints_sql() -> str:
+    """Oracle generated from the SAME hint catalog as the Ray query: per-doc
+    span-kind counts joined against the document universe (the nested table
+    — empty documents have no flat rows but must still violate simple
+    required hints)."""
+    from ..spechint import DEFAULT_SPAN_SCHEMA, generate_spec_hints, spec_hint_rules
+
+    parts = []
+    for rule in spec_hint_rules(generate_spec_hints(DEFAULT_SPAN_SCHEMA)):
+        req = rule["params"]["requirements"][0]
+        kind, code = req["kind"], rule["errorCode"]
+        child = (f"(SELECT doc_id, count(*) AS n FROM read_parquet('{{flat}}') "
+                 f"WHERE kind = '{kind}' GROUP BY doc_id)")
+        when = req.get("whenKind")
+        if when is None:
+            parts.append(f"""
+SELECT u.doc_id, CAST(-1 AS INTEGER) AS span_index,
+       '{code}' AS error_code, 'warning' AS severity, '{kind}' AS path
+FROM (SELECT doc_id FROM read_parquet('{{docs}}')) u
+LEFT JOIN {child} ck USING (doc_id)
+WHERE coalesce(ck.n, 0) < 1""")
+        else:
+            parent = (f"(SELECT doc_id, count(*) AS n FROM read_parquet('{{flat}}') "
+                      f"WHERE kind = '{when}' GROUP BY doc_id)")
+            need = "cp.n" if req.get("perParent") else "1"
+            parts.append(f"""
+SELECT u.doc_id, CAST(-1 AS INTEGER) AS span_index,
+       '{code}' AS error_code, 'warning' AS severity, '{kind}' AS path
+FROM (SELECT doc_id FROM read_parquet('{{docs}}')) u
+LEFT JOIN {child} ck USING (doc_id)
+LEFT JOIN {parent} cp USING (doc_id)
+WHERE coalesce(cp.n, 0) > 0 AND coalesce(ck.n, 0) < {need}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_EXPLAIN_RESULT_COLS = ["doc_id", "span_index", "error_code", "severity",
+                        "explain_what", "explain_how", "explain_confidence"]
+
+# CustomPredicate lane for the explanations query (low-confidence template)
+_C1_RULE = {"id": "C1", "type": "CustomPredicate", "kind": "Observation",
+            "fieldPath": "text", "params": {"expr": "text != 'cancelled'"}}
+
+
+def _explanations_query(sf_dir: str):
+    """Validation-issue explanations (``Authoring/ValidationExplanation
+    Service.cs``): a mixed-lane profile (Required / Regex / CodeSystem /
+    CustomPredicate / Reference) whose violations are enriched with the
+    deterministic what/how/confidence templates — every lane's confidence
+    tier (high / medium / low) and both interpolation shapes (constant
+    per-rule path, per-row reference path) are exercised."""
+    from ..explain import explain_violations
+
+    base = default_profile()
+    p = single_rule_profile("R1")
+    p["rules"] = [r for r in base["rules"]
+                  if r["id"] in ("R1", "R4", "R6", "R8")] + [dict(_C1_RULE)]
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    reg = registry_keys_numpy(paths["registry"])
+    v = validate_dataset(docs, p, registry_keys=reg, emit_details=False)
+    return explain_violations(v, p).select_columns(_EXPLAIN_RESULT_COLS)
+
+
+def _explanations_sql() -> str:
+    """Oracle assembled from the SAME template functions as the engine's
+    enrichment (``explain.rule_template``) applied to each lane's constant
+    rule path, plus the per-row reference-path interpolation as SQL
+    concatenation — string equality is by construction."""
+    from .. import explain as X
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    base = {r["id"]: r for r in default_profile()["rules"]}
+
+    def wrap(part: str, rule: dict, path: str) -> str:
+        t = X.rule_template(rule)
+        return (f"SELECT doc_id, span_index, error_code, severity,\n"
+                f"       '{esc(t.what(path))}' AS explain_what,\n"
+                f"       '{esc(t.how(path))}' AS explain_how,\n"
+                f"       '{t.confidence}' AS explain_confidence\n"
+                f"FROM ({part})")
+
+    ref_part = oracle._REFS_CTE + """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_NOT_FOUND' AS error_code, 'error' AS severity, kind
+FROM resolved
+WHERE NOT ok_local
+  AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{registry}'))
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_TYPE_MISMATCH' AS error_code, 'error' AS severity, kind
+FROM resolved WHERE ok_local AND target_kind <> claimed
+"""
+    ref_sql = (
+        "SELECT doc_id, span_index, error_code, severity,\n"
+        "       CASE WHEN error_code = 'REFERENCE_NOT_FOUND'\n"
+        f"            THEN '{esc(X.REF_NOT_FOUND_WHAT[0])}' || kind || "
+        f"'.media_ref' || '{esc(X.REF_NOT_FOUND_WHAT[1])}'\n"
+        f"            ELSE '{esc(X.REF_TYPE_WHAT)}' END AS explain_what,\n"
+        "       CASE WHEN error_code = 'REFERENCE_NOT_FOUND'\n"
+        f"            THEN '{esc(X.REF_NOT_FOUND_HOW)}'\n"
+        f"            ELSE '{esc(X.REF_TYPE_HOW)}' END AS explain_how,\n"
+        "       'high' AS explain_confidence\n"
+        f"FROM ({ref_part})"
+    )
+    parts = [
+        wrap(oracle.V_REQUIRED, base["R1"], "Patient.text"),
+        wrap(oracle.V_REGEX, base["R4"], "Patient.text"),
+        wrap(oracle.V_CODE_SYSTEM, base["R6"], "Coding.text"),
+        wrap(oracle.V_CUSTOM_PREDICATE, _C1_RULE, "Observation.text"),
+        ref_sql,
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _suggest_rules_query(sf_dir: str):
     """Debug-mode rule suggestions over the corpus (detector thresholds
     from ``Authoring/SystemRuleSuggestionService.cs:33-38``)."""
@@ -472,6 +606,8 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_lint": _lint_query,
         "c_suggest_rules": _suggest_rules_query,
         "v_extension": _extension_query,
+        "v_spec_hints": _spec_hints_query,
+        "v_explanations": _explanations_query,
         "v_json_ingest": _json_ingest_query,
         "v_primitive_date": _primitive_query("date", "date"),
         "v_primitive_datetime": _primitive_query("dateTime", "dateTime"),
@@ -509,6 +645,8 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_lint": _lint_sql(),
         "c_suggest_rules": _suggest_rules_sql(),
         "v_extension": V_EXTENSION_SQL,
+        "v_spec_hints": _spec_hints_sql(),
+        "v_explanations": _explanations_sql(),
         "v_json_ingest": _json_ingest_sql(),
         "v_primitive_date": oracle.primitive_sql("date", "date"),
         "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),

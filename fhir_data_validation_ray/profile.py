@@ -313,6 +313,14 @@ class SpanRequirement:
     min: int = 0
     max: int | None = None
     where: tuple[Condition, ...] = ()
+    # Document-level gate: the requirement applies only to documents that
+    # contain >=1 span of ``when_kind`` (the span-model analogue of a
+    # conditional spec hint's "<parent>.exists()" condition,
+    # ``Authoring/SpecHintService.cs:230-300``). ``per_parent`` scales the
+    # minimum to the per-document count of ``when_kind`` (AppliesToEach:
+    # each parent instance needs its own child, ``SpecHint.cs:46-54``).
+    when_kind: str | None = None
+    per_parent: bool = False
 
 
 @dataclass(frozen=True)
@@ -486,6 +494,8 @@ def parse_profile(obj: dict[str, Any]) -> Profile:
                         min=int(q.get("min", 0)),
                         max=(int(q["max"]) if q.get("max") is not None else None),
                         where=_parse_where(q.get("where")),
+                        when_kind=q.get("whenKind"),
+                        per_parent=bool(q.get("perParent", False)),
                     )
                 )
             params["requirements"] = reqs
