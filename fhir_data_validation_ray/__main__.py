@@ -72,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sample-rate", type=float, default=1.0)
     c.add_argument("--jaccard-threshold", type=float, default=0.8)
 
+    sg = sub.add_parser(
+        "suggest",
+        help="debug-mode system rule suggestions mined from the corpus "
+             "(FixedValue/AllowedValues/Required/Regex detectors with "
+             "confidence tiers), printed as JSON lines",
+    )
+    sg.add_argument("--sf-dir", required=True)
+    sg.add_argument("--replicas", type=int, default=1)
+
     e = sub.add_parser(
         "export",
         help="curate + deterministic shuffle + write one parquet dir per "
@@ -103,6 +112,17 @@ def main(argv: list[str] | None = None) -> int:
             emit_details=args.emit_details, validation_mode=args.mode,
         )
         print(json.dumps(run))
+    elif args.cmd == "suggest":
+        from .pipelines.validate import fixture_paths
+        from .sources.readers import read_documents
+        from .stages.suggest import suggest_rules
+
+        paths = fixture_paths(args.sf_dir, args.replicas)
+        rows = (suggest_rules(read_documents(paths["docs"]))
+                .to_pandas().sort_values(["kind", "rule_type", "param"])
+                .to_dict("records"))
+        for row in rows:
+            print(json.dumps(row))
     elif args.cmd == "curate":
         import ray.data as rd
 

@@ -122,9 +122,22 @@ def validation_response(
     errors = violations.limit(max_errors).to_pandas().to_dict("records")
     n_error = int(summary.loc[summary["severity"] == "error", "n"].sum())
     n_warning = int(summary.loc[summary["severity"] == "warning", "n"].sum())
+    suggestions = None
+    if validation_mode == "debug":
+        # Step-8 analogue: system rule suggestions, debug mode only
+        # (``Core/ValidationPipeline.cs:432-456``,
+        # ``Models/ValidationResponse.cs:29-33``). Result is bounded by
+        # (kinds x detectors); safe to collect.
+        from ..stages.suggest import suggest_rules
+
+        paths = fixture_paths(sf_dir, replicas)
+        suggestions = (suggest_rules(read_documents(paths["docs"]))
+                       .to_pandas().sort_values(["kind", "rule_type", "param"])
+                       .to_dict("records"))
     return {
         "isValid": n_error == 0,
         "errors": errors,
+        "suggestions": suggestions,
         "summary": {
             "totalErrors": n_error,
             "totalWarnings": n_warning,

@@ -27,6 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ELIGIBLE = float(os.environ.get("GRAFT_ELIGIBLE_CORES", "14"))
+# fallback 2-vs-8 lane (the round-3 same-ratio protocol for throttle
+# windows): eligible when the 8-spinner probe reads near-full, i.e. BOTH
+# measurement points sit inside the granted capacity
+ELIGIBLE_LO8 = float(os.environ.get("GRAFT_ELIGIBLE_CORES_LO8", "7.5"))
 PROBE_GAP_S = int(os.environ.get("GRAFT_PROBE_GAP_S", "25"))
 HI = int(os.environ.get("GRAFT_SCALING_HI", "16"))
 
@@ -40,15 +44,29 @@ def main() -> None:
     t_end = time.time() + budget_s
     done = 0
     while done < max_runs and time.time() < t_end:
+        lane = None  # (lo_cpus, label)
         e1 = effective_cores(HI)
-        if e1 < ELIGIBLE:
-            print(f"probe eff({HI})={e1} < {ELIGIBLE}; waiting", flush=True)
+        if e1 >= ELIGIBLE:
             time.sleep(PROBE_GAP_S)
-            continue
-        time.sleep(PROBE_GAP_S)
-        e2 = effective_cores(HI)
-        if e2 < ELIGIBLE:
-            print(f"second probe eff({HI})={e2} dropped; waiting", flush=True)
+            e2 = effective_cores(HI)
+            if e2 >= ELIGIBLE:
+                lane = (HI // 4, f"{HI // 4}v{HI}")
+        if lane is None:
+            # primary lane ineligible — try the same-ratio 2-vs-8 lane
+            e8 = effective_cores(8)
+            if e8 >= ELIGIBLE_LO8:
+                time.sleep(PROBE_GAP_S)
+                e8b = effective_cores(8)
+                if e8b >= ELIGIBLE_LO8:
+                    lane = (2, "2v8")
+                    e1, e2 = e8, e8b
+                else:
+                    print(f"2v8 second probe eff(8)={e8b} dropped", flush=True)
+            else:
+                print(f"probes ineligible (eff({HI})={e1}, eff(8)={e8}); "
+                      f"waiting", flush=True)
+        if lane is None:
+            time.sleep(PROBE_GAP_S)
             continue
         # two-lock protocol: the dev session touches /tmp/graft_dev.lock
         # around its pytest/drive runs; we expose /tmp/graft_scaling.lock
@@ -57,20 +75,25 @@ def main() -> None:
             print("dev lock present; waiting", flush=True)
             time.sleep(PROBE_GAP_S)
             continue
-        print(f"grant held ({e1}, {e2}); launching --scaling", flush=True)
+        lo, label = lane
+        print(f"grant held ({e1}, {e2}); launching --scaling [{label}]",
+              flush=True)
         open("/tmp/graft_scaling.lock", "w").write(str(os.getpid()))
+        env = dict(os.environ, GRAFT_SCALING_LO=str(lo),
+                   GRAFT_SCALING_HI=str(4 * lo))
         t0 = time.time()
         try:
             res = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-                capture_output=True, text=True, cwd=REPO,
+                capture_output=True, text=True, cwd=REPO, env=env,
             )
         finally:
             try:
                 os.remove("/tmp/graft_scaling.lock")
             except OSError:
                 pass
-        rec: dict = {"probes": [e1, e2], "wall_s": round(time.time() - t0, 1)}
+        rec: dict = {"lane": label, "probes": [e1, e2],
+                     "wall_s": round(time.time() - t0, 1)}
         try:
             rec.update(json.loads(res.stdout.strip().splitlines()[-1]))
         except Exception:

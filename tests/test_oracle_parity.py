@@ -52,12 +52,19 @@ def test_validation_response_shape(ray_session):
     from fhir_data_validation_ray.pipelines.validate import validation_response
 
     resp = validation_response("/root/testdata/sf0.001", max_errors=10)
-    assert set(resp) == {"isValid", "errors", "summary", "metadata"}
+    assert set(resp) == {"isValid", "errors", "suggestions", "summary", "metadata"}
     assert resp["isValid"] is False  # fixture corpus has injected defects
     assert len(resp["errors"]) == 10
     assert {"doc_id", "span_index", "error_code", "severity"} <= set(resp["errors"][0])
     assert resp["summary"]["totalErrors"] > 0
     assert resp["metadata"]["processingTimeMs"] > 0
+    # suggestions are debug-mode-only (ValidationPipeline.cs:432-456)
+    assert resp["suggestions"] is None
+    dbg = validation_response("/root/testdata/sf0.001", max_errors=1,
+                              validation_mode="debug")
+    assert dbg["suggestions"], "debug mode returns system rule suggestions"
+    assert {"kind", "rule_type", "param", "n_samples", "n_match",
+            "confidence"} <= set(dbg["suggestions"][0])
 
 
 def test_stage_rank_deterministic_order(ray_session):
