@@ -72,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sample-rate", type=float, default=1.0)
     c.add_argument("--jaccard-threshold", type=float, default=0.8)
 
+    rv = sub.add_parser(
+        "review",
+        help="governance rule-set review (metadata-only, no data access): "
+             "per-rule issues as JSON lines + one summary line; exits "
+             "nonzero when BLOCKED",
+    )
+    rv.add_argument("--profile", default=None,
+                    help="rules.json path (default: built-in)")
+
     sg = sub.add_parser(
         "suggest",
         help="debug-mode system rule suggestions mined from the corpus "
@@ -101,6 +110,20 @@ def main(argv: list[str] | None = None) -> int:
                         "pos-sorted part files per shard chunk)")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "review":  # driver-side only: no Ray session needed
+        from dataclasses import asdict
+
+        from .governance import review_rule_set, review_summary
+
+        results = review_rule_set(_load_profile(args.profile).get("rules", []))
+        for res in results:
+            print(json.dumps({"ruleId": res.rule_id, "status": res.status,
+                              "issues": [asdict(i) for i in res.issues]}))
+        summary = review_summary(results)
+        print(json.dumps(summary))
+        return 0 if summary["exportable"] else 2
+
     _ensure_ray()
 
     if args.cmd == "validate":

@@ -188,7 +188,7 @@ class ProfileStore:
         canon = json.dumps(profile_obj, sort_keys=True, separators=(",", ":"))
         return hashlib.sha256(canon.encode()).hexdigest()[:12]
 
-    def publish(self, profile_obj: dict) -> dict:
+    def publish(self, profile_obj: dict, *, review: bool = False) -> dict:
         import fcntl
         import json
         import os
@@ -196,6 +196,18 @@ class ProfileStore:
         from ..profile import parse_profile
 
         parse_profile(profile_obj)  # compile check: never publish a broken profile
+        if review:
+            # governance gate (``RuleReviewResult.cs:20-22``: BLOCKED =
+            # cannot be saved or exported). Opt-in: the review contract
+            # deliberately flags rule shapes this engine supports but the
+            # reference's authoring UI blocks (see governance.py docstring).
+            from ..governance import review_rule_set, review_summary
+
+            summary = review_summary(review_rule_set(
+                profile_obj.get("rules", []) or []))
+            if not summary["exportable"]:
+                raise ValueError(
+                    f"governance review BLOCKED publish: {summary['blocked']}")
         version = str(profile_obj.get("version", "1.0"))
         h = self._hash(profile_obj)
         # exclusive lock serializes the manifest read-modify-write: without
