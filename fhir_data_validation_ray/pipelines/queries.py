@@ -546,6 +546,37 @@ def _summary_query(sf_dir: str):
     return v.groupby(["error_code", "severity"]).aggregate(Count(alias_name="n"))
 
 
+def _summary_full_query(sf_dir: str):
+    """Full-analysis-mode summary: the default profile PLUS every advisory
+    layer (auto-injected LINT catalog + generated SPEC_HINT rules) counted
+    by (error_code, severity) — the end-to-end composition check that the
+    mode gating, Advisory downgrades and layer ordering all hold at once
+    (``Core/ValidationPipeline.cs:106-175`` layering)."""
+    from ray.data.aggregate import Count
+
+    from ..spechint import DEFAULT_SPAN_SCHEMA, generate_spec_hints, spec_hint_rules
+
+    p = default_profile()
+    p["rules"] = list(p["rules"]) + spec_hint_rules(
+        generate_spec_hints(DEFAULT_SPAN_SCHEMA))
+    p["settings"].update({"lintYearMin": LINT_YEAR_WINDOW[0],
+                          "lintYearMax": LINT_YEAR_WINDOW[1]})
+    v = _violations_for(sf_dir, p, validation_mode="full")
+    return v.groupby(["error_code", "severity"]).aggregate(Count(alias_name="n"))
+
+
+def _summary_full_sql() -> str:
+    base_body = (oracle.summary_sql()
+                 .split("FROM (\n", 1)[1].rsplit("\n) GROUP BY", 1)[0])
+    spec = ("SELECT doc_id, span_index, error_code, severity FROM ("
+            + _spec_hints_sql() + ")")
+    body = (base_body
+            + "\nUNION ALL\nSELECT * FROM (" + _lint_sql() + ")"
+            + "\nUNION ALL\n" + spec)
+    return ("SELECT error_code, severity, CAST(count(*) AS BIGINT) AS n "
+            "FROM (\n" + body + "\n) GROUP BY error_code, severity")
+
+
 EXAMPLES_PER_CODE = 3
 
 
@@ -620,6 +651,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_reference_join": _reference_join_query,
         "v_uniqueness": _uniqueness_query,
         "v_summary": _summary_query,
+        "v_summary_full": _summary_full_query,
         "v_examples": _examples_query,
     }
 
@@ -659,6 +691,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_reference_join": oracle.V_REFERENCE_JOIN,
         "v_uniqueness": oracle.V_UNIQUENESS,
         "v_summary": oracle.summary_sql(),
+        "v_summary_full": _summary_full_sql(),
         "v_examples": oracle.examples_sql(EXAMPLES_PER_CODE),
     }
     full = dict(paths)
