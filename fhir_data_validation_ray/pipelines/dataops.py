@@ -1189,6 +1189,62 @@ def q_frame_sample(sf_dir: str):
     ).select_columns(["media_ref", "frame_index"])
 
 
+def q_crossmodal_topk(sf_dir: str):
+    """Text-to-image retrieval through the shared caption-bridge embedding
+    space (decode -> caption tokens -> FNV hash-embed -> broadcast query
+    matmul -> two-level top-k fold). Integer scores, deterministic ties."""
+    from ..stages.multimodal import crossmodal_topk
+    from .validate import fixture_paths
+
+    return crossmodal_topk(fixture_paths(sf_dir)["registry"])
+
+
+def _crossmodal_sql(sf_dir: str) -> str:
+    """Oracle: meta recomputed from FNV(media_ref) (the m_image_meta
+    derivation), caption-token component vectors precomputed in Python with
+    the SAME embed_text fold and emitted as CASE lookups over the closed
+    bucket vocabulary, integer dot against the literal query vectors,
+    row_number top-k."""
+    from ..stages.multimodal import CM_DIM, CM_QUERIES, embed_text
+    from .validate import fixture_paths
+
+    reg = fixture_paths(sf_dir)["registry"]
+    h = _fnv_sql("media_ref")
+    img = embed_text("image", CM_DIM)
+    wv = {b: embed_text(f"w{b}", CM_DIM) for b in range(5)}
+    hv = {b: embed_text(f"h{b}", CM_DIM) for b in range(5)}
+    cv = {b: embed_text(f"c{b}", CM_DIM) for b in range(1, 5)}
+    e_cols = []
+    for j in range(CM_DIM):
+        wcase = " ".join(f"WHEN {b} THEN {int(v[j])}" for b, v in wv.items())
+        hcase = " ".join(f"WHEN {b} THEN {int(v[j])}" for b, v in hv.items())
+        ccase = " ".join(f"WHEN {b} THEN {int(v[j])}" for b, v in cv.items())
+        e_cols.append(
+            f"({int(img[j])} + (CASE wb {wcase} END) + (CASE hb {hcase} END)"
+            f" + (CASE cb {ccase} END)) AS e{j}")
+    q_parts = []
+    for qi, q in enumerate(CM_QUERIES):
+        qv = embed_text(q, CM_DIM)
+        dot = " + ".join(f"({int(qv[j])}) * e{j}" for j in range(CM_DIM))
+        q_parts.append(f"SELECT CAST({qi} AS BIGINT) AS query_id, media_ref, "
+                       f"CAST({dot} AS BIGINT) AS score FROM e")
+    return f"""
+WITH r AS (SELECT media_ref, {h} AS h FROM read_parquet('{reg}')
+           WHERE kind = 'image'),
+m AS (SELECT media_ref,
+        CAST((16 + h % 1024) // 256 AS BIGINT) AS wb,
+        CAST((16 + (h >> 10) % 1024) // 256 AS BIGINT) AS hb,
+        CAST(1 + h % 4 AS BIGINT) AS cb FROM r),
+e AS (SELECT media_ref, {", ".join(e_cols)} FROM m),
+s AS ({" UNION ALL ".join(q_parts)})
+SELECT query_id, media_ref, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, media_ref) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
+
 def q_phash_dups(sf_dir: str):
     """Image near-dup pairs by perceptual hash (aHash over decoded 8x8
     thumbnails, banded Hamming search) over the image-variants media table
@@ -1720,6 +1776,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "m_frame_sample": q_frame_sample,
         "m_phash_dups": q_phash_dups,
         "m_audio_dups": q_audio_dups,
+        "m_crossmodal_topk": q_crossmodal_topk,
         "a_stats_nchars": q_stats_nchars,
         "a_histogram_nchars": q_histogram_nchars,
         "a_column_profile": q_column_profile,
@@ -3259,4 +3316,5 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_gram_spectrum": GRAM_SPECTRUM_SQL,
         "w_burst_windows": BURST_SQL,
         **_media_oracles(sf_dir),
+        "m_crossmodal_topk": _crossmodal_sql(sf_dir),
     }

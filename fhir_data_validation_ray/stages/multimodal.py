@@ -556,3 +556,142 @@ def media_pipeline(source: str, *, kind: str, stage, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------- cross-modal retrieval
+# Text-query -> media top-k through a SHARED integer embedding space: media
+# payloads decode (actor pool) to a caption-token bridge string — the
+# quantized-metadata stand-in for a real joint encoder's caption tower —
+# and both sides embed with textops.hash_embed's FNV word fold, so the
+# whole retrieval path (decode -> caption -> embed -> broadcast-query
+# matmul -> two-level top-k fold) is exactly SQL-checkable. Swapping a real
+# CLIP-style encoder in is a one-stage change (CaptionEmbedStage keeps the
+# actor signature); the Ray-side plumbing is the deliverable.
+
+CM_DIM = 8
+# queries live in the caption-token vocabulary (w/h buckets 0-4 = dim//256,
+# channels 1-4)
+CM_QUERIES = (
+    "image w0 h0 c1", "image w1 h2 c3", "image w2 h1 c2",
+    "image w3 h3 c4", "image w4 h0 c2",
+)
+
+
+def caption_text(w: int, h: int, c: int) -> str:
+    """Quantized caption-token bridge for an image: buckets of 256px."""
+    return f"image w{w // 256} h{h // 256} c{c}"
+
+
+def embed_text(text: str, dim: int = CM_DIM) -> np.ndarray:
+    """Driver-side single-string twin of ``textops.hash_embed``: component
+    j = sum over words of FNV(word + '#j') % 15 - 7."""
+    words = np.array([w for w in text.split(" ") if w], dtype="U")
+    vec = np.zeros(dim, dtype=np.int64)
+    if words.size == 0:
+        return vec
+    for j in range(dim):
+        vals = (hash_str(np.char.add(words, f"#{j}"))
+                % np.uint64(15)).astype(np.int64) - 7
+        vec[j] = int(vals.sum())
+    return vec
+
+
+class CaptionStage:
+    """Actor: image payload -> (doc_id=media_ref, text=caption tokens)."""
+
+    def __init__(self, codec: str = "auto"):
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [self.codec.image_meta(p) for p in batch["payload"].to_pylist()]
+        caps = [caption_text(w, h, c) for (w, h, c) in metas]
+        return pa.table({"doc_id": batch["media_ref"],
+                         "text": pa.array(caps, pa.string())})
+
+
+def _merge_cm_topk(t: pa.Table, k: int) -> pa.Table:
+    """(query_id, media_ref, score) candidates -> <= k rows per query,
+    deterministic ties (score DESC, media_ref ASC), cross-batch (query,
+    ref) dups collapsed. Serves as per-task combine AND final merge."""
+    q = np.asarray(t["query_id"]).astype(np.int64)
+    r = t["media_ref"].to_numpy(zero_copy_only=False).astype("U")
+    s = np.asarray(t["score"]).astype(np.int64)
+    order = np.lexsort((r, -s, q))
+    q, r, s = q[order], r[order], s[order]
+    keep_first = np.ones(len(q), dtype=bool)
+    if len(q) > 1:
+        keep_first[1:] = (q[1:] != q[:-1]) | (r[1:] != r[:-1])
+    q, r, s = q[keep_first], r[keep_first], s[keep_first]
+    new_q = np.ones(len(q), dtype=bool)
+    new_q[1:] = q[1:] != q[:-1]
+    starts = np.flatnonzero(new_q)
+    rank = (np.arange(len(q))
+            - np.repeat(starts, np.diff(np.append(starts, len(q)))) + 1)
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(q[keep]),
+        "media_ref": pa.array(r[keep].tolist(), pa.string()),
+        "score": pa.array(s[keep]),
+        "rank": pa.array(rank[keep].astype(np.int64)),
+    })
+
+
+def crossmodal_topk(registry_path: str, *, queries=CM_QUERIES, k: int = 5,
+                    dim: int = CM_DIM, streaming: bool = True):
+    """Text-to-image retrieval: exact integer-dot top-k per query over the
+    caption-bridge embeddings. The query matrix broadcasts ONCE via
+    ``ray.put``; media stream through decode -> caption -> embed -> a
+    stateless per-batch matmul; candidates fold two-level (per-task combine
+    then a <= n_tasks x nq x k driver merge) like ``similarity._fold_topk``.
+
+    Returns Dataset[query_id, media_ref, score, rank] (rank 1-based,
+    ties score DESC then media_ref ASC)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.collect import collect_table
+    from .textops import hash_embed
+
+    caps = media_pipeline(registry_path, kind="image",
+                          stage=(CaptionStage, {}), streaming=streaming)
+    emb = hash_embed(caps, dim=dim)
+    qm = np.stack([embed_text(q, dim) for q in queries])  # (nq, dim)
+    q_ref = ray.put(qm)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        m = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+        n = t.num_rows
+        e = np.stack([np.asarray(t[f"e{j}"], dtype=np.int64)
+                      for j in range(dim)], axis=1) if n else np.zeros((0, dim), np.int64)
+        scores = e @ m.T  # (n, nq) int64
+        kk = min(k, n)
+        refs = t["doc_id"].to_numpy(zero_copy_only=False)
+        qs, rs, ss = [], [], []
+        for qi in range(len(m)):
+            col = scores[:, qi]
+            idx = (np.argpartition(-col, kk - 1)[:kk]
+                   if 0 < kk < n else np.arange(n))
+            qs.append(np.full(len(idx), qi, dtype=np.int64))
+            rs.append(refs[idx])
+            ss.append(col[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs) if qs else
+                                 np.empty(0, np.int64)),
+            "media_ref": pa.array(np.concatenate(rs).tolist() if rs else [],
+                                  pa.string()),
+            "score": pa.array(np.concatenate(ss) if ss else
+                              np.empty(0, np.int64)),
+        })
+
+    cand = emb.map_batches(local_topk, batch_format="pyarrow")
+    combined = cand.map_batches(
+        lambda t: _merge_cm_topk(t, k), batch_format="pyarrow",
+        batch_size=max(4096, 64 * len(queries) * k),
+    )
+    schema = pa.schema([("query_id", pa.int64()), ("media_ref", pa.string()),
+                        ("score", pa.int64()), ("rank", pa.int64())])
+    tbl = collect_table(combined, empty_schema=schema)
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return rd.from_arrow(pa.table({c: pa.array([], t) for c, t in
+                                       zip(schema.names, schema.types)}))
+    return rd.from_arrow(_merge_cm_topk(tbl, k))

@@ -150,3 +150,56 @@ def test_phash_finds_twin_pairs(ray_session):
     }
     assert want <= got  # twins within threshold all found (plus coincidences)
     assert len(want) > 0  # the fixture actually exercises the operator
+
+
+# ---------------------------------------------------- cross-modal retrieval
+def test_embed_text_matches_hash_embed(ray_session):
+    """Driver-side embed_text is the single-string twin of the distributed
+    textops.hash_embed fold (same FNV word formula)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.multimodal import CM_DIM, embed_text
+    from fhir_data_validation_ray.stages.textops import hash_embed
+
+    texts = ["image w0 h0 c1", "image w4 h3 c2", "", "solo"]
+    ds = rd.from_arrow(pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                                 "text": texts}))
+    rows = sorted(hash_embed(ds, dim=CM_DIM).take_all(),
+                  key=lambda r: r["doc_id"])
+    for r, text in zip(rows, texts):
+        want = embed_text(text, CM_DIM)
+        got = np.array([r[f"e{j}"] for j in range(CM_DIM)])
+        assert (got == want).all(), (text, got, want)
+
+
+def test_crossmodal_topk_shape_and_determinism(ray_session, tmp_path):
+    import numpy as np
+
+    from fhir_data_validation_ray.pipelines.validate import fixture_paths
+    from fhir_data_validation_ray.stages.multimodal import (
+        CM_QUERIES,
+        crossmodal_topk,
+    )
+
+    reg = fixture_paths("/root/testdata/sf0.001")["registry"]
+    out = crossmodal_topk(reg, k=3).take_all()
+    # 3 rows per query, ranks 1..3, scores non-increasing within a query
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(len(CM_QUERIES)))
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # ties broken by media_ref ascending
+        for a, b in zip(rows, rows[1:]):
+            if a["score"] == b["score"]:
+                assert a["media_ref"] < b["media_ref"]
+    # deterministic across runs
+    out2 = crossmodal_topk(reg, k=3).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(out, key=key) == sorted(out2, key=key)
