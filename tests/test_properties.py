@@ -548,3 +548,131 @@ def test_gini_closed_form_matches_bruteforce(counts):
         s += int(m[j])
     assert 2 * ic - (n + 1) * total == brute_num
     assert n * total == brute_den
+
+
+# ------------------------------------------------ spec-hint generator (r4)
+_kind_name = st.sampled_from(
+    ["Patient", "Observation", "Coding", "Encounter", "text", "date"])
+
+
+@st.composite
+def _span_schema(draw):
+    """Random span schema: a root definition plus optional nested children,
+    skip-rule paths and constraint keys — shaped like DEFAULT_SPAN_SCHEMA
+    but adversarial (missing keys, zero mins, dangling conditions)."""
+    root = "Doc"
+    elements = [{"path": root, "min": 0, "max": "*"}]
+    kinds = draw(st.lists(_kind_name, min_size=0, max_size=5, unique=True))
+    constraints = {}
+    for i, k in enumerate(kinds):
+        el = {"path": f"{root}.{k}"}
+        if draw(st.booleans()):
+            el["min"] = draw(st.integers(0, 2))
+        if draw(st.booleans()):
+            el["max"] = draw(st.sampled_from(["1", "*"]))
+        if draw(st.booleans()):
+            key = f"c-{i}"
+            el["condition"] = [key]
+            if draw(st.booleans()):
+                constraints[key] = {
+                    "expression": draw(st.sampled_from(
+                        ["Screening.exists()", "exists(Question)",
+                         "kind = 'x'", ""]))}
+        elements.append(el)
+        if draw(st.booleans()):
+            elements.append({"path": f"{root}.{k}.text",
+                             "min": draw(st.integers(0, 1)),
+                             "max": "1"})
+    elements.append({"path": f"{root}.id", "min": 1})
+    return {"fhirVersion": "R4",
+            "definitions": [{"name": root, "kind": "resource", "type": root,
+                             "elements": elements,
+                             "constraints": constraints}]}
+
+
+@settings(max_examples=40, deadline=None)
+@given(_span_schema())
+def test_spec_hint_pipeline_total_and_compilable(schema):
+    """generate_spec_hints never raises on adversarial schemas; every
+    generated rule compiles through parse_profile; hints for min=0 or
+    skip-rule paths never appear; conditional rules always carry a
+    compilable whenKind."""
+    from fhir_data_validation_ray.profile import parse_profile
+    from fhir_data_validation_ray.spechint import (
+        generate_spec_hints,
+        parse_exists_condition,
+        spec_hint_rules,
+    )
+
+    catalog = generate_spec_hints(schema)
+    by_path = {e["path"]: e for e in schema["definitions"][0]["elements"]}
+    for hints in catalog.values():
+        for h in hints:
+            el = by_path["Doc." + h.path]
+            assert int(el.get("min", 0) or 0) > 0
+            assert not h.path.endswith(".id")
+            if h.is_conditional:
+                assert h.condition
+    rules = spec_hint_rules(catalog)
+    for r in rules:
+        req = r["params"]["requirements"][0]
+        if "whenKind" in req:
+            assert req["whenKind"]  # parsed from an exists() condition
+        assert r["errorCode"] in ("MISSING_REQUIRED_FIELD",
+                                  "SPEC_REQUIRED_CONDITIONAL")
+    if rules:
+        p = {"version": "1.0", "rules": rules, "settings": {},
+             "allowedKinds": []}
+        parse_profile(p)  # must compile
+    # non-exists conditions are dropped, never mis-compiled
+    for hints in catalog.values():
+        for h in hints:
+            if h.is_conditional and parse_exists_condition(h.condition) is None:
+                assert all(
+                    rr["params"]["specHint"]["path"] != h.path or
+                    "whenKind" in rr["params"]["requirements"][0]
+                    for rr in rules
+                    if rr["errorCode"] == "SPEC_REQUIRED_CONDITIONAL")
+
+
+_rule_dict = st.fixed_dictionaries(
+    {"id": st.text(min_size=1, max_size=4),
+     "type": st.sampled_from(
+         ["Required", "Regex", "CodeSystem", "QuestionAnswer",
+          "RequiredSpans", "Reference", "FullUrlIdMatch", "Nonsense"])},
+    optional={
+        "fieldPath": st.sampled_from(["", "text", "media_ref"]),
+        "errorCode": st.sampled_from(["", "X", "Y"]),
+        "params": st.fixed_dictionaries({}, optional={
+            "system": st.sampled_from(["", "https://x"]),
+            "codes": st.just(["a"]),
+            "questions": st.just([{"code": "Q1", "type": "boolean"}]),
+            "requirements": st.lists(st.fixed_dictionaries(
+                {}, optional={"kind": st.sampled_from(["", "P", "Q"]),
+                              "min": st.integers(-1, 3),
+                              "max": st.integers(-1, 3)}), max_size=3),
+        }),
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_rule_dict, max_size=6))
+def test_governance_review_total_and_monotone(rules):
+    """review_rule_set never raises on arbitrary rule dicts; each result
+    status equals the max severity of its issues; the summary's blocked
+    list matches the per-rule statuses."""
+    from fhir_data_validation_ray.governance import (
+        _RANK,
+        review_rule_set,
+        review_summary,
+    )
+
+    results = review_rule_set(rules)
+    assert len(results) == len(rules)
+    for res in results:
+        want = max((_RANK[i.severity] for i in res.issues), default=0)
+        assert _RANK[res.status] == want
+    s = review_summary(results)
+    assert s["exportable"] == (s["status"] != "BLOCKED")
+    assert set(s["blocked"]) == {r.rule_id for r in results
+                                 if r.status == "BLOCKED"}
