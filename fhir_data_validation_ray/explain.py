@@ -247,3 +247,71 @@ def explain_violations(violations, profile_obj: dict[str, Any]):
                 .append_column("explain_confidence", confidence)
 
     return violations.map_batches(enrich, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- message token resolver
+# ``Services/MessageTokenResolver.cs:16-141`` — custom rule-message templates
+# rendered from rule metadata (+ optional runtime context). Ported exactly,
+# including two behavioral quirks the reference ships: (1) ReplaceToken
+# substitutes the single-brace form FIRST, so a double-braced "{{token}}"
+# degrades to "{value}"; (2) the final cleanup regex strips EVERY remaining
+# "{...}" — together a double-braced token renders as empty unless its value
+# contains no braces-free remainder. Tests pin both.
+import re as _re
+
+_UNRESOLVED_RE = _re.compile(r"\{\{?[^}]+\}\}?")
+
+
+def _replace_token(template: str, name: str, value: str) -> str:
+    template = template.replace("{%s}" % name, value)
+    return template.replace("{{%s}}" % name, value)
+
+
+def resolve_message_tokens(template: str | None, rule: dict,
+                           runtime_context: dict | None = None) -> str | None:
+    """Resolve all tokens in a rule's custom message template."""
+    if not template:
+        return template
+    resolved = template
+    field_path = str(rule.get("fieldPath", "") or "")
+    kind = str(rule.get("kind", rule.get("resourceType", "")) or "")
+    full_path = f"{kind}.{field_path}" if field_path else kind
+    resolved = _replace_token(resolved, "resource", kind)
+    resolved = _replace_token(resolved, "path", field_path)
+    resolved = _replace_token(resolved, "fieldPath", field_path)
+    resolved = _replace_token(resolved, "fullPath", full_path)
+    resolved = _replace_token(resolved, "ruleType", str(rule.get("type", "") or ""))
+    resolved = _replace_token(resolved, "severity", str(rule.get("severity", "") or ""))
+    params = rule.get("params") or {}
+    if "value" in params:
+        resolved = _replace_token(resolved, "expected", str(params["value"] or ""))
+    for key in ("values", "codes"):
+        vals = params.get(key)
+        if vals:
+            allowed = ", ".join(f'"{v}"' for v in vals)
+            resolved = _replace_token(resolved, "allowed", allowed)
+            resolved = _replace_token(resolved, "count", str(len(vals)))
+    if "pattern" in params:
+        resolved = _replace_token(resolved, "pattern", str(params["pattern"] or ""))
+    if "min" in params:
+        resolved = _replace_token(resolved, "min", str(params["min"] or ""))
+    if "max" in params:
+        resolved = _replace_token(resolved, "max", str(params["max"] or ""))
+    if "system" in params:
+        system = str(params["system"] or "")
+        resolved = _replace_token(resolved, "system",
+                                  system.split("/")[-1] or system)
+    if "code" in params:
+        resolved = _replace_token(resolved, "code", str(params["code"] or ""))
+    if "display" in params:
+        resolved = _replace_token(resolved, "display", str(params["display"] or ""))
+    for key in ("expression", "expr"):
+        if key in params:
+            resolved = _replace_token(resolved, "expression",
+                                      str(params[key] or ""))
+    if runtime_context:
+        for tok in ("actual", "result"):
+            if tok in runtime_context:
+                resolved = _replace_token(resolved, tok,
+                                          str(runtime_context[tok] or ""))
+    return _UNRESOLVED_RE.sub("", resolved)

@@ -120,6 +120,19 @@ def validation_response(
                                 validation_mode=validation_mode)
     summary = summarize(violations)
     errors = violations.limit(max_errors).to_pandas().to_dict("records")
+    # render authored message templates into the bounded error sample
+    # (``Services/MessageTokenResolver.cs:16-141``; tokens resolve from
+    # rule metadata, so rendering happens once per sampled row, never in
+    # the streaming hot path)
+    templates = {r["id"]: r for r in profile_obj.get("rules", [])
+                 if r.get("message")}
+    if templates:
+        from ..explain import resolve_message_tokens
+
+        for e in errors:
+            rule = templates.get(e.get("rule_id"))
+            if rule is not None:
+                e["message"] = resolve_message_tokens(rule["message"], rule)
     n_error = int(summary.loc[summary["severity"] == "error", "n"].sum())
     n_warning = int(summary.loc[summary["severity"] == "warning", "n"].sum())
     suggestions = None

@@ -202,3 +202,48 @@ def test_explain_violations_source_lanes(ray_session):
     # advisory spec-hint lane -> advisory template, low confidence
     assert by_code["MISSING_REQUIRED_FIELD"]["explain_what"] == ADVISORY_WHAT
     assert by_code["MISSING_REQUIRED_FIELD"]["explain_confidence"] == "low"
+
+
+# --------------------------------------------------- message token resolver
+def test_resolve_message_tokens_reference_semantics():
+    from fhir_data_validation_ray.explain import resolve_message_tokens
+
+    rule = {"id": "X", "type": "Regex", "kind": "Patient",
+            "fieldPath": "text", "severity": "error",
+            "params": {"pattern": "^a$", "values": ["x", "y"],
+                       "system": "https://example.org/cs/language",
+                       "min": 1, "max": 3}}
+    out = resolve_message_tokens(
+        "{resource}/{path} [{fullPath}] {ruleType}/{severity}: "
+        "pattern {pattern}, allowed {allowed} (n={count}), "
+        "range {min}-{max}, system {system}", rule)
+    assert out == ("Patient/text [Patient.text] Regex/error: "
+                   "pattern ^a$, allowed \"x\", \"y\" (n=2), "
+                   "range 1-3, system language")
+    # unresolved tokens are stripped (MessageTokenResolver.cs:138-139)
+    assert resolve_message_tokens("a {nope} b", rule) == "a  b"
+    # double-braced tokens degrade to {value} and the cleanup strips them —
+    # the reference's exact ReplaceToken ordering quirk, pinned here
+    assert resolve_message_tokens("{{path}} kept-tail", rule) == " kept-tail"
+    # runtime context
+    assert resolve_message_tokens("got {actual}", rule,
+                                  {"actual": "zz"}) == "got zz"
+    # empty/None templates pass through
+    assert resolve_message_tokens(None, rule) is None
+    assert resolve_message_tokens("", rule) == ""
+    # empty fieldPath -> fullPath is just the kind
+    r2 = {"id": "Y", "type": "RequiredSpans", "kind": "*", "params": {}}
+    assert resolve_message_tokens("{fullPath}", r2) == "*"
+
+
+def test_response_renders_authored_messages(ray_session):
+    from fhir_data_validation_ray.pipelines.profiles import single_rule_profile
+    from fhir_data_validation_ray.pipelines.validate import validation_response
+
+    p = single_rule_profile("R1")
+    p["rules"][0]["message"] = "Field {fullPath} is required ({ruleType})"
+    resp = validation_response("/root/testdata/sf0.001", p, max_errors=5)
+    msgs = [e.get("message") for e in resp["errors"]
+            if e["rule_id"] == "R1"]
+    assert msgs and all(
+        m == "Field Patient.text is required (Required)" for m in msgs)
