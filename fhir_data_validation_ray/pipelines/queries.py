@@ -577,6 +577,82 @@ def _summary_full_sql() -> str:
             "FROM (\n" + body + "\n) GROUP BY error_code, severity")
 
 
+# 3-tier fix-expectation hierarchy of the validation results surface
+# (``docs/VALIDATION_HIERARCHICAL_GROUPING.md``): project rules (must fix),
+# FHIR correctness (must fix), governance review (recommended/advisory).
+SOURCE_TIER = {
+    "Business": "project_rules",
+    "STRUCTURE": "fhir_correctness",
+    "CodeMaster": "fhir_correctness",
+    "Reference": "fhir_correctness",
+    "LINT": "governance_review",
+    "SPEC_HINT": "governance_review",
+}
+
+
+def _tiered_summary_query(sf_dir: str):
+    """Counts by (tier, source) over the full-analysis-mode run — the
+    hierarchical grouping a user reads to answer "what must I fix"."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..spechint import DEFAULT_SPAN_SCHEMA, generate_spec_hints, spec_hint_rules
+
+    p = default_profile()
+    p["rules"] = list(p["rules"]) + spec_hint_rules(
+        generate_spec_hints(DEFAULT_SPAN_SCHEMA))
+    p["settings"].update({"lintYearMin": LINT_YEAR_WINDOW[0],
+                          "lintYearMax": LINT_YEAR_WINDOW[1]})
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    reg = registry_keys_numpy(paths["registry"])
+    v = validate_dataset(docs, p, registry_keys=reg, emit_details=False,
+                         validation_mode="full")
+    sources = pa.array(list(SOURCE_TIER), pa.string())
+    tiers = pa.array(list(SOURCE_TIER.values()), pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["source"], value_set=sources)
+        return t.append_column("tier", pc.take(tiers, idx))
+
+    return (v.map_batches(tag, batch_format="pyarrow")
+             .groupby(["tier", "source"]).aggregate(Count(alias_name="n")))
+
+
+def _tiered_summary_sql() -> str:
+    """Each full-mode oracle part is tagged with its (tier, source) BY
+    CONSTRUCTION (the part IS the source's check), so the mapping cannot
+    drift from a hand-kept code table."""
+    part_sources = [
+        (oracle.V_REQUIRED, "Business"),
+        (oracle.V_FIXED_VALUE, "Business"),
+        (oracle.V_ALLOWED_VALUES, "Business"),
+        (oracle.V_REGEX, "Business"),
+        (oracle.V_ARRAY_LENGTH, "Business"),
+        (oracle.V_CODE_SYSTEM, "Business"),
+        (oracle.V_REQUIRED_SPANS, "Business"),
+        (oracle.V_QUESTION_ANSWER, "Business"),
+        (oracle.V_CODE_MASTER, "CodeMaster"),
+        (oracle.V_STRUCTURE, "STRUCTURE"),
+        (oracle.V_REFERENCE_REQUIRE, "Reference"),
+        (oracle.primitive_sql("date", "date"), "STRUCTURE"),
+        (oracle.primitive_sql("dateTime", "dateTime"), "STRUCTURE"),
+        (oracle.primitive_sql("uri", "uri"), "STRUCTURE"),
+        (_lint_sql(), "LINT"),
+        ("SELECT doc_id, span_index, error_code, severity FROM ("
+         + _spec_hints_sql() + ")", "SPEC_HINT"),
+    ]
+    parts = [
+        f"SELECT '{SOURCE_TIER[src]}' AS tier, '{src}' AS source "
+        f"FROM ({sql})"
+        for sql, src in part_sources
+    ]
+    return ("SELECT tier, source, CAST(count(*) AS BIGINT) AS n FROM (\n"
+            + "\nUNION ALL\n".join(parts)
+            + "\n) GROUP BY tier, source")
+
+
 EXAMPLES_PER_CODE = 3
 
 
@@ -652,6 +728,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_uniqueness": _uniqueness_query,
         "v_summary": _summary_query,
         "v_summary_full": _summary_full_query,
+        "v_tiered_summary": _tiered_summary_query,
         "v_examples": _examples_query,
     }
 
@@ -692,6 +769,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_uniqueness": oracle.V_UNIQUENESS,
         "v_summary": oracle.summary_sql(),
         "v_summary_full": _summary_full_sql(),
+        "v_tiered_summary": _tiered_summary_sql(),
         "v_examples": oracle.examples_sql(EXAMPLES_PER_CODE),
     }
     full = dict(paths)
