@@ -152,8 +152,11 @@ def _hints_from_element(
 ) -> list[SpecHint]:
     """``Hl7SpecHintGenerator.cs:169-348`` ExtractHintsFromElement."""
     path = el.get("path") or ""
-    # skip root element, .id and .extension meta fields (:181-190)
-    if path == rtype or path.endswith(".id") or path.endswith(".extension"):
+    # skip root element, .id and .extension meta fields (:181-190);
+    # a pathless element can't anchor a hint (defensive — the reference
+    # catches and skips, :340-345)
+    if (not path.strip() or path == rtype
+            or path.endswith(".id") or path.endswith(".extension")):
         return []
     if int(el.get("min", 0) or 0) <= 0:
         return []

@@ -67,6 +67,15 @@ def test_generator_graceful_failure_and_skips():
     }
     hints = generate_spec_hints(schema)
     assert set(hints) == {"Ok"}
+    # a pathless required element can't anchor a hint
+    schema_nopath = {
+        "definitions": [{
+            "name": "Y", "kind": "resource", "type": "Y",
+            "elements": [{"min": 1}, {"path": "", "min": 1},
+                         {"path": "Y.ok", "min": 1}],
+        }],
+    }
+    assert [h.path for h in generate_spec_hints(schema_nopath)["Y"]] == ["ok"]
     # constraint key without an expression is skipped conservatively
     schema2 = {
         "definitions": [{
