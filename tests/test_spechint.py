@@ -256,3 +256,32 @@ def test_response_renders_authored_messages(ray_session):
             if e["rule_id"] == "R1"]
     assert msgs and all(
         m == "Field Patient.text is required (Required)" for m in msgs)
+
+
+def test_conditional_required_spans_details_carry_per_parent_need():
+    import json
+
+    import numpy as np
+
+    from fhir_data_validation_ray.functions.kernels import CompiledProfile
+    from fhir_data_validation_ray.profile import parse_profile
+
+    p = profile_of({
+        "id": "SH1", "type": "RequiredSpans", "kind": "*",
+        "severity": "warning", "validationClass": "Advisory",
+        "isSpecHint": True, "errorCode": "SPEC_REQUIRED_CONDITIONAL",
+        "params": {"requirements": [
+            {"kind": "Coding", "min": 1, "whenKind": "Observation",
+             "perParent": True}]},
+    })
+    docs = make_docs([
+        ("d1", [s("Observation", "o1", off=0), s("Observation", "o2", off=1),
+                s("Observation", "o3", off=2), s("Coding", "c", off=3)]),
+    ])
+    cp = CompiledProfile(parse_profile(p), validation_mode="full",
+                         emit_details=True)
+    out = cp.validate_batch(docs)
+    assert out.num_rows == 1
+    d = json.loads(out["details"][0].as_py())
+    # per-parent need: 3 Observations -> expected_min 3, actual 1
+    assert d["expected_min"] == 3 and d["actual"] == 1
