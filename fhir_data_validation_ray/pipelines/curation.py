@@ -500,3 +500,57 @@ def cluster_shards(docs, centroids, *, blocks_per_cluster: int = 4,
     assigned = cluster_assign(docs, centroids, dim=dim, metric=metric)
     return (assigned.map_batches(tag, batch_format="pyarrow")
             .groupby("shard").map_groups(rank, batch_format="pyarrow"))
+
+
+def filter_funnel(docs, stages):
+    """Per-stage attrition report for a quality-filter CASCADE — the
+    first table a curation run is judged by ("which filter ate my data?").
+
+    ``stages`` is an ordered list of ``(name, mask_fn)`` where ``mask_fn``
+    maps a pyarrow batch of ``documents`` rows to a numpy bool keep-mask.
+    Cascade semantics: a document is charged to the FIRST stage that
+    rejects it (later masks are not consulted for it), exactly the order
+    the filters would run in production.
+
+    Plan: ONE streaming pass — each batch evaluates all masks vectorized,
+    folds them into per-stage (n_in, n_removed) partial counts (k rows per
+    batch, never per-doc rows), and a k-group groupby sums the partials.
+    Returns Dataset[stage_idx, stage, n_in, n_removed, n_out]; driver holds
+    k rows total.
+    """
+    names = [n for n, _ in stages]
+    fns = [f for _, f in stages]
+    k = len(stages)
+    if k == 0:
+        raise ValueError("stages must be non-empty")
+
+    def partial(t: pa.Table) -> pa.Table:
+        alive = np.ones(t.num_rows, dtype=bool)
+        n_in = np.zeros(k, np.int64)
+        n_removed = np.zeros(k, np.int64)
+        for i, fn in enumerate(fns):
+            keep = np.asarray(fn(t), dtype=bool)
+            n_in[i] = int(alive.sum())
+            rm = alive & ~keep
+            n_removed[i] = int(rm.sum())
+            alive &= keep
+        return pa.table({
+            "stage_idx": pa.array(np.arange(k, dtype=np.int64)),
+            "n_in": pa.array(n_in),
+            "n_removed": pa.array(n_removed),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        idx = int(g["stage_idx"][0].as_py())
+        n_in = int(np.asarray(g["n_in"]).sum())
+        n_removed = int(np.asarray(g["n_removed"]).sum())
+        return pa.table({
+            "stage_idx": pa.array([idx], pa.int64()),
+            "stage": pa.array([names[idx]], pa.string()),
+            "n_in": pa.array([n_in], pa.int64()),
+            "n_removed": pa.array([n_removed], pa.int64()),
+            "n_out": pa.array([n_in - n_removed], pa.int64()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("stage_idx").map_groups(fold, batch_format="pyarrow"))

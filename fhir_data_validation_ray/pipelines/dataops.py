@@ -655,6 +655,118 @@ GROUP BY 1, 2
 VOCAB_CUTS = (100, 200, 300, 400, 500)
 
 
+# Quality-filter cascade spec shared by the Ray funnel and its SQL oracle:
+# integer-exact conditions only (the word-shape band cross-multiplies the
+# mean-word-length bounds 4.3..4.7 as 43*w <= 10*l <= 47*w).
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MAX_CHARS = 500
+FUNNEL_LANGS = ("en", "fr", "es", "de")
+FUNNEL_MIN_WORDS = 25
+FUNNEL_WLEN_LO = 43
+FUNNEL_WLEN_HI = 47
+
+
+def _funnel_stages():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.textops import _word_lists
+
+    def _col(t, name):
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def _wl(t):
+        """(kept-word count, char count sans spaces) per doc — the two
+        integers the min_words and word_shape stages compare."""
+        texts = _col(t, "text")
+        _, w, _ = _word_lists(texts)
+        l = pc.utf8_length(pc.replace_substring(texts, " ", ""))
+        return w, np.asarray(l, dtype=np.int64)
+
+    return [
+        ("min_chars", lambda t: np.asarray(
+            pc.greater_equal(_col(t, "n_chars"), FUNNEL_MIN_CHARS))),
+        ("max_chars", lambda t: np.asarray(
+            pc.less_equal(_col(t, "n_chars"), FUNNEL_MAX_CHARS))),
+        ("lang_allowed", lambda t: np.asarray(
+            pc.is_in(_col(t, "lang"), value_set=pa.array(FUNNEL_LANGS)))),
+        ("min_words", lambda t: _wl(t)[0] >= FUNNEL_MIN_WORDS),
+        ("word_shape", lambda t: (lambda w, l:
+            (FUNNEL_WLEN_LO * w <= 10 * l) & (10 * l <= FUNNEL_WLEN_HI * w)
+         )(*_wl(t))),
+    ]
+
+
+def q_filter_funnel(sf_dir: str):
+    """Per-stage attrition of the default 5-filter quality cascade
+    (``pipelines/curation.py:filter_funnel``)."""
+    import ray.data as rd
+
+    from .curation import filter_funnel
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["n_chars", "lang", "text"])
+    return filter_funnel(docs, _funnel_stages())
+
+
+FILTER_FUNNEL_SQL = f"""
+WITH d AS (SELECT n_chars, lang,
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS w,
+    length(replace(text, ' ', '')) AS l
+  FROM documents),
+f AS (SELECT CASE
+    WHEN NOT (n_chars >= {FUNNEL_MIN_CHARS}) THEN 0
+    WHEN NOT (n_chars <= {FUNNEL_MAX_CHARS}) THEN 1
+    WHEN lang NOT IN {FUNNEL_LANGS!r} THEN 2
+    WHEN NOT (w >= {FUNNEL_MIN_WORDS}) THEN 3
+    WHEN NOT ({FUNNEL_WLEN_LO}*w <= 10*l AND 10*l <= {FUNNEL_WLEN_HI}*w) THEN 4
+    ELSE 5 END AS ff FROM d),
+s(stage_idx, stage) AS (VALUES (0,'min_chars'),(1,'max_chars'),
+  (2,'lang_allowed'),(3,'min_words'),(4,'word_shape'))
+SELECT s.stage_idx::BIGINT AS stage_idx, s.stage,
+  (SELECT count(*) FROM f WHERE ff >= s.stage_idx)::BIGINT AS n_in,
+  (SELECT count(*) FROM f WHERE ff = s.stage_idx)::BIGINT AS n_removed,
+  (SELECT count(*) FROM f WHERE ff > s.stage_idx)::BIGINT AS n_out
+FROM s
+"""
+
+
+DISTINCT_NGRAM_NS = (1, 2, 3)
+
+
+def q_distinct_ngrams(sf_dir: str):
+    """Per-source n-gram diversity (distinct vs total n-grams, n=1..3 —
+    ``stages/textops.py:distinct_ngrams``)."""
+    import ray.data as rd
+
+    from ..stages.textops import distinct_ngrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return distinct_ngrams(docs, DISTINCT_NGRAM_NS)
+
+
+DISTINCT_NGRAMS_SQL = """
+WITH w AS (SELECT source,
+    list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+g AS (
+  SELECT source, 1 AS n, unnest(ws) AS gram FROM w
+  UNION ALL
+  SELECT source, 2 AS n,
+    unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w
+  UNION ALL
+  SELECT source, 3 AS n,
+    unnest(list_transform(range(1, len(ws)-1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w
+)
+SELECT source, n::BIGINT AS n, count(DISTINCT gram)::BIGINT AS distinct_grams,
+       count(*)::BIGINT AS total_grams
+FROM g GROUP BY source, n
+"""
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth: distinct words first appearing below
     each doc-id prefix cut (``textops.vocab_growth``)."""
@@ -1815,6 +1927,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_quantile_bands": q_quantile_bands,
         "a_moments": q_moments,
         "a_vocab_growth": q_vocab_growth,
+        "a_distinct_ngrams": q_distinct_ngrams,
+        "c_filter_funnel": q_filter_funnel,
         "t_lang_confusion": q_lang_confusion,
         "t_cooccurrence": q_cooccurrence,
         "w_interarrival": q_interarrival,
@@ -3270,6 +3384,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_quantile_bands": QUANTILE_BANDS_SQL,
         "a_moments": MOMENTS_SQL,
         "a_vocab_growth": VOCAB_GROWTH_SQL,
+        "a_distinct_ngrams": DISTINCT_NGRAMS_SQL,
+        "c_filter_funnel": FILTER_FUNNEL_SQL,
         "t_lang_confusion": LANG_CONFUSION_SQL,
         "t_cooccurrence": COOCCURRENCE_SQL,
         "w_interarrival": INTERARRIVAL_SQL,

@@ -1737,6 +1737,121 @@ def vocab_growth(docs, cuts: tuple[int, ...], *, column: str = "text",
                      "vocab_size": pa.array(total)})
 
 
+def distinct_ngrams(docs, ns: tuple[int, ...] = (1, 2, 3), *,
+                    num_buckets: int = 64, batch_size: int | None = None):
+    """Per-source n-gram diversity: for each (source, n) the TOTAL n-gram
+    occurrence count and the DISTINCT n-gram count — the distinct-n /
+    self-repetition dial a corpus mix is tuned by (a source whose
+    distinct/total ratio collapses is template spam, not diverse text).
+
+    Plan: per-batch the kept-word stream is sliced into n-gram windows
+    (adjacency = same parent doc, fully vectorized), then pre-aggregated to
+    per-batch (source, n, gram, cnt) rows via a single composite
+    gram-code x source-code bincount — the exchange carries per-batch
+    DISTINCT grams with counts, never occurrences. A gram's global total
+    lives entirely in its hash bucket, so one bucketed groupby counts exact
+    per-bucket (source, n) distincts + totals, and the driver sums
+    num_buckets x |sources| x |ns| tiny partial rows. Returns a pyarrow
+    Table (source, n, distinct_grams, total_grams)."""
+    import ray.data as rd
+
+    from ..functions.collect import collect_table
+
+    ns = tuple(sorted(set(int(n) for n in ns)))
+    if not ns or ns[0] < 1:
+        raise ValueError("ns must be positive n-gram orders")
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        srcs = t["source"]
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        words, counts, _ = _word_lists(texts)
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        sd = pc.dictionary_encode(srcs)
+        src_code_per_doc = np.asarray(sd.indices, dtype=np.int64)
+        n_src = max(len(sd.dictionary), 1)
+        out_b, out_s, out_n, out_g, out_c = [], [], [], [], []
+        for n in ns:
+            L = len(words) - (n - 1)
+            if L <= 0:
+                continue
+            if n == 1:
+                grams, gpar = words, parent
+            else:
+                valid = parent[:L] == parent[n - 1:]
+                vmask = pa.array(valid)
+                cols = [words.slice(j, L).filter(vmask) for j in range(n)]
+                grams = pc.binary_join_element_wise(*cols, " ")
+                gpar = parent[:L][valid]
+            if len(grams) == 0:
+                continue
+            dg = pc.dictionary_encode(grams)
+            gcode = np.asarray(dg.indices, dtype=np.int64)
+            scode = src_code_per_doc[gpar]
+            code = gcode * n_src + scode
+            uc, cnt = np.unique(code, return_counts=True)
+            gsel, ssel = uc // n_src, uc % n_src
+            ugrams = dg.dictionary.take(pa.array(gsel))
+            uw = ugrams.to_numpy(zero_copy_only=False).astype("U")
+            out_b.append((hash_str(uw) % np.uint64(num_buckets)).astype(np.int32))
+            out_s.append(sd.dictionary.take(pa.array(ssel)))
+            out_n.append(np.full(len(uc), n, np.int64))
+            out_g.append(ugrams)
+            out_c.append(cnt.astype(np.int64))
+        if not out_b:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_b)),
+            "source": pa.concat_arrays([a.cast(pa.string()) for a in out_s]),
+            "n": pa.array(np.concatenate(out_n)),
+            "gram": pa.concat_arrays([g.cast(pa.string()) for g in out_g]),
+            "cnt": pa.array(np.concatenate(out_c)),
+        })
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        # exact per-bucket distincts: unique (source, n, gram) triples, then
+        # (source, n) row-counts + cnt-sums — two vectorized hash-aggregates
+        per_gram = pa.TableGroupBy(
+            g.select(["source", "n", "gram", "cnt"]), ["source", "n", "gram"]
+        ).aggregate([("cnt", "sum")])
+        per_sn = pa.TableGroupBy(
+            per_gram.select(["source", "n", "cnt_sum"]), ["source", "n"]
+        ).aggregate([("cnt_sum", "sum"), ("cnt_sum", "count")])
+        return pa.table({
+            "source": per_sn["source"],
+            "n": per_sn["n"],
+            "distinct_grams": per_sn["cnt_sum_count"].cast(pa.int64()),
+            "total_grams": per_sn["cnt_sum_sum"].cast(pa.int64()),
+        })
+
+    parts = collect_table(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow"),
+        empty_schema=pa.schema([
+            ("source", pa.string()), ("n", pa.int64()),
+            ("distinct_grams", pa.int64()), ("total_grams", pa.int64())]),
+    )
+    if parts.num_rows == 0:
+        return rd.from_arrow(parts)
+    final = pa.TableGroupBy(parts, ["source", "n"]).aggregate(
+        [("distinct_grams", "sum"), ("total_grams", "sum")])
+    return rd.from_arrow(pa.table({
+        "source": final["source"],
+        "n": final["n"],
+        "distinct_grams": final["distinct_grams_sum"].cast(pa.int64()),
+        "total_grams": final["total_grams_sum"].cast(pa.int64()),
+    }))
+
+
 def lang_confusion(docs, *, batch_size: int | None = None):
     """Declared-vs-detected language confusion counts — the metadata-quality
     audit that catches mislabeled subcorpora before a lang-stratified
