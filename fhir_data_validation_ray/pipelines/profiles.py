@@ -278,3 +278,92 @@ def single_rule_profile(rule_id: str, *, with_structure: bool = False) -> dict:
         p["settings"]["checkEmptyDoc"] = False
         p["allowedKinds"] = []
     return p
+
+
+def _concepts_by_url(obj: dict) -> dict[str, tuple[str, ...]]:
+    out: dict[str, tuple[str, ...]] = {}
+    for cs in obj.get("codeSystems", []) or []:
+        url = cs.get("url") or cs.get("system")
+        if not url:
+            continue
+        concepts = tuple(sorted(
+            c["code"] if isinstance(c, dict) else str(c)
+            for c in cs.get("concept", cs.get("concepts", [])) or []))
+        out[url] = concepts
+    return out
+
+
+def profile_diff(old_obj: dict, new_obj: dict) -> dict:
+    """Rule-level diff between two profile versions — the authoring question
+    "what changed between published rule sets?" (the reference's immutable
+    versioned rule sets make this the natural review surface;
+    ``Models/RuleSet.cs:10-46``).
+
+    Returns a dict with:
+      ``added`` / ``removed``      rule ids present on one side only
+      ``changed``                  [{id, fields}] same id, different definition
+      ``code_systems_changed``     urls whose concept sets differ (incl.
+                                   systems added/removed outright)
+      ``settings_changed``         top-level structural keys that differ
+                                   (settings / allowedKinds) — these alter the
+                                   built-in STRUCTURE checks, not rule lanes
+      ``impacted_old`` / ``impacted_new``  the rule ids whose emissions can
+                                   differ on each side: removed/changed (old),
+                                   added/changed (new), plus CodeSystem rules
+                                   referencing a changed system on BOTH sides.
+    """
+    import json
+
+    def canon(v) -> str:
+        return json.dumps(v, sort_keys=True, default=str)
+
+    ro = {r["id"]: r for r in old_obj.get("rules", []) or []}
+    rn = {r["id"]: r for r in new_obj.get("rules", []) or []}
+    added = sorted(set(rn) - set(ro))
+    removed = sorted(set(ro) - set(rn))
+    changed: list[dict] = []
+    for rid in sorted(set(ro) & set(rn)):
+        a, b = ro[rid], rn[rid]
+        fields = sorted(
+            k for k in (set(a) | set(b)) - {"id"}
+            if canon(a.get(k)) != canon(b.get(k)))
+        if fields:
+            changed.append({"id": rid, "fields": fields})
+    changed_ids = {c["id"] for c in changed}
+
+    cs_old, cs_new = _concepts_by_url(old_obj), _concepts_by_url(new_obj)
+    cs_changed = sorted(
+        url for url in set(cs_old) | set(cs_new)
+        if cs_old.get(url) != cs_new.get(url))
+
+    def cs_impacted(rules: dict[str, dict]) -> list[str]:
+        return [rid for rid, r in rules.items()
+                if r.get("type") == "CodeSystem"
+                and (r.get("params") or {}).get("system") in cs_changed
+                and rid not in changed_ids]
+
+    settings_changed = sorted(
+        k for k in ("settings", "allowedKinds")
+        if canon(old_obj.get(k)) != canon(new_obj.get(k)))
+
+    impacted_old = sorted(set(removed) | changed_ids | set(cs_impacted(ro)))
+    impacted_new = sorted(set(added) | changed_ids | set(cs_impacted(rn)))
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "code_systems_changed": cs_changed,
+        "settings_changed": settings_changed,
+        "impacted_old": impacted_old,
+        "impacted_new": impacted_new,
+    }
+
+
+def restrict_profile(obj: dict, rule_ids) -> dict:
+    """Copy of ``obj`` keeping only ``rule_ids`` rules (codeSystems,
+    settings and allowedKinds are preserved — restriction changes WHICH
+    rules run, never how they run)."""
+    out = copy.deepcopy(obj)
+    keep = set(rule_ids)
+    out["rules"] = [r for r in out.get("rules", []) or [] if r["id"] in keep]
+    return out

@@ -692,6 +692,69 @@ def _examples_query(sf_dir: str):
             .map_groups(trim, batch_format="pyarrow"))
 
 
+def _impact_new_profile() -> dict[str, Any]:
+    """The fixed profile-change scenario the ``v_profile_impact`` oracle
+    mirrors: widen R3's allowed set (resolves 'preliminary' rows), drop R4
+    (resolves every PATTERN_MISMATCH), add R14 Required on Observation
+    (introduces rows for empty Observation spans)."""
+    p = default_profile()
+    for r in p["rules"]:
+        if r["id"] == "R3":
+            r["params"]["values"] = ["final", "amended", "preliminary"]
+    p["rules"] = [r for r in p["rules"] if r["id"] != "R4"]
+    p["rules"].append({
+        "id": "R14", "type": "Required", "kind": "Observation",
+        "instanceScope": {"kind": "all"}, "fieldPath": "text",
+        "severity": "error"})
+    return p
+
+
+def _profile_impact_query(sf_dir: str):
+    """Violations multiset diff between two profile versions
+    (``pipelines/validate.py:profile_impact``) over the fixed
+    ``_impact_new_profile`` scenario."""
+    from .validate import profile_impact
+
+    return profile_impact(sf_dir, default_profile(), _impact_new_profile())
+
+
+V_PROFILE_IMPACT_SQL = f"""
+WITH f AS (SELECT doc_id, CAST(span_index AS INTEGER) AS span_index, kind, text
+           FROM read_parquet('{{flat}}')),
+before_v AS (
+  SELECT doc_id, span_index, 'R3' AS rule_id,
+         'VALUE_NOT_ALLOWED' AS error_code, 'error' AS severity
+  FROM f WHERE kind = 'Observation' AND NOT {oracle.EMPTY}
+    AND text NOT IN ('final','amended')
+  UNION ALL
+  SELECT doc_id, span_index, 'R4', 'PATTERN_MISMATCH', 'error'
+  FROM f WHERE kind = 'Patient' AND NOT {oracle.EMPTY}
+    AND NOT regexp_matches(text, '^[STFG]\\d{{7}}[A-Z]$')
+),
+after_v AS (
+  SELECT doc_id, span_index, 'R3' AS rule_id,
+         'VALUE_NOT_ALLOWED' AS error_code, 'error' AS severity
+  FROM f WHERE kind = 'Observation' AND NOT {oracle.EMPTY}
+    AND text NOT IN ('final','amended','preliminary')
+  UNION ALL
+  SELECT doc_id, span_index, 'R14', 'REQUIRED_FIELD_MISSING', 'error'
+  FROM f WHERE kind = 'Observation' AND {oracle.EMPTY}
+),
+b AS (SELECT doc_id, span_index, rule_id, error_code, severity,
+             count(*) AS n_before FROM before_v GROUP BY ALL),
+a AS (SELECT doc_id, span_index, rule_id, error_code, severity,
+             count(*) AS n_after FROM after_v GROUP BY ALL)
+SELECT CASE WHEN coalesce(n_after, 0) > coalesce(n_before, 0)
+            THEN 'introduced' ELSE 'resolved' END AS change,
+       doc_id, span_index, rule_id, error_code, severity,
+       coalesce(n_before, 0)::BIGINT AS n_before,
+       coalesce(n_after, 0)::BIGINT AS n_after
+FROM b FULL OUTER JOIN a
+  USING (doc_id, span_index, rule_id, error_code, severity)
+WHERE coalesce(n_before, 0) <> coalesce(n_after, 0)
+"""
+
+
 def validation_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "v_required": _rule_query("R1"),
@@ -730,6 +793,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_summary_full": _summary_full_query,
         "v_tiered_summary": _tiered_summary_query,
         "v_examples": _examples_query,
+        "v_profile_impact": _profile_impact_query,
     }
 
 
@@ -771,6 +835,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_summary_full": _summary_full_sql(),
         "v_tiered_summary": _tiered_summary_sql(),
         "v_examples": oracle.examples_sql(EXAMPLES_PER_CODE),
+        "v_profile_impact": V_PROFILE_IMPACT_SQL,
     }
     full = dict(paths)
     full.setdefault("dup", paths["docs"].replace("docs_spans.parquet", "docs_dup.parquet"))

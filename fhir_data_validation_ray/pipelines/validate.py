@@ -300,3 +300,138 @@ def incremental_revalidate(old_docs, new_docs, profile_obj=None, *,
     return validate_dataset(
         delta, profile_obj or default_profile(), registry_keys=registry_keys,
         validation_mode=validation_mode)
+
+
+IMPACT_SCHEMA_COLS = ("change", "doc_id", "span_index", "rule_id",
+                      "error_code", "severity", "n_before", "n_after")
+
+
+def profile_impact(sf_dir: str, old_obj: dict, new_obj: dict, *,
+                   replicas: int = 1, validation_mode: str = "standard",
+                   num_buckets: int = 64):
+    """What a profile change DOES to the corpus: the multiset diff of
+    violations between two profile versions — ``resolved`` rows the old
+    profile emitted that the new one doesn't, ``introduced`` rows the new
+    one adds. The question every rule author asks before publishing
+    ("what does this change break?"), answered at corpus scale.
+
+    Plan: ``profiles.profile_diff`` names the rule ids whose emissions can
+    differ; each side validates ONLY those rules (rule lanes are
+    per-rule independent, pinned by the restricted-equals-full identity
+    test) and filters its stream to them, so the diff exchange is bounded
+    by the CHANGED rules' violations, not the corpus. If structural
+    settings changed (settings / allowedKinds), both sides fall back to
+    full runs and diff everything — still bounded by total violations.
+    Both streams are pre-aggregated per batch to (key, count) rows, hashed
+    into buckets, and compared per bucket; nothing corpus-sized touches
+    the driver. Returns Dataset[change, doc_id, span_index, rule_id,
+    error_code, severity, n_before, n_after] with n_before != n_after.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    import numpy as np
+
+    from ..functions.hashing import hash_str
+    from .profiles import profile_diff, restrict_profile
+
+    d = profile_diff(old_obj, new_obj)
+    structural = bool(d["settings_changed"])
+    old_ids, new_ids = set(d["impacted_old"]), set(d["impacted_new"])
+
+    empty = pa.table({
+        "change": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.string()),
+        "span_index": pa.array([], pa.int32()),
+        "rule_id": pa.array([], pa.string()),
+        "error_code": pa.array([], pa.string()),
+        "severity": pa.array([], pa.string()),
+        "n_before": pa.array([], pa.int64()),
+        "n_after": pa.array([], pa.int64()),
+    })
+    if not structural and not old_ids and not new_ids:
+        return rd.from_arrow(empty)
+
+    def side(profile: dict, ids: set[str] | None, role: int):
+        v = run_validation(sf_dir, profile, replicas=replicas,
+                           with_uniqueness=False,
+                           validation_mode=validation_mode)
+
+        def prep(t: pa.Table) -> pa.Table:
+            if ids is not None and t.num_rows:
+                rid = t["rule_id"]
+                if isinstance(rid, pa.ChunkedArray):
+                    rid = rid.combine_chunks()
+                t = t.filter(pc.is_in(rid, value_set=pa.array(sorted(ids))))
+            key = t.select(["doc_id", "span_index", "rule_id",
+                            "error_code", "severity"])
+            agg = pa.TableGroupBy(key, key.column_names).aggregate(
+                [([], "count_all")])
+            comp = pc.binary_join_element_wise(
+                agg["doc_id"].cast(pa.string()),
+                agg["span_index"].cast(pa.string()),
+                agg["rule_id"].cast(pa.string()),
+                agg["error_code"].cast(pa.string()),
+                agg["severity"].cast(pa.string()), "\x1f")
+            cu = comp.combine_chunks() if isinstance(comp, pa.ChunkedArray) else comp
+            ks = cu.to_numpy(zero_copy_only=False).astype("U")
+            return pa.table({
+                "bucket": pa.array(
+                    (hash_str(ks) % np.uint64(num_buckets)).astype(np.int32)),
+                "doc_id": agg["doc_id"],
+                "span_index": agg["span_index"].cast(pa.int32()),
+                "rule_id": agg["rule_id"],
+                "error_code": agg["error_code"],
+                "severity": agg["severity"],
+                "cnt": agg["count_all"].cast(pa.int64()),
+                "role": pa.array(np.full(agg.num_rows, role, np.int8)),
+            })
+
+        return v.map_batches(prep, batch_format="pyarrow")
+
+    if structural:
+        before, after = side(old_obj, None, 0), side(new_obj, None, 1)
+    else:
+        before = side(restrict_profile(old_obj, old_ids), old_ids, 0)
+        after = side(restrict_profile(new_obj, new_ids), new_ids, 1)
+
+    def diff_group(g: pa.Table) -> pa.Table:
+        comp = pc.binary_join_element_wise(
+            g["doc_id"].combine_chunks() if isinstance(g["doc_id"], pa.ChunkedArray) else g["doc_id"],
+            g["span_index"].cast(pa.string()),
+            g["rule_id"].cast(pa.string()),
+            g["error_code"].cast(pa.string()),
+            g["severity"].cast(pa.string()), "\x1f")
+        if isinstance(comp, pa.ChunkedArray):
+            comp = comp.combine_chunks()
+        da = comp.dictionary_encode()
+        code = np.asarray(da.indices, dtype=np.int64)
+        k = len(da.dictionary)
+        role = np.asarray(g["role"]).astype(np.int64)
+        cnt = np.asarray(g["cnt"]).astype(np.int64)
+        n = np.zeros((2, k), np.int64)
+        np.add.at(n, (role, code), cnt)
+        keep = n[0] != n[1]
+        if not keep.any():
+            return empty
+        # first occurrence row per key: min row position (init +inf, min-fold)
+        first = np.full(k, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, code, np.arange(len(code), dtype=np.int64))
+        sel = first[keep]
+        take = pa.array(sel)
+        nb, na = n[0][keep], n[1][keep]
+        return pa.table({
+            "change": pa.array(np.where(na > nb, "introduced", "resolved")),
+            "doc_id": g["doc_id"].take(take),
+            "span_index": g["span_index"].take(take).cast(pa.int32()),
+            "rule_id": g["rule_id"].take(take),
+            "error_code": g["error_code"].take(take),
+            "severity": g["severity"].take(take),
+            "n_before": pa.array(nb),
+            "n_after": pa.array(na),
+        })
+
+    return (before.union(after)
+            .groupby("bucket")
+            .map_groups(diff_group, batch_format="pyarrow"))
