@@ -90,6 +90,21 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--sf-dir", required=True)
     sg.add_argument("--replicas", type=int, default=1)
 
+    im = sub.add_parser(
+        "impact",
+        help="profile-change corpus impact: the rule-level diff plus the "
+             "resolved/introduced violation rows the change causes "
+             "(restricted per-side runs; full-run fallback on structural "
+             "settings changes)",
+    )
+    im.add_argument("--sf-dir", required=True)
+    im.add_argument("--old-profile", default=None,
+                    help="rules.json path (default: built-in)")
+    im.add_argument("--new-profile", required=True)
+    im.add_argument("--replicas", type=int, default=1)
+    im.add_argument("--limit", type=int, default=100,
+                    help="max impact rows printed (summary counts stay exact)")
+
     e = sub.add_parser(
         "export",
         help="curate + deterministic shuffle + write one parquet dir per "
@@ -161,6 +176,23 @@ def main(argv: list[str] | None = None) -> int:
 
         n = pq.ParquetDataset(args.out).read(columns=["doc_id"]).num_rows
         print(json.dumps({"out": args.out, "kept": int(n)}))
+    elif args.cmd == "impact":
+        from .pipelines.profiles import profile_diff
+        from .pipelines.validate import profile_impact
+
+        old = _load_profile(args.old_profile)
+        new = _load_profile(args.new_profile)
+        print(json.dumps({"diff": profile_diff(old, new)}))
+        # the impact stream is bounded by the CHANGED rules' violations, so
+        # materializing it for the count summary + row sample is safe
+        m = profile_impact(args.sf_dir, old, new,
+                           replicas=args.replicas).materialize()
+        summary = {r["change"]: r["count()"] for r in
+                   m.groupby("change").count().take_all()}
+        print(json.dumps({"introduced": int(summary.get("introduced", 0)),
+                          "resolved": int(summary.get("resolved", 0))}))
+        for row in m.limit(args.limit).take_all():
+            print(json.dumps(row, default=str))
     elif args.cmd == "export":
         import ray.data as rd
 
