@@ -676,3 +676,44 @@ def test_governance_review_total_and_monotone(rules):
     assert s["exportable"] == (s["status"] != "BLOCKED")
     assert set(s["blocked"]) == {r.rule_id for r in results
                                  if r.status == "BLOCKED"}
+
+
+_ngram_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(st.text(alphabet="ab ", min_size=0, max_size=4),
+                 min_size=0, max_size=8).map(" ".join),
+    ),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_ngram_corpus, st.integers(1, 4))
+def test_distinct_ngrams_matches_python_reference(ray_session, rows, blocks):
+    """distinct_ngrams (per-batch composite-code pre-dedup + gram-bucket
+    fold) equals the plain-Python per-(source, n) distinct/total counts for
+    arbitrary corpora — including texts that are ALL spaces, empty docs and
+    sources split across blocks."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import distinct_ngrams
+
+    tot: dict = defaultdict(int)
+    seen: dict = defaultdict(set)
+    for src, text in rows:
+        ws = [w for w in text.split(" ") if w != ""]
+        for n in (1, 2, 3):
+            for i in range(len(ws) - n + 1):
+                tot[(src, n)] += 1
+                seen[(src, n)].add(" ".join(ws[i:i + n]))
+    want = {k: (len(seen[k]), tot[k]) for k in tot}
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1] for r in rows]),
+    })).repartition(blocks)
+    got = {(r["source"], r["n"]): (r["distinct_grams"], r["total_grams"])
+           for r in distinct_ngrams(ds, (1, 2, 3)).take_all()}
+    assert got == want
