@@ -755,6 +755,42 @@ WHERE coalesce(n_before, 0) <> coalesce(n_after, 0)
 """
 
 
+def _pack_interleaved_query(sf_dir: str):
+    """Multimodal sequence packing over the interleaved (doc_id, spans)
+    table (``stages/packing.py:pack_interleaved``)."""
+    from ..stages.packing import pack_interleaved
+
+    return pack_interleaved(read_documents(fixture_paths(sf_dir)["docs"]))
+
+
+def _pack_interleaved_sql() -> str:
+    from ..stages.packing import (
+        MEDIA_TOKEN_COSTS,
+        PACK_BUDGET,
+        PACK_INTERLEAVED_SHARDS,
+    )
+    from .dataops import _fnv_sql
+
+    cases = " ".join(f"WHEN kind = '{k}' THEN {c}"
+                     for k, c in sorted(MEDIA_TOKEN_COSTS.items()))
+    off = ("coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)")
+    return f"""
+WITH cost AS (
+  SELECT doc_id,
+         sum(CASE {cases} ELSE
+             len(list_filter(string_split(coalesce(text, ''), ' '),
+                             w -> w <> '')) END)::BIGINT AS n_tokens
+  FROM read_parquet('{{flat}}') GROUP BY doc_id),
+sh AS (SELECT doc_id, n_tokens,
+       ({_fnv_sql('doc_id')} % {PACK_INTERLEAVED_SHARDS})::BIGINT AS shard
+       FROM cost)
+SELECT doc_id, shard, n_tokens, {off}::BIGINT AS tok_offset,
+       ({off} // {PACK_BUDGET})::BIGINT AS seq_in_shard
+FROM sh
+"""
+
+
 def validation_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "v_required": _rule_query("R1"),
@@ -794,6 +830,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_tiered_summary": _tiered_summary_query,
         "v_examples": _examples_query,
         "v_profile_impact": _profile_impact_query,
+        "m_pack_interleaved": _pack_interleaved_query,
     }
 
 
@@ -836,6 +873,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_tiered_summary": _tiered_summary_sql(),
         "v_examples": oracle.examples_sql(EXAMPLES_PER_CODE),
         "v_profile_impact": V_PROFILE_IMPACT_SQL,
+        "m_pack_interleaved": _pack_interleaved_sql(),
     }
     full = dict(paths)
     full.setdefault("dup", paths["docs"].replace("docs_spans.parquet", "docs_dup.parquet"))

@@ -138,3 +138,95 @@ def shuffle_assign(docs, *, n_shards: int = SHUFFLE_SHARDS,
         .groupby("shard")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+# Interleaved-payload packing: media spans cost a FIXED token budget (the
+# patch/codec token count a multimodal model consumes), text spans cost
+# their whitespace word count.
+MEDIA_TOKEN_COSTS = {"image": 64, "audio": 128}
+PACK_INTERLEAVED_SHARDS = 64
+
+
+def pack_interleaved(docs, *, budget: int = PACK_BUDGET,
+                     n_shards: int = PACK_INTERLEAVED_SHARDS,
+                     media_costs: dict[str, int] | None = None,
+                     batch_size: int | None = None):
+    """Multimodal sequence packing over the interleaved ``(doc_id, spans)``
+    table: each document's token cost is the sum over its spans — word
+    count for text-bearing kinds, a fixed per-kind budget for media kinds
+    (image/audio) — and documents pack into ``budget``-token training
+    sequences per shard. The interleaved analogue of ``pack_sequences``.
+
+    Sharding is by FNV(doc_id) % n_shards (doc ids are strings here;
+    DuckDB mirrors the hash exactly), order within a shard is doc_id byte
+    order, and duplicate doc_ids (the dup fixture) aggregate into one
+    packed row, keeping the layout deterministic. Text never shuffles —
+    only (doc_id, shard, n_tokens) rows move; docs with zero spans are
+    not packed. Returns Dataset[doc_id, shard, n_tokens, tok_offset,
+    seq_in_shard], all exact integers."""
+    from ..functions.hashing import hash_str
+
+    mc = MEDIA_TOKEN_COSTS if media_costs is None else media_costs
+
+    def counts(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n_spans = pc.list_value_length(spans).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = flat.field("kind")
+        text = pc.fill_null(flat.field("text"), "")
+        parts = pc.split_pattern(text, " ")
+        wflat = pc.list_flatten(parts)
+        wparent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        wkeep = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
+        words_per_span = np.bincount(
+            wparent[wkeep], minlength=len(flat)).astype(np.int64)
+        kd = pc.dictionary_encode(kind)
+        dv = kd.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        dict_cost = np.array([mc.get(v, -1) for v in dv], dtype=np.int64)
+        mcost = dict_cost[np.asarray(kd.indices, dtype=np.int64)] \
+            if len(flat) else np.empty(0, np.int64)
+        span_cost = np.where(mcost >= 0, mcost, words_per_span)
+        per_doc = np.bincount(parent, weights=span_cost,
+                              minlength=t.num_rows).astype(np.int64)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keep_doc = n_spans > 0
+        u = ids.to_numpy(zero_copy_only=False).astype("U")[keep_doc]
+        return pa.table({
+            "doc_id": pa.array(u, pa.string()),
+            "shard": pa.array(
+                (hash_str(u) % np.uint64(n_shards)).astype(np.int64)),
+            "n_tokens": pa.array(per_doc[keep_doc]),
+        })
+
+    def pack_shard(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        u = ids.to_numpy(zero_copy_only=False).astype("U")
+        ntok = np.asarray(g["n_tokens"]).astype(np.int64)
+        uids, inv = np.unique(u, return_inverse=True)  # sorted = byte order
+        tot = np.bincount(inv, weights=ntok,
+                          minlength=len(uids)).astype(np.int64)
+        offset = np.zeros(len(uids), dtype=np.int64)
+        np.cumsum(tot[:-1], out=offset[1:])
+        shard = int(np.asarray(g["shard"])[0])
+        return pa.table({
+            "doc_id": pa.array(uids, pa.string()),
+            "shard": pa.array(np.full(len(uids), shard, np.int64)),
+            "n_tokens": pa.array(tot),
+            "tok_offset": pa.array(offset),
+            "seq_in_shard": pa.array(offset // budget),
+        })
+
+    return (
+        docs.map_batches(counts, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pyarrow")
+    )

@@ -203,3 +203,35 @@ def test_crossmodal_topk_shape_and_determinism(ray_session, tmp_path):
     out2 = crossmodal_topk(reg, k=3).take_all()
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(out, key=key) == sorted(out2, key=key)
+
+
+def test_pack_interleaved_costs_and_dup_aggregation(ray_session):
+    """Media spans cost their fixed per-kind budget, text spans their word
+    count; duplicate doc_ids aggregate into ONE packed row; zero-span docs
+    are not packed; offsets are doc_id-byte-order exclusive prefix sums."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.packing import pack_interleaved
+
+    def row(doc_id, spans):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": k, "text": t, "media_ref": "",
+                           "offset": i} for i, (k, t) in enumerate(spans)]}
+
+    tbl = pa.Table.from_pylist([
+        row("doc.a", [("text", "one two three"), ("image", "")]),   # 3 + 64
+        row("doc.a", [("audio", None)]),                            # +128 dup
+        row("doc.b", [("text", "  x ")]),                           # 1
+        row("doc.c", []),                                           # excluded
+    ])
+    got = {r["doc_id"]: r for r in
+           pack_interleaved(rd.from_arrow(tbl).repartition(4),
+                            n_shards=1).take_all()}
+    assert set(got) == {"doc.a", "doc.b"}
+    assert got["doc.a"]["n_tokens"] == 3 + 64 + 128
+    assert got["doc.b"]["n_tokens"] == 1
+    # byte order: doc.a before doc.b -> offsets 0 then 195
+    assert got["doc.a"]["tok_offset"] == 0
+    assert got["doc.b"]["tok_offset"] == 195
+    assert got["doc.b"]["seq_in_shard"] == 0
