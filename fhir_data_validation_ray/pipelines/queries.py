@@ -758,9 +758,10 @@ WHERE coalesce(n_before, 0) <> coalesce(n_after, 0)
 def _pack_interleaved_query(sf_dir: str):
     """Multimodal sequence packing over the interleaved (doc_id, spans)
     table (``stages/packing.py:pack_interleaved``)."""
-    from ..stages.packing import pack_interleaved
+    from ..stages.packing import PACK_INTERLEAVED_SHARDS, pack_interleaved
 
-    return pack_interleaved(read_documents(fixture_paths(sf_dir)["docs"]))
+    return pack_interleaved(read_documents(fixture_paths(sf_dir)["docs"]),
+                            n_shards=PACK_INTERLEAVED_SHARDS)
 
 
 def _pack_interleaved_sql() -> str:

@@ -148,7 +148,7 @@ PACK_INTERLEAVED_SHARDS = 64
 
 
 def pack_interleaved(docs, *, budget: int = PACK_BUDGET,
-                     n_shards: int = PACK_INTERLEAVED_SHARDS,
+                     n_shards: int | None = None,
                      media_costs: dict[str, int] | None = None,
                      batch_size: int | None = None):
     """Multimodal sequence packing over the interleaved ``(doc_id, spans)``
@@ -163,10 +163,19 @@ def pack_interleaved(docs, *, budget: int = PACK_BUDGET,
     packed row, keeping the layout deterministic. Text never shuffles —
     only (doc_id, shard, n_tokens) rows move; docs with zero spans are
     not packed. Returns Dataset[doc_id, shard, n_tokens, tok_offset,
-    seq_in_shard], all exact integers."""
+    seq_in_shard], all exact integers.
+
+    ``n_shards`` bounds the per-group row count at corpus/n_shards — a
+    FIXED shard count is a corpus-sized group at 10^12 docs, so the
+    default (None) auto-sizes it from a metadata-cheap ``docs.count()``
+    to ~``PACK_SHARD_DOCS``-doc groups; pass an explicit value when the
+    layout must be reproducible across corpus sizes (the oracle query
+    pins {PACK_INTERLEAVED_SHARDS})."""
     from ..functions.hashing import hash_str
 
     mc = MEDIA_TOKEN_COSTS if media_costs is None else media_costs
+    if n_shards is None:
+        n_shards = max(1, docs.count() // PACK_SHARD_DOCS)
 
     def counts(t: pa.Table) -> pa.Table:
         spans = t["spans"]
