@@ -717,3 +717,71 @@ def test_distinct_ngrams_matches_python_reference(ray_session, rows, blocks):
     got = {(r["source"], r["n"]): (r["distinct_grams"], r["total_grams"])
            for r in distinct_ngrams(ds, (1, 2, 3)).take_all()}
     assert got == want
+
+
+_interleaved_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["doc.1", "doc.2", "doc.10", "d", ""]),
+        st.lists(st.tuples(st.sampled_from(["text", "image", "audio", "Patient"]),
+                           st.one_of(st.none(),
+                                     st.text(alphabet="ab ", max_size=8))),
+                 min_size=0, max_size=4),
+    ),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_interleaved_docs, st.integers(1, 3), st.integers(1, 4))
+def test_pack_interleaved_matches_python_reference(ray_session, rows,
+                                                   n_shards, blocks):
+    """pack_interleaved equals the plain-Python packing (per-kind costs,
+    FNV shard, byte-order cumsum, dup-id aggregation, zero-span drop) for
+    arbitrary interleaved corpora."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.packing import (
+        MEDIA_TOKEN_COSTS,
+        PACK_BUDGET,
+        pack_interleaved,
+    )
+
+    totals: dict = defaultdict(int)
+    has_spans: set = set()
+    for doc_id, spans in rows:
+        if spans:
+            has_spans.add(doc_id)
+        for kind, text in spans:
+            if kind in MEDIA_TOKEN_COSTS:
+                totals[doc_id] += MEDIA_TOKEN_COSTS[kind]
+            else:
+                totals[doc_id] += len([w for w in (text or "").split(" ")
+                                       if w != ""])
+    per_shard: dict = defaultdict(list)
+    for doc_id in sorted(has_spans):
+        sh = int(hash_str(np.array([doc_id], "U")) % np.uint64(n_shards))
+        per_shard[sh].append(doc_id)
+    want = {}
+    for sh, ids in per_shard.items():
+        off = 0
+        for doc_id in ids:  # sorted byte order
+            want[doc_id] = (sh, totals[doc_id], off, off // PACK_BUDGET)
+            off += totals[doc_id]
+
+    span_t = pa.list_(pa.struct([("kind", pa.string()),
+                                 ("text", pa.string()),
+                                 ("media_ref", pa.string()),
+                                 ("offset", pa.int32())]))
+    tbl = pa.Table.from_pylist([
+        {"doc_id": doc_id,
+         "spans": [{"kind": k, "text": t, "media_ref": "", "offset": i}
+                   for i, (k, t) in enumerate(spans)]}
+        for doc_id, spans in rows],
+        schema=pa.schema([("doc_id", pa.string()), ("spans", span_t)]))
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["tok_offset"],
+                         r["seq_in_shard"])
+           for r in pack_interleaved(ds, n_shards=n_shards).take_all()}
+    assert got == want
