@@ -121,7 +121,7 @@ _QUERY_STABLE_TAIL = [
 # (5) rows-only (floats / sketches / approximate ANN — no oracle by design):
 # weakest signal, always last
 _QUERY_ROWS_ONLY_TAIL = [
-    "a_kind_drift", "a_column_profile", "a_drift_by_source",
+    "a_kind_drift", "a_column_profile", "a_kll_quantiles", "a_drift_by_source",
     "s_lsh_topk", "s_ivf_topk", "a_top_words_sketch", "t_bpe_merges", "t_bpe_tokens",
 ]
 

@@ -1258,6 +1258,29 @@ def q_column_profile(sf_dir: str):
     )
 
 
+def q_kll_quantiles(sf_dir: str):
+    """KLL-sketch quantiles of n_chars — the bounded-space quantile lane
+    next to the t-digest profile (rows-only check: approximate sketch)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.stats import kll_column_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    prof = kll_column_quantiles(ds, "n_chars")
+    return pd.DataFrame(
+        [
+            {
+                "col": prof["col"],
+                "n": prof["n"],
+                "p50": prof["quantiles"]["0.5"],
+                "p95": prof["quantiles"]["0.95"],
+                "p99": prof["quantiles"]["0.99"],
+            }
+        ]
+    )
+
+
 def q_drift_by_source(sf_dir: str):
     """Per-source drift of n_chars vs the whole-corpus snapshot — the
     per-partition KS/PSI check of the north_star (rows-only: float scores).
@@ -1892,6 +1915,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_stats_nchars": q_stats_nchars,
         "a_histogram_nchars": q_histogram_nchars,
         "a_column_profile": q_column_profile,
+        "a_kll_quantiles": q_kll_quantiles,
         "a_distinct_nchars": q_distinct_nchars,
         "a_drift_by_source": q_drift_by_source,
         "t_text_features": q_text_features,

@@ -783,3 +783,46 @@ def table_audit(ds, columns: list[str], *, num_buckets: int = 64,
         "n_distinct": pa.array([agg[c]["distinct"] for c in columns],
                                pa.int64()),
     })
+
+
+def kll_column_quantiles(ds, col: str, *, quantiles=(0.5, 0.9, 0.95, 0.99),
+                         k: int = 200) -> dict:
+    """KLL-sketch column quantiles (``state/sketches.py:KLL``) — the
+    bounded-space alternative lane to the t-digest profile for unbounded
+    value domains, with the same two-level partial fold: per-batch KLL
+    partials -> per-task combine (batch_size=64) -> driver merges the few
+    survivors. Returns a plain dict manifest (rows-only by design: the
+    sketch is approximate)."""
+    from ..state.sketches import KLL
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = KLL.from_values(np.asarray(t[col]).astype(np.float64), k=k)
+        return pa.table({
+            "kll": pa.array([json.dumps(s.to_rows())], pa.string()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        })
+
+    def _merge_rows(t: pa.Table):
+        s = KLL.empty(k)
+        for row in t.to_pylist():
+            s = s.merge(KLL.from_rows(json.loads(row["kll"])))
+        return s, int(np.asarray(t["n"]).sum()) if t.num_rows else 0
+
+    def combine(t: pa.Table) -> pa.Table:
+        s, n = _merge_rows(t)
+        return pa.table({
+            "kll": pa.array([json.dumps(s.to_rows())], pa.string()),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64)
+    )
+    s, n = _merge_rows(parts)
+    return {
+        "col": col,
+        "n": n,
+        "sketch_n": s.n,
+        "quantiles": {str(q): s.quantile(q) for q in quantiles},
+    }

@@ -224,3 +224,113 @@ class CountMinSketch:
     def from_bytes(cls, b: bytes, width: int = 2048, depth: int = 4) -> "CountMinSketch":
         return cls(np.frombuffer(b, dtype=np.int64).reshape(depth, width).copy(),
                    width, depth)
+
+
+# ---------------------------------------------------------------------- KLL
+@dataclass
+class KLL:
+    """KLL quantile sketch (Karnin-Lang-Liberty 2016; see also "An
+    Experimental Analysis of Quantile Sketches over Data Streams", EDBT
+    2023): a hierarchy of compactors where level i holds items of weight
+    2^i and has geometrically DECAYING capacity k·c^(H-1-i) (c = 2/3), so
+    total space is O(k) while rank error stays O(1/k)·n.
+
+    Divergence from the paper, for distributed determinism: the compaction
+    coin is a per-sketch alternating bit (the standard derandomization)
+    instead of a random flip, and merge concatenates level-wise then
+    compacts — the result depends only on the multiset of inputs per
+    partial and the fold tree, never on a seed. Error bounds are checked
+    empirically by the property suite rather than inherited from the
+    randomized analysis."""
+
+    levels: list  # list[np.ndarray float64], levels[i] items have weight 2^i
+    k: int = 200
+    flip: int = 0
+
+    C = 2.0 / 3.0
+
+    @classmethod
+    def empty(cls, k: int = 200) -> "KLL":
+        return cls([np.empty(0, np.float64)], k, 0)
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, k: int = 200) -> "KLL":
+        s = cls.empty(k)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size:
+            s.levels[0] = v.copy()
+            s._compress()
+        return s
+
+    def _cap(self, level: int, height: int) -> int:
+        return max(int(np.ceil(self.k * (self.C ** (height - 1 - level)))), 2)
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            h = len(self.levels)
+            if self.levels[i].size <= self._cap(i, h):
+                i += 1
+                continue
+            lv = np.sort(self.levels[i], kind="stable")
+            odd = lv.size % 2
+            keep = lv[:odd]                     # odd leftover stays
+            promoted = lv[odd + self.flip::2]   # every other item, weight x2
+            self.flip ^= 1
+            self.levels[i] = keep
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i + 1] = np.concatenate(
+                [self.levels[i + 1], promoted])
+            # growing a level changes every cap; restart the sweep
+            i = 0 if len(self.levels) != h else i + 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        if self.k != other.k:
+            raise ValueError("cannot merge KLL of different k")
+        n = max(len(self.levels), len(other.levels))
+        levels = []
+        for i in range(n):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0)
+            levels.append(np.concatenate([a, b]).astype(np.float64))
+        out = KLL(levels, self.k, self.flip ^ other.flip)
+        out._compress()
+        return out
+
+    def _weighted(self):
+        items = np.concatenate(self.levels) if self.levels else np.empty(0)
+        weights = np.concatenate(
+            [np.full(lv.size, 1 << i, np.int64)
+             for i, lv in enumerate(self.levels)]) \
+            if self.levels else np.empty(0, np.int64)
+        order = np.argsort(items, kind="stable")
+        return items[order], weights[order]
+
+    @property
+    def n(self) -> int:
+        return int(sum(lv.size << i for i, lv in enumerate(self.levels)))
+
+    def rank(self, value: float) -> int:
+        """Estimated number of inserted items <= value."""
+        items, weights = self._weighted()
+        return int(weights[items <= value].sum())
+
+    def quantile(self, q: float) -> float:
+        items, weights = self._weighted()
+        if items.size == 0:
+            return float("nan")
+        cum = np.cumsum(weights)
+        target = q * cum[-1]
+        return float(items[min(np.searchsorted(cum, target, side="left"),
+                               items.size - 1)])
+
+    def to_rows(self) -> dict:
+        return {"levels": [lv.tolist() for lv in self.levels],
+                "k": self.k, "flip": self.flip}
+
+    @classmethod
+    def from_rows(cls, d: dict) -> "KLL":
+        return cls([np.asarray(lv, np.float64) for lv in d["levels"]],
+                   int(d["k"]), int(d["flip"]))

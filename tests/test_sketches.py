@@ -160,3 +160,59 @@ def test_top_words_sketch_tracks_exact_lane(ray_session):
     assert set(exact.index) <= set(sk.index)
     for w in exact.index:
         assert sk.loc[w, "est_n"] >= exact.loc[w, "n"]
+
+
+def test_kll_rank_error_and_merge():
+    """KLL rank error stays well under the k=200 budget on a skewed
+    distribution, arbitrary split-merge equals the semantics of the whole
+    (same n, comparable quantiles), and rows round-trip."""
+    import numpy as np
+
+    from fhir_data_validation_ray.state.sketches import KLL
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate([rng.normal(0, 1, 30000),
+                        rng.exponential(5, 20000)])
+    ex = np.sort(v)
+    whole = KLL.from_values(v)
+    assert whole.n == len(v)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = whole.quantile(q)
+        rank_err = abs(np.searchsorted(ex, est) - q * len(v)) / len(v)
+        assert rank_err < 0.02, (q, rank_err)
+
+    # merge of uneven splits preserves n and quantile accuracy
+    parts = np.array_split(v, [1000, 1500, 40000])
+    m = KLL.empty()
+    for p in parts:
+        m = m.merge(KLL.from_values(p))
+    assert m.n == len(v)
+    for q in (0.1, 0.5, 0.9):
+        rank_err = abs(np.searchsorted(ex, m.quantile(q)) - q * len(v)) / len(v)
+        assert rank_err < 0.03, (q, rank_err)
+
+    # serialization round-trip is exact
+    rt = KLL.from_rows(m.to_rows())
+    assert rt.n == m.n and rt.quantile(0.5) == m.quantile(0.5)
+
+    # rank() is monotone and bounded
+    assert m.rank(ex[0] - 1) == 0 and m.rank(ex[-1] + 1) == m.n
+
+
+def test_kll_column_quantiles_matches_exact(ray_session):
+    """The distributed two-level KLL fold lands within sketch tolerance of
+    the exact integer quantiles on n_chars."""
+    import duckdb
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import kll_column_quantiles
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["n_chars"])
+    prof = kll_column_quantiles(ds, "n_chars")
+    exact = duckdb.connect().execute(
+        f"SELECT quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.95) "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')").fetchone()
+    assert prof["n"] == prof["sketch_n"] > 0
+    # 500 docs, k=200 -> the sketch is near-exact at this scale
+    assert abs(prof["quantiles"]["0.5"] - exact[0]) <= max(10, 0.05 * exact[0])
+    assert abs(prof["quantiles"]["0.95"] - exact[1]) <= max(10, 0.05 * exact[1])
