@@ -416,3 +416,14 @@ def examples_sql(n: int = 3) -> str:
         f"QUALIFY row_number() OVER (PARTITION BY error_code "
         f"ORDER BY doc_id, span_index) <= {n}"
     )
+
+
+def quarantine_sql() -> str:
+    """Doc-level pass/fail verdicts: documents with >=1 error-severity row
+    across the same full-profile union ``summary_sql`` counts — the ids the
+    quarantine split diverts (``pipelines/validate.py:blocking_doc_ids``)."""
+    body = summary_sql().split("FROM (\n", 1)[1].rsplit("\n) GROUP BY", 1)[0]
+    return (
+        f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocking FROM (\n{body}\n) "
+        "WHERE severity = 'error' GROUP BY doc_id"
+    )

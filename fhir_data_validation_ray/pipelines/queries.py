@@ -792,6 +792,16 @@ FROM sh
 """
 
 
+def _quarantine_query(sf_dir: str):
+    """Doc-level pass/fail verdict stream: documents with >=1
+    error-severity violation under the full default profile
+    (``pipelines/validate.py:blocking_doc_ids`` — the id stream
+    ``quarantine_split`` diverts)."""
+    from .validate import blocking_doc_ids
+
+    return blocking_doc_ids(_violations_for(sf_dir, default_profile()))
+
+
 def validation_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "v_required": _rule_query("R1"),
@@ -831,6 +841,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_tiered_summary": _tiered_summary_query,
         "v_examples": _examples_query,
         "v_profile_impact": _profile_impact_query,
+        "v_quarantine": _quarantine_query,
         "m_pack_interleaved": _pack_interleaved_query,
     }
 
@@ -874,6 +885,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_tiered_summary": _tiered_summary_sql(),
         "v_examples": oracle.examples_sql(EXAMPLES_PER_CODE),
         "v_profile_impact": V_PROFILE_IMPACT_SQL,
+        "v_quarantine": oracle.quarantine_sql(),
         "m_pack_interleaved": _pack_interleaved_sql(),
     }
     full = dict(paths)

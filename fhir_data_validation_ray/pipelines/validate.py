@@ -435,3 +435,152 @@ def profile_impact(sf_dir: str, old_obj: dict, new_obj: dict, *,
     return (before.union(after)
             .groupby("bucket")
             .map_groups(diff_group, batch_format="pyarrow"))
+
+
+def blocking_doc_ids(violations, *, num_buckets: int = 64):
+    """Dataset[doc_id, n_blocking]: documents with >=1 ERROR-severity
+    violation — the doc-level pass/fail verdict stream. Per-batch
+    pre-aggregated (doc_id, count) partials, one bucketed groupby; the
+    exchange carries per-batch-distinct failing doc ids, never the
+    violation stream."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    from ..functions.hashing import hash_str
+
+    def partial(t: pa.Table) -> pa.Table:
+        sev = t["severity"]
+        if isinstance(sev, pa.ChunkedArray):
+            sev = sev.combine_chunks()
+        t = t.filter(pc.equal(sev, "error"))
+        agg = pa.TableGroupBy(t.select(["doc_id"]), "doc_id").aggregate(
+            [([], "count_all")])
+        ids = agg["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        u = ids.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(u) % np.uint64(num_buckets)).astype(np.int32)),
+            "doc_id": agg["doc_id"],
+            "n": agg["count_all"].cast(pa.int64()),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g.select(["doc_id", "n"]), "doc_id").aggregate(
+            [("n", "sum")])
+        return pa.table({"doc_id": agg["doc_id"],
+                         "n_blocking": agg["n_sum"].cast(pa.int64())})
+
+    return (violations.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pyarrow"))
+
+
+def quarantine_split(sf_dir: str, out_dir: str | None = None,
+                     profile_obj: dict | None = None, *, replicas: int = 1,
+                     validation_mode: str = "standard",
+                     num_buckets: int = 64):
+    """Doc-level quarantine: validate, then split the corpus into CLEAN
+    documents (no error-severity violation) and QUARANTINED ones — the
+    ingest gate a production pipeline runs before letting a batch reach
+    training or storage. Uniqueness is a corpus-level check, not a per-doc
+    verdict, and is excluded (same scope as the summary/oracle union).
+
+    The failing-id stream meets the documents in ONE bucketed exchange
+    keyed by FNV(doc_id) with STRING verification inside the group (no
+    hash-collision quarantining); document payloads shuffle once — the
+    unavoidable cost of materializing the split. Returns a Dataset of the
+    input schema plus ``quarantined`` (bool) and ``n_blocking`` (int64);
+    with ``out_dir`` it also writes ``quarantine=true|false`` partitioned
+    parquet and returns the same Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    from ..functions.hashing import hash_str
+    from ..sources.generator import SPAN_TYPE
+
+    paths = fixture_paths(sf_dir, replicas)
+    docs = read_documents(paths["docs"])
+    v = run_validation(sf_dir, profile_obj, replicas=replicas,
+                       with_uniqueness=False,
+                       validation_mode=validation_mode)
+    bad = blocking_doc_ids(v, num_buckets=num_buckets)
+
+    spans_t = pa.list_(SPAN_TYPE)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        u = ids.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(u) % np.uint64(num_buckets)).astype(np.int32)),
+            "doc_id": ids,
+            "spans": spans,
+            "n": pa.array(np.full(len(u), -1, np.int64)),  # -1 = doc row
+        })
+
+    def tag_bad(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        u = ids.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(u) % np.uint64(num_buckets)).astype(np.int32)),
+            "doc_id": ids,
+            "spans": pa.nulls(len(u), spans_t),
+            "n": np.asarray(t["n_blocking"]).astype(np.int64),
+        })
+
+    def gate(g: pa.Table) -> pa.Table:
+        n = np.asarray(g["n"]).astype(np.int64)
+        ids = g["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        u = ids.to_numpy(zero_copy_only=False).astype("U")
+        doc_rows = n < 0
+        bad_ids, bad_n = u[~doc_rows], n[~doc_rows]
+        order = np.argsort(bad_ids, kind="stable")
+        bad_ids, bad_n = bad_ids[order], bad_n[order]
+        du = u[doc_rows]
+        if len(bad_ids):
+            pos = np.clip(np.searchsorted(bad_ids, du), 0, len(bad_ids) - 1)
+            hit = bad_ids[pos] == du            # string-verified, not hash
+            nb = np.where(hit, bad_n[pos], 0)
+        else:
+            hit = np.zeros(len(du), bool)
+            nb = np.zeros(len(du), np.int64)
+        take = pa.array(np.flatnonzero(doc_rows))
+        spans = g["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        return pa.table({
+            "doc_id": ids.take(take),
+            "spans": spans.take(take),
+            "quarantined": pa.array(hit),
+            "n_blocking": pa.array(nb.astype(np.int64)),
+        })
+
+    out = (docs.map_batches(tag_docs, batch_format="pyarrow")
+           .union(bad.map_batches(tag_bad, batch_format="pyarrow"))
+           .groupby("bucket").map_groups(gate, batch_format="pyarrow"))
+    if out_dir is not None:
+        def add_part(t: pa.Table) -> pa.Table:
+            q = t["quarantined"]
+            if isinstance(q, pa.ChunkedArray):
+                q = q.combine_chunks()
+            part = pc.if_else(q, "true", "false")
+            return t.append_column("quarantine", part)
+
+        out = out.map_batches(add_part, batch_format="pyarrow")
+        out.write_parquet(out_dir, partition_cols=["quarantine"])
+    return out
