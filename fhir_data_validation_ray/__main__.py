@@ -90,6 +90,19 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--sf-dir", required=True)
     sg.add_argument("--replicas", type=int, default=1)
 
+    qa = sub.add_parser(
+        "quarantine",
+        help="doc-level pass/fail gate: validate, then write "
+             "quarantine=true|false partitioned parquet (clean docs "
+             "revalidate clean)",
+    )
+    qa.add_argument("--sf-dir", required=True)
+    qa.add_argument("--out", required=True)
+    qa.add_argument("--profile", default=None)
+    qa.add_argument("--replicas", type=int, default=1)
+    qa.add_argument("--mode", default="standard",
+                    choices=["standard", "full", "debug"])
+
     im = sub.add_parser(
         "impact",
         help="profile-change corpus impact: the rule-level diff plus the "
@@ -176,6 +189,18 @@ def main(argv: list[str] | None = None) -> int:
 
         n = pq.ParquetDataset(args.out).read(columns=["doc_id"]).num_rows
         print(json.dumps({"out": args.out, "kept": int(n)}))
+    elif args.cmd == "quarantine":
+        from .pipelines.validate import quarantine_split
+
+        out = quarantine_split(
+            args.sf_dir, args.out, _load_profile(args.profile),
+            replicas=args.replicas, validation_mode=args.mode).materialize()
+        counts = {("quarantined" if r["quarantined"] else "clean"):
+                  r["count()"] for r in
+                  out.groupby("quarantined").count().take_all()}
+        print(json.dumps({"out": args.out,
+                          "clean": int(counts.get("clean", 0)),
+                          "quarantined": int(counts.get("quarantined", 0))}))
     elif args.cmd == "impact":
         from .pipelines.profiles import profile_diff
         from .pipelines.validate import profile_impact
