@@ -14,6 +14,13 @@ import pyarrow as pa
 def collect_table(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
     import ray
 
+    # materialize FIRST: to_arrow_refs on a lazy Dataset fetches the schema
+    # via a SEPARATE limit-1 execution of the whole plan — on a sort-bearing
+    # pipeline that is a full duplicate run (measured 46s + 14s on the same
+    # 1M-doc exchange). A MaterializedDataset hands out refs with the schema
+    # already known: exactly one execution.
+    if hasattr(ds, "materialize"):
+        ds = ds.materialize()
     tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0 and t.num_columns > 0]
     if not tabs:
         if empty_schema is not None:

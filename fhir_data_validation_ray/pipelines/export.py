@@ -57,7 +57,8 @@ def export_training_shards(docs, out_dir: str, *, n_shards: int = 64,
         layout = split_assign(layout, bands=split_bands)
         partition_cols = ["split", "shard"]
     if fmt == "jsonl":
-        res = write_jsonl_shards(layout, out_dir, n_shards=n_shards)
+        res = write_jsonl_shards(layout, out_dir, n_shards=n_shards,
+                                 has_split=split_bands is not None)
         return {"out": out_dir, "n_docs": res["rows"], "n_shards": n_shards,
                 "n_files": res["files"], "fmt": "jsonl",
                 "split": bool(split_bands)}
@@ -76,7 +77,8 @@ JSONL_ROWS_PER_FILE = 100_000
 
 
 def write_jsonl_shards(layout, out_dir: str, *, n_shards: int,
-                       rows_per_file: int = JSONL_ROWS_PER_FILE) -> dict:
+                       rows_per_file: int = JSONL_ROWS_PER_FILE,
+                       has_split: bool | None = None) -> dict:
     """Deterministic distributed JSONL sink — the trainer-facing lingua
     franca next to the parquet lane (Ray's ``write_json`` has no
     ``partition_cols``). ``layout`` rows carry (doc_id, shard, pos, text
@@ -92,7 +94,11 @@ def write_jsonl_shards(layout, out_dir: str, *, n_shards: int,
     import numpy as np
     import pyarrow as pa
 
-    has_split = "split" in layout.schema().names
+    if has_split is None:
+        # .schema() on a LAZY sort-bearing pipeline runs the whole plan
+        # once just to learn the columns (limit-1 still needs the sort) —
+        # callers that know the layout shape pass has_split explicitly
+        has_split = "split" in layout.schema().names
     CHUNK_UB = 1 << 32
 
     def add_key(t: pa.Table) -> pa.Table:

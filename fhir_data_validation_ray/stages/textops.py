@@ -1773,28 +1773,49 @@ def distinct_ngrams(docs, ns: tuple[int, ...] = (1, 2, 3), *,
         sd = pc.dictionary_encode(srcs)
         src_code_per_doc = np.asarray(sd.indices, dtype=np.int64)
         n_src = max(len(sd.dictionary), 1)
+        # dictionary-encode the WORD stream once; per-occurrence work below
+        # is pure integer code arithmetic — gram STRINGS are built only for
+        # the per-batch-UNIQUE (gram, source) survivors (the winnow/member
+        # lesson: never run string kernels per occurrence)
+        wd = pc.dictionary_encode(words)
+        wcode = np.asarray(wd.indices, dtype=np.int64)
+        wdict = wd.dictionary
+        V = max(len(wdict), 1)
         out_b, out_s, out_n, out_g, out_c = [], [], [], [], []
         for n in ns:
             L = len(words) - (n - 1)
             if L <= 0:
                 continue
             if n == 1:
-                grams, gpar = words, parent
+                code = wcode
+                gpar = parent
             else:
+                if V ** n * n_src >= (1 << 62):
+                    raise ValueError(
+                        f"distinct_ngrams: composite code overflow "
+                        f"(batch vocab {V}, n={n}); lower batch_size")
                 valid = parent[:L] == parent[n - 1:]
-                vmask = pa.array(valid)
-                cols = [words.slice(j, L).filter(vmask) for j in range(n)]
-                grams = pc.binary_join_element_wise(*cols, " ")
+                code = wcode[:L][valid]
+                for j in range(1, n):
+                    code = code * V + wcode[j:j + L][valid]
                 gpar = parent[:L][valid]
-            if len(grams) == 0:
+            if len(code) == 0:
                 continue
-            dg = pc.dictionary_encode(grams)
-            gcode = np.asarray(dg.indices, dtype=np.int64)
             scode = src_code_per_doc[gpar]
-            code = gcode * n_src + scode
-            uc, cnt = np.unique(code, return_counts=True)
+            uc, cnt = np.unique(code * n_src + scode, return_counts=True)
             gsel, ssel = uc // n_src, uc % n_src
-            ugrams = dg.dictionary.take(pa.array(gsel))
+            # decode unique gram codes -> word indices -> join ONCE
+            if n == 1:
+                ugrams = wdict.take(pa.array(gsel))
+            else:
+                parts_idx = []
+                rem = gsel
+                for _ in range(n):
+                    parts_idx.append(rem % V)
+                    rem = rem // V
+                cols = [wdict.take(pa.array(ix))
+                        for ix in reversed(parts_idx)]
+                ugrams = pc.binary_join_element_wise(*cols, " ")
             uw = ugrams.to_numpy(zero_copy_only=False).astype("U")
             out_b.append((hash_str(uw) % np.uint64(num_buckets)).astype(np.int32))
             out_s.append(sd.dictionary.take(pa.array(ssel)))

@@ -32,7 +32,7 @@ def main() -> None:
     def run(name, fn):
         t0 = time.perf_counter()
         out = fn()
-        n = out.count() if hasattr(out, "count") else len(out)
+        n = out.count() if hasattr(out, "take_all") else len(out)
         dt = round(time.perf_counter() - t0, 2)
         results[name] = {"sec": dt, "rows": int(n)}
         print(json.dumps({name: results[name]}), flush=True)
