@@ -116,8 +116,13 @@ def validation_response(
 
     t0 = time.perf_counter()
     profile_obj = profile_obj or default_profile()
+    # materialize: the summary aggregate AND the bounded error sample both
+    # consume the stream — on a lazy Dataset the second consumption would
+    # re-run the whole validation (the collect_table double-execution
+    # lesson applied at the consumer level). The violations stream is the
+    # result set; the object store spills it if large.
     violations = run_validation(sf_dir, profile_obj, replicas=replicas,
-                                validation_mode=validation_mode)
+                                validation_mode=validation_mode).materialize()
     summary = summarize(violations)
     errors = violations.limit(max_errors).to_pandas().to_dict("records")
     # render authored message templates into the bounded error sample
