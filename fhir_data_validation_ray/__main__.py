@@ -194,7 +194,7 @@ def main(argv: list[str] | None = None) -> int:
 
         out = quarantine_split(
             args.sf_dir, args.out, _load_profile(args.profile),
-            replicas=args.replicas, validation_mode=args.mode).materialize()
+            replicas=args.replicas, validation_mode=args.mode)
         counts = {("quarantined" if r["quarantined"] else "clean"):
                   r["count()"] for r in
                   out.groupby("quarantined").count().take_all()}

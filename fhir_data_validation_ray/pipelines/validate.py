@@ -586,6 +586,8 @@ def quarantine_split(sf_dir: str, out_dir: str | None = None,
             part = pc.if_else(q, "true", "false")
             return t.append_column("quarantine", part)
 
-        out = out.map_batches(add_part, batch_format="pyarrow")
+        # materialize before the sink so a consumer reusing the returned
+        # Dataset (counts, filters) never re-runs the validation
+        out = out.map_batches(add_part, batch_format="pyarrow").materialize()
         out.write_parquet(out_dir, partition_cols=["quarantine"])
     return out
