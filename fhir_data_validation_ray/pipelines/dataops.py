@@ -676,13 +676,23 @@ def _funnel_stages():
         c = t[name]
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
+    # one-slot per-batch memo: min_words and word_shape both need (w, l),
+    # and the cascade evaluates every stage on the SAME batch object —
+    # without it the split/flatten tokenization (the funnel's dominant
+    # cost) runs twice per batch
+    _wl_cache: dict = {}
+
     def _wl(t):
         """(kept-word count, char count sans spaces) per doc — the two
         integers the min_words and word_shape stages compare."""
+        if _wl_cache.get("key") is t:
+            return _wl_cache["val"]
         texts = _col(t, "text")
         _, w, _ = _word_lists(texts)
         l = pc.utf8_length(pc.replace_substring(texts, " ", ""))
-        return w, np.asarray(l, dtype=np.int64)
+        val = (w, np.asarray(l, dtype=np.int64))
+        _wl_cache["key"], _wl_cache["val"] = t, val
+        return val
 
     return [
         ("min_chars", lambda t: np.asarray(

@@ -359,8 +359,9 @@ def profile_impact(sf_dir: str, old_obj: dict, new_obj: dict, *,
         return rd.from_arrow(empty)
 
     def side(profile: dict, ids: set[str] | None, role: int):
+        # details are dropped by prep's column selection — never render them
         v = run_validation(sf_dir, profile, replicas=replicas,
-                           with_uniqueness=False,
+                           with_uniqueness=False, emit_details=False,
                            validation_mode=validation_mode)
 
         def prep(t: pa.Table) -> pa.Table:
@@ -368,7 +369,11 @@ def profile_impact(sf_dir: str, old_obj: dict, new_obj: dict, *,
                 rid = t["rule_id"]
                 if isinstance(rid, pa.ChunkedArray):
                     rid = rid.combine_chunks()
-                t = t.filter(pc.is_in(rid, value_set=pa.array(sorted(ids))))
+                # explicit string type: an EMPTY id set otherwise builds a
+                # null-typed value_set and pc.is_in raises ArrowTypeError
+                # (purely-additive or purely-subtractive profile changes)
+                t = t.filter(pc.is_in(
+                    rid, value_set=pa.array(sorted(ids), pa.string())))
             key = t.select(["doc_id", "span_index", "rule_id",
                             "error_code", "severity"])
             agg = pa.TableGroupBy(key, key.column_names).aggregate(
@@ -510,8 +515,9 @@ def quarantine_split(sf_dir: str, out_dir: str | None = None,
 
     paths = fixture_paths(sf_dir, replicas)
     docs = read_documents(paths["docs"])
+    # the verdict fold reads only (doc_id, severity) — never render details
     v = run_validation(sf_dir, profile_obj, replicas=replicas,
-                       with_uniqueness=False,
+                       with_uniqueness=False, emit_details=False,
                        validation_mode=validation_mode)
     bad = blocking_doc_ids(v, num_buckets=num_buckets)
 

@@ -167,10 +167,13 @@ def pack_interleaved(docs, *, budget: int = PACK_BUDGET,
 
     ``n_shards`` bounds the per-group row count at corpus/n_shards — a
     FIXED shard count is a corpus-sized group at 10^12 docs, so the
-    default (None) auto-sizes it from a metadata-cheap ``docs.count()``
-    to ~``PACK_SHARD_DOCS``-doc groups; pass an explicit value when the
-    layout must be reproducible across corpus sizes (the oracle query
-    pins {PACK_INTERLEAVED_SHARDS})."""
+    default (None) auto-sizes it from ``docs.count()`` to
+    ~``PACK_SHARD_DOCS``-doc groups. The count is metadata-cheap ONLY
+    for an untransformed read; if ``docs`` has upstream transforms the
+    count executes that plan once before the packing pass re-runs it —
+    pass n_shards explicitly (e.g. from a known corpus size) in that
+    case, and whenever the layout must be reproducible across corpus
+    sizes (the oracle query pins {PACK_INTERLEAVED_SHARDS})."""
     from ..functions.hashing import hash_str
 
     mc = MEDIA_TOKEN_COSTS if media_costs is None else media_costs

@@ -150,3 +150,27 @@ def test_impact_severity_change_swaps_rows(ray_session):
     by_change = got.groupby("change")["severity"].unique().to_dict()
     assert list(by_change["resolved"]) == ["error"]
     assert list(by_change["introduced"]) == ["warning"]
+
+
+def test_impact_additive_only_and_subtractive_only(ray_session):
+    """A change that ONLY adds (or only removes) a rule leaves one side's
+    impacted set empty — the empty-value-set filter must not crash
+    (null-typed value_set regression) and the diff is one-sided."""
+    old = default_profile()
+    add_only = default_profile()
+    add_only["rules"].append({"id": "R90", "type": "Required",
+                              "kind": "Observation",
+                              "instanceScope": {"kind": "all"},
+                              "fieldPath": "text", "severity": "error"})
+    got = _impact_df(old, add_only)
+    want = _brute_diff(old, add_only, set(), {"R90"})
+    assert len(got) > 0 and set(got["change"]) == {"introduced"}
+    _assert_same(got, want)
+
+    remove_only = default_profile()
+    remove_only["rules"] = [r for r in remove_only["rules"]
+                            if r["id"] != "R4"]
+    got = _impact_df(old, remove_only)
+    want = _brute_diff(old, remove_only, {"R4"}, set())
+    assert len(got) > 0 and set(got["change"]) == {"resolved"}
+    _assert_same(got, want)
