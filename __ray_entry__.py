@@ -59,7 +59,8 @@ _QUERY_PRIORITY = [
     "w_transitions", "w_interarrival",
     "v_examples",
     # -- (2) new in round 4 (oracle-bearing)
-    "v_lint", "v_extension", "c_suggest_rules", "d_cross_shard_overlap",
+    "v_lint", "v_extension", "v_breadcrumbs", "c_suggest_rules",
+    "d_cross_shard_overlap",
     "a_gram_spectrum", "a_table_audit", "w_burst_windows",
     "v_spec_hints", "v_explanations", "v_summary_full", "v_tiered_summary",
     "m_crossmodal_topk", "c_filter_funnel", "a_distinct_ngrams",

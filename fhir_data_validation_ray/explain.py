@@ -249,6 +249,148 @@ def explain_violations(violations, profile_obj: dict[str, Any]):
     return violations.map_batches(enrich, batch_format="pyarrow")
 
 
+# --------------------------------------------------- smart-path navigation
+# The reference DEPRECATED backend breadcrumbs (``Models/NavigationInfo.cs``:
+# "Frontend derives breadcrumbs from ValidationError.Path ... no longer
+# populated. Removal target: Q1 2026"), so the LIVE breadcrumb surface is
+# the frontend formatter (``frontend/src/utils/smartPathFormatting.ts``).
+# This is its data-native port: scalar helpers (used by the oracle-SQL
+# generator and unit tests) plus a vectorized Arrow enrichment over the
+# violations stream, string-identical by construction.
+#
+# Path-vocabulary contracts shared with the oracle (both sides are RE2
+# GlobalReplace, pinned by tests):
+#  - json_pointer segments are never CONSECUTIVE numerics and never empty
+#    (the sink emits "/spans/<n>/<field>" or "" — ``kernels.py:109``);
+#  - the resourceType used for scoping is the FIRST '.'-segment of the
+#    path (the sink always emits "kind.field"; the frontend receives the
+#    same value via ``error.resourceType``);
+#  - path segments are non-empty (no "a..b").
+
+import re as _re
+
+BREADCRUMB_SEP = " ▸ "  # renderBreadcrumb's default "▸" separator
+
+_WHERE_RE = _re.compile(r"\.where\([^)]+\)")
+_STAR_IDX_RE = _re.compile(r"\[\*\]")
+_PTR_IDX_RE = _re.compile(r"/([0-9]+)/")
+_PTR_NUM_SEG_RE = _re.compile(r"/[0-9]+/")
+
+
+def _structural_path(path: str) -> str:
+    """Strip ALL where() clauses, then fix a duplicated resource-type
+    prefix ("Patient.Patient.gender" -> "Patient.gender") —
+    ``formatSmartPath`` phase-6 semantics."""
+    sp = _WHERE_RE.sub("", path or "")
+    k = sp.split(".", 1)[0]
+    dup = f"{k}.{k}"
+    if k and (sp == dup or sp.startswith(dup + ".") or sp.startswith(dup + "[")):
+        sp = sp[len(k) + 1:]
+    return sp
+
+
+def format_breadcrumb(path: str) -> str:
+    """Structural breadcrumb string: where() clauses and "[*]" wildcards
+    stripped, segments joined by " ▸ " (``formatSmartPath`` +
+    ``renderBreadcrumb``; a "[n]" index stays on its segment)."""
+    if not path or path == "Unknown":
+        return "Unknown"
+    return _STAR_IDX_RE.sub("", _structural_path(path)).replace(".", BREADCRUMB_SEP)
+
+
+def scoped_path(path: str) -> str:
+    """Structural path with the resource-type prefix removed
+    (``FormattedPath.scopedPath``)."""
+    if not path or path == "Unknown":
+        return "Unknown"
+    sp = _structural_path(path)
+    k = sp.split(".", 1)[0]
+    return sp[len(k) + 1:] if k and sp.startswith(k + ".") else sp
+
+
+def pointer_full_path(ptr: str) -> str:
+    """JSON pointer -> dot notation with array indices
+    ("/spans/3/text" -> "spans[3].text") — ``extractFullJsonPath``."""
+    t = _PTR_IDX_RE.sub(r"[\1]/", (ptr or "") + "/")
+    return t.strip("/").replace("/", ".")
+
+
+def pointer_jsonpath(ptr: str) -> str:
+    """JSON pointer -> JSONPath ("$" rooted) — ``convertToJsonPath``."""
+    full = pointer_full_path(ptr)
+    return "$" if not full else "$." + full
+
+
+def pointer_fhirpath_style(ptr: str) -> str:
+    """JSON pointer -> FHIRPath-style display (numeric segments dropped:
+    "/spans/3/text" -> "spans.text") — ``jsonPointerToFhirPathStyle``."""
+    t = _PTR_NUM_SEG_RE.sub("/", (ptr or "") + "/")
+    return t.strip("/").replace("/", ".")
+
+
+def navigate_violations(violations):
+    """Enrich a violations Dataset with the five navigation columns the
+    playground UI derives per error: ``nav_breadcrumb``,
+    ``nav_scoped_path``, ``nav_full_json_path``, ``nav_json_path``,
+    ``nav_pointer_path``.
+
+    Stateless Arrow map — every transform is a shared-dialect RE2 regex or
+    a string kernel; the duplicate-prefix fix and resource scoping loop
+    over the batch's DISTINCT first segments (span kinds — low
+    cardinality), one vectorized pass each. Property-tested equal to the
+    scalar ports above."""
+
+    def enrich(t: pa.Table) -> pa.Table:
+        path = pc.fill_null(t["path"], "")
+        ptr = pc.fill_null(t["json_pointer"], "")
+        sp0 = pc.replace_substring_regex(
+            path, pattern=r"\.where\([^)]+\)", replacement="")
+        first0 = pc.list_element(pc.split_pattern(sp0, "."), 0)
+        sp = sp0
+        for k in pc.unique(first0).to_pylist():
+            if not k:
+                continue
+            dup = f"{k}.{k}"
+            m = pc.or_(pc.or_(pc.starts_with(sp0, pattern=dup + "."),
+                              pc.starts_with(sp0, pattern=dup + "[")),
+                       pc.equal(sp0, dup))
+            sp = pc.if_else(m, pc.utf8_slice_codeunits(sp0, start=len(k) + 1), sp)
+        m_unk = pc.or_(pc.equal(path, ""), pc.equal(path, "Unknown"))
+        crumb = pc.replace_substring(
+            pc.replace_substring_regex(sp, pattern=r"\[\*\]", replacement=""),
+            pattern=".", replacement=BREADCRUMB_SEP)
+        crumb = pc.if_else(m_unk, pa.scalar("Unknown"), crumb)
+        first1 = pc.list_element(pc.split_pattern(sp, "."), 0)
+        scoped = sp
+        for k in pc.unique(first1).to_pylist():
+            if not k:
+                continue
+            m = pc.starts_with(sp, pattern=k + ".")
+            scoped = pc.if_else(m, pc.utf8_slice_codeunits(sp, start=len(k) + 1), scoped)
+        scoped = pc.if_else(m_unk, pa.scalar("Unknown"), scoped)
+        t1 = pc.binary_join_element_wise(ptr, "/", "")
+        full = pc.replace_substring(
+            pc.utf8_trim(pc.replace_substring_regex(
+                t1, pattern=r"/([0-9]+)/", replacement=r"[\1]/"),
+                characters="/"),
+            pattern="/", replacement=".")
+        jsonpath = pc.if_else(
+            pc.equal(full, ""), pa.scalar("$"),
+            pc.binary_join_element_wise("$.", full, ""))
+        pstyle = pc.replace_substring(
+            pc.utf8_trim(pc.replace_substring_regex(
+                t1, pattern=r"/[0-9]+/", replacement="/"),
+                characters="/"),
+            pattern="/", replacement=".")
+        return (t.append_column("nav_breadcrumb", crumb)
+                 .append_column("nav_scoped_path", scoped)
+                 .append_column("nav_full_json_path", full)
+                 .append_column("nav_json_path", jsonpath)
+                 .append_column("nav_pointer_path", pstyle))
+
+    return violations.map_batches(enrich, batch_format="pyarrow")
+
+
 # ----------------------------------------------------- message token resolver
 # ``Services/MessageTokenResolver.cs:16-141`` — custom rule-message templates
 # rendered from rule metadata (+ optional runtime context). Ported exactly,

@@ -443,6 +443,99 @@ FROM resolved WHERE ok_local AND target_kind <> claimed
     return "\nUNION ALL\n".join(parts)
 
 
+_NAV_RESULT_COLS = ["doc_id", "span_index", "error_code", "severity",
+                    "nav_breadcrumb", "nav_scoped_path",
+                    "nav_full_json_path", "nav_json_path", "nav_pointer_path"]
+
+
+def _breadcrumbs_query(sf_dir: str):
+    """Smart-path navigation columns over a mixed-lane violations stream
+    (``frontend/src/utils/smartPathFormatting.ts`` — the live breadcrumb
+    surface; the backend ``Models/NavigationInfo.cs`` is deprecated in the
+    reference itself): per-span constant paths (R1 Required, R6
+    CodeSystem), a doc-level empty-pointer lane (R5 ArrayLength), and
+    per-row kind paths (R8 Reference)."""
+    from ..explain import navigate_violations
+
+    base = default_profile()
+    p = single_rule_profile("R1")
+    p["rules"] = [r for r in base["rules"]
+                  if r["id"] in ("R1", "R5", "R6", "R8")]
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    reg = registry_keys_numpy(paths["registry"])
+    v = validate_dataset(docs, p, registry_keys=reg, emit_details=False)
+    return navigate_violations(v).select_columns(_NAV_RESULT_COLS)
+
+
+def _breadcrumbs_sql() -> str:
+    """Oracle assembled from the SAME scalar navigation helpers as the
+    engine's vectorized lane (``explain.format_breadcrumb`` & co.):
+    constant paths resolve to string literals at SQL-generation time; the
+    per-row pieces (span_index inside the pointer, the reference lane's
+    kind) concatenate exactly the way the sink constructs them
+    (``kernels.py:109``)."""
+    from .. import explain as X
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    SENT = "987654321"  # span_index sentinel; never appears in field names
+
+    def span_lane(part: str, kind: str, field: str) -> str:
+        path = f"{kind}.{field}"
+        pre, suf = X.pointer_full_path(f"/spans/{SENT}/{field}").split(SENT, 1)
+        return (
+            f"SELECT doc_id, span_index, error_code, severity,\n"
+            f"       '{esc(X.format_breadcrumb(path))}' AS nav_breadcrumb,\n"
+            f"       '{esc(X.scoped_path(path))}' AS nav_scoped_path,\n"
+            f"       '{esc(pre)}' || span_index || '{esc(suf)}' AS nav_full_json_path,\n"
+            f"       '$.{esc(pre)}' || span_index || '{esc(suf)}' AS nav_json_path,\n"
+            f"       '{esc(X.pointer_fhirpath_style(f'/spans/0/{field}'))}' AS nav_pointer_path\n"
+            f"FROM ({part})")
+
+    def doc_lane(part: str, path: str) -> str:
+        return (
+            f"SELECT doc_id, span_index, error_code, severity,\n"
+            f"       '{esc(X.format_breadcrumb(path))}' AS nav_breadcrumb,\n"
+            f"       '{esc(X.scoped_path(path))}' AS nav_scoped_path,\n"
+            f"       '{esc(X.pointer_full_path(''))}' AS nav_full_json_path,\n"
+            f"       '{esc(X.pointer_jsonpath(''))}' AS nav_json_path,\n"
+            f"       '{esc(X.pointer_fhirpath_style(''))}' AS nav_pointer_path\n"
+            f"FROM ({part})")
+
+    # per-row kind lane (R8 Reference): breadcrumb = kind ▸ media_ref
+    ref_part = oracle._REFS_CTE + """
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_NOT_FOUND' AS error_code, 'error' AS severity, kind
+FROM resolved
+WHERE NOT ok_local
+  AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{registry}'))
+UNION ALL
+SELECT doc_id, CAST(span_index AS INTEGER) AS span_index,
+       'REFERENCE_TYPE_MISMATCH' AS error_code, 'error' AS severity, kind
+FROM resolved WHERE ok_local AND target_kind <> claimed
+"""
+    crumb_suf = X.format_breadcrumb("K.media_ref").split("K", 1)[1]
+    pre, suf = X.pointer_full_path(f"/spans/{SENT}/media_ref").split(SENT, 1)
+    ref_sql = (
+        f"SELECT doc_id, span_index, error_code, severity,\n"
+        f"       kind || '{esc(crumb_suf)}' AS nav_breadcrumb,\n"
+        f"       '{esc(X.scoped_path('K.media_ref'))}' AS nav_scoped_path,\n"
+        f"       '{esc(pre)}' || span_index || '{esc(suf)}' AS nav_full_json_path,\n"
+        f"       '$.{esc(pre)}' || span_index || '{esc(suf)}' AS nav_json_path,\n"
+        f"       '{esc(X.pointer_fhirpath_style('/spans/0/media_ref'))}' AS nav_pointer_path\n"
+        f"FROM ({ref_part})")
+
+    parts = [
+        span_lane(oracle.V_REQUIRED, "Patient", "text"),
+        doc_lane(oracle.V_ARRAY_LENGTH, "spans"),
+        span_lane(oracle.V_CODE_SYSTEM, "Coding", "text"),
+        ref_sql,
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _suggest_rules_query(sf_dir: str):
     """Debug-mode rule suggestions over the corpus (detector thresholds
     from ``Authoring/SystemRuleSuggestionService.cs:33-38``)."""
@@ -825,6 +918,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_extension": _extension_query,
         "v_spec_hints": _spec_hints_query,
         "v_explanations": _explanations_query,
+        "v_breadcrumbs": _breadcrumbs_query,
         "v_json_ingest": _json_ingest_query,
         "v_primitive_date": _primitive_query("date", "date"),
         "v_primitive_datetime": _primitive_query("dateTime", "dateTime"),
@@ -869,6 +963,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_extension": V_EXTENSION_SQL,
         "v_spec_hints": _spec_hints_sql(),
         "v_explanations": _explanations_sql(),
+        "v_breadcrumbs": _breadcrumbs_sql(),
         "v_json_ingest": _json_ingest_sql(),
         "v_primitive_date": oracle.primitive_sql("date", "date"),
         "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),

@@ -785,3 +785,61 @@ def test_pack_interleaved_matches_python_reference(ray_session, rows,
                          r["seq_in_shard"])
            for r in pack_interleaved(ds, n_shards=n_shards).take_all()}
     assert got == want
+
+
+# --------------------------------------------------- smart-path navigation
+_nav_seg = st.sampled_from(["Patient", "Observation", "a", "b2", "text",
+                            "media_ref", "value"])
+_nav_piece = st.one_of(
+    _nav_seg,
+    st.builds(lambda s, i: f"{s}[{i}]", _nav_seg, st.integers(0, 12)),
+    st.builds(lambda s: f"{s}[*]", _nav_seg),
+    st.builds(lambda s, c: f"{s}.where({c}='x')", _nav_seg, _nav_seg),
+)
+_nav_path = st.one_of(
+    st.just(""), st.just("Unknown"),
+    st.lists(_nav_piece, min_size=1, max_size=5).map(".".join),
+    # duplicated resource-type prefix variants
+    st.builds(lambda s, rest: f"{s}.{s}.{rest}", _nav_seg, _nav_seg),
+)
+# pointer contract: segments non-empty, numerics never consecutive
+_nav_ptr = st.one_of(
+    st.just(""),
+    st.lists(
+        st.one_of(_nav_seg,
+                  st.builds(lambda s, i: f"{s}/{i}", _nav_seg,
+                            st.integers(0, 999))),
+        min_size=1, max_size=4,
+    ).map(lambda parts: "/" + "/".join(parts)),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_nav_path, _nav_ptr), min_size=1, max_size=24))
+def test_navigation_vectorized_equals_scalar(ray_session, rows):
+    """The Arrow-vectorized navigation lane and the scalar ports
+    (oracle-literal generators) agree on every column over the path and
+    pointer vocabulary, including duplicate prefixes, where() filters,
+    [*] wildcards and doc-level empty pointers."""
+    import pyarrow as pa
+    import ray.data
+
+    import fhir_data_validation_ray.explain as X
+
+    t = pa.table({
+        "doc_id": [f"d{i}" for i in range(len(rows))],
+        "span_index": pa.array([0] * len(rows), pa.int32()),
+        "error_code": ["E"] * len(rows),
+        "severity": ["error"] * len(rows),
+        "path": [p for p, _ in rows],
+        "json_pointer": [q for _, q in rows],
+    })
+    navigate_sorted = sorted(
+        X.navigate_violations(ray.data.from_arrow(t)).take_all(),
+        key=lambda r: int(r["doc_id"][1:]))
+    for r, (p, q) in zip(navigate_sorted, rows):
+        assert r["nav_breadcrumb"] == X.format_breadcrumb(p)
+        assert r["nav_scoped_path"] == X.scoped_path(p)
+        assert r["nav_full_json_path"] == X.pointer_full_path(q)
+        assert r["nav_json_path"] == X.pointer_jsonpath(q)
+        assert r["nav_pointer_path"] == X.pointer_fhirpath_style(q)

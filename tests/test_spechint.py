@@ -285,3 +285,87 @@ def test_conditional_required_spans_details_carry_per_parent_need():
     d = json.loads(out["details"][0].as_py())
     # per-parent need: 3 Observations -> expected_min 3, actual 1
     assert d["expected_min"] == 3 and d["actual"] == 1
+
+
+# --------------------------------------------------- smart-path navigation
+def test_navigation_scalar_semantics():
+    """Pinned ``smartPathFormatting.ts`` behaviors: where() clauses are
+    filters (stripped), [n] indices stay on their segment, [*] wildcards
+    render as the bare name, duplicated resource prefixes collapse,
+    empty/Unknown paths short-circuit."""
+    from fhir_data_validation_ray.explain import (
+        format_breadcrumb,
+        pointer_fhirpath_style,
+        pointer_full_path,
+        pointer_jsonpath,
+        scoped_path,
+    )
+
+    assert format_breadcrumb(
+        "Observation.where(code.coding.code='HS').performer.display"
+    ) == "Observation ▸ performer ▸ display"
+    # multiple where() at any position; [*] dropped, [n] kept
+    assert format_breadcrumb(
+        "Observation.where(code='HS').component.where(system='loinc').valueString"
+    ) == "Observation ▸ component ▸ valueString"
+    assert format_breadcrumb("Patient.address[0].line[*]") == \
+        "Patient ▸ address[0] ▸ line"
+    # duplicated resource-type prefix collapses ("backend constructs paths
+    # incorrectly" guard)
+    assert format_breadcrumb("Patient.Patient.gender") == "Patient ▸ gender"
+    assert format_breadcrumb("Patient.Patient[0].gender") == \
+        "Patient[0] ▸ gender"
+    assert format_breadcrumb("") == "Unknown"
+    assert format_breadcrumb("Unknown") == "Unknown"
+    assert scoped_path("Patient.name.given") == "name.given"
+    assert scoped_path("Patient") == "Patient"  # no dot -> unchanged
+    assert scoped_path("Patient.where(active=true).name") == "name"
+    assert scoped_path("") == "Unknown"
+    assert pointer_full_path(
+        "/entry/0/resource/extension/2/valueCodeableConcept"
+    ) == "entry[0].resource.extension[2].valueCodeableConcept"
+    assert pointer_full_path("/spans/3") == "spans[3]"
+    assert pointer_full_path("") == ""
+    assert pointer_jsonpath("/spans/3/text") == "$.spans[3].text"
+    assert pointer_jsonpath("") == "$"
+    assert pointer_fhirpath_style("/entry/0/resource/gender") == \
+        "entry.resource.gender"
+    assert pointer_fhirpath_style("/") == ""
+    assert pointer_fhirpath_style("") == ""
+
+
+def test_navigate_violations_vectorized_matches_scalar(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from fhir_data_validation_ray.explain import (
+        format_breadcrumb,
+        navigate_violations,
+        pointer_fhirpath_style,
+        pointer_full_path,
+        pointer_jsonpath,
+        scoped_path,
+    )
+
+    paths = ["Patient.text", "Coding.text", "spans", "",
+             "Patient.Patient.gender", "Observation.where(x='1').a[0].b[*]",
+             "Unknown", "image.media_ref"]
+    ptrs = ["/spans/0/text", "/spans/12/text", "", "",
+            "/spans/3/media_ref", "/doc_id", "/spans/7/text", ""]
+    t = pa.table({
+        "doc_id": [f"d{i}" for i in range(len(paths))],
+        "span_index": pa.array([0, 12, -1, -1, 3, -1, 7, -1], pa.int32()),
+        "error_code": ["E"] * len(paths),
+        "severity": ["error"] * len(paths),
+        "path": paths,
+        "json_pointer": ptrs,
+    })
+    out = navigate_violations(ray.data.from_arrow(t)).take_all()
+    out = {r["doc_id"]: r for r in out}
+    for i, (p, q) in enumerate(zip(paths, ptrs)):
+        r = out[f"d{i}"]
+        assert r["nav_breadcrumb"] == format_breadcrumb(p), (p, r)
+        assert r["nav_scoped_path"] == scoped_path(p), (p, r)
+        assert r["nav_full_json_path"] == pointer_full_path(q), (q, r)
+        assert r["nav_json_path"] == pointer_jsonpath(q), (q, r)
+        assert r["nav_pointer_path"] == pointer_fhirpath_style(q), (q, r)
