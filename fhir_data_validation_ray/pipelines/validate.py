@@ -138,6 +138,25 @@ def validation_response(
             rule = templates.get(e.get("rule_id"))
             if rule is not None:
                 e["message"] = resolve_message_tokens(rule["message"], rule)
+    # navigation breadcrumbs for the bounded sample (the playground UI
+    # derives these client-side from path/jsonPointer —
+    # ``frontend/src/utils/smartPathFormatting.ts``; a data-native response
+    # has no client, so it carries them; once per sampled row, never in
+    # the streaming hot path)
+    from ..explain import (
+        format_breadcrumb,
+        pointer_full_path,
+        pointer_jsonpath,
+        scoped_path,
+    )
+
+    for e in errors:
+        e["navigation"] = {
+            "breadcrumb": format_breadcrumb(e.get("path") or ""),
+            "scopedPath": scoped_path(e.get("path") or ""),
+            "fullJsonPath": pointer_full_path(e.get("json_pointer") or ""),
+            "jsonPath": pointer_jsonpath(e.get("json_pointer") or ""),
+        }
     n_error = int(summary.loc[summary["severity"] == "error", "n"].sum())
     n_warning = int(summary.loc[summary["severity"] == "warning", "n"].sum())
     suggestions = None

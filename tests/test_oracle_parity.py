@@ -58,6 +58,20 @@ def test_validation_response_shape(ray_session):
     assert {"doc_id", "span_index", "error_code", "severity"} <= set(resp["errors"][0])
     assert resp["summary"]["totalErrors"] > 0
     assert resp["metadata"]["processingTimeMs"] > 0
+    # every sampled error carries the navigation block the playground UI
+    # derives client-side (smartPathFormatting.ts)
+    from fhir_data_validation_ray.explain import (
+        format_breadcrumb,
+        pointer_jsonpath,
+    )
+
+    for e in resp["errors"]:
+        nav = e["navigation"]
+        assert set(nav) == {"breadcrumb", "scopedPath", "fullJsonPath",
+                            "jsonPath"}
+        assert nav["breadcrumb"] == format_breadcrumb(e["path"] or "")
+        assert nav["jsonPath"] == pointer_jsonpath(e["json_pointer"] or "")
+        assert nav["jsonPath"].startswith("$")
     # suggestions are debug-mode-only (ValidationPipeline.cs:432-456)
     assert resp["suggestions"] is None
     dbg = validation_response("/root/testdata/sf0.001", max_errors=1,
