@@ -378,31 +378,60 @@ def fill(sql: str, paths: dict[str, str]) -> str:
     return sql
 
 
+def default_rule_parts() -> list[tuple[str, str]]:
+    """(rule_id, per-rule oracle SQL) for every rule of the default profile
+    (``pipelines/profiles.py:DEFAULT_PROFILE``) — the single source of truth
+    behind the summary/examples/quarantine/coverage oracles. R8 uses
+    RequireResolution (the default profile's policy)."""
+    return [
+        ("R1", V_REQUIRED),
+        ("R2", V_FIXED_VALUE),
+        ("R3", V_ALLOWED_VALUES),
+        ("R4", V_REGEX),
+        ("R5", V_ARRAY_LENGTH),
+        ("R6", V_CODE_SYSTEM),
+        ("R7", V_REQUIRED_SPANS),
+        ("R8", V_REFERENCE_REQUIRE),
+        ("R9", V_QUESTION_ANSWER),
+        ("R10", V_CODE_MASTER),
+        ("R11", primitive_sql("date", "date")),
+        ("R12", primitive_sql("dateTime", "dateTime")),
+        ("R13", primitive_sql("uri", "uri")),
+    ]
+
+
 def summary_sql() -> str:
     """Summary of the full default profile = union of all per-rule result
-    sets, counted by (error_code, severity). R8 uses RequireResolution (the
-    default profile's policy)."""
-    parts = [
-        V_REQUIRED,
-        V_FIXED_VALUE,
-        V_ALLOWED_VALUES,
-        V_REGEX,
-        V_ARRAY_LENGTH,
-        V_CODE_SYSTEM,
-        V_REQUIRED_SPANS,
-        V_QUESTION_ANSWER,
-        V_CODE_MASTER,
-        V_STRUCTURE,
-        V_REFERENCE_REQUIRE,
-        primitive_sql("date", "date"),
-        primitive_sql("dateTime", "dateTime"),
-        primitive_sql("uri", "uri"),
-    ]
+    sets plus the structural stage, counted by (error_code, severity)."""
+    parts = [p for _, p in default_rule_parts()] + [V_STRUCTURE]
     body = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
     return (
         "SELECT error_code, severity, CAST(count(*) AS BIGINT) AS n FROM (\n"
         + body
         + "\n) GROUP BY error_code, severity"
+    )
+
+
+def rule_coverage_sql(rule_types: dict[str, str]) -> str:
+    """Per-rule fire counts over the full default profile, INCLUDING
+    zero-fire rules (dead-rule detection). The reference traces exactly this
+    per rule evaluation (``RuleEngines/FhirPathRuleEngine.cs:308`` — "Rule
+    {RuleId} ({RuleType}) produced {ErrorCount} errors"; lint's analogue
+    ``Authoring/LintValidationService.cs:147-152``); here it is a
+    first-class result table. ``rule_types`` comes from the SAME profile
+    object the engine compiles, so the inventory matches by construction."""
+    fired = "\nUNION ALL\n".join(
+        f"SELECT '{rid}' AS rule_id, count(*) AS c FROM ({sql})"
+        for rid, sql in default_rule_parts()
+    )
+    inv = ", ".join(
+        f"('{rid}', '{rule_types[rid]}')" for rid, _ in default_rule_parts()
+    )
+    return (
+        "WITH fired AS (\n" + fired + "\n)\n"
+        "SELECT r.rule_id, r.rule_type, CAST(coalesce(f.c, 0) AS BIGINT) AS n\n"
+        f"FROM (VALUES {inv}) r(rule_id, rule_type)\n"
+        "LEFT JOIN fired f ON f.rule_id = r.rule_id"
     )
 
 

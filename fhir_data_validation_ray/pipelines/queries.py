@@ -895,6 +895,38 @@ def _quarantine_query(sf_dir: str):
     return blocking_doc_ids(_violations_for(sf_dir, default_profile()))
 
 
+def rule_coverage(sf_dir: str, profile_obj: dict[str, Any]):
+    """Per-rule fire counts incl. zero-fire rules (dead-rule detection) —
+    the per-rule produced-count the reference traces on every evaluation
+    (``RuleEngines/FhirPathRuleEngine.cs:308``), promoted to a result
+    table. Distributed count by rule_id (bounded by the profile's rule
+    count, i.e. O(rules) driver state at any corpus size), then a
+    driver-side left-join against the compiled inventory so never-firing
+    rules appear with n = 0."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    rule_types = {r["id"]: r["type"] for r in profile_obj["rules"]}
+    paths = fixture_paths(sf_dir)
+    v = validate_dataset(read_documents(paths["docs"]), profile_obj,
+                         registry_keys=registry_keys_numpy(paths["registry"]),
+                         emit_details=False)
+    counts = (v.select_columns(["rule_id"])
+              .groupby("rule_id").aggregate(Count(alias_name="n")))
+    fired = {r["rule_id"]: int(r["n"]) for r in counts.take_all()
+             if r["rule_id"] in rule_types}
+    rids = list(rule_types)
+    return pa.table({
+        "rule_id": pa.array(rids, pa.string()),
+        "rule_type": pa.array([rule_types[r] for r in rids], pa.string()),
+        "n": pa.array([fired.get(r, 0) for r in rids], pa.int64()),
+    })
+
+
+def _rule_coverage_query(sf_dir: str):
+    return rule_coverage(sf_dir, default_profile())
+
+
 def validation_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "v_required": _rule_query("R1"),
@@ -936,6 +968,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_examples": _examples_query,
         "v_profile_impact": _profile_impact_query,
         "v_quarantine": _quarantine_query,
+        "v_rule_coverage": _rule_coverage_query,
         "m_pack_interleaved": _pack_interleaved_query,
     }
 
@@ -981,6 +1014,8 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_examples": oracle.examples_sql(EXAMPLES_PER_CODE),
         "v_profile_impact": V_PROFILE_IMPACT_SQL,
         "v_quarantine": oracle.quarantine_sql(),
+        "v_rule_coverage": oracle.rule_coverage_sql(
+            {r["id"]: r["type"] for r in default_profile()["rules"]}),
         "m_pack_interleaved": _pack_interleaved_sql(),
     }
     full = dict(paths)

@@ -48,6 +48,22 @@ def test_query_matches_oracle(ray_session, name):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
 
 
+def test_rule_coverage_zero_fire_rule(ray_session):
+    """A rule that never fires must still appear with n = 0 (dead-rule
+    detection — the whole point of the coverage report vs the summary)."""
+    from fhir_data_validation_ray.pipelines.profiles import default_profile
+    from fhir_data_validation_ray.pipelines.queries import rule_coverage
+
+    p = default_profile()
+    p["rules"].append({"id": "RX", "type": "Required", "kind": "NoSuchKind",
+                       "fieldPath": "text", "severity": "error"})
+    t = rule_coverage("/root/testdata/sf0.001", p).to_pandas()
+    by_id = t.set_index("rule_id")["n"]
+    assert by_id["RX"] == 0
+    assert by_id["R1"] > 0
+    assert set(t["rule_id"]) == {f"R{i}" for i in range(1, 14)} | {"RX"}
+
+
 def test_validation_response_shape(ray_session):
     from fhir_data_validation_ray.pipelines.validate import validation_response
 
