@@ -64,7 +64,7 @@ _QUERY_PRIORITY = [
     "a_gram_spectrum", "a_table_audit", "w_burst_windows",
     "v_spec_hints", "v_explanations", "v_summary_full", "v_tiered_summary",
     "m_crossmodal_topk", "c_filter_funnel", "a_distinct_ngrams",
-    "v_profile_impact", "v_quarantine", "v_rule_coverage",
+    "v_profile_impact", "v_quarantine", "v_rule_coverage", "a_outliers_mad",
     "m_pack_interleaved",
     # -- (3) changed in round 4: frequent-set join-lane fallback reworks the
     #    shared probe path of these two (strip_dup_spans is in group 1)

@@ -523,6 +523,19 @@ def q_oov(sf_dir: str):
     return oov_rate(_docs(sf_dir))
 
 
+def q_outliers_mad(sf_dir: str):
+    """Robust MAD-band outliers on n_chars: |x - median| > 2 * MAD — the
+    heavy-tail-safe pathological-document gate (one value-count fold
+    derives BOTH median and MAD; stateless streaming probe)."""
+    import ray.data as rd
+
+    from ..stages.stats import mad_outliers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return mad_outliers(docs, "n_chars")
+
+
 def q_quantiles_nchars(sf_dir: str):
     """Exact p25/p50/p75/p95 of n_chars (value-count exchange bounded by
     distinct-value cardinality) — the precise lane next to the TDigest."""
@@ -1975,6 +1988,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_cluster_shards": q_cluster_shards,
         "d_containment": q_containment,
         "a_rank_nchars": q_rank_nchars,
+        "a_outliers_mad": q_outliers_mad,
         "a_rank_by_source": q_rank_by_source,
         "t_quality_score": q_quality_score,
         "c_mixture_apply": q_mixture_apply,
@@ -3009,6 +3023,24 @@ SELECT doc_id, d.source, n_chars::BIGINT AS n_chars,
 FROM documents d JOIN n USING (source)
 """
 
+# mad_outliers mirror: identical smallest-v-with-cum>=ceil(0.5*n) median
+# rule applied twice (values, then absolute deviations), strict > on the
+# 2*MAD band
+OUTLIERS_MAD_SQL = """
+WITH c AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT count(*)::BIGINT AS n FROM documents),
+med AS (SELECT min(v)::BIGINT AS m FROM s, t WHERE cum >= greatest(ceil(0.5 * t.n), 1)),
+dc AS (SELECT abs(c.v - med.m) AS dv, sum(c.cnt) AS cnt FROM c, med GROUP BY 1),
+ds2 AS (SELECT dv, sum(cnt) OVER (ORDER BY dv) AS cum FROM dc),
+mad AS (SELECT min(dv)::BIGINT AS mad FROM ds2, t WHERE cum >= greatest(ceil(0.5 * t.n), 1))
+SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
+       abs(d.n_chars - med.m)::BIGINT AS deviation
+FROM documents d, med, mad
+WHERE abs(d.n_chars - med.m) > 2 * mad.mad
+"""
+
+
 RANK_NCHARS_SQL = """
 WITH n AS (SELECT count(*)::BIGINT AS total FROM documents)
 SELECT doc_id, n_chars::BIGINT AS n_chars,
@@ -3432,6 +3464,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_cluster_shards": _cluster_shards_sql(),
         "d_containment": CONTAINMENT_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,
+        "a_outliers_mad": OUTLIERS_MAD_SQL,
         "a_rank_by_source": RANK_BY_SOURCE_SQL,
         "t_quality_score": _quality_score_sql(),
         "c_mixture_apply": _mixture_apply_sql(),

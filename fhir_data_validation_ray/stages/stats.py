@@ -12,6 +12,7 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.collect import collect_table
 from ..state.sketches import HyperLogLog, TDigest
@@ -400,6 +401,55 @@ def percentile_rank(ds, col: str, *, id_col: str = "doc_id"):
                 "pct_ppm": pa.array((smaller * 1_000_000 // denom).astype(np.int64)),
             }
         )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def mad_outliers(ds, col: str, *, id_col: str = "doc_id", k: int = 2):
+    """Robust outlier detection on an integer column: flag rows where
+    ``|x - median| > k * MAD`` (MAD = median absolute deviation, the
+    standard robust alternative to z-scores for skewed corpus metrics —
+    catches pathological documents a mean/stddev band misses when the
+    length distribution is heavy-tailed). Median and MAD use the same
+    smallest-v-with-cum>=ceil(0.5*n) rule as ``exact_int_quantiles``, so
+    every output is integer-exact and SQL-oracle-comparable.
+
+    Scale shape: ONE distributed value-count fold (state bounded by the
+    column's distinct-value cardinality — the stated assumption of the
+    exact stats lane); median AND MAD both derive from that one count
+    table on the driver (deviation counts are a permutation of the value
+    counts — no second corpus pass for the MAD), then a stateless
+    streaming probe flags rows per batch. No sort, no per-row exchange."""
+    uv, total = _value_count_fold(ds, col)
+    n = int(total.sum())
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.string()),
+                         col: pa.array([], pa.int64()),
+                         "deviation": pa.array([], pa.int64())})
+
+    def _median_of(vals: np.ndarray, counts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(counts[order])
+        rank = max(int(np.ceil(0.5 * n)), 1)
+        return int(vals[order][np.searchsorted(cum, rank)])
+
+    med = _median_of(uv.astype(np.int64), total)
+    dev_vals = np.abs(uv.astype(np.int64) - med)
+    # collapse deviations that coincide (v below and above the median)
+    dv, inv = np.unique(dev_vals, return_inverse=True)
+    dcnt = np.bincount(inv, weights=total).astype(np.int64)
+    mad = _median_of(dv, dcnt)
+    thresh = k * mad
+
+    def probe(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.int64)
+        dev = np.abs(v - med)
+        m = dev > thresh
+        return pa.table({
+            id_col: pc.filter(t[id_col], pa.array(m)),
+            col: pa.array(v[m]),
+            "deviation": pa.array(dev[m]),
+        })
 
     return ds.map_batches(probe, batch_format="pyarrow")
 
