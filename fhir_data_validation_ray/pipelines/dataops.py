@@ -948,6 +948,20 @@ def q_lm_coverage(sf_dir: str):
     return lm_coverage(_docs(sf_dir))
 
 
+def q_nb_classifier(sf_dir: str):
+    """Count-based classifier TRAINING (fasttext-quality-gate analogue):
+    multinomial counts from the 50% hash-split train band labeled
+    lang=='en', held-out docs scored by integer Laplace likelihood
+    ratios."""
+    import ray.data as rd
+
+    from ..stages.textops import nb_classifier
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return nb_classifier(docs)
+
+
 # 8 words == SEG_WORDS, so the injected banner occupies exactly segment 0
 SEG_BANNER = "subscribe to our newsletter terms of service apply"
 
@@ -1968,6 +1982,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_dup_ngrams": q_dup_ngrams,
         "d_strip_dup_spans": q_strip_dup_spans,
         "t_lm_coverage": q_lm_coverage,
+        "c_nb_classifier": q_nb_classifier,
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
@@ -3153,6 +3168,48 @@ FROM held h LEFT JOIN model m USING (gram) GROUP BY h.doc_id
 """
 
 
+def _nb_classifier_sql() -> str:
+    """nb_classifier mirror: same FNV hash-split train membership, label
+    coalesce(lang = pos, FALSE) (null lang counts NEGATIVE, matching the
+    kernel's fill_null(False) — two-valued, the round-3 null gotcha), ''
+    words filtered like ``textops._word_lists``, Laplace rate normalizers
+    K1/K0 folded to the same two global ints r_pos/r_neg (greatest(...,1)
+    empty-train guard), two-sided per-position evidence with unseen words
+    neutral via the LEFT JOIN coalesce, pred = strict two-sided compare."""
+    from ..stages.sampling import SAMPLE_MOD
+    from ..stages.textops import NB_SCALE, NB_TRAIN_RATE
+
+    thr = int(NB_TRAIN_RATE * SAMPLE_MOD)
+    h = ("CAST(" + _fnv_sql("CAST(doc_id AS VARCHAR)")
+         + f" % {SAMPLE_MOD} AS BIGINT)")
+    w_pos = "(coalesce(m.c1, 0) + 1) * r.r_pos // (coalesce(m.c0, 0) + 1)"
+    w_neg = "(coalesce(m.c0, 0) + 1) * r.r_neg // (coalesce(m.c1, 0) + 1)"
+    return f"""
+WITH d AS (SELECT doc_id, {h} < {thr} AS is_train,
+                  coalesce(lang = 'en', FALSE) AS pos,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+t AS (SELECT doc_id, is_train, pos, unnest(ws) AS word FROM d),
+model AS (SELECT word,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS c1,
+                 sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS c0
+          FROM t WHERE is_train GROUP BY word),
+tot AS (SELECT greatest(coalesce(sum(c1), 0) + count(*), 1)::BIGINT AS k1,
+               greatest(coalesce(sum(c0), 0) + count(*), 1)::BIGINT AS k0
+        FROM model),
+ratios AS (SELECT k0 * {NB_SCALE} // k1 AS r_pos,
+                  k1 * {NB_SCALE} // k0 AS r_neg FROM tot),
+held AS (SELECT doc_id, word FROM t WHERE NOT is_train)
+SELECT h.doc_id, count(*)::BIGINT AS n_words,
+       sum({w_pos})::BIGINT AS score_pos,
+       sum({w_neg})::BIGINT AS score_neg,
+       (CASE WHEN sum({w_pos}) > sum({w_neg})
+             THEN 1 ELSE 0 END)::BIGINT AS pred
+FROM held h LEFT JOIN model m USING (word) CROSS JOIN ratios r
+GROUP BY h.doc_id
+"""
+
+
 def _pii_sql(flat_path: str) -> str:
     """PII oracle built from the SAME pattern table as the kernel
     (``textops.PII_PATTERNS``) — counts against the original text, redaction
@@ -3444,6 +3501,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_dup_ngrams": _dup_ngrams_sql(),
         "d_strip_dup_spans": _strip_dup_spans_sql(),
         "t_lm_coverage": _lm_coverage_sql(),
+        "c_nb_classifier": _nb_classifier_sql(),
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,

@@ -2174,3 +2174,238 @@ def gram_spectrum(docs, *, n: int = 2, k_cap: int = 10,
         "k": pa.array(np.arange(k_cap + 2, dtype=np.int64)),
         "n_grams": pa.array(spec),
     })
+
+
+# ------------------------------------------- Naive-Bayes classifier training
+NB_TRAIN_RATE = 0.5
+NB_SCALE = 1000
+
+
+def nb_classifier(docs, *, pos_lang: str = "en",
+                  train_rate: float = NB_TRAIN_RATE, scale: int = NB_SCALE,
+                  num_buckets: int = 64, doc_shard: int = 4096,
+                  batch_size: int | None = None):
+    """Distributed count-based classifier TRAINING + held-out scoring — the
+    data-native analogue of the fasttext quality classifiers LLM pipelines
+    train on trusted-vs-crawl text (GPT-3 / DCLM recipe, public): the
+    labeled train split is a deterministic hash band of the corpus, the
+    model is one multinomial count table, and every held-out document gets
+    two-sided likelihood-ratio evidence scores. ``quality_score`` is the
+    INFERENCE half of this pair (fixed/learned weights in); this operator
+    is the TRAINING half (weights out of the corpus itself).
+
+    Integer-exact Naive-Bayes surrogate so the oracle is bitwise: ratios
+    replace logs. Per word ``w`` the model holds occurrence counts ``c1``
+    (positive train docs: ``lang == pos_lang``; null lang negative) and
+    ``c0``, with Laplace rate normalizers ``K1 = N1 + V``, ``K0 = N0 + V``
+    (class occurrence totals + train vocab size) folded to two global ints
+    ``r_pos = K0*scale // K1``, ``r_neg = K1*scale // K0``. A position's
+    positive evidence is ``(c1+1)*r_pos // (c0+1)`` and its negative
+    evidence ``(c0+1)*r_neg // (c1+1)`` — both sides unbounded above (the
+    reason naive one-sided ratio sums degenerate under a class prior:
+    negatives compress into [0, scale] while positives stretch), neutral
+    ``~scale`` for words unseen in train. ``pred = score_pos >
+    score_neg`` (strict); both sums are emitted so callers can threshold
+    with their own prior.
+
+    Train membership is ``sample_by_hash`` semantics (FNV(str(doc_id)) %
+    1e6 < train_rate * 1e6) — a pure row function, reproducible at any
+    scale/partitioning. Docs with zero words emit nothing.
+
+    Scale shape — the ``lm_coverage`` skeleton split in two (the
+    ``tfidf_top_terms`` two-pass precedent; NO broadcast, NO driver state
+    beyond four ints — the vocabulary-sized model never exists in one
+    place): pass A streams pre-aggregated train (bucket, word, c1, c0)
+    partials through a word-bucket groupby into an exact model Dataset
+    (materialized once) whose totals fold to (N1, N0, V) driver ints;
+    pass B unions the model rows (doc_id = -1) with pre-aggregated
+    held-out (word, doc_id, tf) rows, scores each word's held rows inside
+    its bucket group, and a bounded doc-shard groupby sums per-doc
+    partials and applies the decision rule."""
+    from ..functions.collect import collect_table
+    from .sampling import SAMPLE_MOD
+
+    threshold = np.uint64(int(train_rate * SAMPLE_MOD))
+    empty = pa.table({
+        "bucket": pa.array([], pa.int32()),
+        "word": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+    })
+
+    def _ids_mask(t: pa.Table):
+        ids_col = t["doc_id"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = np.asarray(ids_col).astype(np.int64)
+        is_train = (hash_str(ids.astype("U"))
+                    % np.uint64(SAMPLE_MOD)) < threshold
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, _ = _word_lists(texts)
+        parent = np.repeat(np.arange(len(counts)), counts)
+        return ids, is_train, words, parent
+
+    def train_rows(t: pa.Table) -> pa.Table:
+        ids, is_train, words, parent = _ids_mask(t)
+        if len(words) == 0:
+            return empty
+        pos = (
+            pc.equal(t["lang"], pos_lang).fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        tmask = is_train[parent]
+        if not tmask.any():
+            return empty
+        da = pc.dictionary_encode(words.filter(pa.array(tmask)))
+        code = np.asarray(da.indices, dtype=np.int64)
+        ndict = len(da.dictionary)
+        ppos = pos[parent[tmask]]
+        c1 = np.bincount(code[ppos], minlength=ndict).astype(np.int64)
+        c0 = np.bincount(code[~ppos], minlength=ndict).astype(np.int64)
+        wstr = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(wstr) % np.uint64(num_buckets)).astype(np.int32)),
+            "word": da.dictionary,
+            "doc_id": pa.array(np.full(ndict, -1, dtype=np.int64)),
+            "a": pa.array(c1),
+            "b": pa.array(c0),
+        })
+
+    def model_fold(g: pa.Table) -> pa.Table:
+        s = g["word"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        da = pc.dictionary_encode(s)
+        gi = np.asarray(da.indices, dtype=np.int64)
+        c1 = np.zeros(len(da.dictionary), dtype=np.int64)
+        c0 = np.zeros(len(da.dictionary), dtype=np.int64)
+        np.add.at(c1, gi, np.asarray(g["a"]).astype(np.int64))
+        np.add.at(c0, gi, np.asarray(g["b"]).astype(np.int64))
+        first_bucket = np.asarray(g["bucket"]).astype(np.int32)[0]
+        return pa.table({
+            "bucket": pa.array(np.full(len(c1), first_bucket,
+                                       dtype=np.int32)),
+            "word": da.dictionary,
+            "doc_id": pa.array(np.full(len(c1), -1, dtype=np.int64)),
+            "a": pa.array(c1),
+            "b": pa.array(c0),
+        })
+
+    model = (
+        docs.map_batches(train_rows, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(model_fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n1": pa.array([int(pc.sum(t["a"]).as_py() or 0)]),
+            "n0": pa.array([int(pc.sum(t["b"]).as_py() or 0)]),
+            "v": pa.array([t.num_rows]),
+        })
+
+    tot = collect_table(
+        model.map_batches(totals, batch_format="pyarrow"),
+        empty_schema=pa.schema([("n1", pa.int64()), ("n0", pa.int64()),
+                                ("v", pa.int64())]),
+    )
+    n1 = int(pc.sum(tot["n1"]).as_py() or 0)
+    n0 = int(pc.sum(tot["n0"]).as_py() or 0)
+    v = int(pc.sum(tot["v"]).as_py() or 0)
+    k1, k0 = max(n1 + v, 1), max(n0 + v, 1)
+    r_pos, r_neg = (k0 * scale) // k1, (k1 * scale) // k0
+
+    def held_rows(t: pa.Table) -> pa.Table:
+        ids, is_train, words, parent = _ids_mask(t)
+        if len(words) == 0:
+            return empty
+        hmask = ~is_train[parent]
+        if not hmask.any():
+            return empty
+        da = pc.dictionary_encode(words.filter(pa.array(hmask)))
+        code = np.asarray(da.indices, dtype=np.int64)
+        ndict = len(da.dictionary)
+        hp = parent[hmask]
+        pair, tf = np.unique(hp * ndict + code, return_counts=True)
+        pd_, pg = pair // ndict, (pair % ndict).astype(np.int64)
+        wstr = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        bucket = (hash_str(wstr) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "bucket": pa.array(bucket[pg]),
+            "word": da.dictionary.take(pa.array(pg)),
+            "doc_id": pa.array(ids[pd_]),
+            "a": pa.array(tf.astype(np.int64)),
+            "b": pa.array(np.zeros(len(pair), dtype=np.int64)),
+        })
+
+    def score_fold(g: pa.Table) -> pa.Table:
+        s = g["word"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        da = pc.dictionary_encode(s)
+        gi = np.asarray(da.indices, dtype=np.int64)
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        a = np.asarray(g["a"]).astype(np.int64)
+        b = np.asarray(g["b"]).astype(np.int64)
+        is_model = ids < 0
+        c1 = np.zeros(len(da.dictionary), dtype=np.int64)
+        c0 = np.zeros(len(da.dictionary), dtype=np.int64)
+        c1[gi[is_model]] = a[is_model]
+        c0[gi[is_model]] = b[is_model]
+        w_pos = ((c1 + 1) * r_pos) // (c0 + 1)
+        w_neg = ((c0 + 1) * r_neg) // (c1 + 1)
+        held = ~is_model
+        hids, tf, hg = ids[held], a[held], gi[held]
+        dd = pc.dictionary_encode(pa.array(hids))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        # int64 add.at folds (bincount weights accumulate in float64 —
+        # exact only below 2**53; scores can pass that at corpus scale)
+        n_words = np.zeros(len(uids), dtype=np.int64)
+        s_pos = np.zeros(len(uids), dtype=np.int64)
+        s_neg = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(n_words, di, tf)
+        np.add.at(s_pos, di, tf * w_pos[hg])
+        np.add.at(s_neg, di, tf * w_neg[hg])
+        return pa.table({
+            "dshard": pa.array(uids // doc_shard),
+            "doc_id": pa.array(uids),
+            "n_words": pa.array(n_words),
+            "score_pos": pa.array(s_pos),
+            "score_neg": pa.array(s_neg),
+        })
+
+    def doc_fold(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        dd = pc.dictionary_encode(pa.array(ids))
+        di = np.asarray(dd.indices, dtype=np.int64)
+        uids = np.asarray(dd.dictionary, dtype=np.int64)
+        sums = {}
+        for c in ("n_words", "score_pos", "score_neg"):
+            acc = np.zeros(len(uids), dtype=np.int64)
+            np.add.at(acc, di, np.asarray(g[c]).astype(np.int64))
+            sums[c] = acc
+        return pa.table({
+            "doc_id": pa.array(uids),
+            "n_words": pa.array(sums["n_words"]),
+            "score_pos": pa.array(sums["score_pos"]),
+            "score_neg": pa.array(sums["score_neg"]),
+            "pred": pa.array(
+                (sums["score_pos"] > sums["score_neg"]).astype(np.int64)),
+        })
+
+    return (
+        docs.map_batches(held_rows, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .union(model)
+        .groupby("bucket")
+        .map_groups(score_fold, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(doc_fold, batch_format="pyarrow")
+    )
