@@ -1905,6 +1905,117 @@ SELECT group_id, n_docs, n_shards FROM g
 WHERE n_docs >= 2 AND n_shards >= 2
 """
 
+# cross-lang clone recipe (base corpus has no exact-duplicate texts):
+# doc_id % 5 == 0 clones under +40M with a WRONG lang ('xx') except every
+# third (doc_id % 15 == 0) which keeps its lang — a dup group that is NOT
+# cross-lang, exercising the HAVING; doc_id % 10 == 0 adds a second clone
+# under +50M with a third lang ('yy')
+CROSSLANG_CLONE_A = 40_000_000
+CROSSLANG_CLONE_B = 50_000_000
+
+CROSSLANG_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {CROSSLANG_CLONE_A}, text,
+         CASE WHEN doc_id % 3 = 0 THEN lang ELSE 'xx' END
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {CROSSLANG_CLONE_B}, text, 'yy'
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT min(doc_id)::BIGINT AS group_id, count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM aug WHERE text IS NOT NULL AND lang IS NOT NULL
+GROUP BY text HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
+"""
+
+
+def q_crosslang_dups(sf_dir: str):
+    """Exact-dup text groups declared under >= 2 langs (label-quality
+    audit) over the cross-lang clone-augmented corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.dedup import crosslang_dups
+
+    def add_clones(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        langs = t["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        base = pa.table({"doc_id": pa.array(ids), "text": texts,
+                         "lang": langs})
+        m5 = ids % 5 == 0
+        keep_lang = pa.array((ids % 3 == 0)[m5])
+        sel5 = pa.array(m5)
+        a = pa.table({
+            "doc_id": pa.array(ids[m5] + CROSSLANG_CLONE_A),
+            "text": texts.filter(sel5),
+            "lang": pc.if_else(keep_lang, langs.filter(sel5),
+                               pa.scalar("xx")),
+        })
+        m10 = pa.array(ids % 10 == 0)
+        b = pa.table({
+            "doc_id": pa.array(ids[ids % 10 == 0] + CROSSLANG_CLONE_B),
+            "text": texts.filter(m10),
+            "lang": pa.array(["yy"] * int(np.count_nonzero(ids % 10 == 0))),
+        })
+        return pa.concat_tables([base, a, b])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return crosslang_dups(
+        docs.map_batches(add_clones, batch_format="pyarrow"))
+
+
+# late-arrival recipe: the fixture stream is perfectly ts-ordered by
+# event_id, so the query backdates every 17th event by 10 minutes — a
+# deterministic "late-arriving event" perturbation mirrored in SQL
+OOO_BACKDATE_US = 600_000_000
+
+OUT_OF_ORDER_SQL = f"""
+WITH p AS (SELECT event_id, user_id,
+                  epoch_us(ts) - CASE WHEN event_id % 17 = 0
+                                      THEN {OOO_BACKDATE_US} ELSE 0 END AS t
+           FROM events),
+x AS (SELECT user_id, t,
+             max(t) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS mp
+      FROM p)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       coalesce(sum(CASE WHEN t < mp THEN 1 ELSE 0 END), 0)::BIGINT AS n_late
+FROM x GROUP BY user_id
+"""
+
+
+def q_out_of_order(sf_dir: str):
+    """Per-user out-of-order arrival counts over the backdated stream
+    (every 17th event arrives 10 minutes late)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.windows import out_of_order_counts
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(t["ts"], pa.int64()))
+        e = np.asarray(t["event_id"]).astype(np.int64)
+        adj = np.where(e % 17 == 0, OOO_BACKDATE_US, 0)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts": pa.array(ts - adj)})
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    return out_of_order_counts(
+        events.map_batches(perturb, batch_format="pyarrow"))
+
+
 GRAM_SPECTRUM_SQL = """
 WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
                   AS ws FROM documents),
@@ -1983,6 +2094,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_strip_dup_spans": q_strip_dup_spans,
         "t_lm_coverage": q_lm_coverage,
         "c_nb_classifier": q_nb_classifier,
+        "d_crosslang_dups": q_crosslang_dups,
+        "w_out_of_order": q_out_of_order,
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
@@ -3502,6 +3615,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_strip_dup_spans": _strip_dup_spans_sql(),
         "t_lm_coverage": _lm_coverage_sql(),
         "c_nb_classifier": _nb_classifier_sql(),
+        "d_crosslang_dups": CROSSLANG_SQL,
+        "w_out_of_order": OUT_OF_ORDER_SQL,
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,

@@ -2251,3 +2251,77 @@ def cross_shard_overlap(docs, *, n_shards: int = 64, key: str = "text",
                              batch_size=batch_size)
             .groupby("bucket")
             .map_groups(per_group, batch_format="pyarrow"))
+
+
+def crosslang_dups(docs, *, key: str = "text", num_buckets: int = 256,
+                   batch_size: int | None = None):
+    """Exact-duplicate text groups declared under >= 2 DISTINCT languages —
+    the label-quality audit a lang-stratified mixture needs before trusting
+    its metadata (the metadata-side complement of ``lang_confusion``): the
+    same passage tagged 'en' in one copy and 'de' in another means at least
+    one label is wrong, and a per-lang quota double-charges the text.
+
+    Returns Dataset[group_id, n_docs, n_langs] — one row per duplicate
+    ``key`` group spanning >= 2 distinct non-null langs, group_id = min
+    member doc_id. Rows with null text or null lang are excluded (mirrors
+    SQL ``count(DISTINCT lang)`` null semantics).
+
+    Scale shape: the ``cross_shard_overlap`` skeleton — one exchange keyed
+    by the text hash, string-verified inside the bucket group (hash
+    collisions cannot merge distinct texts), per-group distinct-lang
+    counting via one unique over (text-code, lang-code) pairs. Output
+    bounded by the offending groups."""
+    from ..functions.hashing import hash_str
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        texts = t[key]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        langs = t["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        ok = pc.and_(pc.is_valid(texts), pc.is_valid(langs)).to_numpy(
+            zero_copy_only=False)
+        idx = np.flatnonzero(ok)
+        texts, langs, ids = (texts.take(pa.array(idx)),
+                             langs.take(pa.array(idx)), ids[idx])
+        h = hash_str(texts.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            "k": texts.cast(pa.string()),
+            "doc_id": pa.array(ids),
+            "lang": langs.cast(pa.string()),
+        })
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ks = g["k"]
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        da = pc.dictionary_encode(ks)
+        code = np.asarray(da.indices, dtype=np.int64)
+        nc = len(da.dictionary)
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        ls = g["lang"]
+        if isinstance(ls, pa.ChunkedArray):
+            ls = ls.combine_chunks()
+        ld = pc.dictionary_encode(ls)
+        lcode = np.asarray(ld.indices, dtype=np.int64)
+        nl = max(len(ld.dictionary), 1)
+        n_docs = np.bincount(code, minlength=nc).astype(np.int64)
+        gid = np.full(nc, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(gid, code, ids)
+        n_langs = np.bincount(
+            (np.unique(code * nl + lcode) // nl).astype(np.int64),
+            minlength=nc).astype(np.int64)
+        keep = (n_docs >= 2) & (n_langs >= 2)
+        return pa.table({
+            "group_id": pa.array(gid[keep]),
+            "n_docs": pa.array(n_docs[keep]),
+            "n_langs": pa.array(n_langs[keep]),
+        })
+
+    return (docs.map_batches(bucketize, batch_format="pyarrow",
+                             batch_size=batch_size)
+            .groupby("bucket")
+            .map_groups(per_group, batch_format="pyarrow"))

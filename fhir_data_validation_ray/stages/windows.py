@@ -1007,3 +1007,130 @@ def burst_windows(events, *, window_us: int = 10 * 60 * 1_000_000,
         .groupby("user_id")
         .map_groups(user_max, batch_format="pyarrow")
     )
+
+
+def out_of_order_counts(events, *, block_events: int = 4096):
+    """Per-user out-of-order arrival audit — the ingest-quality dial that
+    decides whether event-time operators (sessionize, asof, windows) can
+    trust arrival order or need a watermark/reorder buffer: arrival order
+    is ``event_id`` (the ingest sequence), and an event is LATE iff its
+    ``ts`` is strictly below the running max ts of earlier-arriving events
+    of the SAME user. Returns Dataset[user_id, n_events, n_late].
+
+    Skew-safe plan over (user, event_id-block) shards: locally-late rows
+    resolve inside their block; only one summary per block (block max ts)
+    rides the per-user merge, which computes each block's INCOMING prefix
+    max; still-candidate rows then meet their block's prefix max in a
+    second block-keyed exchange — no group ever holds a hot user's full
+    history even when the stream is perfectly ordered (the common case,
+    where every row is a candidate). Stage-1 output materializes once and
+    is filtered by role (the dedup-pipeline precedent), so nothing
+    re-executes."""
+    base = events.select_columns(["event_id", "user_id", "ts"])
+    R_CAND, R_SUM, R_CNT, R_PFX = 0, 1, 2, 3
+    NEG_INF = np.iinfo(np.int64).min
+
+    def add_ub(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        e = np.asarray(t["event_id"]).astype(np.int64)
+        b = e // block_events
+        if len(u) and (u.min() < 0 or u.max() >= _UB or b.max() >= _UB - 1):
+            raise ValueError(
+                "out_of_order_counts: user_id must be in [0, 2**26) and "
+                "event_id // block_events < 2**26 - 1; raise block_events")
+        return t.append_column("ub", pa.array(u * _UB + b))
+
+    def stage1(g: pa.Table) -> pa.Table:
+        ts = _ts_np(g)
+        eid = np.asarray(g["event_id"]).astype(np.int64)
+        ub = int(g["ub"][0].as_py())
+        uid = ub // int(_UB)
+        block = ub % int(_UB)
+        order = np.argsort(eid)  # event_id unique -> deterministic
+        ts_o = ts[order]
+        run = np.maximum.accumulate(ts_o)
+        prev_max = np.concatenate(([NEG_INF], run[:-1]))
+        late_local = ts_o < prev_max
+        cand = ts_o[~late_local]
+        keys = [np.full(len(cand), ub, dtype=np.int64),
+                np.array([uid, uid], dtype=np.int64)]
+        roles = [np.full(len(cand), R_CAND, dtype=np.int8),
+                 np.array([R_SUM, R_CNT], dtype=np.int8)]
+        a = [cand, np.array([block, len(ts_o)], dtype=np.int64)]
+        b = [np.zeros(len(cand), dtype=np.int64),
+             np.array([int(run[-1]), int(late_local.sum())], dtype=np.int64)]
+        return pa.table({
+            "key": pa.array(np.concatenate(keys)),
+            "role": pa.array(np.concatenate(roles)),
+            "a": pa.array(np.concatenate(a)),
+            "b": pa.array(np.concatenate(b)),
+        })
+
+    s1 = (base.map_batches(add_ub, batch_format="pyarrow")
+          .groupby("ub").map_groups(stage1, batch_format="pyarrow")
+          .materialize())
+
+    def only(role):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["role"], role))
+        return f
+
+    def prefix_rows(g: pa.Table) -> pa.Table:
+        # one user's block summaries -> (ub, incoming prefix max) rows for
+        # every block except the user's first
+        uid = int(g["key"][0].as_py())
+        blk = np.asarray(g["a"]).astype(np.int64)
+        mx = np.asarray(g["b"]).astype(np.int64)
+        order = np.argsort(blk)
+        pfx = np.maximum.accumulate(mx[order])
+        out_ub = uid * int(_UB) + blk[order][1:]
+        return pa.table({
+            "key": pa.array(out_ub),
+            "role": pa.array(np.full(len(out_ub), R_PFX, dtype=np.int8)),
+            "a": pa.array(pfx[:-1]),
+            "b": pa.array(np.zeros(len(out_ub), dtype=np.int64)),
+        })
+
+    pfx = (s1.map_batches(only(R_SUM), batch_format="pyarrow")
+           .groupby("key").map_groups(prefix_rows, batch_format="pyarrow"))
+
+    def late_fold(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"])
+        a = np.asarray(g["a"]).astype(np.int64)
+        p = a[role == R_PFX]
+        if len(p) == 0:  # first block of its user: nothing can be late
+            return pa.table({"user": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64())})
+        late = int((a[role == R_CAND] < p[0]).sum())
+        user = int(g["key"][0].as_py()) // int(_UB)
+        return pa.table({"user": pa.array([user], pa.int64()),
+                         "n_events": pa.array([0], pa.int64()),
+                         "n_late": pa.array([late], pa.int64())})
+
+    cand_late = (s1.map_batches(only(R_CAND), batch_format="pyarrow")
+                 .union(pfx)
+                 .groupby("key").map_groups(late_fold,
+                                            batch_format="pyarrow"))
+
+    def cnt_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["role"], R_CNT))
+        return pa.table({
+            "user": t["key"].cast(pa.int64()),
+            "n_events": t["a"].cast(pa.int64()),
+            "n_late": t["b"].cast(pa.int64()),
+        })
+
+    def user_fold(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["user"]).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array([int(u[0])], pa.int64()),
+            "n_events": pa.array([int(np.asarray(g["n_events"]).sum())],
+                                 pa.int64()),
+            "n_late": pa.array([int(np.asarray(g["n_late"]).sum())],
+                               pa.int64()),
+        })
+
+    return (s1.map_batches(cnt_rows, batch_format="pyarrow")
+            .union(cand_late)
+            .groupby("user").map_groups(user_fold, batch_format="pyarrow"))

@@ -1,0 +1,81 @@
+"""Behavioral tests for out_of_order_counts (cross-block prefix-max path)
+and crosslang_dups (same-lang dup groups excluded) on handcrafted inputs —
+the oracle-parity suite covers the fixture queries end-to-end."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _events(rows, blocks=3):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def test_ooo_cross_block_lateness(ray_session):
+    """An event late ONLY against an earlier BLOCK's max (locally it is its
+    block's first/rising row) must be counted via the prefix-max exchange."""
+    from fhir_data_validation_ray.stages.windows import out_of_order_counts
+
+    rows = [
+        # user 1, block 0 (event_id 0..3): ordered, max ts 100
+        (0, 1, 10), (1, 1, 50), (2, 1, 100),
+        # user 1, block 1 (event_id 4..7): ts 60 < 100 but locally first ->
+        # late only via prefix; ts 70 rises locally -> also late via prefix;
+        # ts 120 is fine
+        (4, 1, 60), (5, 1, 70), (6, 1, 120),
+        # user 1, block 2: 110 < 120 locally-visible? 110 < block-2 local
+        # prefix (nothing before it in-block) -> late via prefix (max 120)
+        (8, 1, 110),
+        # user 2: perfectly ordered across blocks -> zero late
+        (3, 2, 10), (7, 2, 20), (9, 2, 30),
+    ]
+    got = {r["user_id"]: r for r in
+           out_of_order_counts(_events(rows), block_events=4).take_all()}
+    assert got[1]["n_events"] == 7 and got[1]["n_late"] == 3
+    assert got[2]["n_events"] == 3 and got[2]["n_late"] == 0
+
+
+def test_ooo_local_and_prefix_combined(ray_session):
+    """Locally-late rows resolve in-block; the same block's candidates
+    still check the incoming prefix — both kinds sum per user."""
+    from fhir_data_validation_ray.stages.windows import out_of_order_counts
+
+    rows = [
+        (0, 5, 100),           # block 0
+        (4, 5, 90),            # block 1: candidate (first in block), late
+                               # via prefix (90 < 100)
+        (5, 5, 40),            # block 1: locally late (40 < 90)
+        (6, 5, 95),            # block 1: candidate (95 > local run max 90
+                               # is False -> 95 >= 90 candidate), late via
+                               # prefix (95 < 100)
+        (7, 5, 200),           # block 1: candidate, fine
+    ]
+    got = out_of_order_counts(_events(rows, blocks=2),
+                              block_events=4).take_all()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 5 and r["n_late"] == 3
+
+
+def test_crosslang_same_lang_groups_excluded(ray_session):
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import crosslang_dups
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["aa", "aa", "bb", "bb", "cc", "cc", "cc"]),
+        "lang": pa.array(["en", "en", "en", "de", "en", "de", None]),
+    })
+    got = sorted(crosslang_dups(rd.from_arrow(tbl).repartition(2))
+                 .take_all(), key=lambda r: r["group_id"])
+    # "aa": 2 docs 1 lang -> excluded; "bb": cross-lang pair; "cc": null
+    # lang row excluded from BOTH counts -> 2 docs 2 langs
+    assert [(r["group_id"], r["n_docs"], r["n_langs"]) for r in got] == [
+        (2, 2, 2), (4, 2, 2)]
