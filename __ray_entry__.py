@@ -66,7 +66,7 @@ _QUERY_PRIORITY = [
     "m_crossmodal_topk", "c_filter_funnel", "a_distinct_ngrams",
     "v_profile_impact", "v_quarantine", "v_rule_coverage", "a_outliers_mad",
     "m_pack_interleaved", "c_nb_classifier", "d_crosslang_dups",
-    "w_out_of_order",
+    "w_out_of_order", "v_excerpts",
     # -- (3) changed in round 4: frequent-set join-lane fallback reworks the
     #    shared probe path of these two (strip_dup_spans is in group 1)
     "d_seg_dedup", "d_dup_ngrams",

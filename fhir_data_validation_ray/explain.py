@@ -457,3 +457,146 @@ def resolve_message_tokens(template: str | None, rule: dict,
                 resolved = _replace_token(resolved, tok,
                                           str(runtime_context[tok] or ""))
     return _UNRESOLVED_RE.sub("", resolved)
+
+
+# ----------------------------------------------------- value excerpts
+EXCERPT_LEN = 40
+EXCERPT_ELLIPSIS = "…"
+
+
+def excerpt_violations(violations, docs, *, num_buckets: int = 64,
+                       batch_size: int | None = None):
+    """Attach a bounded preview of the offending span's text to every
+    violation row — the "show the actual value" surface the reference
+    carries per error (``RuleEngines/FhirPathRuleEngine.cs:450-516`` puts
+    ``node.Text`` in ``Constraints["actual"]``;
+    ``Validation/JsonNodeStructuralValidator.cs:525`` bounds displayed
+    value lists the same way). Excerpt = the span text verbatim when <=
+    ``EXCERPT_LEN`` chars, else its first ``EXCERPT_LEN`` chars +
+    ``EXCERPT_ELLIPSIS``; null for doc-level rows (null span_index) and
+    null-text spans.
+
+    Returns Dataset[doc_id, span_index, error_code, severity, excerpt].
+
+    Scale shape: one role-tagged bucketed exchange keyed by the exact
+    composite string ``doc_id || '#' || span_index`` (bucket routing by
+    FNV, equality on the STRINGS inside the group fold — collisions cannot
+    cross-attach); the span side is pre-trimmed to the excerpt length in
+    the producing map, so full text never ships; doc-level violation rows
+    pass through the exchange already resolved."""
+    import numpy as np
+
+    from .functions.flatten import flatten_batch
+    from .functions.hashing import hash_str
+
+    R_SPAN, R_NEED, R_DONE = 0, 1, 2
+    empty = pa.table({
+        "bucket": pa.array([], pa.int32()),
+        "role": pa.array([], pa.int8()),
+        "key": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.string()),
+        "span_index": pa.array([], pa.int64()),
+        "error_code": pa.array([], pa.string()),
+        "severity": pa.array([], pa.string()),
+        "excerpt": pa.array([], pa.string()),
+    })
+
+    def _buckets(keys: pa.Array) -> pa.Array:
+        ks = keys.to_numpy(zero_copy_only=False).astype("U")
+        return pa.array((hash_str(ks) % np.uint64(num_buckets))
+                        .astype(np.int32))
+
+    def span_rows(t: pa.Table) -> pa.Table:
+        fs = flatten_batch(t)
+        ok = pc.is_valid(fs.text).to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return empty
+        idx = np.flatnonzero(ok)
+        sel = pa.array(idx)
+        text = fs.text.take(sel)
+        short = pc.less_equal(pc.utf8_length(text), EXCERPT_LEN)
+        trimmed = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(text, 0, EXCERPT_LEN),
+            EXCERPT_ELLIPSIS, "")
+        excerpt = pc.if_else(short, text, trimmed)
+        ids = pa.array(fs.doc_id_at(fs.parent[idx]))
+        sidx = fs.span_index[idx].astype(np.int64)
+        key = pc.binary_join_element_wise(
+            ids, pa.array(sidx.astype("U")), "#")
+        n = len(idx)
+        return pa.table({
+            "bucket": _buckets(key),
+            "role": pa.array(np.zeros(n, dtype=np.int8)),
+            "key": key,
+            "doc_id": pa.array([None] * n, pa.string()),
+            "span_index": pa.array(sidx),
+            "error_code": pa.array([None] * n, pa.string()),
+            "severity": pa.array([None] * n, pa.string()),
+            "excerpt": excerpt.cast(pa.string()),
+        })
+
+    def violation_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        si = t["span_index"]
+        if isinstance(si, pa.ChunkedArray):
+            si = si.combine_chunks()
+        si64 = si.cast(pa.int64())
+        has_span = pc.is_valid(si64).to_numpy(zero_copy_only=False)
+        sidx = np.asarray(pc.fill_null(si64, -1))
+        key = pc.binary_join_element_wise(
+            ids.cast(pa.string()), pa.array(sidx.astype("U")), "#")
+        role = np.where(has_span, R_NEED, R_DONE).astype(np.int8)
+        return pa.table({
+            "bucket": _buckets(key),
+            "role": pa.array(role),
+            "key": key,
+            "doc_id": ids.cast(pa.string()),
+            "span_index": si64,
+            "error_code": t["error_code"],
+            "severity": t["severity"],
+            "excerpt": pa.array([None] * t.num_rows, pa.string()),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"])
+        out_cols = ["doc_id", "span_index", "error_code", "severity",
+                    "excerpt"]
+        done = g.filter(pa.array(role == R_DONE)).select(out_cols)
+        need = g.filter(pa.array(role == R_NEED))
+        if need.num_rows == 0:
+            return done
+        spans = g.filter(pa.array(role == R_SPAN))
+        sk = spans["key"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        nk = need["key"]
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        pos = pc.index_in(nk, value_set=sk)
+        ex = spans["excerpt"]
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        # null pos (no span row: null-text span) -> null excerpt
+        got = ex.take(pos) if spans.num_rows else pa.array(
+            [None] * need.num_rows, pa.string())
+        resolved = pa.table({
+            "doc_id": need["doc_id"],
+            "span_index": need["span_index"],
+            "error_code": need["error_code"],
+            "severity": need["severity"],
+            "excerpt": got,
+        })
+        return pa.concat_tables([done, resolved])
+
+    tagged = (
+        violations.map_batches(violation_rows, batch_format="pyarrow",
+                               batch_size=batch_size)
+        .union(docs.map_batches(span_rows, batch_format="pyarrow",
+                                batch_size=batch_size))
+    )
+    return (tagged.groupby("bucket")
+            .map_groups(attach, batch_format="pyarrow"))

@@ -927,6 +927,42 @@ def _rule_coverage_query(sf_dir: str):
     return rule_coverage(sf_dir, default_profile())
 
 
+def _excerpts_query(sf_dir: str):
+    """Full-default-profile violations enriched with a bounded preview of
+    the offending span's text (``excerpt_violations``) — the playground's
+    "show the actual value" surface as a first-class distributed join."""
+    from ..explain import excerpt_violations
+
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    v = _violations_for(sf_dir, default_profile())
+    return excerpt_violations(v, docs)
+
+
+def _excerpts_sql() -> str:
+    """The summary union body LEFT JOINed to the flat spans, with the same
+    trim arithmetic as the kernel (chars; fixture text is ASCII so DuckDB
+    substr == pyarrow utf8_slice_codeunits)."""
+    from ..explain import EXCERPT_ELLIPSIS, EXCERPT_LEN
+
+    body = (oracle.summary_sql().split("FROM (\n", 1)[1]
+            .rsplit("\n) GROUP BY", 1)[0])
+    return f"""
+WITH v AS (
+{body}
+),
+s AS (SELECT doc_id, span_index, text FROM read_parquet('{{flat}}'))
+SELECT v.doc_id, CAST(v.span_index AS BIGINT) AS span_index,
+       v.error_code, v.severity,
+       CASE WHEN s.text IS NULL THEN NULL
+            WHEN length(s.text) <= {EXCERPT_LEN} THEN s.text
+            ELSE substr(s.text, 1, {EXCERPT_LEN}) || '{EXCERPT_ELLIPSIS}'
+       END AS excerpt
+FROM v LEFT JOIN s
+  ON v.doc_id = s.doc_id AND v.span_index = s.span_index
+"""
+
+
 def validation_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "v_required": _rule_query("R1"),
@@ -970,6 +1006,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_quarantine": _quarantine_query,
         "v_rule_coverage": _rule_coverage_query,
         "m_pack_interleaved": _pack_interleaved_query,
+        "v_excerpts": _excerpts_query,
     }
 
 
@@ -997,6 +1034,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_spec_hints": _spec_hints_sql(),
         "v_explanations": _explanations_sql(),
         "v_breadcrumbs": _breadcrumbs_sql(),
+        "v_excerpts": _excerpts_sql(),
         "v_json_ingest": _json_ingest_sql(),
         "v_primitive_date": oracle.primitive_sql("date", "date"),
         "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),
