@@ -62,14 +62,21 @@ _QUERY_PRIORITY = [
     "v_lint", "v_extension", "v_breadcrumbs", "c_suggest_rules",
     "d_cross_shard_overlap",
     "a_gram_spectrum", "a_table_audit", "w_burst_windows",
-    "v_spec_hints", "v_explanations", "v_summary_full", "v_tiered_summary",
+    "v_spec_hints", "v_explanations", "v_tiered_summary",
     "m_crossmodal_topk", "c_filter_funnel", "a_distinct_ngrams",
     "v_profile_impact", "v_quarantine", "v_rule_coverage", "a_outliers_mad",
     "m_pack_interleaved", "c_nb_classifier", "d_crosslang_dups",
     "w_out_of_order", "v_excerpts",
-    # -- (3) changed in round 4: frequent-set join-lane fallback reworks the
-    #    shared probe path of these two (strip_dup_spans is in group 1)
-    "d_seg_dedup", "d_dup_ngrams",
+    # -- window arithmetic: the driver checks exactly 50 (r02/r03 counts).
+    #    Groups 1+2 above total 50; everything below is PAST the window.
+    #    Sacrificed consciously: v_summary_full (its full-mode layer union
+    #    is driver-covered by v_tiered_summary, which carries the same
+    #    parts plus tiers), and d_seg_dedup / d_dup_ngrams (their round-4
+    #    change is the frequent-set overflow lane, which sf0.01 never
+    #    triggers — the driver would re-verify the unchanged broadcast
+    #    lane; the join lane has a lane-equivalence pytest and the shared
+    #    probe path is driver-covered by d_strip_dup_spans in group 1).
+    "v_summary_full", "d_seg_dedup", "d_dup_ngrams",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops
     "v_reference_join", "v_primitive_datetime", "v_question_answer",
