@@ -202,6 +202,14 @@ WHERE f.media_ref IS NOT NULL AND trim(f.media_ref) <> ''
   AND f.media_ref NOT IN (SELECT media_ref FROM read_parquet('{registry}'))
 """
 
+V_REGISTRY_ORPHANS = """
+SELECT r.media_ref, r.kind FROM read_parquet('{registry}') r
+WHERE r.media_ref NOT IN (
+  SELECT media_ref FROM read_parquet('{flat}')
+  WHERE media_ref IS NOT NULL AND trim(media_ref) <> ''
+    AND regexp_extract(media_ref, '^([A-Za-z]+)/(.+)\\.([0-9]+)$', 1) = '')
+"""
+
 # QuestionAnswer (R9): text = "<qcode>=<answer>"; typed per-question checks.
 # Mirrors k_question_answer's dispatch order and exclusivity exactly.
 V_QUESTION_ANSWER = f"""

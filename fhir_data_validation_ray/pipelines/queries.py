@@ -927,6 +927,16 @@ def _rule_coverage_query(sf_dir: str):
     return rule_coverage(sf_dir, default_profile())
 
 
+def _registry_orphans_query(sf_dir: str):
+    """Registry rows no document references (reverse anti-join audit)."""
+    from ..stages.reference import registry_orphans
+
+    paths = fixture_paths(sf_dir)
+    docs = read_documents(paths["docs"])
+    reg = read_registry(paths["registry"])
+    return registry_orphans(docs, reg)
+
+
 def _excerpts_query(sf_dir: str):
     """Full-default-profile violations enriched with a bounded preview of
     the offending span's text (``excerpt_violations``) — the playground's
@@ -1007,6 +1017,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "v_rule_coverage": _rule_coverage_query,
         "m_pack_interleaved": _pack_interleaved_query,
         "v_excerpts": _excerpts_query,
+        "v_registry_orphans": _registry_orphans_query,
     }
 
 
@@ -1035,6 +1046,7 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
         "v_explanations": _explanations_sql(),
         "v_breadcrumbs": _breadcrumbs_sql(),
         "v_excerpts": _excerpts_sql(),
+        "v_registry_orphans": oracle.V_REGISTRY_ORPHANS,
         "v_json_ingest": _json_ingest_sql(),
         "v_primitive_date": oracle.primitive_sql("date", "date"),
         "v_primitive_datetime": oracle.primitive_sql("dateTime", "dateTime"),

@@ -202,3 +202,70 @@ def reference_integrity_join(
         )
 
     return both.groupby("bucket").map_groups(anti_join, batch_format="pyarrow")
+
+
+def registry_orphans(docs, registry, *, num_buckets: int = 64,
+                     batch_size: int = 4096):
+    """REVERSE direction of the registry anti-join: registry entries that
+    no document references — dead registry rows. The forward check
+    (``reference_integrity_join``) finds dangling refs; this audit finds
+    the unreachable inventory a registry cleanup would drop (the data-side
+    analogue of the dead-rule detection in ``rule_coverage``).
+
+    Returns Dataset[media_ref, kind] of unreferenced registry rows.
+
+    Scale shape: the same bucketed exchange, but STRING-exact (no hashed
+    membership): the probe side ships per-batch DISTINCT external refs
+    only (bounded by ref cardinality, not span count), the registry side
+    its rows; the group fold is one dictionary-encoded ``is_in`` on the
+    actual strings, so hash collisions cannot hide an orphan."""
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"]
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        u = pc.unique(refs)
+        h = _hash_str(u.to_numpy(zero_copy_only=False).astype("U"))
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            "is_reg": pa.array(np.zeros(len(u), dtype=bool)),
+            "media_ref": u.cast(pa.string()),
+            "kind": _const_str("", len(u)),
+        })
+
+    def reg_rows(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"]
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        h = _hash_str(refs.to_numpy(zero_copy_only=False).astype("U"))
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            "is_reg": pa.array(np.ones(t.num_rows, dtype=bool)),
+            "media_ref": refs.cast(pa.string()),
+            "kind": t["kind"].cast(pa.string()),
+        })
+
+    probes = extract_external_refs(docs, batch_size=batch_size) \
+        .select_columns(["media_ref"]) \
+        .map_batches(probe_rows, batch_format="pyarrow")
+    regs = registry.select_columns(["media_ref", "kind"]).map_batches(
+        reg_rows, batch_format="pyarrow")
+
+    def orphan_fold(g: pa.Table) -> pa.Table:
+        is_reg = np.asarray(g["is_reg"])
+        refs = g["media_ref"]
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        seen = pc.unique(refs.filter(pa.array(~is_reg)))
+        reg_idx = np.flatnonzero(is_reg)
+        reg_refs = refs.take(pa.array(reg_idx))
+        hit = pc.is_in(reg_refs, value_set=seen).to_numpy(
+            zero_copy_only=False)
+        keep = pa.array(reg_idx[~hit])
+        return pa.table({
+            "media_ref": refs.take(keep),
+            "kind": _chunked(g["kind"]).take(keep),
+        })
+
+    return (probes.union(regs).groupby("bucket")
+            .map_groups(orphan_fold, batch_format="pyarrow"))
