@@ -80,6 +80,16 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram over the near-dup components (template-
+    explosion health dial one step past dedup_clusters)."""
+    from ..stages.dedup import (cluster_size_histogram, dedup_clusters,
+                                ngram_jaccard_pairs)
+
+    return cluster_size_histogram(dedup_clusters(ngram_jaccard_pairs(
+        _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD)))
+
+
 SAMPLE_RATE = 0.1
 STRATIFIED_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
 STRATIFIED_DEFAULT = 0.2
@@ -2074,6 +2084,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_lsh": q_minhash_lsh,
         "d_simhash_pairs": q_simhash_pairs,
         "d_dedup_clusters": q_dedup_clusters,
+        "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
         "t_repetition": q_repetition,
         "t_pack": q_pack_sequences,
@@ -2490,6 +2501,21 @@ walk(node, root) AS (
   FROM walk w, edges WHERE w.node = edges.doc_a OR w.node = edges.doc_b
 )
 SELECT node AS doc_id, min(root) AS cluster FROM walk GROUP BY node
+"""
+
+CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT CASE WHEN w.node = edges.doc_a THEN edges.doc_b ELSE edges.doc_a END,
+         w.root
+  FROM walk w, edges WHERE w.node = edges.doc_a OR w.node = edges.doc_b
+),
+comp AS (SELECT node, min(root) AS cluster FROM walk GROUP BY node),
+sz AS (SELECT cluster, count(*)::BIGINT AS size FROM comp GROUP BY cluster)
+SELECT size, count(*)::BIGINT AS n_clusters FROM sz GROUP BY size
 """
 
 EMBED_DEDUP_SQL = f"""
@@ -3596,6 +3622,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE
         .replace("__FNV__", _fnv_sql("CAST(doc_id AS VARCHAR)"))
         .replace("__K__", str(DECON_MIN_OVERLAP)),

@@ -2325,3 +2325,58 @@ def crosslang_dups(docs, *, key: str = "text", num_buckets: int = 256,
                              batch_size=batch_size)
             .groupby("bucket")
             .map_groups(per_group, batch_format="pyarrow"))
+
+
+def cluster_size_histogram(labels, *, num_buckets: int = 64,
+                           batch_size: int | None = None):
+    """Cluster-SIZE distribution over ``dedup_clusters`` labels — the
+    corpus-health companion to ``dup_degree_histogram`` one resolution step
+    later: a template-explosion corpus shows a fat tail of giant
+    components (one survivor drops thousands), a healthy one mostly pairs.
+    Singleton docs (never in the pair graph) are not labeled and so not
+    counted — the histogram describes the DUP graph.
+
+    Returns a driver-side table (size, n_clusters), O(max component size)
+    rows.
+
+    Scale shape (the ``gram_spectrum`` fold): per-batch pre-aggregated
+    (cluster, n) partials -> one cluster-bucket groupby sums exact
+    per-cluster sizes and emits its bucket-local size value counts ->
+    tiny driver fold."""
+    from ..functions.collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cluster"]).astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(_intmix(u.astype(np.uint64),
+                                       num_buckets).astype(np.int32)),
+            "cluster": pa.array(u),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        c = np.asarray(g["cluster"]).astype(np.int64)
+        n = np.asarray(g["n"]).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        size, cnt = np.unique(tot, return_counts=True)
+        return pa.table({"size": pa.array(size),
+                         "n_clusters": pa.array(cnt.astype(np.int64))})
+
+    parts = collect_table(
+        labels.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+        .groupby("bucket").map_groups(bucket_fold, batch_format="pyarrow"),
+        empty_schema=pa.schema([("size", pa.int64()),
+                                ("n_clusters", pa.int64())]),
+    )
+    if parts.num_rows == 0:
+        return parts
+    s = np.asarray(parts["size"]).astype(np.int64)
+    n = np.asarray(parts["n_clusters"]).astype(np.int64)
+    u, inv = np.unique(s, return_inverse=True)
+    tot = np.zeros(len(u), dtype=np.int64)
+    np.add.at(tot, inv, n)
+    return pa.table({"size": pa.array(u), "n_clusters": pa.array(tot)})
