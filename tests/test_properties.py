@@ -843,3 +843,101 @@ def test_navigation_vectorized_equals_scalar(ray_session, rows):
         assert r["nav_full_json_path"] == X.pointer_full_path(q)
         assert r["nav_json_path"] == X.pointer_jsonpath(q)
         assert r["nav_pointer_path"] == X.pointer_fhirpath_style(q)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                         min_size=0, max_size=6),
+                min_size=1, max_size=30),
+       st.lists(st.sampled_from(["en", "de"]), min_size=30, max_size=30),
+       st.integers(1, 3))
+def test_nb_classifier_matches_reference(ray_session, word_lists, langs,
+                                         blocks):
+    """Distributed nb_classifier (two-pass word-bucket model + score folds)
+    agrees with a plain single-process reference on random corpora:
+    same hash split, same Laplace normalizers, same two-sided sums."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.functions.hashing import hash_str
+    from fhir_data_validation_ray.stages.sampling import SAMPLE_MOD
+    from fhir_data_validation_ray.stages.textops import (NB_SCALE,
+                                                         NB_TRAIN_RATE,
+                                                         nb_classifier)
+
+    n = len(word_lists)
+    ids = np.arange(n, dtype=np.int64)
+    texts = [" ".join(ws) for ws in word_lists]
+    langs = langs[:n]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "text": pa.array(texts),
+        "lang": pa.array(langs),
+    })).repartition(blocks)
+    got = {r["doc_id"]: (r["n_words"], r["score_pos"], r["score_neg"],
+                         r["pred"])
+           for r in nb_classifier(docs).take_all()}
+
+    # plain reference
+    thr = int(NB_TRAIN_RATE * SAMPLE_MOD)
+    is_train = (hash_str(ids.astype("U")) % np.uint64(SAMPLE_MOD)
+                ) < np.uint64(thr)
+    c1, c0 = {}, {}
+    for i in range(n):
+        if not is_train[i]:
+            continue
+        tgt = c1 if langs[i] == "en" else c0
+        for w in word_lists[i]:
+            tgt[w] = tgt.get(w, 0) + 1
+    v = len(set(c1) | set(c0))
+    k1 = max(sum(c1.values()) + v, 1)
+    k0 = max(sum(c0.values()) + v, 1)
+    r_pos, r_neg = (k0 * NB_SCALE) // k1, (k1 * NB_SCALE) // k0
+    want = {}
+    for i in range(n):
+        if is_train[i] or not word_lists[i]:
+            continue
+        sp = sum((c1.get(w, 0) + 1) * r_pos // (c0.get(w, 0) + 1)
+                 for w in word_lists[i])
+        sn = sum((c0.get(w, 0) + 1) * r_neg // (c1.get(w, 0) + 1)
+                 for w in word_lists[i])
+        want[i] = (len(word_lists[i]), sp, sn, int(sp > sn))
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)),
+                min_size=1, max_size=60),
+       st.sampled_from([2, 4, 8, 4096]))
+def test_out_of_order_matches_reference(ray_session, rows, block_events):
+    """Distributed out_of_order_counts (block shards + prefix-max merge +
+    candidate re-exchange) agrees with a plain running-max scan for every
+    block size, including blocks smaller than a user's history."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import out_of_order_counts
+
+    eids = list(range(len(rows)))
+    users = [u for u, _ in rows]
+    tss = [t for _, t in rows]
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(eids, pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(tss, pa.int64()),
+    })).repartition(3)
+    got = {r["user_id"]: (r["n_events"], r["n_late"])
+           for r in out_of_order_counts(ev,
+                                        block_events=block_events).take_all()}
+
+    want = {}
+    seen_max = {}
+    for e in eids:
+        u, t = users[e], tss[e]
+        n, late = want.get(u, (0, 0))
+        if u in seen_max and t < seen_max[u]:
+            late += 1
+        seen_max[u] = max(seen_max.get(u, t), t)
+        want[u] = (n + 1, late)
+    assert got == want
