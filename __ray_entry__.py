@@ -79,7 +79,7 @@ _QUERY_PRIORITY = [
     #    v_registry_orphans sits first past the cut: its sf0.01 result is a
     #    single row (weakest external signal; parity-covered every pytest
     #    run) — rotate it in when a round-5 slot opens.
-    "v_registry_orphans", "d_cluster_sizes",
+    "v_registry_orphans", "d_cluster_sizes", "c_gopher_funnel",
     "v_summary_full", "d_seg_dedup", "d_dup_ngrams",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops

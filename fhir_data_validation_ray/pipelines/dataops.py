@@ -764,6 +764,119 @@ SELECT s.stage_idx::BIGINT AS stage_idx, s.stage,
 FROM s
 """
 
+# Gopher quality-rule bundle (Rae et al. 2021 §A1.1, public) scaled to the
+# fixture corpus: word-count bounds, mean-word-length band, symbol-to-word
+# ratio (# + '...'), alphabetic-word fraction, >= 2 distinct required
+# stopwords. Integer-exact via cross-multiplication throughout.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MWL_LO = 30     # 10x mean word length lower bound (3.0)
+GOPHER_MWL_HI = 80     # 10x upper bound (8.0)
+GOPHER_SYM_DEN = 10    # symbols/words <= 1/10
+GOPHER_ALPHA_NUM = 8   # alpha words / words >= 8/10
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "is", "in"]
+GOPHER_MIN_STOPWORDS = 2  # distinct
+
+
+def _gopher_stages():
+    """(name, mask_fn) list for the Gopher bundle over ``documents`` rows.
+    All word-derived quantities come from ONE tokenization per batch (the
+    ``_funnel_stages`` memo pattern — the split dominates funnel cost)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.textops import _word_lists
+
+    def _col(t, name):
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    _cache: dict = {}
+
+    def _feats(t):
+        if _cache.get("key") is t:
+            return _cache["val"]
+        texts = _col(t, "text")
+        words, w, _ = _word_lists(texts)
+        parent = np.repeat(np.arange(len(w)), w)
+        l = np.asarray(pc.utf8_length(
+            pc.replace_substring(texts, " ", "")), dtype=np.int64)
+        # symbols: '#' chars + '...' occurrences
+        n_sym = (np.asarray(pc.count_substring(texts, "#"),
+                            dtype=np.int64)
+                 + np.asarray(pc.count_substring(texts, "..."),
+                              dtype=np.int64))
+        alpha = pc.match_substring_regex(words, "[A-Za-z]").to_numpy(
+            zero_copy_only=False)
+        n_alpha = np.bincount(parent[alpha],
+                              minlength=len(w)).astype(np.int64)
+        codes = pc.index_in(words, value_set=pa.array(
+            GOPHER_STOPWORDS, pa.string()))
+        cnp = codes.to_numpy(zero_copy_only=False)
+        hit = cnp == cnp  # non-null mask (NaN != NaN)
+        k = len(GOPHER_STOPWORDS)
+        pair = np.unique(parent[hit] * k + cnp[hit].astype(np.int64))
+        n_stop = np.bincount((pair // k).astype(np.int64),
+                             minlength=len(w)).astype(np.int64)
+        val = (w, l, n_sym, n_alpha, n_stop)
+        _cache["key"], _cache["val"] = t, val
+        return val
+
+    return [
+        ("word_count_min", lambda t: _feats(t)[0] >= GOPHER_MIN_WORDS),
+        ("word_count_max", lambda t: _feats(t)[0] <= GOPHER_MAX_WORDS),
+        ("mean_word_len", lambda t: (lambda w, l:
+            (GOPHER_MWL_LO * w <= 10 * l) & (10 * l <= GOPHER_MWL_HI * w)
+         )(_feats(t)[0], _feats(t)[1])),
+        ("symbol_ratio", lambda t: (lambda w, s:
+            GOPHER_SYM_DEN * s <= w)(_feats(t)[0], _feats(t)[2])),
+        ("alpha_words", lambda t: (lambda w, a:
+            10 * a >= GOPHER_ALPHA_NUM * w)(_feats(t)[0], _feats(t)[3])),
+        ("stopwords", lambda t: _feats(t)[4] >= GOPHER_MIN_STOPWORDS),
+    ]
+
+
+def q_gopher_funnel(sf_dir: str):
+    """Per-stage attrition of the Gopher quality-rule bundle."""
+    import ray.data as rd
+
+    from .curation import filter_funnel
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return filter_funnel(docs, _gopher_stages())
+
+
+_GOPHER_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + ")"
+
+GOPHER_FUNNEL_SQL = f"""
+WITH d AS (SELECT
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS w,
+    length(replace(text, ' ', '')) AS l,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+    len(list_filter(string_split(text,' '),
+                    x -> x <> '' AND regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_distinct(list_filter(string_split(text,' '),
+                                  x -> x IN {_GOPHER_STOP_SQL}))) AS n_stop
+  FROM documents),
+f AS (SELECT CASE
+    WHEN NOT (w >= {GOPHER_MIN_WORDS}) THEN 0
+    WHEN NOT (w <= {GOPHER_MAX_WORDS}) THEN 1
+    WHEN NOT ({GOPHER_MWL_LO}*w <= 10*l AND 10*l <= {GOPHER_MWL_HI}*w) THEN 2
+    WHEN NOT ({GOPHER_SYM_DEN}*n_sym <= w) THEN 3
+    WHEN NOT (10*n_alpha >= {GOPHER_ALPHA_NUM}*w) THEN 4
+    WHEN NOT (n_stop >= {GOPHER_MIN_STOPWORDS}) THEN 5
+    ELSE 6 END AS ff FROM d),
+s(stage_idx, stage) AS (VALUES (0,'word_count_min'),(1,'word_count_max'),
+  (2,'mean_word_len'),(3,'symbol_ratio'),(4,'alpha_words'),(5,'stopwords'))
+SELECT s.stage_idx::BIGINT AS stage_idx, s.stage,
+  (SELECT count(*) FROM f WHERE ff >= s.stage_idx)::BIGINT AS n_in,
+  (SELECT count(*) FROM f WHERE ff = s.stage_idx)::BIGINT AS n_removed,
+  (SELECT count(*) FROM f WHERE ff > s.stage_idx)::BIGINT AS n_out
+FROM s
+"""
+
 
 DISTINCT_NGRAM_NS = (1, 2, 3)
 
@@ -2107,6 +2220,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_nb_classifier": q_nb_classifier,
         "d_crosslang_dups": q_crosslang_dups,
         "w_out_of_order": q_out_of_order,
+        "c_gopher_funnel": q_gopher_funnel,
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
@@ -3644,6 +3758,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_nb_classifier": _nb_classifier_sql(),
         "d_crosslang_dups": CROSSLANG_SQL,
         "w_out_of_order": OUT_OF_ORDER_SQL,
+        "c_gopher_funnel": GOPHER_FUNNEL_SQL,
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
