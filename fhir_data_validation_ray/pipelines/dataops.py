@@ -2221,6 +2221,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_crosslang_dups": q_crosslang_dups,
         "w_out_of_order": q_out_of_order,
         "c_gopher_funnel": q_gopher_funnel,
+        "c_coverage_bands": q_coverage_bands,
         "t_top_per_source": q_top_per_source,
         "t_split": q_split,
         "a_quantiles_nchars": q_quantiles_nchars,
@@ -3270,6 +3271,55 @@ FROM documents d, b
 """
 
 
+def q_coverage_bands(sf_dir: str):
+    """Curriculum banding by LM-coverage score — the composition a
+    coverage-stratified mixture orders by: the CCNet perplexity-proxy
+    (score = n_hit*1000 // n_grams, integer ppt) quantile-banded over the
+    held-out docs. The lm_coverage result materializes ONCE (doc-bounded)
+    before the band fold + tagging map consume it (the lazy-plan
+    double-execution gotcha)."""
+    import pyarrow as pa
+
+    from ..stages.stats import quantile_band_assign
+    from ..stages.textops import lm_coverage
+
+    def add_score(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["n_grams"]).astype(np.int64)
+        h = np.asarray(t["n_hit"]).astype(np.int64)
+        return t.append_column(
+            "score", pa.array((h * 1000) // g))
+
+    cov = (lm_coverage(_docs(sf_dir))
+           .map_batches(add_score, batch_format="pyarrow")
+           .materialize())
+    return quantile_band_assign(cov, col="score")
+
+
+def _coverage_bands_sql() -> str:
+    """The lm_coverage oracle wrapped as a CTE, scored, then banded with
+    the same cumulative-boundary arithmetic as QUANTILE_BANDS_SQL."""
+    lm = _lm_coverage_sql()
+    band = ("((sc.score > b.b0)::INT + (sc.score > b.b1)::INT"
+            " + (sc.score > b.b2)::INT)::BIGINT")
+    return f"""
+WITH lmc AS (
+{lm}
+),
+sc AS (SELECT doc_id, n_grams, n_hit, count_sum,
+              (n_hit * 1000) // n_grams AS score FROM lmc),
+c AS (SELECT score AS v, count(*)::BIGINT AS cnt FROM sc GROUP BY 1),
+s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT count(*)::BIGINT AS n FROM sc),
+b AS (SELECT
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.25 * t.n), 1)) AS b0,
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.5 * t.n), 1)) AS b1,
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.75 * t.n), 1)) AS b2)
+SELECT sc.doc_id, sc.n_grams, sc.n_hit, sc.count_sum, sc.score,
+       {band} AS band
+FROM sc, b
+"""
+
+
 def q_rank_by_source(sf_dir: str):
     """Exact WITHIN-SOURCE percentile rank of n_chars (per-domain
     keep-top-X% normalization; ``stats.percentile_rank_by_group``)."""
@@ -3759,6 +3809,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_crosslang_dups": CROSSLANG_SQL,
         "w_out_of_order": OUT_OF_ORDER_SQL,
         "c_gopher_funnel": GOPHER_FUNNEL_SQL,
+        "c_coverage_bands": _coverage_bands_sql(),
         "t_top_per_source": TOP_PER_SOURCE_SQL,
         "t_split": _split_sql(),
         "a_quantiles_nchars": QUANTILES_NCHARS_SQL,
