@@ -80,7 +80,7 @@ _QUERY_PRIORITY = [
     #    single row (weakest external signal; parity-covered every pytest
     #    run) — rotate it in when a round-5 slot opens.
     "v_registry_orphans", "d_cluster_sizes", "c_gopher_funnel",
-    "c_coverage_bands",
+    "c_coverage_bands", "d_chunk_dedup",
     "v_summary_full", "d_seg_dedup", "d_dup_ngrams",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops

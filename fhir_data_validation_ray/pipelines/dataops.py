@@ -58,6 +58,49 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+CHUNK_ID_MULT = 1 << 20  # packed (doc_id, chunk_id) survivor key
+
+
+def q_chunk_dedup(sf_dir: str):
+    """CHUNK-level exact dedup — RAG-index / training-window hygiene the
+    doc-level pass cannot see (overlapping windows of near-identical docs
+    collide only at chunk granularity): chunk_documents -> exact_dedup on
+    chunk_text keyed by the packed (doc_id, chunk_id) id; survivors =
+    lowest packed id per distinct chunk text."""
+    import pyarrow as pa
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.textops import chunk_documents
+
+    def pack(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"]).astype(np.int64)
+        c = np.asarray(t["chunk_id"]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(d * CHUNK_ID_MULT + c),
+            "text": t["chunk_text"],
+        })
+
+    chunks = chunk_documents(_docs(sf_dir)).map_batches(
+        pack, batch_format="pyarrow")
+    return exact_dedup(chunks).map_batches(
+        lambda t: pa.table({"cid": t["doc_id"]}), batch_format="pyarrow")
+
+
+def _chunk_dedup_sql() -> str:
+    from ..stages.textops import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                  AS ws FROM documents),
+c AS (SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS st
+      FROM w),
+ch AS (SELECT doc_id * {CHUNK_ID_MULT} + (st // {CHUNK_STRIDE}) AS cid,
+              array_to_string(ws[st + 1 : st + {CHUNK_SIZE}], ' ') AS t
+       FROM c)
+SELECT min(cid)::BIGINT AS cid FROM ch GROUP BY t
+"""
+
+
 def q_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs
 
@@ -2193,6 +2236,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_language_id": q_language_id,
         "t_fingerprints": q_fingerprints,
         "d_exact_dedup": q_exact_dedup,
+        "d_chunk_dedup": q_chunk_dedup,
         "d_ngram_jaccard": q_ngram_jaccard,
         "d_minhash_lsh": q_minhash_lsh,
         "d_simhash_pairs": q_simhash_pairs,
@@ -3782,6 +3826,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_language_id": LANGUAGE_ID_SQL,
         "t_fingerprints": FINGERPRINTS_SQL,
         "d_exact_dedup": EXACT_DEDUP_SQL,
+        "d_chunk_dedup": _chunk_dedup_sql(),
         "d_ngram_jaccard": NGRAM_JACCARD_SQL,
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
