@@ -31,6 +31,9 @@ ELIGIBLE = float(os.environ.get("GRAFT_ELIGIBLE_CORES", "14"))
 # windows): eligible when the 8-spinner probe reads near-full, i.e. BOTH
 # measurement points sit inside the granted capacity
 ELIGIBLE_LO8 = float(os.environ.get("GRAFT_ELIGIBLE_CORES_LO8", "7.5"))
+# 1-vs-4 last-resort lane (0 disables): a 4-spinner probe must read
+# near-full for both measurement points to sit inside the granted capacity
+ELIGIBLE_LO4 = float(os.environ.get("GRAFT_ELIGIBLE_CORES_LO4", "3.8"))
 PROBE_GAP_S = int(os.environ.get("GRAFT_PROBE_GAP_S", "25"))
 HI = int(os.environ.get("GRAFT_SCALING_HI", "16"))
 
@@ -62,6 +65,24 @@ def main() -> None:
                     e1, e2 = e8, e8b
                 else:
                     print(f"2v8 second probe eff(8)={e8b} dropped", flush=True)
+            elif ELIGIBLE_LO4 > 0:
+                # last-resort same-ratio 1-vs-4 lane: a 4-spinner probe
+                # reads near-full even under the ~10-core grants that starve
+                # the 8/16 lanes; the 1-cpu baseline has zero parallel
+                # overhead, so eff = T1/(4*T4) is the textbook speedup
+                e4 = effective_cores(4)
+                if e4 >= ELIGIBLE_LO4:
+                    time.sleep(PROBE_GAP_S)
+                    e4b = effective_cores(4)
+                    if e4b >= ELIGIBLE_LO4:
+                        lane = (1, "1v4")
+                        e1, e2 = e4, e4b
+                    else:
+                        print(f"1v4 second probe eff(4)={e4b} dropped",
+                              flush=True)
+                else:
+                    print(f"probes ineligible (eff({HI})={e1}, eff(8)={e8},"
+                          f" eff(4)={e4}); waiting", flush=True)
             else:
                 print(f"probes ineligible (eff({HI})={e1}, eff(8)={e8}); "
                       f"waiting", flush=True)
