@@ -61,7 +61,7 @@ _QUERY_PRIORITY = [
     # -- (2) new in round 4 (oracle-bearing)
     "v_lint", "v_extension", "v_breadcrumbs", "c_suggest_rules",
     "d_cross_shard_overlap",
-    "a_gram_spectrum", "a_table_audit", "w_burst_windows",
+    "a_gram_spectrum", "a_table_audit", "m_scene_cuts",
     "v_spec_hints", "v_explanations", "v_tiered_summary",
     "m_crossmodal_topk", "c_filter_funnel", "a_distinct_ngrams",
     "v_profile_impact", "v_quarantine", "v_rule_coverage", "a_outliers_mad",
@@ -78,7 +78,11 @@ _QUERY_PRIORITY = [
     #    probe path is driver-covered by d_strip_dup_spans in group 1).
     #    v_registry_orphans sits first past the cut: its sf0.01 result is a
     #    single row (weakest external signal; parity-covered every pytest
-    #    run) — rotate it in when a round-5 slot opens.
+    #    run) — rotate it in when a round-5 slot opens. w_burst_windows
+    #    yielded its slot to m_scene_cuts (same split-skeleton family as
+    #    the in-window w_transitions/w_interarrival; scene cuts brings a
+    #    novel byte-stream recompute oracle).
+    "w_burst_windows",
     "v_registry_orphans", "d_cluster_sizes", "c_gopher_funnel",
     "c_coverage_bands", "d_chunk_dedup",
     "v_summary_full", "d_seg_dedup", "d_dup_ngrams",

@@ -1527,6 +1527,19 @@ def q_frame_sample(sf_dir: str):
     ).select_columns(["media_ref", "frame_index"])
 
 
+def q_scene_cuts(sf_dir: str):
+    """Video scene-boundary counts (per-frame signature deltas over the
+    codec stub; the segmentation step between frame sampling and
+    per-scene features)."""
+    from ..stages.multimodal import SceneCutStage, media_pipeline
+    from .validate import fixture_paths
+
+    return media_pipeline(
+        fixture_paths(sf_dir)["registry"], kind="video",
+        stage=(SceneCutStage, {}),
+    )
+
+
 def q_crossmodal_topk(sf_dir: str):
     """Text-to-image retrieval through the shared caption-bridge embedding
     space (decode -> caption tokens -> FNV hash-embed -> broadcast query
@@ -2223,6 +2236,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
         "m_frame_sample": q_frame_sample,
+        "m_scene_cuts": q_scene_cuts,
         "m_phash_dups": q_phash_dups,
         "m_audio_dups": q_audio_dups,
         "m_crossmodal_topk": q_crossmodal_topk,
@@ -2447,7 +2461,36 @@ FROM sg a JOIN sg b ON a.media_ref < b.media_ref
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
+    # scene cuts: frame byte stream = (8 hash bytes tiled to body length
+    # L) tiled to nf*fb — byte at stream pos p is hash byte ((p % L) % 8);
+    # per-frame signature sums the first 16 bytes, a cut is |delta| > T
+    from ..stages.multimodal import SCENE_CUT_THRESHOLD, SCENE_SIG_BYTES
+
+    scene = f"""
+WITH r AS (SELECT media_ref, {h} AS h FROM read_parquet('{reg}')
+           WHERE kind NOT IN ('image', 'audio')),
+p AS (SELECT media_ref, h,
+        CAST(1 + h % 64 AS BIGINT) AS nf,
+        CAST(16 + (h >> 6) % 240 AS BIGINT) AS fb,
+        CAST(64 + h % 4096 AS BIGINT) AS L
+      FROM r),
+fi AS (SELECT media_ref, h, fb, L, nf, unnest(range(0, nf)) AS i FROM p),
+fj AS (SELECT media_ref, h, fb, L, nf, i,
+              unnest(range(0, {SCENE_SIG_BYTES})) AS j FROM fi),
+sig AS (SELECT media_ref, nf, i,
+          sum(CAST((h >> CAST(8 * (((i * fb + j) % L) % 8) AS BIGINT))
+                   & 255 AS BIGINT)) AS s
+        FROM fj GROUP BY media_ref, nf, i),
+d AS (SELECT media_ref, nf, s,
+        lag(s) OVER (PARTITION BY media_ref ORDER BY i) AS prev
+      FROM sig)
+SELECT media_ref, max(nf)::BIGINT AS n_frames,
+  coalesce(sum(CASE WHEN abs(s - prev) > {SCENE_CUT_THRESHOLD}
+               THEN 1 ELSE 0 END), 0)::BIGINT AS n_cuts
+FROM d GROUP BY media_ref
+"""
     return {"m_image_meta": img, "m_audio_meta": aud, "m_frame_sample": vid,
+            "m_scene_cuts": scene,
             "m_phash_dups": hamming_sql("image"),
             "m_audio_dups": hamming_sql("audio")}
 

@@ -695,3 +695,41 @@ def crossmodal_topk(registry_path: str, *, queries=CM_QUERIES, k: int = 5,
         return rd.from_arrow(pa.table({c: pa.array([], t) for c, t in
                                        zip(schema.names, schema.types)}))
     return rd.from_arrow(_merge_cm_topk(tbl, k))
+
+
+SCENE_CUT_THRESHOLD = 32
+SCENE_SIG_BYTES = 16
+
+
+class SceneCutStage:
+    """Actor: video scene-boundary detection — per-frame signature (sum of
+    the first ``SCENE_SIG_BYTES`` decoded bytes; a real pipeline plugs a
+    luma-histogram or pHash here at the same codec boundary) and a cut
+    wherever the absolute signature delta between consecutive frames
+    exceeds ``threshold``. The standard segmentation step between frame
+    sampling and per-scene feature extraction. One row per video:
+    (media_ref, n_frames, n_cuts)."""
+
+    def __init__(self, threshold: int = SCENE_CUT_THRESHOLD,
+                 codec: str = "auto"):
+        self.threshold = threshold
+        self.codec = _pick_codec(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, n_frames, n_cuts = [], [], []
+        for r, p in zip(batch["media_ref"].to_pylist(),
+                        batch["payload"].to_pylist()):
+            fr = self.codec.video_frames(p)
+            sigs = np.array(
+                [int(np.frombuffer(f[:SCENE_SIG_BYTES], dtype=np.uint8)
+                     .astype(np.int64).sum()) for f in fr],
+                dtype=np.int64)
+            refs.append(r)
+            n_frames.append(len(fr))
+            n_cuts.append(int((np.abs(np.diff(sigs)) > self.threshold).sum())
+                          if len(sigs) > 1 else 0)
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "n_frames": pa.array(np.array(n_frames, dtype=np.int64)),
+            "n_cuts": pa.array(np.array(n_cuts, dtype=np.int64)),
+        })
