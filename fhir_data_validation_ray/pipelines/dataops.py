@@ -2296,6 +2296,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_user_gini": q_user_gini,
         "c_mixture_upsample": q_mixture_upsample,
         "a_corpus_card": q_corpus_card,
+        "a_source_card": q_source_card,
         "d_pagerank": q_pagerank,
         "c_cluster_shards": q_cluster_shards,
         "d_containment": q_containment,
@@ -2885,6 +2886,81 @@ SELECT source, lang, n_docs, n_tokens,
        ELSE fl + CASE WHEN rr <= {b} - fl_sum THEN 1 ELSE 0 END
   END::BIGINT AS quota
 FROM a
+"""
+
+
+def q_source_card(sf_dir: str):
+    """Per-SOURCE corpus profile — the mixture-overview table next to the
+    one-row corpus card: docs, whitespace tokens, chars, distinct langs
+    per source. One streaming pass of per-batch pre-aggregated (source,
+    …) partials — rows per batch bounded by sources×langs — folded in a
+    tiny source groupby."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.textops import _word_lists
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, wcounts, _ = _word_lists(texts)
+        src = np.asarray(t["source"]).astype("U")
+        lang = np.asarray(t["lang"]).astype("U")
+        nch = np.asarray(t["n_chars"]).astype(np.int64)
+        us, si = np.unique(src, return_inverse=True)
+        n_docs = np.bincount(si, minlength=len(us)).astype(np.int64)
+        n_tok = np.zeros(len(us), dtype=np.int64)
+        np.add.at(n_tok, si, wcounts)
+        n_chars = np.zeros(len(us), dtype=np.int64)
+        np.add.at(n_chars, si, nch)
+        # per-(source, lang) presence rows so the fold can count distincts
+        sl = np.unique(np.char.add(np.char.add(src, "|"), lang))
+        parts = np.char.partition(sl, "|")
+        return pa.concat_tables([
+            pa.table({
+                "source": pa.array(us), "lang": pa.array([""] * len(us)),
+                "n_docs": pa.array(n_docs), "n_tokens": pa.array(n_tok),
+                "n_chars": pa.array(n_chars),
+            }),
+            pa.table({
+                "source": pa.array(parts[:, 0]),
+                "lang": pa.array(parts[:, 2]),
+                "n_docs": pa.array(np.zeros(len(sl), dtype=np.int64)),
+                "n_tokens": pa.array(np.zeros(len(sl), dtype=np.int64)),
+                "n_chars": pa.array(np.zeros(len(sl), dtype=np.int64)),
+            }),
+        ])
+
+    def fold(g: pa.Table) -> pa.Table:
+        src = str(g["source"][0].as_py())
+        lang = np.asarray(g["lang"]).astype("U")
+        langs = np.unique(lang[lang != ""])
+        return pa.table({
+            "source": pa.array([src]),
+            "n_docs": pa.array([int(np.asarray(g["n_docs"]).sum())],
+                               pa.int64()),
+            "n_tokens": pa.array([int(np.asarray(g["n_tokens"]).sum())],
+                                 pa.int64()),
+            "n_chars": pa.array([int(np.asarray(g["n_chars"]).sum())],
+                                pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("source").map_groups(fold, batch_format="pyarrow"))
+
+
+SOURCE_CARD_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(list_filter(string_split(text, ' '),
+                           x -> x <> '')))::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
 """
 
 
@@ -3914,6 +3990,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_user_gini": USER_GINI_SQL,
         "c_mixture_upsample": _mixture_upsample_sql(),
         "a_corpus_card": CORPUS_CARD_SQL,
+        "a_source_card": SOURCE_CARD_SQL,
         "d_pagerank": _pagerank_sql(),
         "c_cluster_shards": _cluster_shards_sql(),
         "d_containment": CONTAINMENT_SQL,
