@@ -85,6 +85,7 @@ _QUERY_PRIORITY = [
     "w_burst_windows",
     "v_registry_orphans", "d_cluster_sizes", "c_gopher_funnel",
     "c_coverage_bands", "d_chunk_dedup", "a_source_card",
+    "c_curriculum_shards",
     "v_summary_full", "d_seg_dedup", "d_dup_ngrams",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops

@@ -502,6 +502,54 @@ def cluster_shards(docs, centroids, *, blocks_per_cluster: int = 4,
             .groupby("shard").map_groups(rank, batch_format="pyarrow"))
 
 
+def curriculum_shards(docs, *, col: str = "n_chars",
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                      blocks_per_band: int = 4):
+    """Curriculum shard layout — the difficulty-ordered sibling of
+    ``cluster_shards``: every doc gets ``(shard, pos)`` where shard =
+    quantile-band(col) * B + FNV(doc_id) % B and pos = the doc's rank
+    within its shard by (hash, doc_id). A reader streaming shards in
+    order sees the corpus easy->hard (band-contiguous, the curriculum
+    training order), while hash sub-blocking keeps every rank group
+    bounded at ~corpus/(bands*B) rows (never rank inside a bare
+    O(1)-cardinality band group).
+
+    Dataset[doc_id, col] -> Dataset[doc_id, band, shard, pos]."""
+    from ..functions.hashing import hash_str
+    from ..stages.stats import quantile_band_assign
+
+    B = int(blocks_per_band)
+    banded = quantile_band_assign(docs.select_columns(["doc_id", col]),
+                                  col=col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        band = np.asarray(t["band"]).astype(np.int64)
+        h = hash_str(ids.astype("U"))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "band": pa.array(band),
+            "shard": pa.array(band * B + (h % np.uint64(B)).astype(np.int64)),
+            "h": pa.array(h.astype(np.int64)),  # two's-complement carry
+        })
+
+    def rank(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        h = np.asarray(g["h"]).astype(np.int64).astype(np.uint64)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "band": g["band"],
+            "shard": g["shard"],
+            "pos": pa.array(pos),
+        })
+
+    return (banded.map_batches(tag, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pyarrow"))
+
+
 def filter_funnel(docs, stages):
     """Per-stage attrition report for a quality-filter CASCADE — the
     first table a curation run is judged by ("which filter ate my data?").

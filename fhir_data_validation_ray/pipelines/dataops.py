@@ -2297,6 +2297,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_mixture_upsample": q_mixture_upsample,
         "a_corpus_card": q_corpus_card,
         "a_source_card": q_source_card,
+        "c_curriculum_shards": q_curriculum_shards,
         "d_pagerank": q_pagerank,
         "c_cluster_shards": q_cluster_shards,
         "d_containment": q_containment,
@@ -3483,6 +3484,44 @@ FROM sc, b
 """
 
 
+def q_curriculum_shards(sf_dir: str):
+    """Curriculum shard layout: quantile-band(n_chars)-contiguous training
+    shards, hash sub-blocked so every rank group stays bounded."""
+    import ray.data as rd
+
+    from .curation import curriculum_shards
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return curriculum_shards(docs)
+
+
+def _curriculum_shards_sql() -> str:
+    from .curation import curriculum_shards  # noqa: F401 (doc link)
+
+    B = 4
+    fnv = _fnv_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents
+           GROUP BY 1),
+s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT count(*)::BIGINT AS n FROM documents),
+b AS (SELECT
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.25 * t.n), 1)) AS b0,
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.5 * t.n), 1)) AS b1,
+  (SELECT min(v) FROM s, t WHERE cum >= greatest(ceil(0.75 * t.n), 1)) AS b2),
+d AS (SELECT doc_id,
+        ((n_chars > b.b0)::INT + (n_chars > b.b1)::INT
+         + (n_chars > b.b2)::INT)::BIGINT AS band,
+        {fnv} AS h
+      FROM documents, b)
+SELECT doc_id, band, (band * {B} + h % {B})::BIGINT AS shard,
+  (row_number() OVER (PARTITION BY band * {B} + h % {B}
+                      ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM d
+"""
+
+
 def q_rank_by_source(sf_dir: str):
     """Exact WITHIN-SOURCE percentile rank of n_chars (per-domain
     keep-top-X% normalization; ``stats.percentile_rank_by_group``)."""
@@ -3991,6 +4030,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_mixture_upsample": _mixture_upsample_sql(),
         "a_corpus_card": CORPUS_CARD_SQL,
         "a_source_card": SOURCE_CARD_SQL,
+        "c_curriculum_shards": _curriculum_shards_sql(),
         "d_pagerank": _pagerank_sql(),
         "c_cluster_shards": _cluster_shards_sql(),
         "d_containment": CONTAINMENT_SQL,
