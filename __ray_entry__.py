@@ -32,10 +32,12 @@ def entry() -> Any:
 
 
 # The driver evaluates queries() in dict order and checks only a prefix
-# (~50 per round). With 126+ queries / 118+ oracles, most fall outside any
-# single window (every one still runs in the repo's identical-protocol
-# parity suite at sf0.001 each pytest session), so order = correctness-signal
-# priority. Round-4 rotation (VERDICT r3 "Next round" #1):
+# (exactly 50 in r02/r03). With 159 queries / 150 oracles, most fall
+# outside any single window (every one still runs in the repo's
+# identical-protocol parity suite at sf0.001 each pytest session, and the
+# full sweep ran green at sf0.01 under the driver protocol this round —
+# 156/156 at the time, later additions driven green individually), so order =
+# correctness-signal priority. Round-4 rotation (VERDICT r3 "Next round" #1):
 # (1) the 27 oracle-bearing queries that have NEVER had a driver CORRECTNESS
 #     row across r01-r03 (all late-round-3 additions);
 # (2) NEW round-4 queries (lint catalog, rule suggestions, extension kernel,
@@ -85,7 +87,7 @@ _QUERY_PRIORITY = [
     "w_burst_windows",
     "v_registry_orphans", "d_cluster_sizes", "c_gopher_funnel",
     "c_coverage_bands", "d_chunk_dedup", "a_source_card",
-    "c_curriculum_shards",
+    "c_curriculum_shards", "w_distinct_by_type",
     "v_summary_full", "d_seg_dedup", "d_dup_ngrams",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops

@@ -1867,6 +1867,20 @@ FROM events GROUP BY 1
 """
 
 
+DISTINCT_BY_TYPE_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
+       count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_by_type(sf_dir: str):
+    """Per-(window, event_type) exact distinct users (feature-level DAU)."""
+    from ..stages.windows import tumbling_distinct_by_type
+
+    return tumbling_distinct_by_type(_events(sf_dir))
+
+
 def q_hopping(sf_dir: str):
     from ..stages.windows import hopping_window_counts
 
@@ -2227,6 +2241,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_tumbling": q_tumbling,
         "w_hopping": q_hopping,
         "w_distinct_users": q_window_distinct,
+        "w_distinct_by_type": q_distinct_by_type,
         "w_sessionize": q_sessionize,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
@@ -3972,6 +3987,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_tumbling": TUMBLING_SQL,
         "w_hopping": HOPPING_SQL,
         "w_distinct_users": WINDOW_DISTINCT_SQL,
+        "w_distinct_by_type": DISTINCT_BY_TYPE_SQL,
         "w_sessionize": SESSIONIZE_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,

@@ -1134,3 +1134,62 @@ def out_of_order_counts(events, *, block_events: int = 4096):
     return (s1.map_batches(cnt_rows, batch_format="pyarrow")
             .union(cand_late)
             .groupby("user").map_groups(user_fold, batch_format="pyarrow"))
+
+
+def tumbling_distinct_by_type(events, *, col: str = "user_id",
+                              window_us: int = US_PER_HOUR):
+    """Per-(window, event_type) exact distinct count of ``col`` — the
+    per-feature DAU/engagement breakdown next to the global
+    ``tumbling_window_distinct``. Same pre-deduplicated exchange: per
+    batch, for each event type present (low-cardinality), UNIQUE packed
+    (window, value) pairs; the groupby key is the composite
+    "window|type" string so no global type-id table is needed.
+    Returns Dataset[window_id, event_type, n_distinct]."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        win = _ts_np(t) // window_us
+        v = np.asarray(t[col]).astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= _UB):
+            raise ValueError(
+                f"tumbling_distinct_by_type: {col} values must be in "
+                f"[0, {int(_UB)}) for packed dedup")
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        da = pc.dictionary_encode(et)
+        codes = np.asarray(da.indices, dtype=np.int64)
+        out_key, out_win, out_type, out_v = [], [], [], []
+        for ci, tname in enumerate(da.dictionary.to_pylist()):
+            m = codes == ci
+            key = np.unique(win[m] * _UB + v[m])
+            out_key.append(np.char.add(
+                (key // _UB).astype("U"), f"|{tname}"))
+            out_win.append(key // _UB)
+            out_type.extend([tname] * len(key))
+            out_v.append(key % _UB)
+        return pa.table({
+            "g": pa.array(np.concatenate(out_key) if out_key else
+                          np.array([], dtype="U1")),
+            "window_id": pa.array(
+                np.concatenate(out_win) if out_win else
+                np.array([], dtype=np.int64)),
+            "event_type": pa.array(out_type, pa.string()),
+            "v": pa.array(np.concatenate(out_v) if out_v else
+                          np.array([], dtype=np.int64)),
+        })
+
+    def count(g: pa.Table) -> pa.Table:
+        n = len(np.unique(np.asarray(g["v"])))
+        return pa.table({
+            "window_id": pa.array([int(g["window_id"][0].as_py())],
+                                  pa.int64()),
+            "event_type": pa.array([str(g["event_type"][0].as_py())]),
+            "n_distinct": pa.array([n], pa.int64()),
+        })
+
+    return (
+        events.select_columns([col, "ts", "event_type"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(count, batch_format="pyarrow")
+    )
