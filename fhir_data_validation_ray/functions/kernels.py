@@ -1316,11 +1316,11 @@ def k_lint(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
     preserves, ``kernels.py`` validate_batch).
 
     Vectorized throughout: one regex/compare kernel per rule; the
-    duplicate-entry check dictionary-encodes the composite span key and
-    marks non-first per-doc occurrences with one ``np.unique`` — no Python
-    row loop. The null sentinel chr(1) in the composite key matches the
-    oracle's ``coalesce(col, chr(1))`` exactly (a real chr(1) value would
-    collide identically on both sides)."""
+    duplicate-entry check dictionary-encodes each span field separately and
+    marks non-first per-doc (kind, text, media_ref) code rows with one
+    ``np.unique(axis=0)`` — no Python row loop, no composite-string key
+    (so no separator or null-sentinel byte can collide with field values;
+    the oracle partitions by the three raw columns)."""
     from ..catalogs import LINT_CATALOG, LINT_YEAR_MAX, LINT_YEAR_MIN
 
     if fs.n_spans == 0:
@@ -1379,13 +1379,21 @@ def k_lint(profile: Profile, fs: FlatSpans, sink: ViolationSink) -> None:
                  .to_numpy(zero_copy_only=False))
         emit(boolkind & low_ok & ~exact, "LINT_BOOLEAN_CASE", "text")
 
-    key = pc.binary_join_element_wise(
-        pc.fill_null(fs.kind, "\x01"), pc.fill_null(text, "\x01"),
-        pc.fill_null(fs.media_ref, "\x01"), "\x1f")
-    da = pc.dictionary_encode(key)
-    code = np.asarray(da.indices, dtype=np.int64)
-    pairkey = fs.parent * len(da.dictionary) + code
-    _, first_idx = np.unique(pairkey, return_index=True)
+    # duplicate (kind, text, media_ref) tuples per doc: dictionary-encode
+    # each field SEPARATELY and unique the integer row (parent, k, t, m) —
+    # no composite-string key, so no separator/sentinel byte in a field
+    # value can shift tuple boundaries (the oracle partitions by the three
+    # columns directly); null -> -1 matches SQL's nulls-equal partitioning
+    def _dup_codes(arr) -> np.ndarray:
+        idx = pc.dictionary_encode(arr).indices.to_numpy(
+            zero_copy_only=False)
+        if idx.dtype.kind == "f":  # any null -> float indices with NaN
+            idx = np.where(idx != idx, -1.0, idx)
+        return idx.astype(np.int64)
+
+    rows = np.column_stack([fs.parent, _dup_codes(fs.kind),
+                            _dup_codes(text), _dup_codes(fs.media_ref)])
+    _, first_idx = np.unique(rows, axis=0, return_index=True)
     dup = np.ones(fs.n_spans, dtype=bool)
     dup[first_idx] = False
     emit(dup, "LINT_DUPLICATE_ENTRY", "text")

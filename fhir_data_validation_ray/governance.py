@@ -64,6 +64,15 @@ class ReviewResult:
             self.status = issue.severity
 
 
+def _as_int(v: Any) -> int | None:
+    """int(v) or None — review code must flag malformed min/max, not
+    crash on it."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
 def _identity_key(rule: dict[str, Any]) -> str:
     """Duplicate identity: type + kind + fieldPath + InstanceScope stable
     key (``RuleIdentity.GetIdentityKey`` / ``InstanceScope.ToStableKey``)."""
@@ -170,19 +179,29 @@ def review_rule(rule: dict[str, Any]) -> ReviewResult:
                                                     "requirements"}))
                 seen.add(kind)
                 mn, mx = req.get("min"), req.get("max")
-                if mn is None or int(mn) < 1:
+                mn_i = _as_int(mn)
+                mx_i = _as_int(mx)
+                if mn is None or mn_i is None or mn_i < 1:
+                    # non-numeric min ("two") lands here too — the review
+                    # must FLAG malformed authoring input, never crash on it
                     r.add(ReviewIssue("REQUIRED_RESOURCES_INVALID_CONFIG",
                                       BLOCKED, r.rule_id, {
                                           "kind": kind, "min": mn,
-                                          "reason": "min must be present "
-                                                    "and >= 1"}))
-                elif mx is not None and int(mx) < int(mn):
+                                          "reason": "min must be a present "
+                                                    "integer >= 1"}))
+                elif mx is not None and mx_i is None:
+                    r.add(ReviewIssue("REQUIRED_RESOURCES_INVALID_CONFIG",
+                                      BLOCKED, r.rule_id, {
+                                          "kind": kind, "min": mn, "max": mx,
+                                          "reason": "max must be an "
+                                                    "integer"}))
+                elif mx_i is not None and mx_i < mn_i:
                     r.add(ReviewIssue("REQUIRED_RESOURCES_INVALID_CONFIG",
                                       BLOCKED, r.rule_id, {
                                           "kind": kind, "min": mn, "max": mx,
                                           "reason": "max < min is an "
                                                     "invalid range"}))
-                elif mx is not None and int(mx) != int(mn):
+                elif mx_i is not None and mx_i != mn_i:
                     # reference contract: min-only or exact — this engine
                     # supports ranges, so demote to WARNING (divergence
                     # documented in the module docstring)
@@ -219,51 +238,56 @@ def review_rule_set(rules: list[dict[str, Any]]) -> list[ReviewResult]:
     per-rule checks + duplicate / field-error-code-conflict / single-
     composition-rule set-level checks."""
     results = [review_rule(r) for r in rules]
-    by_id = {res.rule_id: res for res in results}
+    # set-level issues attach by POSITION, never by id: two rules sharing
+    # an id must each carry their own issues (an id-keyed dict silently
+    # drops all but the last — the exact authoring mistake this layer
+    # exists to catch)
 
     # WARNING: duplicate rules by identity key (:760-808)
     seen: dict[str, str] = {}
-    for rule in rules:
+    for i, rule in enumerate(rules):
         rid = str(rule.get("id", ""))
         if not str(rule.get("fieldPath", "") or "").strip() and \
                 str(rule.get("type", "")) not in _NO_FIELDPATH_OK:
             continue  # caught by EMPTY_FIELD_PATH
         key = _identity_key(rule)
         if key in seen:
-            by_id[rid].add(ReviewIssue("DUPLICATE_RULE", WARNING, rid, {
+            results[i].add(ReviewIssue("DUPLICATE_RULE", WARNING, rid, {
                 "duplicateOf": seen[key], "identityKey": key}))
         else:
             seen[key] = rid
 
     # WARNING: same field target, different explicit errorCodes (:868-950)
-    field_codes: dict[str, dict[str, list[str]]] = {}
-    for rule in rules:
+    field_codes: dict[str, dict[str, list[int]]] = {}
+    for i, rule in enumerate(rules):
         code = str(rule.get("errorCode", "") or "").strip()
         if not code:
             continue
         fkey = _identity_key({**rule, "type": ""})  # field+scope only
-        field_codes.setdefault(fkey, {}).setdefault(code, []).append(
-            str(rule.get("id", "")))
+        field_codes.setdefault(fkey, {}).setdefault(code, []).append(i)
     for fkey, codes in field_codes.items():
         if len(codes) > 1:
-            involved = sorted(rid for ids in codes.values() for rid in ids)
-            for rid in involved:
-                by_id[rid].add(ReviewIssue(
-                    "FIELD_ERROR_CODE_CONFLICT", WARNING, rid, {
-                        "fieldKey": fkey,
-                        "errorCodes": sorted(codes),
-                        "ruleIds": involved}))
+            idxs = sorted(i for ids in codes.values() for i in ids)
+            involved = [str(rules[i].get("id", "")) for i in idxs]
+            for i in idxs:
+                results[i].add(ReviewIssue(
+                    "FIELD_ERROR_CODE_CONFLICT", WARNING, results[i].rule_id,
+                    {"fieldKey": fkey,
+                     "errorCodes": sorted(codes),
+                     "ruleIds": involved}))
 
     # BLOCKED: multiple composition (RequiredSpans) rules (:820-860) —
     # the bundle contract needs a single source of truth
-    comp = [str(r.get("id", "")) for r in rules
+    comp = [i for i, r in enumerate(rules)
             if str(r.get("type", "")) in ("RequiredSpans",
                                           "RequiredResources", "Resource")]
     if len(comp) > 1:
-        for rid in comp:
-            by_id[rid].add(ReviewIssue(
-                "DUPLICATE_BUNDLE_RESOURCE_RULE", BLOCKED, rid, {
-                    "ruleIds": comp,
+        comp_ids = [str(rules[i].get("id", "")) for i in comp]
+        for i in comp:
+            results[i].add(ReviewIssue(
+                "DUPLICATE_BUNDLE_RESOURCE_RULE", BLOCKED,
+                results[i].rule_id, {
+                    "ruleIds": comp_ids,
                     "reason": "only one bundle-composition rule is "
                               "permitted per profile"}))
     return results

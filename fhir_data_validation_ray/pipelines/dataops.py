@@ -794,7 +794,7 @@ WITH d AS (SELECT n_chars, lang,
 f AS (SELECT CASE
     WHEN NOT (n_chars >= {FUNNEL_MIN_CHARS}) THEN 0
     WHEN NOT (n_chars <= {FUNNEL_MAX_CHARS}) THEN 1
-    WHEN lang NOT IN {FUNNEL_LANGS!r} THEN 2
+    WHEN coalesce(lang NOT IN {FUNNEL_LANGS!r}, TRUE) THEN 2
     WHEN NOT (w >= {FUNNEL_MIN_WORDS}) THEN 3
     WHEN NOT ({FUNNEL_WLEN_LO}*w <= 10*l AND 10*l <= {FUNNEL_WLEN_HI}*w) THEN 4
     ELSE 5 END AS ff FROM d),
@@ -2925,7 +2925,9 @@ def q_source_card(sf_dir: str):
             texts = texts.combine_chunks()
         _, wcounts, _ = _word_lists(texts)
         src = np.asarray(t["source"]).astype("U")
-        lang = np.asarray(t["lang"]).astype("U")
+        lv = t["lang"]
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
         nch = np.asarray(t["n_chars"]).astype(np.int64)
         us, si = np.unique(src, return_inverse=True)
         n_docs = np.bincount(si, minlength=len(us)).astype(np.int64)
@@ -2933,28 +2935,41 @@ def q_source_card(sf_dir: str):
         np.add.at(n_tok, si, wcounts)
         n_chars = np.zeros(len(us), dtype=np.int64)
         np.add.at(n_chars, si, nch)
-        # per-(source, lang) presence rows so the fold can count distincts
-        sl = np.unique(np.char.add(np.char.add(src, "|"), lang))
-        parts = np.char.partition(sl, "|")
+        # per-(source, lang) presence rows so the fold can count distinct
+        # NON-NULL langs (SQL count(DISTINCT lang) skips NULLs but keeps
+        # ''); integer pair encoding — no separator-collision surface
+        lnp = lv.to_numpy(zero_copy_only=False)
+        valid = np.array([x is not None for x in lnp], dtype=bool)
+        if valid.any():
+            ul, li = np.unique(lnp[valid].astype("U"), return_inverse=True)
+            pair = np.unique(si[valid].astype(np.int64) * len(ul) + li)
+            p_src = us[(pair // len(ul))]
+            p_lang = ul[(pair % len(ul))]
+        else:
+            p_src = np.empty(0, dtype=src.dtype)
+            p_lang = np.empty(0, dtype="U1")
+        nz = np.zeros(len(p_src), dtype=np.int64)
         return pa.concat_tables([
             pa.table({
                 "source": pa.array(us), "lang": pa.array([""] * len(us)),
+                "role": pa.array(np.zeros(len(us), dtype=np.int64)),
                 "n_docs": pa.array(n_docs), "n_tokens": pa.array(n_tok),
                 "n_chars": pa.array(n_chars),
             }),
             pa.table({
-                "source": pa.array(parts[:, 0]),
-                "lang": pa.array(parts[:, 2]),
-                "n_docs": pa.array(np.zeros(len(sl), dtype=np.int64)),
-                "n_tokens": pa.array(np.zeros(len(sl), dtype=np.int64)),
-                "n_chars": pa.array(np.zeros(len(sl), dtype=np.int64)),
+                "source": pa.array(p_src),
+                "lang": pa.array(p_lang),
+                "role": pa.array(np.ones(len(p_src), dtype=np.int64)),
+                "n_docs": pa.array(nz), "n_tokens": pa.array(nz),
+                "n_chars": pa.array(nz),
             }),
         ])
 
     def fold(g: pa.Table) -> pa.Table:
         src = str(g["source"][0].as_py())
+        role = np.asarray(g["role"], dtype=np.int64)
         lang = np.asarray(g["lang"]).astype("U")
-        langs = np.unique(lang[lang != ""])
+        langs = np.unique(lang[role == 1])
         return pa.table({
             "source": pa.array([src]),
             "n_docs": pa.array([int(np.asarray(g["n_docs"]).sum())],
@@ -3001,22 +3016,25 @@ def q_corpus_card(sf_dir: str):
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         _, counts, _ = _word_lists(texts)
-        langs = np.unique(np.asarray(t["lang"]).astype("U"))
-        srcs = np.unique(np.asarray(t["source"]).astype("U"))
+        # list columns, not '|'-joined strings: NULLs are skipped (as SQL
+        # count(DISTINCT ...) does), '' stays a countable value, and no
+        # separator can collide with data
+        langs = sorted({x for x in t["lang"].to_pylist() if x is not None})
+        srcs = sorted({x for x in t["source"].to_pylist() if x is not None})
         return pa.table({
             "n_docs": pa.array([t.num_rows], pa.int64()),
             "n_tokens": pa.array([int(counts.sum())], pa.int64()),
-            "langs": pa.array(["|".join(langs)], pa.string()),
-            "sources": pa.array(["|".join(srcs)], pa.string()),
+            "langs": pa.array([langs], pa.list_(pa.string())),
+            "sources": pa.array([srcs], pa.list_(pa.string())),
         })
 
     def fold(t: pa.Table):
         ls = set()
         ss = set()
         for v in t["langs"].to_pylist():
-            ls.update(x for x in v.split("|") if x)
+            ls.update(v)
         for v in t["sources"].to_pylist():
-            ss.update(x for x in v.split("|") if x)
+            ss.update(v)
         return (int(np.asarray(t["n_docs"]).sum()),
                 int(np.asarray(t["n_tokens"]).sum()), ls, ss)
 
@@ -3025,8 +3043,8 @@ def q_corpus_card(sf_dir: str):
         return pa.table({
             "n_docs": pa.array([nd], pa.int64()),
             "n_tokens": pa.array([nt], pa.int64()),
-            "langs": pa.array(["|".join(sorted(ls))], pa.string()),
-            "sources": pa.array(["|".join(sorted(ss))], pa.string()),
+            "langs": pa.array([sorted(ls)], pa.list_(pa.string())),
+            "sources": pa.array([sorted(ss)], pa.list_(pa.string())),
         })
 
     parts = collect_table(

@@ -272,10 +272,12 @@ def _lint_sql() -> str:
         base.format(code="LINT_BOOLEAN_CASE")
         + "kind = 'boolean' AND lower(text) IN ('true', 'false') "
           "AND text NOT IN ('true', 'false')",
+        # PARTITION BY the raw columns: SQL treats NULLs as equal here,
+        # matching the kernel's per-field dictionary codes (null -> -1) —
+        # no sentinel, so no field value can collide with one
         base.format(code="LINT_DUPLICATE_ENTRY") + "TRUE "
         + "QUALIFY row_number() OVER ("
-          "PARTITION BY doc_id, coalesce(kind, chr(1)), "
-          "coalesce(text, chr(1)), coalesce(media_ref, chr(1)) "
+          "PARTITION BY doc_id, kind, text, media_ref "
           "ORDER BY span_index) > 1",
         base.format(code="LINT_CONTROL_CHARS")
         + r"regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')",

@@ -199,8 +199,16 @@ def pack_interleaved(docs, *, budget: int = PACK_BUDGET,
         kd = pc.dictionary_encode(kind)
         dv = kd.dictionary.to_numpy(zero_copy_only=False).astype("U")
         dict_cost = np.array([mc.get(v, -1) for v in dv], dtype=np.int64)
-        mcost = dict_cost[np.asarray(kd.indices, dtype=np.int64)] \
-            if len(flat) else np.empty(0, np.int64)
+        if len(flat):
+            idx = kd.indices.to_numpy(zero_copy_only=False)
+            if idx.dtype.kind == "f":
+                # NULL kind -> null index (NaN here); -1 routes it to the
+                # word-count lane, matching the oracle's CASE ... ELSE
+                idx = np.where(idx != idx, -1.0, idx)
+            ii = idx.astype(np.int64)
+            mcost = np.where(ii >= 0, dict_cost[np.maximum(ii, 0)], -1)
+        else:
+            mcost = np.empty(0, np.int64)
         span_cost = np.where(mcost >= 0, mcost, words_per_span)
         per_doc = np.bincount(parent, weights=span_cost,
                               minlength=t.num_rows).astype(np.int64)

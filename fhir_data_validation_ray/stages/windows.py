@@ -969,6 +969,12 @@ def burst_windows(events, *, window_us: int = 10 * 60 * 1_000_000,
         # user's key range — u*_UB - 1 would collide with user u-1's
         # last block
         b = ts // block_us + 1
+        if len(u) and (u.min() < 0 or u.max() >= _UB
+                       or ts.min() < 0 or b.max() >= _UB):
+            raise ValueError(
+                "burst_windows: user_id must be in [0, 2**26) and ts "
+                "nonnegative with ts // block_us < 2**26 - 1 for the "
+                "packed (user, block) shard key")
         dup = (ts % block_us) < window_us
         ub = np.concatenate([u * _UB + b, (u[dup] * _UB + b[dup] - 1)])
         return pa.table({
@@ -1157,13 +1163,29 @@ def tumbling_distinct_by_type(events, *, col: str = "user_id",
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         da = pc.dictionary_encode(et)
-        codes = np.asarray(da.indices, dtype=np.int64)
+        idx = da.indices.to_numpy(zero_copy_only=False)
+        # a NULL event_type yields null indices (float NaN after to_numpy);
+        # SQL GROUP BY keeps a NULL group, so route them to their own
+        # (-1, None) group instead of silently dropping (or worse,
+        # int64-min-casting) them
+        if idx.dtype.kind == "f":
+            nullm = idx != idx
+            codes = np.where(nullm, -1.0, idx).astype(np.int64)
+        else:
+            nullm = np.zeros(len(idx), dtype=bool)
+            codes = idx.astype(np.int64)
+        groups = list(enumerate(da.dictionary.to_pylist()))
+        if nullm.any():
+            groups.append((-1, None))
         out_key, out_win, out_type, out_v = [], [], [], []
-        for ci, tname in enumerate(da.dictionary.to_pylist()):
+        for ci, tname in groups:
             m = codes == ci
             key = np.unique(win[m] * _UB + v[m])
+            # 'T'-prefixed real types vs the bare 'N' null tag — no name
+            # can collide with the null group
+            tag = "N" if tname is None else "T" + tname
             out_key.append(np.char.add(
-                (key // _UB).astype("U"), f"|{tname}"))
+                (key // _UB).astype("U"), f"|{tag}"))
             out_win.append(key // _UB)
             out_type.extend([tname] * len(key))
             out_v.append(key % _UB)
@@ -1180,10 +1202,11 @@ def tumbling_distinct_by_type(events, *, col: str = "user_id",
 
     def count(g: pa.Table) -> pa.Table:
         n = len(np.unique(np.asarray(g["v"])))
+        tv = g["event_type"][0].as_py()  # may be None (NULL-type group)
         return pa.table({
             "window_id": pa.array([int(g["window_id"][0].as_py())],
                                   pa.int64()),
-            "event_type": pa.array([str(g["event_type"][0].as_py())]),
+            "event_type": pa.array([tv], pa.string()),
             "n_distinct": pa.array([n], pa.int64()),
         })
 
