@@ -956,6 +956,56 @@ FROM g GROUP BY source, n
 """
 
 
+def q_source_overlap(sf_dir: str):
+    """Pairwise source vocabulary overlap — the lexical-contamination /
+    domain-similarity matrix (``textops.source_vocab_overlap``)."""
+    import ray.data as rd
+
+    from ..stages.textops import source_vocab_overlap
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return source_vocab_overlap(docs)
+
+
+SOURCE_OVERLAP_SQL = """
+WITH sw AS (SELECT DISTINCT source, word FROM (
+  SELECT source, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS word
+  FROM documents WHERE source IS NOT NULL))
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_common
+FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+PROPS_KEY = "k"
+
+
+def q_props_rollup(sf_dir: str):
+    """Typed JSON property extraction over the events property bag +
+    per-event-type rollup (``windows.props_rollup``)."""
+    import ray.data as rd
+
+    from ..stages.windows import props_rollup
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "props"])
+    return props_rollup(events, key=PROPS_KEY)
+
+
+PROPS_ROLLUP_SQL = f"""
+WITH x AS (SELECT event_type,
+    CAST(json_extract(props, '$.{PROPS_KEY}') AS BIGINT) AS v FROM events)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(v)::BIGINT AS n_with_key,
+       coalesce(sum(v), 0)::BIGINT AS sum_v,
+       min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+FROM x GROUP BY event_type
+"""
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth: distinct words first appearing below
     each doc-id prefix cut (``textops.vocab_growth``)."""
@@ -2302,6 +2352,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_moments": q_moments,
         "a_vocab_growth": q_vocab_growth,
         "a_distinct_ngrams": q_distinct_ngrams,
+        "a_source_overlap": q_source_overlap,
+        "w_props_rollup": q_props_rollup,
         "c_filter_funnel": q_filter_funnel,
         "t_lang_confusion": q_lang_confusion,
         "t_cooccurrence": q_cooccurrence,
@@ -4054,6 +4106,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_moments": MOMENTS_SQL,
         "a_vocab_growth": VOCAB_GROWTH_SQL,
         "a_distinct_ngrams": DISTINCT_NGRAMS_SQL,
+        "a_source_overlap": SOURCE_OVERLAP_SQL,
+        "w_props_rollup": PROPS_ROLLUP_SQL,
         "c_filter_funnel": FILTER_FUNNEL_SQL,
         "t_lang_confusion": LANG_CONFUSION_SQL,
         "t_cooccurrence": COOCCURRENCE_SQL,

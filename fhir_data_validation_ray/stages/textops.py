@@ -2409,3 +2409,100 @@ def nb_classifier(docs, *, pos_lang: str = "en",
         .groupby("dshard")
         .map_groups(doc_fold, batch_format="pyarrow")
     )
+
+
+def source_vocab_overlap(docs, *, n_buckets: int = 256,
+                         batch_size: int | None = None):
+    """Pairwise source vocabulary overlap: for every source pair
+    ``(source_a < source_b, byte order)`` the number of DISTINCT words the
+    two corpora share — the lexical-contamination / domain-similarity
+    matrix a mixture corpus is audited with (pair Jaccard follows by
+    dividing with the per-source distinct counts ``distinct_ngrams`` n=1
+    already reports).
+
+    Scale shape: per batch only DISTINCT (source, word) pairs leave (a
+    word's repetitions inside a batch collapse before the exchange, the
+    ``distinct_ngrams`` pre-dedup); the exchange is keyed by
+    ``hash(word) % n_buckets`` so no group holds more than ~vocab/n_buckets
+    words regardless of corpus size; inside a bucket the per-word source
+    runs expand to pairs via the shared vectorized ``_expand_run_pairs``
+    and collapse into dense S x S partial counts (sources are
+    low-cardinality); a final tiny (source_a, source_b) groupby sums
+    ~n_buckets partial rows per pair. Nothing corpus-sized is broadcast or
+    driver-collected. NULL sources are skipped on both sides (the oracle's
+    ``a.source < b.source`` join drops NULL anyway).
+
+    Returns Dataset[source_a, source_b, n_common]."""
+    from ..stages.dedup import _expand_run_pairs
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, _ = _word_lists(texts)
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        src_np = t["source"].to_numpy(zero_copy_only=False)
+        doc_ok = np.array([x is not None for x in src_np], dtype=bool)
+        keep = doc_ok[parent]
+        if not keep.any():
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "word": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string())})
+        us, si = np.unique(src_np[doc_ok].astype("U"), return_inverse=True)
+        si_full = np.zeros(len(src_np), dtype=np.int64)
+        si_full[doc_ok] = si
+        # batch-distinct (source, word) via composite integer codes; the
+        # word dictionary is hashed ONCE and gathered (never hash
+        # per-occurrence strings)
+        wd = pc.dictionary_encode(words.filter(pa.array(keep)))
+        wcode = np.asarray(wd.indices, dtype=np.int64)
+        nd = max(len(wd.dictionary), 1)
+        pair = np.unique(si_full[parent[keep]] * nd + wcode)
+        s_idx, w_idx = pair // nd, pair % nd
+        dwords = wd.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        bh = (hash_str(dwords) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bh[w_idx]),
+            "word": pa.array(dwords[w_idx]),
+            "source": pa.array(us[s_idx]),
+        })
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        # np.unique on BYTE-ordered codes: code order == byte order, so
+        # pos_a < pos_b inside a word run implies source_a < source_b
+        snames, sc = np.unique(np.asarray(g["source"]).astype("U"),
+                               return_inverse=True)
+        _, wc = np.unique(np.asarray(g["word"]).astype("U"),
+                          return_inverse=True)
+        rows = np.unique(np.column_stack([wc, sc]), axis=0)
+        pos_a, pos_b = _expand_run_pairs(rows[:, 0])
+        if len(pos_a) == 0:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "n_common": pa.array([], pa.int64())})
+        S = len(snames)
+        cnt = np.bincount(rows[pos_a, 1] * S + rows[pos_b, 1],
+                          minlength=S * S)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "source_a": pa.array(snames[nz // S]),
+            "source_b": pa.array(snames[nz % S]),
+            "n_common": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    def pair_fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "source_a": pa.array([str(g["source_a"][0].as_py())]),
+            "source_b": pa.array([str(g["source_b"][0].as_py())]),
+            "n_common": pa.array(
+                [int(np.asarray(g["n_common"]).sum())], pa.int64()),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .map_groups(pair_fold, batch_format="pyarrow")
+    )

@@ -1216,3 +1216,97 @@ def tumbling_distinct_by_type(events, *, col: str = "user_id",
         .groupby("g")
         .map_groups(count, batch_format="pyarrow")
     )
+
+
+def props_rollup(events, *, key: str = "k"):
+    """Typed JSON property extraction + per-event-type rollup: pull the
+    integer property ``key`` out of the flat JSON ``props`` string column
+    with ONE vectorized regex (``pc.extract_regex``; the scan is
+    specialized to the flat ``{"key": int}`` property-bag shape — a nested
+    path would need a real JSON kernel) and aggregate per event_type.
+    Missing/unparseable keys count into ``n_events`` but not into
+    ``n_with_key``/``sum_v``/``min_v``/``max_v`` (SQL aggregate-over-NULL
+    semantics; a NULL event_type keeps its own group, like
+    ``tumbling_distinct_by_type``).
+
+    Per batch the rows collapse to one partial per event type present
+    (low-cardinality), so the exchange carries O(n_batches x types) rows;
+    the final groupby folds sums and nullable min/max.
+
+    Returns Dataset[event_type, n_events, n_with_key, sum_v, min_v,
+    max_v]."""
+    import re as _re
+
+    pat = rf'"{_re.escape(key)}"\s*:\s*(?P<v>-?\d+)'
+
+    def partial(t: pa.Table) -> pa.Table:
+        props = t["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        v = pc.cast(pc.struct_field(pc.extract_regex(props, pat), "v"),
+                    pa.int64())
+        vnp = v.to_numpy(zero_copy_only=False)
+        if vnp.dtype.kind == "f":
+            valid = vnp == vnp
+            vi = np.where(valid, np.nan_to_num(vnp), 0).astype(np.int64)
+        else:
+            valid = np.ones(len(vnp), dtype=bool)
+            vi = vnp.astype(np.int64)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        da = pc.dictionary_encode(et)
+        idx = da.indices.to_numpy(zero_copy_only=False)
+        if idx.dtype.kind == "f":
+            nullm = idx != idx
+            codes = np.where(nullm, -1.0, idx).astype(np.int64)
+        else:
+            nullm = np.zeros(len(idx), dtype=bool)
+            codes = idx.astype(np.int64)
+        groups = list(enumerate(da.dictionary.to_pylist()))
+        if nullm.any():
+            groups.append((-1, None))
+        g_key, g_type = [], []
+        n_ev, n_wk, s_v, mn_v, mx_v = [], [], [], [], []
+        for ci, tname in groups:
+            m = codes == ci
+            mv = m & valid
+            g_key.append("N" if tname is None else "T" + tname)
+            g_type.append(tname)
+            n_ev.append(int(m.sum()))
+            n_wk.append(int(mv.sum()))
+            s_v.append(int(vi[mv].sum()))
+            mn_v.append(int(vi[mv].min()) if mv.any() else None)
+            mx_v.append(int(vi[mv].max()) if mv.any() else None)
+        return pa.table({
+            "g": pa.array(g_key, pa.string()),
+            "event_type": pa.array(g_type, pa.string()),
+            "n_events": pa.array(n_ev, pa.int64()),
+            "n_with_key": pa.array(n_wk, pa.int64()),
+            "sum_v": pa.array(s_v, pa.int64()),
+            "min_v": pa.array(mn_v, pa.int64()),
+            "max_v": pa.array(mx_v, pa.int64()),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        tv = g["event_type"][0].as_py()
+        mins = [x for x in g["min_v"].to_pylist() if x is not None]
+        maxs = [x for x in g["max_v"].to_pylist() if x is not None]
+        return pa.table({
+            "event_type": pa.array([tv], pa.string()),
+            "n_events": pa.array(
+                [int(np.asarray(g["n_events"]).sum())], pa.int64()),
+            "n_with_key": pa.array(
+                [int(np.asarray(g["n_with_key"]).sum())], pa.int64()),
+            "sum_v": pa.array(
+                [int(np.asarray(g["sum_v"]).sum())], pa.int64()),
+            "min_v": pa.array([min(mins) if mins else None], pa.int64()),
+            "max_v": pa.array([max(maxs) if maxs else None], pa.int64()),
+        })
+
+    return (
+        events.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
