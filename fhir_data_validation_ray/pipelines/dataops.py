@@ -956,6 +956,87 @@ FROM g GROUP BY source, n
 """
 
 
+NEG_K = 4
+
+
+def q_neg_samples(sf_dir: str):
+    """Deterministic contrastive negative sampling: FNV("{doc}:{slot}") %
+    n_total candidates, resolved against the corpus directory in one
+    bucketed exchange, same-source / self candidates dropped
+    (``sampling.negative_samples``)."""
+    import ray.data as rd
+
+    from ..stages.sampling import negative_samples
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return negative_samples(docs, n_total=docs.count(), k=NEG_K)
+
+
+def _neg_samples_sql() -> str:
+    h = _fnv_sql("CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)")
+    return f"""
+WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+s AS (SELECT unnest(generate_series(0, {NEG_K - 1})) AS slot),
+cand AS (
+  SELECT d.doc_id, d.source, s.slot,
+         CAST({h} % (SELECT nn FROM n) AS BIGINT) AS neg_id
+  FROM documents d, s WHERE d.source IS NOT NULL)
+SELECT c.doc_id, c.slot, c.neg_id, t.source AS neg_source
+FROM cand c JOIN documents t ON t.doc_id = c.neg_id
+WHERE c.neg_id <> c.doc_id AND t.source <> c.source
+"""
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: per query vector, exact cosine top-k among
+    vectors with a DIFFERENT class label
+    (``similarity.hard_negative_topk``)."""
+    from ..stages.similarity import hard_negative_topk, load_queries_with_labels
+
+    qids, qm, ql = load_queries_with_labels(
+        f"{sf_dir}/embeddings.parquet", ANN_QUERY_IDS)
+    return hard_negative_topk(_emb(sf_dir), qids, qm, ql, k=ANN_K)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id qid, label qlabel,
+         list_transform(embedding, x -> x::DOUBLE) qe FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) e
+      FROM embeddings),
+s AS (SELECT qid, vec_id,
+        list_dot_product(qe, e)
+        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) sim
+      FROM q, v WHERE v.label <> q.qlabel)
+SELECT qid, vec_id,
+       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)::BIGINT
+         AS rank
+FROM s QUALIFY rank <= {ANN_K}
+"""
+
+
+def q_dup_rate(sf_dir: str):
+    """Per-source duplication-rate audit: doc count vs FNV-distinct text
+    count per source (``dedup.dup_rate_by_source``)."""
+    import ray.data as rd
+
+    from ..stages.dedup import dup_rate_by_source
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return dup_rate_by_source(docs)
+
+
+def _dup_rate_sql() -> str:
+    return f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT {_fnv_sql('text')})::BIGINT AS n_distinct
+FROM documents GROUP BY source
+"""
+
+
 def q_source_overlap(sf_dir: str):
     """Pairwise source vocabulary overlap — the lexical-contamination /
     domain-similarity matrix (``textops.source_vocab_overlap``)."""
@@ -2354,6 +2435,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_distinct_ngrams": q_distinct_ngrams,
         "a_source_overlap": q_source_overlap,
         "w_props_rollup": q_props_rollup,
+        "t_neg_samples": q_neg_samples,
+        "s_hard_negatives": q_hard_negatives,
+        "d_dup_rate": q_dup_rate,
         "c_filter_funnel": q_filter_funnel,
         "t_lang_confusion": q_lang_confusion,
         "t_cooccurrence": q_cooccurrence,
@@ -4108,6 +4192,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_distinct_ngrams": DISTINCT_NGRAMS_SQL,
         "a_source_overlap": SOURCE_OVERLAP_SQL,
         "w_props_rollup": PROPS_ROLLUP_SQL,
+        "t_neg_samples": _neg_samples_sql(),
+        "s_hard_negatives": HARD_NEGATIVES_SQL,
+        "d_dup_rate": _dup_rate_sql(),
         "c_filter_funnel": FILTER_FUNNEL_SQL,
         "t_lang_confusion": LANG_CONFUSION_SQL,
         "t_cooccurrence": COOCCURRENCE_SQL,

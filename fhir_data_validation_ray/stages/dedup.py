@@ -2380,3 +2380,105 @@ def cluster_size_histogram(labels, *, num_buckets: int = 64,
     tot = np.zeros(len(u), dtype=np.int64)
     np.add.at(tot, inv, n)
     return pa.table({"size": pa.array(u), "n_clusters": pa.array(tot)})
+
+
+def dup_rate_by_source(docs, *, num_buckets: int = 256,
+                       batch_size: int | None = None):
+    """Per-source duplication-rate audit: how many documents each source
+    contributed vs how many DISTINCT texts (by the shared FNV-1a fold, the
+    same hash the DuckDB oracle computes — counts compare bitwise; at the
+    64-bit hash width a collision under-counts one distinct per ~1e19
+    pairs, identically on both sides). The n_docs/n_distinct ratio is the
+    first thing a mixture audit reads per source — a crawler stuck in a
+    template farm shows up as a source whose dup rate explodes.
+
+    Scale shape: per batch, texts hash once and collapse to batch-distinct
+    (source, h) rows before the exchange; the exchange is keyed by
+    (source, h % num_buckets) so no group exceeds ~source_distinct/buckets
+    rows; per-source doc counts ride the SAME exchange as one tiny count
+    row per (batch, source) keyed bucket=-1. A final per-source groupby
+    sums ~num_buckets partial rows per source. NULL-source docs keep their
+    own group (SQL GROUP BY); NULL texts count into n_docs but contribute
+    no hash (SQL count(DISTINCT fnv(NULL)) skips NULLs).
+
+    Returns Dataset[source, n_docs, n_distinct]."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        src_np = src.to_numpy(zero_copy_only=False)
+        null_src = np.array([x is None for x in src_np], dtype=bool)
+        gkey = np.where(null_src, "N", np.char.add("T", src_np.astype("U")))
+        # count rows: one per (source) present in the batch
+        uk, inv = np.unique(gkey, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uk))
+        rep_src = pa.array(
+            [None if u == "N" else u[1:] for u in uk], pa.string())
+        counts_tbl = pa.table({
+            "g": pa.array(uk, pa.string()),
+            "bucket": pa.array(np.full(len(uk), -1, np.int64)),
+            "source": rep_src,
+            "h": pa.array(np.zeros(len(uk), np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+        # hash rows: batch-distinct (source, h) for non-null texts
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        if valid.any():
+            h = hash_str(texts.to_numpy(zero_copy_only=False)[valid])
+            # distinct (source-code, h) rows via a two-column unique
+            both = np.stack([inv[valid].astype(np.int64),
+                             h.astype(np.int64)], axis=1)
+            both = np.unique(both, axis=0)
+            si, hv = both[:, 0], both[:, 1]
+            hash_tbl = pa.table({
+                "g": pa.array(uk[si], pa.string()),
+                "bucket": pa.array(
+                    (hv.astype(np.uint64) % np.uint64(num_buckets))
+                    .astype(np.int64)),
+                "source": pc.take(rep_src, pa.array(si)),
+                "h": pa.array(hv),
+                "n": pa.array(np.zeros(len(si), np.int64)),
+            })
+            return pa.concat_tables([counts_tbl, hash_tbl])
+        return counts_tbl
+
+    def fold(g: pa.Table) -> pa.Table:
+        b = int(g["bucket"][0].as_py())
+        src = g["source"][0]
+        if b == -1:
+            return pa.table({
+                "g": pa.array([str(g["g"][0].as_py())]),
+                "source": pa.array([src.as_py()], pa.string()),
+                "n_docs": pa.array(
+                    [int(np.asarray(g["n"]).sum())], pa.int64()),
+                "n_distinct": pa.array([0], pa.int64()),
+            })
+        nd = len(np.unique(np.asarray(g["h"])))
+        return pa.table({
+            "g": pa.array([str(g["g"][0].as_py())]),
+            "source": pa.array([src.as_py()], pa.string()),
+            "n_docs": pa.array([0], pa.int64()),
+            "n_distinct": pa.array([nd], pa.int64()),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": pa.array([g["source"][0].as_py()], pa.string()),
+            "n_docs": pa.array([int(np.asarray(g["n_docs"]).sum())],
+                               pa.int64()),
+            "n_distinct": pa.array(
+                [int(np.asarray(g["n_distinct"]).sum())], pa.int64()),
+        })
+
+    return (
+        docs.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["g", "bucket"])
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -497,3 +497,120 @@ def split_assign(ds, *, bands: tuple[tuple[str, float], ...] = SPLIT_BANDS,
         return t.append_column("split", labels)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+NEG_BUCKETS = 256
+
+
+def negative_samples(docs, *, n_total: int, k: int = 4,
+                     batch_size: int | None = None):
+    """Deterministic negative sampling for contrastive training pairs:
+    for every document ``d`` and slot ``j < k`` the candidate negative is
+    the document with id ``FNV("{d}:{j}") % n_total`` — a pure function of
+    (doc_id, slot), so the pair set is reproducible across runs, engines
+    and partitionings (the hash-threshold sampling argument, same FNV fold
+    as the DuckDB oracle). Candidates pointing at the anchor itself or at
+    a SAME-source document are dropped (a negative from the anchor's own
+    source is likely a near-positive), so a slot can come back empty —
+    exactly SQL inner-join + ``t.source <> c.source`` semantics, NULL
+    sources dropped on both sides.
+
+    Assumes doc ids are dense in ``[0, n_total)`` (the standard re-indexed
+    training-corpus layout; ids outside simply never get picked and a
+    candidate id with no document row is dropped by the join).
+
+    Scale shape: candidate generation is a stateless k-row-per-doc
+    ``map_batches`` expansion (k is small); resolving each candidate's
+    source is ONE role-tagged bucket exchange — candidates route by
+    ``neg_id % NEG_BUCKETS``, the (doc_id, source) directory routes by
+    ``doc_id % NEG_BUCKETS``, and each group resolves vectorized via
+    sorted-id searchsorted. Group size is ~(k+1)/NEG_BUCKETS of the
+    corpus; nothing is broadcast or driver-collected.
+
+    Returns Dataset[doc_id, slot, neg_id, neg_source]."""
+    import pyarrow.compute as pc
+
+    if n_total <= 0:
+        raise ValueError("n_total must be positive")
+
+    def _frame(bucket, role, neg_id, slot, doc_id, src_a, src_b):
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "role": pa.array(role, pa.int64()),
+            "neg_id": pa.array(neg_id, pa.int64()),
+            "slot": pa.array(slot, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "src_a": src_a if isinstance(src_a, pa.Array)
+            else pa.array(src_a, pa.string()),
+            "src_b": src_b if isinstance(src_b, pa.Array)
+            else pa.array(src_b, pa.string()),
+        })
+
+    def gen(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["source"]))
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        n = len(ids)
+        rep = np.repeat(ids, k)
+        slots = np.tile(np.arange(k, dtype=np.int64), n)
+        keys = np.char.add(np.char.add(rep.astype("U"), ":"),
+                           slots.astype("U"))
+        neg = (hash_str(keys) % np.uint64(n_total)).astype(np.int64)
+        keep = neg != rep
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_rep = src.take(pa.array(np.repeat(np.arange(n), k)[keep]))
+        return _frame(neg[keep] % NEG_BUCKETS, np.ones(keep.sum(), np.int64),
+                      neg[keep], slots[keep], rep[keep], src_rep,
+                      pa.nulls(int(keep.sum()), pa.string()))
+
+    def directory(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["source"]))
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        n = len(ids)
+        return _frame(ids % NEG_BUCKETS, np.zeros(n, np.int64), ids,
+                      np.full(n, -1, np.int64), np.full(n, -1, np.int64),
+                      pa.nulls(n, pa.string()), src)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"]).astype(np.int64)
+        nid = np.asarray(g["neg_id"]).astype(np.int64)
+        m0, m1 = role == 0, role == 1
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "slot": pa.array([], pa.int64()),
+                          "neg_id": pa.array([], pa.int64()),
+                          "neg_source": pa.array([], pa.string())})
+        if not m0.any() or not m1.any():
+            return empty
+        dir_ids = nid[m0]
+        order = np.argsort(dir_ids)
+        dir_ids = dir_ids[order]
+        dir_src = np.asarray(g["src_b"].filter(pa.array(m0))).astype("U")[order]
+        want = nid[m1]
+        pos = np.searchsorted(dir_ids, want)
+        pos_c = np.minimum(pos, len(dir_ids) - 1)
+        found = dir_ids[pos_c] == want
+        src_a = np.asarray(g["src_a"].filter(pa.array(m1))).astype("U")
+        keep = found & (dir_src[pos_c] != src_a)
+        if not keep.any():
+            return empty
+        return pa.table({
+            "doc_id": pa.array(np.asarray(g["doc_id"]).astype(np.int64)[m1][keep]),
+            "slot": pa.array(np.asarray(g["slot"]).astype(np.int64)[m1][keep]),
+            "neg_id": pa.array(want[keep]),
+            "neg_source": pa.array(dir_src[pos_c][keep]),
+        })
+
+    base = docs.select_columns(["doc_id", "source"])
+    cand = base.map_batches(gen, batch_format="pyarrow",
+                            batch_size=batch_size)
+    direc = base.map_batches(directory, batch_format="pyarrow",
+                             batch_size=batch_size)
+    return (
+        cand.union(direc)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -601,3 +601,72 @@ def lsh_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
         .map_groups(probe_bucket, batch_format="pyarrow")
     )
     return _fold_topk(cand, k, len(query_ids))
+
+
+def load_queries_with_labels(
+        path: str, query_ids: list[int]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``load_queries`` plus each query vector's class label (predicate-
+    pushed read, small side only)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "in", [int(q) for q in query_ids])])
+    ids, m = _batch_matrix(t)
+    labels = np.asarray(t["label"]).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    sel = [pos[q] for q in query_ids]
+    return (np.asarray(query_ids, dtype=np.int64), _normalize(m[sel]),
+            labels[sel])
+
+
+def hard_negative_topk(embeddings, query_ids: np.ndarray,
+                       query_matrix: np.ndarray, query_labels: np.ndarray,
+                       k: int = 5, *, batch_size: int | None = None):
+    """Hard-negative mining for contrastive/metric training: per query, the
+    exact top-k most-similar vectors whose class ``label`` DIFFERS from the
+    query's — the highest-loss negatives a triplet/InfoNCE sampler wants.
+    Same brute-force-cosine scale shape as ``cosine_topk`` (stateless
+    batch x broadcast-queries matmul, per-batch label mask, two-level
+    top-k fold); the query side (ids + normalized matrix + labels) is
+    ``ray.put`` ONCE.
+
+    Returns Dataset[qid, vec_id, rank] (rank 1-based, sim DESC then
+    vec_id ASC)."""
+    import ray
+
+    q_ref = ray.put((query_ids, query_matrix,
+                     np.asarray(query_labels, dtype=np.int64)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qm, ql = (ray.get(q_ref)
+                        if isinstance(q_ref, ray.ObjectRef) else q_ref)
+        ids, m = _batch_matrix(t)
+        labels = np.asarray(t["label"]).astype(np.int64)
+        sims = _normalize(m) @ qm.T  # (n, nq) float64
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids)):
+            mask = labels != ql[j]
+            cids = ids[mask]
+            if len(cids) == 0:
+                continue
+            col = sims[mask, j]
+            kk = min(k, len(cids))
+            idx = (np.argpartition(-col, kk - 1)[:kk]
+                   if kk < len(cids) else np.arange(len(cids)))
+            out_q.append(np.full(len(idx), qids[j], dtype=np.int64))
+            out_v.append(cids[idx])
+            out_s.append(col[idx])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    cand = embeddings.map_batches(local_topk, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    return _fold_topk(cand, k, len(query_ids))

@@ -100,3 +100,91 @@ def test_props_rollup_all_keyless_group(ray_session):
     (row,) = props_rollup(_from_table(tbl), key="k").take_all()
     assert row == {"event_type": "x", "n_events": 4, "n_with_key": 0,
                    "sum_v": 0, "min_v": None, "max_v": None}
+
+
+# -------------------------------------------------------- negative sampling
+def test_negative_samples_drops_self_same_source_and_missing(ray_session):
+    """Self-candidates, same-source candidates, NULL-source anchors AND
+    candidates pointing at a non-existent doc id are all dropped — inner
+    join + <> semantics, cross-checked against the generated FNV SQL."""
+    import duckdb
+
+    from fhir_data_validation_ray.pipelines.dataops import _neg_samples_sql
+    from fhir_data_validation_ray.stages.sampling import negative_samples
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 5], pa.int64()),  # id 4 missing
+        "source": pa.array(["a", "a", "b", None, "b"], pa.string()),
+    })
+    got = {(r["doc_id"], r["slot"]): (r["neg_id"], r["neg_source"])
+           for r in negative_samples(_from_table(tbl, blocks=2),
+                                     n_total=6, k=4).take_all()}
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sql = _neg_samples_sql().replace(
+        "(SELECT count(*)::BIGINT AS nn FROM documents)",
+        "(SELECT 6::BIGINT AS nn)")
+    want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert got == want
+    for (d, _), (nid, nsrc) in got.items():
+        assert nid != d and nid != 4 and nid != 3  # missing + null-source
+        anchor_src = {0: "a", 1: "a", 2: "b", 5: "b"}[d]
+        assert nsrc != anchor_src
+
+
+def test_negative_samples_reproducible_across_partitionings(ray_session):
+    from fhir_data_validation_ray.stages.sampling import negative_samples
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(20)], pa.string()),
+    })
+    a = sorted(map(tuple, (r.values() for r in negative_samples(
+        _from_table(tbl, blocks=1), n_total=20, k=3).take_all())))
+    b = sorted(map(tuple, (r.values() for r in negative_samples(
+        _from_table(tbl, blocks=5), n_total=20, k=3).take_all())))
+    assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------------ hard negatives
+def test_hard_negatives_excludes_query_label(ray_session):
+    """Every mined negative has a label different from its query's; the
+    query vector itself (same label) can never appear."""
+    from fhir_data_validation_ray.stages.similarity import hard_negative_topk
+
+    rng = np.random.default_rng(7)
+    n, d = 40, 8
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    labels = np.arange(n) % 4
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, row)) for row in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32)),
+    })
+    qids = np.array([0, 1], dtype=np.int64)
+    qm = m[qids].astype(np.float64)
+    qm = qm / np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    rows = hard_negative_topk(_from_table(tbl, blocks=3), qids, qm,
+                              labels[qids], k=5).take_all()
+    assert len(rows) == 10
+    lab = {i: int(l) for i, l in enumerate(labels)}
+    for r in rows:
+        assert lab[r["vec_id"]] != lab[r["qid"]]
+        assert r["vec_id"] != r["qid"]
+
+
+# ----------------------------------------------------------------- dup rate
+def test_dup_rate_null_source_and_null_text(ray_session):
+    """NULL source keeps its own group; NULL text counts into n_docs but
+    never into n_distinct; exact duplicates collapse."""
+    from fhir_data_validation_ray.stages.dedup import dup_rate_by_source
+
+    tbl = pa.table({
+        "source": pa.array(["a", "a", "a", None, None, "b"], pa.string()),
+        "text": pa.array(["x", "x", "y", "z", None, None], pa.string()),
+    })
+    got = {r["source"]: (r["n_docs"], r["n_distinct"])
+           for r in dup_rate_by_source(_from_table(tbl, blocks=3)).take_all()}
+    assert got == {"a": (3, 2), None: (2, 1), "b": (1, 0)}
