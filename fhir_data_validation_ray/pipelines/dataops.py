@@ -958,6 +958,82 @@ FROM g GROUP BY source, n
 
 NEG_K = 4
 
+PQ_DIM = 64
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codebook training (per-subspace integer Lloyd
+    over the power-of-two-scaled grid) + full-corpus encoding
+    (``similarity.pq_train_encode``)."""
+    codes, _ = _pq(sf_dir)
+    return codes
+
+
+def _pq(sf_dir: str):
+    from ..stages.similarity import pq_train_encode
+
+    return pq_train_encode(_emb(sf_dir), dim=PQ_DIM, m=PQ_M, k=PQ_K,
+                           iters=PQ_ITERS)
+
+
+def _pq_sql() -> str:
+    """pq_train_encode mirror: the _kmeans_chain Lloyd CTE pattern run
+    independently per subspace over the floor(x * 2^16) integer grid
+    (power-of-two scale => the float64 product is exact on both sides)."""
+    from ..stages.similarity import PQ_SCALE
+
+    D, M, K, iters = PQ_DIM, PQ_M, PQ_K, PQ_ITERS
+    ds = D // M
+    qcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * {PQ_SCALE}) "
+        f"AS BIGINT) AS q{j}" for j in range(D))
+    ctes = [f"v AS (SELECT vec_id, {qcols} FROM embeddings)"]
+    finals = []
+    for s in range(M):
+        qs = [f"q{s * ds + d}" for d in range(ds)]
+        init = ", ".join(f"{q} AS c{d}" for d, q in enumerate(qs))
+        ctes.append(f"cs{s}_0 AS (SELECT vec_id AS kk, {init} "
+                    f"FROM v WHERE vec_id < {K})")
+        for i in range(1, iters + 1):
+            prev = f"cs{s}_{i - 1}"
+            cn = " + ".join(f"c.c{d} * c.c{d}" for d in range(ds))
+            dot = " + ".join(f"e.{q} * c.c{d}" for d, q in enumerate(qs))
+            ecols = ", ".join(f"e.{q}" for q in qs)
+            ctes.append(
+                f"sc{s}_{i} AS (SELECT e.vec_id, c.kk, "
+                f"({cn}) - 2 * ({dot}) AS dist, {ecols} "
+                f"FROM v e CROSS JOIN {prev} c)")
+            ctes.append(
+                f"a{s}_{i} AS (SELECT * FROM (SELECT sc{s}_{i}.*, "
+                f"row_number() OVER (PARTITION BY vec_id "
+                f"ORDER BY dist ASC, kk ASC) AS rn FROM sc{s}_{i}) "
+                f"WHERE rn = 1)")
+            upd = ", ".join(
+                f"CAST(floor(sum({q})::DOUBLE / count(*)) AS BIGINT) AS f{d}"
+                for d, q in enumerate(qs))
+            ctes.append(f"u{s}_{i} AS (SELECT kk, {upd} "
+                        f"FROM a{s}_{i} GROUP BY kk)")
+            newc = ", ".join(f"coalesce(u.f{d}, p.c{d}) AS c{d}"
+                             for d in range(ds))
+            ctes.append(f"cs{s}_{i} AS (SELECT p.kk, {newc} "
+                        f"FROM {prev} p LEFT JOIN u{s}_{i} u USING (kk))")
+        cn = " + ".join(f"c.c{d} * c.c{d}" for d in range(ds))
+        dot = " + ".join(f"e.{q} * c.c{d}" for d, q in enumerate(qs))
+        ctes.append(
+            f"fa{s} AS (SELECT vec_id, kk::BIGINT AS code{s} FROM ("
+            f"SELECT e.vec_id, c.kk, ({cn}) - 2 * ({dot}) AS dist, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY ({cn}) - 2 * ({dot}) ASC, c.kk ASC) AS rn "
+            f"FROM v e CROSS JOIN cs{s}_{iters} c) WHERE rn = 1)")
+        finals.append(f"fa{s}")
+    joins = finals[0] + "".join(f" JOIN {f} USING (vec_id)"
+                                for f in finals[1:])
+    codes = ", ".join(f"code{s}" for s in range(M))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, {codes} FROM {joins}"
+
 
 def q_neg_samples(sf_dir: str):
     """Deterministic contrastive negative sampling: FNV("{doc}:{slot}") %
@@ -2438,6 +2514,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_neg_samples": q_neg_samples,
         "s_hard_negatives": q_hard_negatives,
         "d_dup_rate": q_dup_rate,
+        "s_pq_codes": q_pq_codes,
         "c_filter_funnel": q_filter_funnel,
         "t_lang_confusion": q_lang_confusion,
         "t_cooccurrence": q_cooccurrence,
@@ -4195,6 +4272,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_neg_samples": _neg_samples_sql(),
         "s_hard_negatives": HARD_NEGATIVES_SQL,
         "d_dup_rate": _dup_rate_sql(),
+        "s_pq_codes": _pq_sql(),
         "c_filter_funnel": FILTER_FUNNEL_SQL,
         "t_lang_confusion": LANG_CONFUSION_SQL,
         "t_cooccurrence": COOCCURRENCE_SQL,

@@ -670,3 +670,133 @@ def hard_negative_topk(embeddings, query_ids: np.ndarray,
     cand = embeddings.map_batches(local_topk, batch_format="pyarrow",
                                   batch_size=batch_size)
     return _fold_topk(cand, k, len(query_ids))
+
+
+PQ_SCALE = 1 << 16  # power of two: float64 * PQ_SCALE is EXACT (exponent
+# shift, no mantissa rounding), so engine and SQL quantize bitwise-equal
+
+
+def pq_train_encode(embeddings, *, dim: int, m: int = 4, k: int = 8,
+                    iters: int = 2, scale: int = PQ_SCALE,
+                    batch_size: int | None = None):
+    """Product-quantization codebook training + corpus encoding — the
+    memory-scale path for ANN over 10^11 vectors (a D-dim float vector
+    compresses to ``m`` uint8-sized codes; IVF-PQ search scans codes, not
+    floats). Vectors quantize to an integer grid (``floor(x * scale)``
+    with a power-of-two scale — exact in float64 on BOTH the numpy and
+    DuckDB sides), the D dims split into ``m`` contiguous subspaces, and
+    each subspace trains an independent K-centroid integer Lloyd codebook
+    (``curation.kmeans_train`` semantics: argmin(|c|^2 - 2 q.c) with
+    ties -> lowest k, floor(sum/count) updates, empty clusters keep the
+    previous centroid, fixed ``iters`` rounds) seeded by the subvectors of
+    ``vec_id < k`` (the deterministic seed the SQL mirror reproduces).
+
+    Plan shape: the (vec_id, q0..q{D-1}) integer projection materializes
+    ONCE; each Lloyd round is one streaming pass emitting <= m*k partial
+    rows per batch (ALL subspaces fold in the same pass — counts +
+    coordinate sums via bincount), a per-task combine level, and an
+    O(m*k*D/m) driver fold. Encoding is a final stateless map. Driver
+    state is the m codebooks (m*k*(D/m) ints).
+
+    Returns ``(codes, codebooks)``: Dataset[vec_id, code0..code{m-1}] and
+    the list of m (k x D/m) int64 codebook matrices."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    def quantize(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if mat.shape[1] != dim:
+            raise ValueError(f"expected dim {dim}, got {mat.shape[1]}")
+        q = np.floor(mat * scale).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids),
+                         **{f"q{j}": pa.array(q[:, j]) for j in range(dim)}})
+
+    proj = embeddings.map_batches(quantize, batch_format="pyarrow",
+                                  batch_size=batch_size).materialize()
+
+    # deterministic seed: the quantized subvectors of vec_id < k
+    def seed_rows(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t["vec_id"]).astype(np.int64) < k
+        return t.filter(pa.array(keep))
+
+    seed = collect_table(proj.map_batches(seed_rows, batch_format="pyarrow"))
+    if seed.num_rows < k:
+        raise ValueError(f"need vec_id 0..{k - 1} present to seed, "
+                         f"got {seed.num_rows} rows")
+    order = np.argsort(np.asarray(seed["vec_id"]).astype(np.int64))
+    seed_q = np.stack([np.asarray(seed[f"q{j}"]).astype(np.int64)[order]
+                       for j in range(dim)], axis=1)
+    books = [np.ascontiguousarray(seed_q[:k, s * dsub:(s + 1) * dsub])
+             for s in range(m)]
+
+    def to_rows(cnt: np.ndarray, sums: np.ndarray) -> pa.Table:
+        # cnt: (m, k); sums: (m, k, dsub) — one row per (sub, cluster)
+        sub = np.repeat(np.arange(m, dtype=np.int64), k)
+        return pa.table({
+            "sub": pa.array(sub),
+            "cluster": pa.array(np.tile(np.arange(k, dtype=np.int64), m)),
+            "n": pa.array(cnt.reshape(-1)),
+            **{f"s{d}": pa.array(sums[:, :, d].reshape(-1))
+               for d in range(dsub)},
+        })
+
+    def fold_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        cnt = np.zeros((m, k), np.int64)
+        sums = np.zeros((m, k, dsub), np.int64)
+        if t.num_rows:
+            idx = (np.asarray(t["sub"]).astype(np.int64) * k
+                   + np.asarray(t["cluster"]).astype(np.int64))
+            np.add.at(cnt.reshape(-1), idx,
+                      np.asarray(t["n"]).astype(np.int64))
+            for d in range(dsub):
+                np.add.at(sums.reshape(-1, dsub)[:, d], idx,
+                          np.asarray(t[f"s{d}"]).astype(np.int64))
+        return cnt, sums
+
+    def combine(t: pa.Table) -> pa.Table:
+        return to_rows(*fold_rows(t))
+
+    def assign_sub(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        score = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+        return score.argmin(axis=1)
+
+    for _ in range(iters):
+        snap = [b.copy() for b in books]
+
+        def partial(t: pa.Table, _B=snap) -> pa.Table:
+            cnt = np.zeros((m, k), np.int64)
+            sums = np.zeros((m, k, dsub), np.int64)
+            for s in range(m):
+                X = np.stack(
+                    [np.asarray(t[f"q{s * dsub + d}"]).astype(np.int64)
+                     for d in range(dsub)], axis=1)
+                cl = assign_sub(X, _B[s])
+                cnt[s] = np.bincount(cl, minlength=k)
+                for d in range(dsub):
+                    # float64 bincount round-trip exact below 2^53
+                    sums[s, :, d] = np.bincount(
+                        cl, weights=X[:, d], minlength=k).astype(np.int64)
+            return to_rows(cnt, sums)
+
+        parts = collect_table(
+            proj.map_batches(partial, batch_format="pyarrow")
+                .map_batches(combine, batch_format="pyarrow", batch_size=64))
+        cnt, sums = fold_rows(parts)
+        for s in range(m):
+            upd = np.floor_divide(sums[s], np.maximum(cnt[s], 1)[:, None])
+            books[s] = np.where((cnt[s] > 0)[:, None], upd,
+                                snap[s]).astype(np.int64)
+
+    final = [b.copy() for b in books]
+
+    def encode(t: pa.Table) -> pa.Table:
+        out = {"vec_id": t["vec_id"]}
+        for s in range(m):
+            X = np.stack([np.asarray(t[f"q{s * dsub + d}"]).astype(np.int64)
+                          for d in range(dsub)], axis=1)
+            out[f"code{s}"] = pa.array(assign_sub(X, final[s]))
+        return pa.table(out)
+
+    codes = proj.map_batches(encode, batch_format="pyarrow")
+    return codes, final

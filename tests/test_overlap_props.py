@@ -188,3 +188,64 @@ def test_dup_rate_null_source_and_null_text(ray_session):
     got = {r["source"]: (r["n_docs"], r["n_distinct"])
            for r in dup_rate_by_source(_from_table(tbl, blocks=3)).take_all()}
     assert got == {"a": (3, 2), None: (2, 1), "b": (1, 0)}
+
+
+# ------------------------------------------------------ product quantization
+def _ref_pq(mat, m, k, iters, scale):
+    """Plain-numpy PQ reference (shares no code with the distributed op)."""
+    q = np.floor(mat.astype(np.float64) * scale).astype(np.int64)
+    dsub = q.shape[1] // m
+    codes = np.zeros((len(q), m), np.int64)
+    books = []
+    for s in range(m):
+        X = q[:, s * dsub:(s + 1) * dsub]
+        C = X[:k].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)
+            newC = C.copy()
+            for j in range(k):
+                mbr = X[cl == j]
+                if len(mbr):
+                    newC[j] = np.floor_divide(mbr.sum(axis=0), len(mbr))
+            C = newC
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1)
+        books.append(C)
+    return codes, books
+
+
+def test_pq_matches_plain_reference(ray_session):
+    from fhir_data_validation_ray.stages.similarity import pq_train_encode
+
+    rng = np.random.default_rng(11)
+    n, dim, m, k, iters = 60, 16, 4, 5, 2
+    mat = rng.normal(scale=0.3, size=(n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    codes_ds, books = pq_train_encode(
+        _from_table(tbl, blocks=3), dim=dim, m=m, k=k, iters=iters,
+        scale=1 << 10)
+    ref_codes, ref_books = _ref_pq(mat, m, k, iters, 1 << 10)
+    got = sorted((r["vec_id"], r["code0"], r["code1"], r["code2"], r["code3"])
+                 for r in codes_ds.take_all())
+    want = sorted((i, *ref_codes[i]) for i in range(n))
+    assert got == want
+    for s in range(m):
+        assert np.array_equal(books[s], ref_books[s])
+
+
+def test_pq_rejects_bad_dim(ray_session):
+    import pytest
+
+    from fhir_data_validation_ray.stages.similarity import pq_train_encode
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.1] * 6, [0.2] * 6], pa.list_(pa.float32())),
+    })
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_encode(_from_table(tbl), dim=6, m=4)
