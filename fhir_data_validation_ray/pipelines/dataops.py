@@ -979,10 +979,12 @@ def _pq(sf_dir: str):
                            iters=PQ_ITERS)
 
 
-def _pq_sql() -> str:
+def _pq_chain() -> tuple[list, list, list]:
     """pq_train_encode mirror: the _kmeans_chain Lloyd CTE pattern run
     independently per subspace over the floor(x * 2^16) integer grid
-    (power-of-two scale => the float64 product is exact on both sides)."""
+    (power-of-two scale => the float64 product is exact on both sides).
+    Returns (ctes, per-subspace final-codebook CTE names, per-subspace
+    assignment CTE names fa{s}(vec_id, code{s}))."""
     from ..stages.similarity import PQ_SCALE
 
     D, M, K, iters = PQ_DIM, PQ_M, PQ_K, PQ_ITERS
@@ -1029,10 +1031,63 @@ def _pq_sql() -> str:
             f"ORDER BY ({cn}) - 2 * ({dot}) ASC, c.kk ASC) AS rn "
             f"FROM v e CROSS JOIN cs{s}_{iters} c) WHERE rn = 1)")
         finals.append(f"fa{s}")
+    cents = [f"cs{s}_{iters}" for s in range(M)]
+    return ctes, cents, finals
+
+
+def _pq_sql() -> str:
+    ctes, _, finals = _pq_chain()
+    joins = finals[0] + "".join(f" JOIN {f} USING (vec_id)"
+                                for f in finals[1:])
+    codes = ", ".join(f"code{s}" for s in range(PQ_M))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, {codes} FROM {joins}"
+
+
+def _pq_topk_sql() -> str:
+    """pq_adc_topk mirror: asymmetric PQ distance = per-subspace
+    ||q_sub - centroid(code)||^2 summed — integer-exact, so the
+    approximate-NN RANKING itself is oracle-checked (rank ties dist ASC
+    then vec_id ASC, exactly the engine's -dist sim fold)."""
+    ctes, cents, finals = _pq_chain()
+    M, ds = PQ_M, PQ_DIM // PQ_M
+    qv = ", ".join(f"q{j}" for j in range(PQ_DIM))
+    ctes.append(
+        f"qv AS (SELECT vec_id AS qid, {qv} FROM v "
+        f"WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))}))")
     joins = finals[0] + "".join(f" JOIN {f} USING (vec_id)"
                                 for f in finals[1:])
     codes = ", ".join(f"code{s}" for s in range(M))
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, {codes} FROM {joins}"
+    ctes.append(f"cx AS (SELECT vec_id, {codes} FROM {joins})")
+    bjoin = "".join(f" JOIN {cents[s]} b{s} ON b{s}.kk = x.code{s}"
+                    for s in range(M))
+    terms = " + ".join(
+        f"(q.q{s * ds + d} - b{s}.c{d}) * (q.q{s * ds + d} - b{s}.c{d})"
+        for s in range(M) for d in range(ds))
+    ctes.append(
+        f"adc AS (SELECT q.qid, x.vec_id, ({terms}) AS dist "
+        f"FROM cx x{bjoin} CROSS JOIN qv q)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
+        "ORDER BY dist ASC, vec_id ASC)::BIGINT AS rank FROM adc "
+        f"QUALIFY rank <= {ANN_K}"
+    )
+
+
+def q_pq_topk(sf_dir: str):
+    """Asymmetric-distance top-k over the trained PQ codes — integer-exact
+    ADC ranking, oracle-checked bit-for-bit
+    (``similarity.pq_adc_topk``)."""
+    from ..stages.similarity import load_quantized_queries, pq_adc_topk
+
+    codes, books = _pq(sf_dir)
+    qq = load_quantized_queries(f"{sf_dir}/embeddings.parquet",
+                                ANN_QUERY_IDS)
+    import numpy as np
+
+    return pq_adc_topk(codes, books,
+                       np.asarray(ANN_QUERY_IDS, dtype=np.int64),
+                       qq, k=ANN_K)
 
 
 def q_neg_samples(sf_dir: str):
@@ -2515,6 +2570,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "s_hard_negatives": q_hard_negatives,
         "d_dup_rate": q_dup_rate,
         "s_pq_codes": q_pq_codes,
+        "s_pq_topk": q_pq_topk,
         "c_filter_funnel": q_filter_funnel,
         "t_lang_confusion": q_lang_confusion,
         "t_cooccurrence": q_cooccurrence,
@@ -4273,6 +4329,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "s_hard_negatives": HARD_NEGATIVES_SQL,
         "d_dup_rate": _dup_rate_sql(),
         "s_pq_codes": _pq_sql(),
+        "s_pq_topk": _pq_topk_sql(),
         "c_filter_funnel": FILTER_FUNNEL_SQL,
         "t_lang_confusion": LANG_CONFUSION_SQL,
         "t_cooccurrence": COOCCURRENCE_SQL,

@@ -800,3 +800,84 @@ def pq_train_encode(embeddings, *, dim: int, m: int = 4, k: int = 8,
 
     codes = proj.map_batches(encode, batch_format="pyarrow")
     return codes, final
+
+
+def pq_adc_topk(codes, codebooks, query_ids: np.ndarray,
+                query_q: np.ndarray, k: int = 5, *,
+                batch_size: int | None = None):
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    IVF-PQ: each query precomputes one (k_centroids,) integer distance
+    table per subspace (``||q_sub - c||^2``), and every database vector's
+    approximate distance is m table lookups + adds, never touching the
+    original floats. Because ``pq_train_encode`` works on an integer grid
+    the ADC distances are integer-EXACT, so (uniquely for an ANN op) the
+    ranking is oracle-checkable bit-for-bit, not recall-graded.
+
+    ``codes`` is the Dataset[vec_id, code0..code{m-1}] from
+    ``pq_train_encode``; ``query_q`` the queries' already-quantized int64
+    grid vectors (same floor(x*scale) grid). The distance tables
+    (nq x m x k_centroids ints) broadcast ONCE via ``ray.put``; scoring is
+    a stateless per-batch gather (``T[s][codes_s]`` fancy-indexing — no
+    matmul, no floats), folded by the shared two-level top-k
+    (``_fold_topk``; sim = -dist stays exact in float64 far below 2^53).
+
+    Returns Dataset[qid, vec_id, rank] (rank 1-based, dist ASC then
+    vec_id ASC)."""
+    import ray
+
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    nq = len(query_ids)
+    kc = codebooks[0].shape[0]
+    tables = np.zeros((m, kc, nq), dtype=np.int64)
+    for s in range(m):
+        qs = query_q[:, s * dsub:(s + 1) * dsub]  # (nq, dsub)
+        diff = qs[None, :, :] - codebooks[s][:, None, :]  # (kc, nq, dsub)
+        tables[s] = (diff * diff).sum(axis=2)
+    t_ref = ray.put((np.asarray(query_ids, dtype=np.int64), tables))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, T = (ray.get(t_ref)
+                   if isinstance(t_ref, ray.ObjectRef) else t_ref)
+        ids = np.asarray(t["vec_id"]).astype(np.int64)
+        n = len(ids)
+        dist = np.zeros((n, nq), dtype=np.int64)
+        for s in range(m):
+            cs = np.asarray(t[f"code{s}"]).astype(np.int64)
+            dist += T[s][cs]  # (n, nq) gather
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, n)
+        if kk == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        for j in range(nq):
+            col = dist[:, j]
+            idx = (np.argpartition(col, kk - 1)[:kk]
+                   if kk < n else np.arange(n))
+            out_q.append(np.full(len(idx), qids[j], dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(-col[idx].astype(np.float64))  # exact below 2^53
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    cand = codes.map_batches(score, batch_format="pyarrow",
+                             batch_size=batch_size)
+    return _fold_topk(cand, k, nq)
+
+
+def load_quantized_queries(path: str, query_ids: list[int],
+                           scale: int = PQ_SCALE) -> np.ndarray:
+    """Predicate-pushed load of query vectors onto the PQ integer grid
+    (the exact floor(x*scale) quantization ``pq_train_encode`` applies)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", [int(q) for q in query_ids])])
+    ids, mat = _batch_matrix(t)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    sel = [pos[q] for q in query_ids]
+    return np.floor(mat[sel] * scale).astype(np.int64)

@@ -249,3 +249,41 @@ def test_pq_rejects_bad_dim(ray_session):
     })
     with pytest.raises(ValueError, match="not divisible"):
         pq_train_encode(_from_table(tbl), dim=6, m=4)
+
+
+def test_pq_adc_topk_matches_plain_reference(ray_session):
+    """ADC ranking == plain-numpy table-lookup reference on the same
+    codes/codebooks (exact integer distances, ties dist ASC, vec_id ASC)."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.similarity import (
+        pq_adc_topk, pq_train_encode)
+
+    rng = np.random.default_rng(23)
+    n, dim, m, k, iters, scale = 50, 8, 2, 4, 2, 1 << 10
+    mat = rng.normal(scale=0.3, size=(n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    codes_ds, books = pq_train_encode(
+        _from_table(tbl, blocks=3), dim=dim, m=m, k=k, iters=iters,
+        scale=scale)
+    qids = np.array([3, 17], dtype=np.int64)
+    q = np.floor(mat[qids].astype(np.float64) * scale).astype(np.int64)
+    got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in pq_adc_topk(
+        codes_ds, books, qids, q, k=5).take_all())
+
+    # reference: full integer grid, per-vector code lookup, lexsort ranks
+    ref_codes, ref_books = _ref_pq(mat, m, k, iters, scale)
+    dsub = dim // m
+    want = []
+    for qi, qrow in zip(qids, q):
+        dist = np.zeros(n, np.int64)
+        for s in range(m):
+            diff = qrow[s * dsub:(s + 1) * dsub] - ref_books[s][ref_codes[:, s]]
+            dist += (diff * diff).sum(axis=1)
+        order = np.lexsort((np.arange(n), dist))[:5]
+        want += [(int(qi), r + 1, int(v)) for r, v in enumerate(order)]
+    assert got == sorted(want)
