@@ -89,6 +89,12 @@ _QUERY_PRIORITY = [
     "c_coverage_bands", "d_chunk_dedup", "a_source_card",
     "c_curriculum_shards", "w_distinct_by_type",
     "v_summary_full", "d_seg_dedup", "d_dup_ngrams",
+    # -- (3b) continuation-session additions, parity-green, first in line
+    #    for round-5 window slots (most novel oracle families first: the
+    #    integer-exact ADC ANN ranking, the FNV negative-sampling join,
+    #    the per-subspace Lloyd chain)
+    "s_pq_topk", "t_neg_samples", "s_pq_codes", "s_hard_negatives",
+    "d_dup_rate", "a_source_overlap", "w_props_rollup",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops
     "v_reference_join", "v_primitive_datetime", "v_question_answer",
