@@ -1608,6 +1608,16 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir))
 
 
+def q_edit_distance(sf_dir: str):
+    """Exact fuzzy-dedup gate: simhash candidates (hamming <= 3) verified
+    with character-level Levenshtein — the composition a production fuzzy
+    dedup runs (cheap banded recall, exact edit-distance precision)."""
+    from ..stages.dedup import edit_distance_pairs, simhash_pairs
+
+    docs = _docs(sf_dir)
+    return edit_distance_pairs(docs, simhash_pairs(docs))
+
+
 def q_cosine_topk(sf_dir: str):
     from ..stages.similarity import cosine_topk, load_queries
 
@@ -2531,6 +2541,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_ngram_jaccard": q_ngram_jaccard,
         "d_minhash_lsh": q_minhash_lsh,
         "d_simhash_pairs": q_simhash_pairs,
+        "d_edit_distance": q_edit_distance,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -2678,6 +2689,16 @@ WITH {_simhash_ctes()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+# DuckDB's levenshtein() is the exact character-level metric the DP in
+# stages/dedup.py:_levenshtein computes — integer-exact oracle.
+EDIT_DISTANCE_SQL = f"""
+WITH cand AS ({SIMHASH_PAIRS_SQL})
+SELECT c.doc_a, c.doc_b, levenshtein(a.text, b.text) AS edit_dist
+FROM cand c
+JOIN documents a ON a.doc_id = c.doc_a AND a.text IS NOT NULL
+JOIN documents b ON b.doc_id = c.doc_b AND b.text IS NOT NULL
 """
 
 
@@ -4291,6 +4312,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_ngram_jaccard": NGRAM_JACCARD_SQL,
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
+        "d_edit_distance": EDIT_DISTANCE_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

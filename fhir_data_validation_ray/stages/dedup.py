@@ -2482,3 +2482,133 @@ def dup_rate_by_source(docs, *, num_buckets: int = 256,
         .groupby("g")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact character-level Levenshtein, row-vectorized: the sequential
+    insertion dependency resolves via the min-plus prefix trick
+    cur[j] = j + min_{k<=j}(pre[k] - k) (np.minimum.accumulate), so each
+    DP row is O(len) numpy ops, no inner Python loop."""
+    if a == b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    if len(ca) == 0:
+        return len(cb)
+    if len(cb) == 0:
+        return len(ca)
+    n = len(cb)
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(n + 1, dtype=np.int64)
+    for i, ch in enumerate(ca, 1):
+        cur[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (cb != ch), out=cur[1:])
+        x = cur - idx
+        np.minimum.accumulate(x, out=x)
+        np.add(x, idx, out=cur)
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_distance_pairs(docs, pairs, *, verify_buckets: int = 256,
+                        batch_size: int | None = None):
+    """Exact edit-distance verification of candidate near-dup pairs — the
+    final fuzzy-dedup gate (character-level Levenshtein, the metric SQL's
+    ``levenshtein()`` computes): every candidate pair gets its two texts
+    co-located and scored WITHOUT any driver state or text broadcast.
+
+    The round-2 distributed pair-verify shape specialized to whole-text
+    payloads: each pair emits two half-rows keyed by member doc; doc
+    (id, text) rows meet the half-rows in one doc-bucket groupby, each
+    half-row picks up its text by sorted-id searchsorted and routes to the
+    PAIR's verify bucket; a second groupby scores each pair with the
+    row-vectorized DP. Pairs referencing a missing or NULL-text doc drop
+    (SQL inner-join + non-null semantics). DP cost is O(|a|·|b|) per pair
+    in O(len) numpy row ops — pairs are candidate-bounded, never
+    corpus-sized.
+
+    Returns Dataset[doc_a, doc_b, edit_dist]."""
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        return pa.table({
+            "dbucket": pa.array(_intmix(ids, verify_buckets).astype(np.int32)),
+            "doc_id": pa.array(ids),
+            "text": t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            "pkey": pa.array(np.full(len(ids), -1, np.int64)),
+            "role": pa.array(np.full(len(ids), -1, np.int8)),
+        })
+
+    def pair_halves(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        pkey = a * np.int64(1 << 32) + b
+        doc = np.concatenate([a, b])
+        return pa.table({
+            "dbucket": pa.array(_intmix(doc, verify_buckets).astype(np.int32)),
+            "doc_id": pa.array(doc),
+            "text": pa.nulls(len(doc), pa.string()),
+            "pkey": pa.array(np.tile(pkey, 2)),
+            "role": pa.array(np.concatenate(
+                [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"])
+        is_doc = role < 0
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        d_ids = ids[is_doc]
+        order = np.argsort(d_ids)
+        d_ids = d_ids[order]
+        texts = g["text"].combine_chunks() if isinstance(
+            g["text"], pa.ChunkedArray) else g["text"]
+        d_texts = texts.filter(pa.array(is_doc)).take(pa.array(order))
+        hv = ~is_doc
+        want = ids[hv]
+        if len(d_ids) == 0 or not hv.any():
+            return pa.table({"vbucket": pa.array([], pa.int32()),
+                             "pkey": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.int8()),
+                             "text": pa.array([], pa.string())})
+        pos = np.searchsorted(d_ids, want)
+        pos_c = np.minimum(pos, len(d_ids) - 1)
+        found = d_ids[pos_c] == want
+        pk = np.asarray(g["pkey"]).astype(np.int64)[hv][found]
+        return pa.table({
+            "vbucket": pa.array(_intmix(pk, verify_buckets).astype(np.int32)),
+            "pkey": pa.array(pk),
+            "role": pa.array(role[hv][found]),
+            "text": d_texts.take(pa.array(pos_c[found])),
+        })
+
+    def score(g: pa.Table) -> pa.Table:
+        pk = np.asarray(g["pkey"]).astype(np.int64)
+        role = np.asarray(g["role"])
+        texts = g["text"].to_pylist()
+        side = {}
+        for p, r, tx in zip(pk, role, texts):
+            side.setdefault(int(p), [None, None])[int(r)] = tx
+        out_a, out_b, out_d = [], [], []
+        for p in sorted(side):
+            ta, tb = side[p]
+            if ta is None or tb is None:
+                continue  # half missing (doc absent/null text)
+            out_a.append(p >> 32)
+            out_b.append(p & ((1 << 32) - 1))
+            out_d.append(_levenshtein(ta, tb))
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "edit_dist": pa.array(out_d, pa.int64())})
+
+    routed_in = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_rows, batch_format="pyarrow", batch_size=batch_size
+    ).union(pairs.map_batches(pair_halves, batch_format="pyarrow"))
+    return (
+        routed_in.groupby("dbucket")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(score, batch_format="pyarrow")
+    )

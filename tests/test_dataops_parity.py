@@ -2180,3 +2180,26 @@ def test_cross_shard_overlap_counts_distinct_shards(ray_session):
         assert got == {min(int(c), 999): (2, 2)}
     else:
         assert min(int(c), 999) not in got and int(a) not in got
+
+
+def test_edit_distance_drops_missing_and_null(ray_session):
+    """Pairs referencing an absent doc or a NULL text drop (SQL inner-join +
+    non-null semantics); surviving pairs score the exact Levenshtein."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import edit_distance_pairs
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["kitten", "sitting", None, ""], pa.string()),
+    })).repartition(2)
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 1, 2, 1, 3], pa.int64()),
+        "doc_b": pa.array([2, 3, 4, 99, 4], pa.int64()),
+    }))
+    got = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
+           for r in edit_distance_pairs(docs, pairs,
+                                        verify_buckets=4).take_all()}
+    # (1,3)/(3,4): null text drops; (1,99): missing doc drops
+    assert got == {(1, 2): 3, (2, 4): 7}

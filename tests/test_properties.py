@@ -941,3 +941,22 @@ def test_out_of_order_matches_reference(ray_session, rows, block_events):
         seen_max[u] = max(seen_max.get(u, t), t)
         want[u] = (n + 1, late)
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=40), st.text(max_size=40))
+def test_levenshtein_matches_python_reference(a, b):
+    """The min-plus-prefix row-vectorized DP (dedup._levenshtein) equals a
+    plain O(n*m) scalar Wagner-Fischer on arbitrary unicode, including
+    empties, NULs and astral-plane chars (utf-32 codepoint units)."""
+    from fhir_data_validation_ray.stages.dedup import _levenshtein
+
+    ca, cb = list(a), list(b)
+    prev = list(range(len(cb) + 1))
+    for i, ch in enumerate(ca, 1):
+        cur = [i]
+        for j, cj in enumerate(cb, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ch != cj)))
+        prev = cur
+    assert _levenshtein(a, b) == prev[-1]
