@@ -1618,6 +1618,34 @@ def q_edit_distance(sf_dir: str):
     return edit_distance_pairs(docs, simhash_pairs(docs))
 
 
+def q_delta_dedup(sf_dir: str):
+    """Incremental exact dedup: the even-FNV-quarter of documents plays the
+    new ingest batch, the rest the standing corpus — admitted = corpus-fresh
+    AND first-in-delta."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_str
+    from ..stages.dedup import delta_dedup
+
+    def half(is_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"]).astype(np.int64)
+            m = hash_str(ids.astype("U")) % np.uint64(4) == 0
+            return t.filter(pa.array(m if is_delta else ~m))
+
+        return f
+
+    corpus = _docs(sf_dir).map_batches(half(False), batch_format="pyarrow")
+    delta = _docs(sf_dir).map_batches(half(True), batch_format="pyarrow")
+    return delta_dedup(corpus, delta)
+
+
+def q_upsert_latest(sf_dir: str):
+    from ..stages.windows import upsert_latest
+
+    return upsert_latest(_events(sf_dir))
+
+
 def q_cosine_topk(sf_dir: str):
     from ..stages.similarity import cosine_topk, load_queries
 
@@ -2542,6 +2570,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_lsh": q_minhash_lsh,
         "d_simhash_pairs": q_simhash_pairs,
         "d_edit_distance": q_edit_distance,
+        "d_delta_dedup": q_delta_dedup,
+        "w_upsert_latest": q_upsert_latest,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -2699,6 +2729,27 @@ SELECT c.doc_a, c.doc_b, levenshtein(a.text, b.text) AS edit_dist
 FROM cand c
 JOIN documents a ON a.doc_id = c.doc_a AND a.text IS NOT NULL
 JOIN documents b ON b.doc_id = c.doc_b AND b.text IS NOT NULL
+"""
+
+# same FNV quarter-split as decontaminate; admitted = corpus-fresh AND
+# first (min doc_id) within the delta
+DELTA_DEDUP_SQL_TEMPLATE = """
+WITH h AS (SELECT doc_id, text, (__FNV__ % 4 = 0) AS is_delta FROM documents
+           WHERE text IS NOT NULL)
+SELECT doc_id FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM h WHERE is_delta) d
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM h c WHERE NOT c.is_delta AND c.text = d.text)
+"""
+
+UPSERT_LATEST_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
 """
 
 
@@ -4313,6 +4364,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_minhash_lsh": NGRAM_JACCARD_SQL,
         "d_simhash_pairs": SIMHASH_PAIRS_SQL,
         "d_edit_distance": EDIT_DISTANCE_SQL,
+        "d_delta_dedup": DELTA_DEDUP_SQL_TEMPLATE
+        .replace("__FNV__", _fnv_sql("CAST(doc_id AS VARCHAR)")),
+        "w_upsert_latest": UPSERT_LATEST_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

@@ -2612,3 +2612,68 @@ def edit_distance_pairs(docs, pairs, *, verify_buckets: int = 256,
         .groupby("vbucket")
         .map_groups(score, batch_format="pyarrow")
     )
+
+
+def delta_dedup(corpus, delta, *, num_buckets: int = 256,
+                batch_size: int | None = None):
+    """Incremental exact dedup — the operational shape at 100 TB: dedup a
+    NEW ingest batch against the standing corpus without re-deduping the
+    corpus itself. A delta doc is ADMITTED iff its text appears nowhere in
+    the corpus and it is the first (lowest doc_id) among delta docs with
+    that text.
+
+    One exchange of (text-hash bucket, hash, text, doc_id, role): corpus
+    rows pre-dedup per batch (distinct texts only — a boilerplate-heavy
+    corpus batch compacts before the shuffle) and ride doc_id = -1; both
+    roles meet in a hash-bucket groupby where membership + first-per-text
+    resolve string-verified and fully vectorized. NULL texts drop on both
+    sides (SQL non-null join semantics). Returns Dataset[doc_id] of
+    admitted delta rows."""
+
+    def side(role: int, pre_dedup: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["text"]))
+            keys = t["text"]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            if pre_dedup:
+                da = pc.dictionary_encode(keys)
+                keys = da.dictionary
+                doc = np.full(len(keys), -1, np.int64)
+            else:
+                doc = np.asarray(t["doc_id"]).astype(np.int64)
+            h = hash_str(keys.to_numpy(zero_copy_only=False))
+            return pa.table({
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                "k": keys.cast(pa.string()),
+                "doc_id": pa.array(doc),
+                "role": pa.array(np.full(len(keys), role, np.int8)),
+            })
+
+        return f
+
+    def admit(g: pa.Table) -> pa.Table:
+        ks = g["k"]
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        da = pc.dictionary_encode(ks)
+        code = np.asarray(da.indices).astype(np.int64)
+        role = np.asarray(g["role"])
+        doc = np.asarray(g["doc_id"]).astype(np.int64)
+        in_corpus = np.zeros(len(da.dictionary), dtype=bool)
+        in_corpus[code[role == 0]] = True
+        d_mask = role == 1
+        d_code, d_doc = code[d_mask], doc[d_mask]
+        fresh = ~in_corpus[d_code]
+        d_code, d_doc = d_code[fresh], d_doc[fresh]
+        order = np.lexsort((d_doc, d_code))
+        c_s = d_code[order]
+        first = np.ones(len(c_s), dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        return pa.table({"doc_id": pa.array(d_doc[order][first])})
+
+    routed = corpus.map_batches(
+        side(0, True), batch_format="pyarrow", batch_size=batch_size
+    ).union(delta.map_batches(
+        side(1, False), batch_format="pyarrow", batch_size=batch_size))
+    return routed.groupby("bucket").map_groups(admit, batch_format="pyarrow")

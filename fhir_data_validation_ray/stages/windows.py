@@ -1310,3 +1310,51 @@ def props_rollup(events, *, key: str = "k"):
         .groupby("g")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def upsert_latest(events, *, num_buckets: int = 256,
+                  batch_size: int | None = None):
+    """Latest-state compaction — the CDC / upsert-merge primitive: one
+    surviving row per user, the event with the greatest (ts, event_id).
+
+    Per-batch argmax partials cut the exchange to <= n_distinct_users rows
+    per batch (a change-log where one key updates often compacts near the
+    source); a user-hash-bucket groupby then picks the global winner with
+    the same deterministic event_id tie-break, so the result is independent
+    of partitioning. Returns Dataset[user_id, event_id, ts_us, event_type,
+    value] — the full latest row per key, ts as epoch micros."""
+
+    def _winners(t: pa.Table, tag_bucket: bool) -> pa.Table:
+        user = np.asarray(t["user_id"]).astype(np.int64)
+        ts = np.asarray(t["ts_us"] if "ts_us" in t.column_names
+                        else pc.cast(t["ts"], pa.int64())).astype(np.int64)
+        eid = np.asarray(t["event_id"]).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u_s = user[order]
+        last = np.ones(len(u_s), dtype=bool)
+        last[:-1] = u_s[1:] != u_s[:-1]
+        take = pa.array(order[last])
+        cols = {
+            "user_id": pa.array(u_s[last]),
+            "event_id": pa.array(eid[order][last]),
+            "ts_us": pa.array(ts[order][last]),
+            "event_type": pc.take(t["event_type"], take),
+            "value": pc.take(t["value"], take),
+        }
+        if tag_bucket:
+            cols["bucket"] = pa.array(
+                (u_s[last] % num_buckets).astype(np.int32))
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _winners(t, True)
+
+    def final(g: pa.Table) -> pa.Table:
+        return _winners(g, False)
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )

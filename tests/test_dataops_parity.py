@@ -2203,3 +2203,26 @@ def test_edit_distance_drops_missing_and_null(ray_session):
                                         verify_buckets=4).take_all()}
     # (1,3)/(3,4): null text drops; (1,99): missing doc drops
     assert got == {(1, 2): 3, (2, 4): 7}
+
+
+def test_delta_dedup_edge_cases(ray_session):
+    """Corpus membership is string-verified, within-delta dups keep the
+    lowest doc_id, and NULL texts drop on both sides."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import delta_dedup
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(["aaa", "bbb", None], pa.string()),
+    })).repartition(2)
+    delta = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 4, 6, 7], pa.int64()),
+        "text": pa.array(["ccc", "ccc", "aaa", None, "ddd"], pa.string()),
+    })).repartition(2)
+    got = sorted(r["doc_id"] for r in
+                 delta_dedup(corpus, delta, num_buckets=4).take_all())
+    # 3 wins the within-delta "ccc" tie; 4 collides with corpus "aaa";
+    # 6 is NULL; 7 is fresh
+    assert got == [3, 7]
