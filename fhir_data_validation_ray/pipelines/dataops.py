@@ -1646,6 +1646,28 @@ def q_upsert_latest(sf_dir: str):
     return upsert_latest(_events(sf_dir))
 
 
+def q_fd_violations(sf_dir: str):
+    """Does source -> lang hold? Every multilingual source is a violation
+    row with its doc count and distinct-language count."""
+    import ray.data as rd
+
+    from ..stages.stats import fd_violations
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    return fd_violations(ds, "source", "lang")
+
+
+def q_contingency(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.stats import contingency
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    return contingency(ds, "source", "lang")
+
+
 def q_cosine_topk(sf_dir: str):
     from ..stages.similarity import cosine_topk, load_queries
 
@@ -2572,6 +2594,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_edit_distance": q_edit_distance,
         "d_delta_dedup": q_delta_dedup,
         "w_upsert_latest": q_upsert_latest,
+        "a_fd_violations": q_fd_violations,
+        "a_contingency": q_contingency,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -2750,6 +2774,23 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1
+"""
+
+FD_VIOLATIONS_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_values
+FROM documents GROUP BY source
+HAVING count(DISTINCT lang) > 1
+"""
+
+CONTINGENCY_SQL = """
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY source, lang)
+SELECT source, lang, n,
+       CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS row_total,
+       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS col_total,
+       CAST(sum(n) OVER () AS BIGINT) AS grand_total
+FROM c
 """
 
 
@@ -4367,6 +4408,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_delta_dedup": DELTA_DEDUP_SQL_TEMPLATE
         .replace("__FNV__", _fnv_sql("CAST(doc_id AS VARCHAR)")),
         "w_upsert_latest": UPSERT_LATEST_SQL,
+        "a_fd_violations": FD_VIOLATIONS_SQL,
+        "a_contingency": CONTINGENCY_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

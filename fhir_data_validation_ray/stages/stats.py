@@ -876,3 +876,185 @@ def kll_column_quantiles(ds, col: str, *, quantiles=(0.5, 0.9, 0.95, 0.99),
         "sketch_n": s.n,
         "quantiles": {str(q): s.quantile(q) for q in quantiles},
     }
+
+
+def fd_violations(ds, x: str, y: str, *, num_buckets: int = 64,
+                  batch_size: int | None = None):
+    """Functional-dependency violation discovery (data-profiling primitive:
+    does X -> Y hold?): every X value carrying MORE than one distinct
+    non-null Y, with its doc count — e.g. ``text -> lang`` violations flag
+    language-ambiguous duplicates, ``source -> lang`` profiles multilingual
+    feeds.
+
+    Scale shape (the dup_rate_by_source exchange): batches collapse to
+    batch-distinct (x, y) rows keyed by (x, hash(y) % B) — no group ever
+    exceeds ~distinct_y(x)/B rows — while per-x doc counts ride the same
+    exchange as one count row per (batch, x) at bucket -1; a final per-x
+    groupby sums <= B+1 partial rows. NULL x keeps its own group (SQL
+    GROUP BY); NULL y counts into n_docs but never into n_values (SQL
+    count(DISTINCT)). Returns Dataset[x, n_docs, n_values] filtered to
+    n_values > 1."""
+    from ..functions.hashing import hash_str
+
+    def partial(t: pa.Table) -> pa.Table:
+        xa = t[x].combine_chunks() if isinstance(t[x], pa.ChunkedArray) else t[x]
+        ya = t[y].combine_chunks() if isinstance(t[y], pa.ChunkedArray) else t[y]
+        x_np = xa.to_numpy(zero_copy_only=False)
+        null_x = np.array([v is None for v in x_np], dtype=bool)
+        gkey = np.where(null_x, "N", np.char.add("T", x_np.astype("U")))
+        uk, inv = np.unique(gkey, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uk))
+        rep_x = pa.array([None if u == "N" else u[1:] for u in uk],
+                         pa.string())
+        counts_tbl = pa.table({
+            "g": pa.array(uk, pa.string()),
+            "bucket": pa.array(np.full(len(uk), -1, np.int64)),
+            x: rep_x,
+            "yv": pa.nulls(len(uk), pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+        valid = pc.is_valid(ya).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return counts_tbl
+        yd = pc.dictionary_encode(ya.filter(pa.array(valid)))
+        codes = np.asarray(yd.indices).astype(np.int64)
+        both = np.unique(np.stack(
+            [inv[valid], codes], axis=1), axis=0)
+        xi, yi = both[:, 0], both[:, 1]
+        ystr = yd.dictionary.cast(pa.string())
+        yh = hash_str(ystr.to_numpy(zero_copy_only=False))
+        pair_tbl = pa.table({
+            "g": pa.array(uk[xi], pa.string()),
+            "bucket": pa.array(
+                (yh[yi] % np.uint64(num_buckets)).astype(np.int64)),
+            x: pc.take(rep_x, pa.array(xi)),
+            "yv": ystr.take(pa.array(yi)),
+            "n": pa.array(np.zeros(len(xi), np.int64)),
+        })
+        return pa.concat_tables([counts_tbl, pair_tbl])
+
+    def fold(g: pa.Table) -> pa.Table:
+        b = int(g["bucket"][0].as_py())
+        if b == -1:
+            nv, nd = 0, int(np.asarray(g["n"]).sum())
+        else:
+            nd = 0
+            ys = g["yv"].combine_chunks() if isinstance(
+                g["yv"], pa.ChunkedArray) else g["yv"]
+            nv = len(pc.unique(ys))
+        return pa.table({
+            "g": pa.array([str(g["g"][0].as_py())]),
+            x: pa.array([g[x][0].as_py()], pa.string()),
+            "n_docs": pa.array([nd], pa.int64()),
+            "n_values": pa.array([nv], pa.int64()),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        nv = int(np.asarray(g["n_values"]).sum())
+        if nv <= 1:
+            return pa.table({x: pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_values": pa.array([], pa.int64())})
+        return pa.table({
+            x: pa.array([g[x][0].as_py()], pa.string()),
+            "n_docs": pa.array([int(np.asarray(g["n_docs"]).sum())],
+                               pa.int64()),
+            "n_values": pa.array([nv], pa.int64()),
+        })
+
+    return (
+        ds.select_columns([x, y])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["g", "bucket"])
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def contingency(ds, x: str, y: str, *, batch_size: int | None = None):
+    """Exact contingency table with marginals — the cross-field drift /
+    independence audit (source x lang): observed cell counts plus row,
+    column and grand totals as plain integers (the chi-square numerator
+    (n*total - row*col)^2 can overflow int64 at corpus scale, so the
+    statistic is left to the reader; every reported number is exact).
+
+    Per-batch bincount partials over dictionary-coded (x, y) bound the
+    exchange at cells-per-batch; cell totals resolve in a (x, y) groupby
+    (S*L rows total), and marginals in ONE tiny constant-key fold over the
+    finished cells — never over per-batch partials. NULL values group as
+    SQL GROUP BY does. Returns Dataset[x, y, n, row_total, col_total,
+    grand_total]."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        xa = t[x].combine_chunks() if isinstance(t[x], pa.ChunkedArray) else t[x]
+        ya = t[y].combine_chunks() if isinstance(t[y], pa.ChunkedArray) else t[y]
+        xd, yd = pc.dictionary_encode(xa), pc.dictionary_encode(ya)
+        xi = np.asarray(xd.indices).astype(np.int64)
+        yi = np.asarray(yd.indices).astype(np.int64)
+        # nulls get their own code (SQL GROUP BY groups NULLs together)
+        nx, ny = len(xd.dictionary) + 1, len(yd.dictionary) + 1
+        xi = np.where(xi < 0, nx - 1, xi) if xi.min(initial=0) < 0 else xi
+        yi = np.where(yi < 0, ny - 1, yi) if yi.min(initial=0) < 0 else yi
+        counts = np.bincount(xi * ny + yi, minlength=nx * ny)
+        nz = np.flatnonzero(counts)
+        xs = xd.dictionary.cast(pa.string()).to_pylist() + [None]
+        ys = yd.dictionary.cast(pa.string()).to_pylist() + [None]
+        return pa.table({
+            x: pa.array([xs[i // ny] for i in nz], pa.string()),
+            y: pa.array([ys[i % ny] for i in nz], pa.string()),
+            "n": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    def cell(g: pa.Table) -> pa.Table:
+        return pa.table({
+            x: pa.array([g[x][0].as_py()], pa.string()),
+            y: pa.array([g[y][0].as_py()], pa.string()),
+            "n": pa.array([int(np.asarray(g["n"]).sum())], pa.int64()),
+            "k": pa.array([0], pa.int64()),
+        })
+
+    def marginals(g: pa.Table) -> pa.Table:
+        xs = g[x].combine_chunks() if isinstance(g[x], pa.ChunkedArray) else g[x]
+        ys = g[y].combine_chunks() if isinstance(g[y], pa.ChunkedArray) else g[y]
+        n = np.asarray(g["n"]).astype(np.int64)
+        xd, yd = pc.dictionary_encode(xs), pc.dictionary_encode(ys)
+        xi = np.asarray(xd.indices).astype(np.int64)
+        yi = np.asarray(yd.indices).astype(np.int64)
+        xi = np.where(xi < 0, len(xd.dictionary), xi)
+        yi = np.where(yi < 0, len(yd.dictionary), yi)
+        row = np.zeros(len(xd.dictionary) + 1, np.int64)
+        col = np.zeros(len(yd.dictionary) + 1, np.int64)
+        np.add.at(row, xi, n)
+        np.add.at(col, yi, n)
+        return pa.table({
+            x: xs, y: ys, "n": g["n"],
+            "row_total": pa.array(row[xi]),
+            "col_total": pa.array(col[yi]),
+            "grand_total": pa.array(np.full(len(n), n.sum(), np.int64)),
+        })
+
+    # NULL-safe composite group keys for the cell exchange
+    def keyed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        gx = _pc.coalesce(_pc.binary_join_element_wise(
+            pa.array(["T"] * t.num_rows), t[x].cast(pa.string()), ""),
+            pa.array(["N"] * t.num_rows))
+        gy = _pc.coalesce(_pc.binary_join_element_wise(
+            pa.array(["T"] * t.num_rows), t[y].cast(pa.string()), ""),
+            pa.array(["N"] * t.num_rows))
+        return t.append_column("gx", gx).append_column("gy", gy)
+
+    cells = (
+        ds.select_columns([x, y])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .map_groups(cell, batch_format="pyarrow")
+    )
+    return (
+        cells.groupby("k")
+        .map_groups(marginals, batch_format="pyarrow")
+        .select_columns([x, y, "n", "row_total", "col_total", "grand_total"])
+    )
