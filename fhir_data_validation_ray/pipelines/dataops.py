@@ -1646,6 +1646,15 @@ def q_upsert_latest(sf_dir: str):
     return upsert_latest(_events(sf_dir))
 
 
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts over the near-dup pair graph (degree-ordered
+    wedge checking — clique-vs-star cluster density)."""
+    from ..stages.dedup import triangle_counts
+
+    return triangle_counts(_docs(sf_dir), n=JACCARD_N,
+                           threshold=JACCARD_THRESHOLD)
+
+
 def q_fd_violations(sf_dir: str):
     """Does source -> lang hold? Every multilingual source is a violation
     row with its doc count and distinct-language count."""
@@ -2596,6 +2605,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_upsert_latest": q_upsert_latest,
         "a_fd_violations": q_fd_violations,
         "a_contingency": q_contingency,
+        "d_triangles": q_triangles,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -2774,6 +2784,19 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1
+"""
+
+TRIANGLES_SQL = """
+WITH {ngram_ctes},
+tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.doc_a = e1.doc_b
+        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+corners AS (SELECT x AS doc_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT doc_id, count(*)::BIGINT AS n_triangles
+FROM corners GROUP BY doc_id
 """
 
 FD_VIOLATIONS_SQL = """
@@ -4410,6 +4433,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_upsert_latest": UPSERT_LATEST_SQL,
         "a_fd_violations": FD_VIOLATIONS_SQL,
         "a_contingency": CONTINGENCY_SQL,
+        "d_triangles": TRIANGLES_SQL.format(ngram_ctes=_NGRAM_CTES),
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

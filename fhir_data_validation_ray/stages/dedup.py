@@ -2677,3 +2677,152 @@ def delta_dedup(corpus, delta, *, num_buckets: int = 256,
     ).union(delta.map_batches(
         side(1, False), batch_format="pyarrow", batch_size=batch_size))
     return routed.groupby("bucket").map_groups(admit, batch_format="pyarrow")
+
+
+def triangle_counts(docs, *, n: int = 2, threshold: float = 0.8,
+                    deg_buckets: int = 64, pair_buckets: int = 256,
+                    batch_size: int | None = None):
+    """Per-node triangle counts over the near-dup pair graph — the cluster
+    DENSITY dial the degree histogram can't see: a template farm whose
+    members all pair with each other is a clique (many triangles per node),
+    a star around one canonical doc has none, and that difference decides
+    whether keep-best resolution collapses a cluster to one survivor or
+    leaves chains behind.
+
+    The classic distributed algorithm, degree-ordered wedge checking:
+    every wedge is emitted ONLY from its lowest-(degree, id) corner, so a
+    hub of degree d in the undirected graph has out-degree O(sqrt(m)) after
+    orientation and the wedge volume is bounded by sum(out_deg^2) = O(m^1.5)
+    instead of the hub-quadratic naive bound. Five bucketed exchanges, all
+    candidate-bounded: half-edges -> per-node degrees ride back on the
+    half rows; pair reassembly orients each edge; per-src groups expand
+    out-neighbor runs with the vectorized `_expand_run_pairs`; wedges meet
+    the edge set (role-tagged) in a pair-bucket verify; matched triangles
+    route one row per corner to a final count groupby.
+
+    Pair keys pack as a<<32|b (the repo-wide pair-exchange convention:
+    doc ids < 2^32). Returns Dataset[doc_id, n_triangles], nodes with at
+    least one triangle."""
+    return triangle_counts_from_pairs(
+        ngram_jaccard_pairs(docs, n=n, threshold=threshold),
+        deg_buckets=deg_buckets, pair_buckets=pair_buckets,
+        batch_size=batch_size)
+
+
+def triangle_counts_from_pairs(pairs, *, deg_buckets: int = 64,
+                               pair_buckets: int = 256,
+                               batch_size: int | None = None):
+    """Core of `triangle_counts` over an explicit canonical edge Dataset
+    [doc_a < doc_b], deduplicated — see that docstring for the plan."""
+
+    pairs = pairs.materialize()  # consumed twice: halves + edge-set rows
+
+    def halves(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        pk = a * np.int64(1 << 32) + b
+        node = np.concatenate([a, b])
+        return pa.table({
+            "nbucket": pa.array(_intmix(node, deg_buckets).astype(np.int32)),
+            "node": pa.array(node),
+            "pk": pa.array(np.tile(pk, 2)),
+        })
+
+    def attach_deg(g: pa.Table) -> pa.Table:
+        node = np.asarray(g["node"]).astype(np.int64)
+        pk = np.asarray(g["pk"]).astype(np.int64)
+        ud, inv, cnt = np.unique(node, return_inverse=True,
+                                 return_counts=True)
+        return pa.table({
+            "pbucket": pa.array(_intmix(pk, pair_buckets).astype(np.int32)),
+            "pk": pa.array(pk),
+            "node": pa.array(node),
+            "deg": pa.array(cnt[inv].astype(np.int64)),
+        })
+
+    def orient(g: pa.Table) -> pa.Table:
+        pk = np.asarray(g["pk"]).astype(np.int64)
+        node = np.asarray(g["node"]).astype(np.int64)
+        deg = np.asarray(g["deg"]).astype(np.int64)
+        is_a = node == (pk >> np.int64(32))
+        order = np.lexsort((~is_a, pk))  # per pk: a-side row, then b-side
+        pk_s, node_s, deg_s = pk[order], node[order], deg[order]
+        a_n, b_n = node_s[0::2], node_s[1::2]
+        a_d, b_d = deg_s[0::2], deg_s[1::2]
+        src_is_a = (a_d < b_d) | ((a_d == b_d) & (a_n < b_n))
+        src = np.where(src_is_a, a_n, b_n)
+        dst = np.where(src_is_a, b_n, a_n)
+        return pa.table({
+            "sbucket": pa.array(_intmix(src, deg_buckets).astype(np.int32)),
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+        })
+
+    def wedges(g: pa.Table) -> pa.Table:
+        src = np.asarray(g["src"]).astype(np.int64)
+        dst = np.asarray(g["dst"]).astype(np.int64)
+        order = np.lexsort((dst, src))
+        src_s, dst_s = src[order], dst[order]
+        _, run_id = np.unique(src_s, return_inverse=True)
+        pos_a, pos_b = _expand_run_pairs(run_id)
+        v, w = dst_s[pos_a], dst_s[pos_b]
+        lo, hi = np.minimum(v, w), np.maximum(v, w)
+        wk = lo * np.int64(1 << 32) + hi
+        return pa.table({
+            "ebucket": pa.array(_intmix(wk, pair_buckets).astype(np.int32)),
+            "wk": pa.array(wk),
+            "center": pa.array(src_s[pos_a]),
+            "role": pa.array(np.ones(len(wk), np.int8)),
+        })
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        pk = a * np.int64(1 << 32) + b
+        return pa.table({
+            "ebucket": pa.array(_intmix(pk, pair_buckets).astype(np.int32)),
+            "wk": pa.array(pk),
+            "center": pa.array(np.full(len(pk), -1, np.int64)),
+            "role": pa.array(np.zeros(len(pk), np.int8)),
+        })
+
+    def match(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"])
+        wk = np.asarray(g["wk"]).astype(np.int64)
+        is_w = role == 1
+        hit = np.isin(wk[is_w], wk[~is_w])
+        wk_t = wk[is_w][hit]
+        corners = np.concatenate([
+            np.asarray(g["center"]).astype(np.int64)[is_w][hit],
+            wk_t >> np.int64(32),
+            wk_t & np.int64((1 << 32) - 1),
+        ])
+        return pa.table({
+            "cbucket": pa.array(
+                _intmix(corners, deg_buckets).astype(np.int32)),
+            "doc_id": pa.array(corners),
+        })
+
+    def count(g: pa.Table) -> pa.Table:
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(ud),
+                         "n_triangles": pa.array(cnt.astype(np.int64))})
+
+    oriented = (
+        pairs.map_batches(halves, batch_format="pyarrow",
+                          batch_size=batch_size)
+        .groupby("nbucket").map_groups(attach_deg, batch_format="pyarrow")
+        .groupby("pbucket").map_groups(orient, batch_format="pyarrow")
+    )
+    wedge_rows = (
+        oriented.groupby("sbucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+    verify_in = wedge_rows.union(
+        pairs.map_batches(edge_rows, batch_format="pyarrow"))
+    return (
+        verify_in.groupby("ebucket").map_groups(match, batch_format="pyarrow")
+        .groupby("cbucket").map_groups(count, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_triangles"])
+    )

@@ -960,3 +960,36 @@ def test_levenshtein_matches_python_reference(a, b):
                            prev[j - 1] + (ch != cj)))
         prev = cur
     assert _levenshtein(a, b) == prev[-1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=0, max_size=60))
+def test_triangle_counts_matches_bruteforce(ray_session, raw_edges):
+    """Degree-ordered wedge checking counts each triangle exactly once per
+    corner on arbitrary graphs — hubs, ties in degree, isolated edges."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import (
+        triangle_counts_from_pairs,
+    )
+
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in raw_edges if a != b})
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    })).repartition(3)
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in triangle_counts_from_pairs(
+               pairs, deg_buckets=4, pair_buckets=4).take_all()}
+
+    es = set(edges)
+    want = {}
+    for a, b in edges:
+        for c in range(16):
+            if c > b and (a, c) in es and (b, c) in es:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+    assert got == want
