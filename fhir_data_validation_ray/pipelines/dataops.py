@@ -1646,6 +1646,14 @@ def q_upsert_latest(sf_dir: str):
     return upsert_latest(_events(sf_dir))
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup audit: rolling-hash cut points make
+    shared passages chunk identically after positional shifts."""
+    from ..stages.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(_docs(sf_dir))
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts over the near-dup pair graph (degree-ordered
     wedge checking — clique-vs-star cluster density)."""
@@ -2606,6 +2614,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_fd_violations": q_fd_violations,
         "a_contingency": q_contingency,
         "d_triangles": q_triangles,
+        "d_cdc_chunks": q_cdc_chunks,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -2784,6 +2793,49 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1
+"""
+
+# content-defined chunking: base-31 window-8 rolling hash over CODEPOINTS
+# (ord == the utf-32 units the kernel hashes); max H < 2^56 so plain BIGINT
+# arithmetic is exact — no modulus, no HUGEINT
+CDC_CHUNK_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+pos AS (SELECT doc_id, text, unnest(range(8, length(text))) AS i FROM d),
+hv AS (SELECT doc_id, i FROM pos
+       WHERE (ord(substr(text, i, 1))::BIGINT
+            + ord(substr(text, i-1, 1))::BIGINT * 31
+            + ord(substr(text, i-2, 1))::BIGINT * 961
+            + ord(substr(text, i-3, 1))::BIGINT * 29791
+            + ord(substr(text, i-4, 1))::BIGINT * 923521
+            + ord(substr(text, i-5, 1))::BIGINT * 28629151
+            + ord(substr(text, i-6, 1))::BIGINT * 887503681
+            + ord(substr(text, i-7, 1))::BIGINT * 27512614111) % 64 = 0),
+cl AS (SELECT d.doc_id, d.text,
+              coalesce(list_sort(list(h.i) FILTER (WHERE h.i IS NOT NULL)),
+                       []) AS cuts
+       FROM d LEFT JOIN hv h ON h.doc_id = d.doc_id
+       GROUP BY d.doc_id, d.text),
+ks AS (SELECT doc_id, text, cuts,
+              unnest(range(1, len(cuts) + 2)) AS k FROM cl),
+chunks AS (SELECT doc_id,
+                  substr(text,
+                         CASE WHEN k = 1 THEN 1 ELSE cuts[k-1] + 1 END,
+                         (CASE WHEN k = len(cuts) + 1 THEN length(text)
+                               ELSE cuts[k] END)
+                         - (CASE WHEN k = 1 THEN 0 ELSE cuts[k-1] END))
+                  AS chunk
+           FROM ks),
+occ AS (SELECT doc_id, chunk, count(*)::BIGINT AS n_occ
+        FROM chunks GROUP BY doc_id, chunk),
+freq AS (SELECT chunk FROM occ GROUP BY chunk
+         HAVING count(DISTINCT doc_id) >= 2)
+SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS n_chunks,
+       CAST(coalesce(sum(CASE WHEN f.chunk IS NOT NULL
+                               THEN o.n_occ END), 0) AS BIGINT)
+       AS n_dup_chunks
+FROM occ o LEFT JOIN freq f ON f.chunk = o.chunk
+GROUP BY o.doc_id
 """
 
 TRIANGLES_SQL = """
@@ -4434,6 +4486,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_fd_violations": FD_VIOLATIONS_SQL,
         "a_contingency": CONTINGENCY_SQL,
         "d_triangles": TRIANGLES_SQL.format(ngram_ctes=_NGRAM_CTES),
+        "d_cdc_chunks": CDC_CHUNK_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

@@ -2826,3 +2826,164 @@ def triangle_counts_from_pairs(pairs, *, deg_buckets: int = 64,
         .groupby("cbucket").map_groups(count, batch_format="pyarrow")
         .select_columns(["doc_id", "n_triangles"])
     )
+
+
+# rolling-hash weights for content-defined chunking: base 31, window 8 —
+# max H = 0x10FFFF * sum(31^j) < 2^56, so the hash is EXACT in int64 on
+# both the numpy and the DuckDB (HUGEINT-free) side, no modulus needed
+CDC_WINDOW = 8
+CDC_POW = np.array([31 ** j for j in range(CDC_WINDOW)], dtype=np.int64)
+CDC_MASK = 64  # boundary when H % 64 == 0 -> ~64-char average chunks
+
+
+def _cdc_chunks(t: pa.Table, column: str):
+    """Per-batch content-defined chunking. Returns (doc_ids_per_chunk,
+    chunk StringArray) — chunks tile each document exactly; cut after
+    codepoint position i (0-based, full window inside the doc) iff the
+    base-31 window-8 rolling hash of positions [i-7..i] is divisible by
+    CDC_MASK. Docs with NULL or empty text yield no chunks.
+
+    Pure-ASCII batches (the overwhelming hot case) run zero-copy on the
+    Arrow string buffers — the rolling hash is 8 shifted multiply-adds on
+    the flat byte array and the chunk StringArray is rebuilt from a new
+    offsets vector over the SAME data buffer, no per-chunk copies. Batches
+    with any non-ASCII doc fall back to a per-doc codepoint decode
+    (identical semantics, utf-32 units)."""
+    texts = t[column]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    keep = pc.and_(pc.is_valid(texts),
+                   pc.greater(pc.utf8_length(texts), 0))
+    sa = texts.filter(keep)
+    doc_ids = np.asarray(t["doc_id"])[
+        keep.to_numpy(zero_copy_only=False)].astype(np.int64)
+    if len(sa) == 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    if pc.all(pc.equal(pc.utf8_length(sa), pc.binary_length(sa))).as_py():
+        o = sa.offset
+        offs = np.frombuffer(sa.buffers()[1], np.int32)[o:o + len(sa) + 1]
+        data = np.frombuffer(sa.buffers()[2], np.uint8)
+        base = int(offs[0])
+        starts = (offs[:-1].astype(np.int64) - base)
+        ends = (offs[1:].astype(np.int64) - base)
+        flat = data[base:int(offs[-1])].astype(np.int64)
+        total = len(flat)
+        h = np.zeros(total, np.int64)
+        for j in range(min(CDC_WINDOW, total)):
+            h[j:] += flat[:total - j] * CDC_POW[j]
+        pos_start = np.repeat(starts, ends - starts)
+        pos_end = np.repeat(ends, ends - starts)
+        p = np.arange(total, dtype=np.int64)
+        cut = ((h % CDC_MASK == 0)
+               & (p - pos_start >= CDC_WINDOW - 1)
+               & (p < pos_end - 1))
+        bounds = np.unique(np.concatenate(
+            [starts, np.flatnonzero(cut) + 1, [total]]))
+        off32 = (bounds + base).astype(np.int32)
+        chunks = pa.StringArray.from_buffers(
+            len(off32) - 1, pa.py_buffer(off32.tobytes()),
+            sa.buffers()[2])
+        chunk_doc = doc_ids[
+            np.searchsorted(starts, bounds[:-1], side="right") - 1]
+        return chunk_doc, chunks
+    # non-ASCII fallback: per-doc codepoint decode (cold path)
+    out_doc, out_chunk = [], []
+    for did, s in zip(doc_ids, sa.to_pylist()):
+        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+        n = len(cp)
+        h = np.zeros(n, np.int64)
+        for j in range(min(CDC_WINDOW, n)):
+            h[j:] += cp[:n - j] * CDC_POW[j]
+        p = np.arange(n)
+        cuts = np.flatnonzero((h % CDC_MASK == 0)
+                              & (p >= CDC_WINDOW - 1) & (p < n - 1)) + 1
+        b = [0, *cuts.tolist(), n]
+        for lo, hi in zip(b[:-1], b[1:]):
+            out_doc.append(did)
+            out_chunk.append(s[lo:hi])
+    return np.array(out_doc, np.int64), pa.array(out_chunk, pa.string())
+
+
+def cdc_chunk_dedup(docs, *, min_docs: int = 2, column: str = "text",
+                    num_buckets: int = 64, doc_buckets: int = 64,
+                    batch_size: int | None = None):
+    """Content-defined-chunking dedup audit (the LBFS/rsync-family chunking
+    storage dedup runs, applied to corpus text): chunk boundaries come from
+    a rolling hash of the CONTENT, so a shared passage still chunks
+    identically after an insertion shifts its position — the duplication
+    fixed-size chunking (`chunk_dedup`) structurally misses.
+
+    One pre-aggregated exchange, no broadcast and no second corpus pass:
+    per batch, chunks dictionary-encode and collapse to (doc, chunk,
+    n_occ) rows keyed by chunk-hash bucket; each bucket group marks chunks
+    seen in >= ``min_docs`` DISTINCT docs (grouped by the actual string —
+    collisions cannot merge chunks) and emits per-doc partial sums; a final
+    doc-bucket groupby adds the <= num_buckets partials per doc.
+
+    Returns Dataset[doc_id, n_chunks, n_dup_chunks] — one row per doc with
+    non-empty text."""
+    from ..functions.hashing import hash_str
+
+    def partial(t: pa.Table) -> pa.Table:
+        chunk_doc, chunks = _cdc_chunks(t, column)
+        if len(chunks) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "chunk": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_occ": pa.array([], pa.int64())})
+        da = pc.dictionary_encode(chunks)
+        code = np.asarray(da.indices).astype(np.int64)
+        ndict = len(da.dictionary)
+        ud, inv = np.unique(chunk_doc, return_inverse=True)
+        pair, n_occ = np.unique(inv * ndict + code, return_counts=True)
+        d_str = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        cb = (hash_str(d_str) % np.uint64(num_buckets)).astype(np.int32)
+        codes = (pair % ndict).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(cb[codes]),
+            "chunk": da.dictionary.take(pa.array(codes)),
+            "doc_id": pa.array(ud[pair // ndict]),
+            "n_occ": pa.array(n_occ.astype(np.int64)),
+        })
+
+    def mark(g: pa.Table) -> pa.Table:
+        ch = g["chunk"]
+        if isinstance(ch, pa.ChunkedArray):
+            ch = ch.combine_chunks()
+        da = pc.dictionary_encode(ch)
+        code = np.asarray(da.indices).astype(np.int64)
+        doc = np.asarray(g["doc_id"]).astype(np.int64)
+        n_occ = np.asarray(g["n_occ"]).astype(np.int64)
+        # distinct docs per chunk: (code, doc) rows are already distinct
+        nd = np.bincount(code, minlength=len(da.dictionary))
+        dup = nd >= min_docs
+        ud, inv = np.unique(doc, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        dup_tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, n_occ)
+        np.add.at(dup_tot, inv, np.where(dup[code], n_occ, 0))
+        return pa.table({
+            "dbucket": pa.array(_intmix(ud, doc_buckets).astype(np.int32)),
+            "doc_id": pa.array(ud),
+            "n_chunks": pa.array(tot),
+            "n_dup_chunks": pa.array(dup_tot),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        doc = np.asarray(g["doc_id"]).astype(np.int64)
+        ud, inv = np.unique(doc, return_inverse=True)
+        a = np.zeros(len(ud), np.int64)
+        b = np.zeros(len(ud), np.int64)
+        np.add.at(a, inv, np.asarray(g["n_chunks"]).astype(np.int64))
+        np.add.at(b, inv, np.asarray(g["n_dup_chunks"]).astype(np.int64))
+        return pa.table({"doc_id": pa.array(ud),
+                         "n_chunks": pa.array(a),
+                         "n_dup_chunks": pa.array(b)})
+
+    return (
+        docs.select_columns(["doc_id", column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket").map_groups(mark, batch_format="pyarrow")
+        .groupby("dbucket").map_groups(final, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chunks", "n_dup_chunks"])
+    )

@@ -993,3 +993,49 @@ def test_triangle_counts_matches_bruteforce(ray_session, raw_edges):
                 for v in (a, b, c):
                     want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list("abXY 7.é世")), max_size=60),
+    min_size=1, max_size=8))
+def test_cdc_chunks_match_scalar_reference(texts):
+    """The zero-copy ASCII lane and the codepoint fallback both reproduce a
+    plain per-doc scalar chunker (same cuts, same tiling) — including docs
+    shorter than the window, empty docs, and mixed-unicode batches that
+    force the fallback."""
+    import pyarrow as pa
+
+    from fhir_data_validation_ray.stages.dedup import (
+        CDC_MASK,
+        CDC_POW,
+        CDC_WINDOW,
+        _cdc_chunks,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    doc, chunks = _cdc_chunks(t, "text")
+    got = list(zip(doc.tolist(), chunks.to_pylist()))
+
+    want = []
+    for did, s in enumerate(texts):
+        if not s:
+            continue
+        cp = [ord(c) for c in s]
+        cuts = []
+        for i in range(CDC_WINDOW - 1, len(cp) - 1):
+            h = sum(cp[i - j] * int(CDC_POW[j]) for j in range(CDC_WINDOW))
+            if h % CDC_MASK == 0:
+                cuts.append(i + 1)
+        b = [0, *cuts, len(cp)]
+        for lo, hi in zip(b[:-1], b[1:]):
+            want.append((did, s[lo:hi]))
+    assert got == want
+    # chunks must tile each doc exactly
+    rebuilt = {}
+    for did, ch in got:
+        rebuilt[did] = rebuilt.get(did, "") + ch
+    assert rebuilt == {i: s for i, s in enumerate(texts) if s}
