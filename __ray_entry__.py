@@ -96,6 +96,7 @@ _QUERY_PRIORITY = [
     "s_pq_topk", "t_neg_samples", "s_pq_codes", "s_hard_negatives",
     "d_edit_distance", "d_delta_dedup", "w_upsert_latest",
     "a_fd_violations", "a_contingency", "d_triangles", "d_cdc_chunks",
+    "c_rank_fusion",
     "d_dup_rate", "a_source_overlap", "w_props_rollup",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def curate_keep_list(docs, *, jaccard_n: int = 2, jaccard_threshold: float = 0.8,
@@ -602,3 +603,91 @@ def filter_funnel(docs, stages):
 
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("stage_idx").map_groups(fold, batch_format="pyarrow"))
+
+
+def rank_fusion(docs, *, batch_size: int | None = None):
+    """Multi-signal Borda-fusion ranking — the robust way to combine
+    incommensurable quality signals (a length score, a vocabulary-richness
+    score, a repetition penalty) into one ordering WITHOUT score
+    normalization: each signal contributes its competition rank (1 + number
+    of strictly-better docs), fused = sum of ranks, smaller is better.
+
+    Three integer signals from ONE tokenize pass (same whitespace/''-filter
+    vocabulary as the repetition oracle): ``s_len`` chars (more better),
+    ``s_distinct`` distinct non-empty words (more better), ``s_rep`` top
+    word occurrences (fewer better).
+
+    Scale shape: a global SORT is never needed — each signal's rank table
+    comes from the cardinality-bounded `_value_count_fold` (per-batch
+    unique partials, per-task combine, O(distinct) driver state), ranks
+    broadcast once via ray.put as three sorted (value, rank) arrays, and a
+    second stateless pass searchsorteds every doc into its ranks. Returns
+    Dataset[doc_id, r_len, r_distinct, r_rep, fused]."""
+    import ray
+
+    from ..stages.stats import _value_count_fold
+
+    def signals(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s_len = pc.utf8_length(texts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts = pc.split_pattern(texts.fill_null(""), " ")
+        flat = pc.list_flatten(parts)
+        nword = pc.list_value_length(parts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), nword)
+        da = pc.dictionary_encode(flat)
+        code = np.asarray(da.indices).astype(np.int64)
+        nonempty = np.asarray(
+            pc.not_equal(flat, "")).astype(bool)
+        doc_idx, code = doc_idx[nonempty], code[nonempty]
+        n_distinct = np.zeros(len(t), np.int64)
+        top_n = np.zeros(len(t), np.int64)
+        if len(doc_idx):
+            pair, occ = np.unique(
+                doc_idx * np.int64(len(da.dictionary) + 1) + code,
+                return_counts=True)
+            pdoc = pair // np.int64(len(da.dictionary) + 1)
+            np.add.at(n_distinct, pdoc, 1)
+            np.maximum.at(top_n, pdoc, occ)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "s_len": pa.array(s_len),
+            "s_distinct": pa.array(n_distinct),
+            "s_rep": pa.array(top_n),
+        })
+
+    sig = docs.select_columns(["doc_id", "text"]).map_batches(
+        signals, batch_format="pyarrow", batch_size=batch_size).materialize()
+
+    def rank_table(col: str, better: str) -> tuple[np.ndarray, np.ndarray]:
+        v, c = _value_count_fold(sig, col)
+        if better == "desc":  # rank = 1 + count of strictly greater
+            r = 1 + np.concatenate([np.cumsum(c[::-1])[::-1][1:], [0]])
+        else:  # asc: rank = 1 + count of strictly smaller
+            r = 1 + np.concatenate([[0], np.cumsum(c)[:-1]])
+        return v, r
+
+    tables = ray.put({
+        "s_len": rank_table("s_len", "desc"),
+        "s_distinct": rank_table("s_distinct", "desc"),
+        "s_rep": rank_table("s_rep", "asc"),
+    })
+
+    def fuse(t: pa.Table) -> pa.Table:
+        tab = ray.get(tables)
+        out = {"doc_id": t["doc_id"]}
+        fused = np.zeros(len(t), np.int64)
+        for col, name in (("s_len", "r_len"), ("s_distinct", "r_distinct"),
+                          ("s_rep", "r_rep")):
+            v, r = tab[col]
+            x = np.asarray(t[col]).astype(np.int64)
+            rk = r[np.searchsorted(v, x)]
+            out[name] = pa.array(rk)
+            fused += rk
+        out["fused"] = pa.array(fused)
+        return pa.table(out)
+
+    return sig.map_batches(fuse, batch_format="pyarrow")

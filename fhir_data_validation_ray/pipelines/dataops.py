@@ -1646,6 +1646,14 @@ def q_upsert_latest(sf_dir: str):
     return upsert_latest(_events(sf_dir))
 
 
+def q_rank_fusion(sf_dir: str):
+    """Borda fusion of three integer quality signals into one sort-free
+    global ranking (competition-rank semantics, smaller fused = better)."""
+    from .curation import rank_fusion
+
+    return rank_fusion(_docs(sf_dir))
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -2615,6 +2623,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_contingency": q_contingency,
         "d_triangles": q_triangles,
         "d_cdc_chunks": q_cdc_chunks,
+        "c_rank_fusion": q_rank_fusion,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -2793,6 +2802,29 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1
+"""
+
+RANK_FUSION_SQL = """
+WITH wl AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+            FROM documents),
+wp AS (SELECT doc_id, unnest(l) AS w FROM wl),
+wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM wp WHERE w <> ''
+       GROUP BY 1, 2),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_distinct,
+               max(c)::BIGINT AS top_n FROM wc GROUP BY 1),
+sig AS (SELECT d.doc_id,
+               coalesce(length(d.text), 0)::BIGINT AS s_len,
+               coalesce(a.n_distinct, 0) AS s_distinct,
+               coalesce(a.top_n, 0) AS s_rep
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+r AS (SELECT doc_id,
+             rank() OVER (ORDER BY s_len DESC) AS r_len,
+             rank() OVER (ORDER BY s_distinct DESC) AS r_distinct,
+             rank() OVER (ORDER BY s_rep ASC) AS r_rep
+      FROM sig)
+SELECT doc_id, r_len, r_distinct, r_rep,
+       (r_len + r_distinct + r_rep)::BIGINT AS fused
+FROM r
 """
 
 # content-defined chunking: base-31 window-8 rolling hash over CODEPOINTS
@@ -4487,6 +4519,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_contingency": CONTINGENCY_SQL,
         "d_triangles": TRIANGLES_SQL.format(ngram_ctes=_NGRAM_CTES),
         "d_cdc_chunks": CDC_CHUNK_SQL,
+        "c_rank_fusion": RANK_FUSION_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

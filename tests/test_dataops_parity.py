@@ -2226,3 +2226,28 @@ def test_delta_dedup_edge_cases(ray_session):
     # 3 wins the within-delta "ccc" tie; 4 collides with corpus "aaa";
     # 6 is NULL; 7 is fresh
     assert got == [3, 7]
+
+
+def test_rank_fusion_competition_semantics(ray_session):
+    """Ties share a rank and the next rank skips (competition/rank()
+    semantics); fused is the exact sum of the three signal ranks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import rank_fusion
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # doc1/doc2 same length (tie on s_len); doc4 null text
+        "text": pa.array(["aa bb aa", "cc dd cc", "ee", None], pa.string()),
+    })).repartition(2)
+    got = {r["doc_id"]: r for r in rank_fusion(docs).take_all()}
+    assert got[1]["r_len"] == 1 and got[2]["r_len"] == 1
+    assert got[3]["r_len"] == 3 and got[4]["r_len"] == 4
+    # s_distinct: doc1=2, doc2=2, doc3=1, doc4=0 -> ranks 1,1,3,4
+    assert [got[i]["r_distinct"] for i in (1, 2, 3, 4)] == [1, 1, 3, 4]
+    # s_rep asc: doc4=0 best, doc3=1, doc1=doc2=2 -> ranks 3,3,2,1
+    assert [got[i]["r_rep"] for i in (1, 2, 3, 4)] == [3, 3, 2, 1]
+    for i in (1, 2, 3, 4):
+        assert got[i]["fused"] == (got[i]["r_len"] + got[i]["r_distinct"]
+                                   + got[i]["r_rep"])
