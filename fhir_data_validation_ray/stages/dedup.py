@@ -2744,6 +2744,14 @@ def triangle_counts_from_pairs(pairs, *, deg_buckets: int = 64,
         pk = np.asarray(g["pk"]).astype(np.int64)
         node = np.asarray(g["node"]).astype(np.int64)
         deg = np.asarray(g["deg"]).astype(np.int64)
+        # precondition: DISTINCT canonical edges — duplicates would inflate
+        # degrees and misalign the 2-rows-per-pair reassembly below, so a
+        # duplicated input must fail loudly, not count wrong
+        _, pk_counts = np.unique(pk, return_counts=True)
+        if len(pk) and (pk_counts != 2).any():
+            raise ValueError(
+                "triangle_counts_from_pairs: input edges must be distinct "
+                "canonical (doc_a < doc_b) pairs — found duplicate edges")
         is_a = node == (pk >> np.int64(32))
         order = np.lexsort((~is_a, pk))  # per pk: a-side row, then b-side
         pk_s, node_s, deg_s = pk[order], node[order], deg[order]

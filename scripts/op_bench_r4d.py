@@ -132,13 +132,23 @@ def main() -> None:
     run("edit_distance_20kpairs", edit_pairs)
 
     def triangles_1m_edges():
+        # xorshift-mixed endpoints: an affine map here is periodic mod
+        # n_nodes and triangle-free — measured exactly 0 triangles
         n_nodes, n_edges = 100_000, 1_000_000
-        ids = np.arange(n_edges, dtype=np.int64)
-        u = (ids * np.int64(2654435761)) % np.int64(n_nodes)
-        v = (ids * np.int64(0x9E3779B9) + 7) % np.int64(n_nodes)
+        ids = np.arange(n_edges, dtype=np.uint64)
+
+        def mix(x, salt):
+            y = (x + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+            y ^= y >> np.uint64(31)
+            return (y % np.uint64(n_nodes)).astype(np.int64)
+
+        u, v = mix(ids, 1), mix(ids, 2)
         a, b = np.minimum(u, v), np.maximum(u, v)
         keep = a != b
-        t = pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])})
+        # the operator REQUIRES distinct canonical edges (raises otherwise)
+        pk = np.unique(a[keep] * np.int64(1 << 32) + b[keep])
+        t = pa.table({"doc_a": pa.array(pk >> np.int64(32)),
+                      "doc_b": pa.array(pk & np.int64((1 << 32) - 1))})
         edges = rd.from_arrow(t).repartition(64)
         return triangle_counts_from_pairs(edges).materialize()
 
