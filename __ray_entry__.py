@@ -97,7 +97,7 @@ _QUERY_PRIORITY = [
     "d_edit_distance", "d_delta_dedup", "w_upsert_latest",
     "a_fd_violations", "a_contingency", "d_triangles", "d_cdc_chunks",
     "c_rank_fusion",
-    "d_dup_rate", "a_source_overlap", "w_props_rollup",
+    "d_dup_rate", "a_source_overlap", "w_props_rollup", "d_kcore",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops
     "v_reference_join", "v_primitive_datetime", "v_question_answer",

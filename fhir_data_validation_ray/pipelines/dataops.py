@@ -2676,6 +2676,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_source_card": q_source_card,
         "c_curriculum_shards": q_curriculum_shards,
         "d_pagerank": q_pagerank,
+        "d_kcore": q_kcore,
         "c_cluster_shards": q_cluster_shards,
         "d_containment": q_containment,
         "a_rank_nchars": q_rank_nchars,
@@ -3122,6 +3123,41 @@ def _pagerank_sql() -> str:
             f"FROM nd n LEFT JOIN c{t} c USING (node))")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS doc_id, p AS rank FROM pr{iters}")
+
+
+KCORE_ITERS = 3
+
+
+def q_kcore(sf_dir: str):
+    """Fixed-round h-index iteration toward k-core coreness over the
+    near-dup pair graph (``dedup.kcore_dup``) — the template-cluster
+    density audit (dense boilerplate cores vs isolated pairs/hubs)."""
+    from ..stages.dedup import kcore_dup
+
+    return kcore_dup(_docs(sf_dir), iters=KCORE_ITERS, n=JACCARD_N,
+                     threshold=JACCARD_THRESHOLD)
+
+
+def _kcore_sql() -> str:
+    """kcore_dup mirror: same half-edge table; k0 = degree; per round the
+    h-index over neighbor values via the expanded row_number formula
+    h = max(least(v, rn)) with v descending — bitwise-equal to the engine's
+    value-count run fold whether or not the fixpoint is reached."""
+    ctes = [_NGRAM_CTES]
+    ctes.append("he AS (SELECT doc_a AS src, doc_b AS dst FROM edges "
+                "UNION ALL SELECT doc_b, doc_a FROM edges)")
+    ctes.append("k0 AS (SELECT src AS node, count(*)::BIGINT AS c "
+                "FROM he GROUP BY 1)")
+    for t in range(1, KCORE_ITERS + 1):
+        ctes.append(
+            f"nb{t} AS (SELECT he.dst AS node, k.c AS v, "
+            f"row_number() OVER (PARTITION BY he.dst ORDER BY k.c DESC) "
+            f"AS rn FROM he JOIN k{t - 1} k ON k.node = he.src)")
+        ctes.append(
+            f"k{t} AS (SELECT node, max(least(v, rn))::BIGINT AS c "
+            f"FROM nb{t} GROUP BY 1)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, c AS core FROM k{KCORE_ITERS}")
 
 
 CONTAINMENT_THRESHOLD = 0.9
@@ -4571,6 +4607,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_source_card": SOURCE_CARD_SQL,
         "c_curriculum_shards": _curriculum_shards_sql(),
         "d_pagerank": _pagerank_sql(),
+        "d_kcore": _kcore_sql(),
         "c_cluster_shards": _cluster_shards_sql(),
         "d_containment": CONTAINMENT_SQL,
         "a_rank_nchars": RANK_NCHARS_SQL,

@@ -2186,6 +2186,134 @@ def pagerank_dup(docs, *, iters: int = 3, n: int = 2, threshold: float = 0.8,
     return scores.map_batches(out, batch_format="pyarrow")
 
 
+def kcore_dup(docs, *, iters: int = 3, n: int = 2, threshold: float = 0.8,
+              num_buckets: int = 64):
+    """Fixed-round h-index iteration (Lü et al. 2016 "H-index of a network
+    node") toward k-core coreness over the near-dup pair graph — the
+    template-cluster density dial: high-coreness docs sit inside tightly
+    interlinked boilerplate cores that degree alone (``dup_degree_histogram``,
+    hubs) and PageRank (popularity) both miss. Starting from c0 = degree,
+    each round replaces a node's value with the h-index of its neighbors'
+    values; the sequence is non-increasing and converges to coreness, and
+    every round is integer-exact, so a generated per-round SQL CTE chain
+    mirrors the run bitwise whether or not ``iters`` rounds reached the
+    fixpoint.
+
+    Plan (the ``pagerank_dup`` skeleton): half-edges materialize ONCE; per
+    round, one src-bucket groupby meets score rows with half-edges
+    (role-tagged membership-meets-payload) and emits PRE-AGGREGATED
+    (dst, value, count) rows — the h-index needs only the neighbor-value
+    multiset, and value counts compress it; one dst-bucket groupby folds the
+    counts and computes h per node (descending value runs: h = max over runs
+    of min(value, cumulative count) — equal to the expanded row_number
+    formula). Every graph node is some edge's dst, so no pass-through rows
+    are needed. Driver holds nothing graph-sized.
+
+    Returns Dataset[doc_id, core], graph nodes only (isolated docs have
+    coreness 0 and are excluded, matching ``pagerank_dup``)."""
+    edges = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    return kcore_from_pairs(edges, iters=iters, num_buckets=num_buckets)
+
+
+def kcore_from_pairs(edges, *, iters: int = 3, num_buckets: int = 64):
+    """h-index-iteration core of ``kcore_dup`` over an explicit
+    Dataset[doc_a, doc_b] edge list (each undirected edge once, no
+    self-loops) — split out so property tests can drive arbitrary graphs."""
+
+    def halves(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "bucket": pa.array(_intmix(src, num_buckets).astype(np.int32)),
+            "role": pa.array(np.zeros(len(src), np.int8)),
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+        })
+
+    half = edges.map_batches(halves, batch_format="pyarrow").materialize()
+
+    def degrees(g: pa.Table) -> pa.Table:
+        s = np.asarray(g["src"]).astype(np.int64)
+        us, cnt = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(us),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    scores = (half.groupby("bucket")
+              .map_groups(degrees, batch_format="pyarrow").materialize())
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"]).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(_intmix(node, num_buckets).astype(np.int32)),
+            "role": pa.array(np.ones(len(node), np.int8)),
+            "src": pa.array(node),
+            "dst": pa.array(np.asarray(t["c"]).astype(np.int64)),  # value
+        })
+
+    def neighbor_values(g: pa.Table) -> pa.Table:
+        """Per src-bucket: route each edge's src value to its dst,
+        pre-aggregated to (dst, value, count)."""
+        role = np.asarray(g["role"]).astype(np.int64)
+        src = np.asarray(g["src"]).astype(np.int64)
+        dst = np.asarray(g["dst"]).astype(np.int64)
+        sn, sv = src[role == 1], dst[role == 1]
+        order = np.argsort(sn)
+        sn, sv = sn[order], sv[order]
+        es, ed = src[role == 0], dst[role == 0]
+        pos = np.searchsorted(sn, es)  # every edge src has a score row
+        v = sv[pos]
+        key = np.stack([ed, v])
+        uk, cnt = np.unique(key, axis=1, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(
+                _intmix(uk[0], num_buckets).astype(np.int32)),
+            "node": pa.array(uk[0]),
+            "v": pa.array(uk[1]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def fold_h(g: pa.Table) -> pa.Table:
+        """Per dst-bucket: merge (node, v, cnt) partials, h-index per node
+        over descending value runs: h = max over runs of min(v, cum)."""
+        node = np.asarray(g["node"]).astype(np.int64)
+        v = np.asarray(g["v"]).astype(np.int64)
+        cnt = np.asarray(g["cnt"]).astype(np.int64)
+        order = np.lexsort((-v, node))
+        node, v, cnt = node[order], v[order], cnt[order]
+        # merge duplicate (node, v) rows from different partials
+        first = np.ones(len(node), dtype=bool)
+        first[1:] = (node[1:] != node[:-1]) | (v[1:] != v[:-1])
+        runs = np.flatnonzero(first)
+        rcnt = np.add.reduceat(cnt, runs)
+        rnode, rv = node[runs], v[runs]
+        seg = np.ones(len(runs), dtype=bool)
+        seg[1:] = rnode[1:] != rnode[:-1]
+        seg_starts = np.flatnonzero(seg)
+        g_cum = np.cumsum(rcnt)
+        base = np.zeros(len(runs), np.int64)
+        base[seg_starts[1:]] = g_cum[seg_starts[1:] - 1]
+        base = np.maximum.accumulate(base)
+        cum = g_cum - base
+        h = np.maximum.reduceat(np.minimum(rv, cum), seg_starts)
+        return pa.table({"node": pa.array(rnode[seg_starts]),
+                         "c": pa.array(h)})
+
+    for _ in range(iters):
+        tagged = half.union(
+            scores.map_batches(score_rows, batch_format="pyarrow"))
+        scores = (tagged.groupby("bucket")
+                  .map_groups(neighbor_values, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(fold_h, batch_format="pyarrow")).materialize()
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "core": t["c"]})
+
+    return scores.map_batches(out, batch_format="pyarrow")
+
+
 # --------------------------------------------- cross-shard duplicate audit
 def cross_shard_overlap(docs, *, n_shards: int = 64, key: str = "text",
                         num_buckets: int = 256,

@@ -995,6 +995,69 @@ def test_triangle_counts_matches_bruteforce(ray_session, raw_edges):
     assert got == want
 
 
+def _h_index(values):
+    """max h such that at least h of ``values`` are >= h."""
+    vs = sorted(values, reverse=True)
+    return max((min(v, i + 1) for i, v in enumerate(vs)), default=0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=60),
+       st.integers(1, 4))
+def test_kcore_matches_h_iteration_reference(ray_session, raw_edges, iters):
+    """The distributed value-count run fold equals a plain per-node
+    h-index iteration round for round on arbitrary graphs (hubs, degree
+    ties, disconnected components) — and the fixpoint of that iteration is
+    the classic peeling coreness (the algorithm's published semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import kcore_from_pairs
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    })).repartition(3)
+    got = {r["doc_id"]: r["core"]
+           for r in kcore_from_pairs(pairs, iters=iters,
+                                     num_buckets=4).take_all()}
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    c = {v: len(ns) for v, ns in nbrs.items()}
+    for _ in range(iters):
+        c = {v: _h_index([c[u] for u in ns]) for v, ns in nbrs.items()}
+    assert got == c
+
+    # fixpoint == peeling coreness (theory check, pure Python only)
+    while True:
+        c2 = {v: _h_index([c[u] for u in ns]) for v, ns in nbrs.items()}
+        if c2 == c:
+            break
+        c = c2
+    core = {}
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    live = dict(deg)
+    k = 0
+    while live:
+        k_next = min(live.values())
+        k = max(k, k_next)
+        peel = [v for v, d in live.items() if d <= k]
+        for v in peel:
+            core[v] = k
+            del live[v]
+            for u in nbrs[v]:
+                if u in live:
+                    live[u] -= 1
+    assert c == core
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.text(
     alphabet=st.sampled_from(list("abXY 7.é世")), max_size=60),
