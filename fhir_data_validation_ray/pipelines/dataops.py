@@ -2240,6 +2240,42 @@ def q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+SESSION_PATH_K = 3
+
+
+def q_session_paths(sf_dir: str):
+    """Session-prefix path frequencies (first-K event types per gap-based
+    session, ``windows.session_paths``) — the top-user-journeys rollup."""
+    from ..stages.windows import session_paths
+
+    return session_paths(_events(sf_dir), k=SESSION_PATH_K)
+
+
+SESSION_PATHS_SQL = f"""
+WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                  AS prev
+           FROM events),
+m AS (SELECT user_id, event_type, t, event_id,
+             CASE WHEN prev IS NULL OR t - prev > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT user_id, event_type, t, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+r AS (SELECT user_id, sid, event_type, t, event_id,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY t, event_id) AS rn
+      FROM s),
+p AS (SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY t, event_id) AS path
+      FROM r WHERE rn <= {SESSION_PATH_K} GROUP BY 1, 2)
+SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1
+"""
+
+
 def q_asof_prev_purchase(sf_dir: str):
     from ..stages.windows import asof_join_prev_event
 
@@ -2590,6 +2626,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_distinct_users": q_window_distinct,
         "w_distinct_by_type": q_distinct_by_type,
         "w_sessionize": q_sessionize,
+        "w_session_paths": q_session_paths,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
@@ -4532,6 +4569,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_distinct_users": WINDOW_DISTINCT_SQL,
         "w_distinct_by_type": DISTINCT_BY_TYPE_SQL,
         "w_sessionize": SESSIONIZE_SQL,
+        "w_session_paths": SESSION_PATHS_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,

@@ -1358,3 +1358,189 @@ def upsert_latest(events, *, num_buckets: int = 256,
         .groupby("bucket")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def session_paths(events, *, gap_us: int = 30 * 60 * 1_000_000,
+                  k: int = 3, block_us: int = 6 * US_PER_HOUR):
+    """Session-prefix path mining: for every gap-based session (the
+    ``sessionize`` definition), the path is the session's first ``k`` event
+    types ordered by (ts, event_id), joined by ``>``; returns global path
+    frequencies — the product-analytics "top user journeys" rollup.
+
+    Skew-safe plan (the split sessionize skeleton): shard by
+    (user, ts // block_us); each shard closes its INTERIOR sessions locally
+    and emits their paths pre-aggregated (role 0), plus one boundary
+    summary row (role 1) carrying the first/last session's capped path —
+    a path is at most ``k`` short type names, so summaries stay bounded no
+    matter how hot the user. The per-user merge walks block summaries in
+    time order, stitching boundary sessions by the same gap rule and
+    concatenating capped paths (a carry shorter than ``k`` types is the
+    session's exact prefix, so extension is lossless). Path cardinality is
+    bounded by the event-type vocabulary ** k, so the final fold is a
+    value-count exchange, never corpus-sized.
+
+    Returns a pyarrow Table (path, n_sessions)."""
+    from ..functions.collect import collect_table
+
+    base = events.select_columns(["event_id", "user_id", "ts", "event_type"])
+
+    def add_ub(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"]).astype(np.int64)
+        b = _ts_np(t) // block_us
+        if len(u) and (u.min() < 0 or u.max() >= _UB):
+            raise ValueError(
+                f"session_paths: user_id must be in [0, {int(_UB)})")
+        return t.append_column("ub", pa.array(u * _UB + b))
+
+    def _session_paths_arr(types: pa.Array, starts: np.ndarray,
+                           sizes: np.ndarray) -> pa.Array:
+        """Vectorized per-session prefix paths: k fixed take+concat passes
+        over the sorted type column (no per-session Python loop)."""
+        pieces = []
+        for j in range(k):
+            valid = sizes > j
+            idx = np.where(valid, starts + j, 0)
+            tj = types.take(pa.array(idx, pa.int64()))
+            if j > 0:
+                tj = pc.binary_join_element_wise(
+                    pa.scalar(">"), tj, pa.scalar(""))
+            pieces.append(pc.if_else(pa.array(valid), tj, pa.scalar("")))
+        if len(pieces) == 1:
+            return pieces[0]
+        return pc.binary_join_element_wise(*pieces, pa.scalar(""))
+
+    def _path_rows(paths: pa.Array) -> dict:
+        vc = pc.value_counts(paths)
+        up = vc.field("values")
+        cnt = np.asarray(vc.field("counts")).astype(np.int64)
+        z = np.zeros(len(up), np.int64)
+        return {
+            "role": pa.array(np.zeros(len(up), np.int8)),
+            "user_id": pa.array(z),
+            "path": up.cast(pa.string()),
+            "n": pa.array(cnt),
+            "block": pa.array(z),
+            "first_ts": pa.array(z),
+            "last_ts": pa.array(z),
+            "first_path": pa.array([""] * len(up), pa.string()),
+            "last_path": pa.array([""] * len(up), pa.string()),
+            "n_sessions": pa.array(z),
+        }
+
+    def block_partial(g: pa.Table) -> pa.Table:
+        ts = _ts_np(g)
+        eid = np.asarray(g["event_id"]).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        types = types.take(pa.array(order, pa.int64()))
+        new = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new) - 1
+        sizes = np.bincount(sid)
+        starts = np.zeros(len(sizes), np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        paths = _session_paths_arr(types, starts, sizes)
+        ns = len(sizes)
+        interior = _path_rows(paths.slice(1, ns - 2) if ns > 2
+                              else paths.slice(0, 0))
+        user = int(np.asarray(g["user_id"])[0])
+        block = int(np.asarray(g["ub"])[0]) % int(_UB)
+        summary = {
+            "role": pa.array([1], pa.int8()),
+            "user_id": pa.array([user], pa.int64()),
+            "path": pa.array([""], pa.string()),
+            "n": pa.array([0], pa.int64()),
+            "block": pa.array([block], pa.int64()),
+            "first_ts": pa.array([int(ts[0])], pa.int64()),
+            "last_ts": pa.array([int(ts[-1])], pa.int64()),
+            "first_path": paths.slice(0, 1),
+            "last_path": paths.slice(ns - 1, 1),
+            "n_sessions": pa.array([ns], pa.int64()),
+        }
+        return pa.concat_tables([pa.table(interior), pa.table(summary)])
+
+    def _extend(carry: str, nxt: str) -> str:
+        """Concatenate capped prefix paths, re-capping at k types. A carry
+        with fewer than k types is the exact session prefix so far, so
+        appending the next fragment's leading types is lossless."""
+        have = carry.split(">")
+        if len(have) >= k:
+            return carry
+        more = nxt.split(">")[: k - len(have)]
+        return ">".join(have + more)
+
+    def user_merge(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g["first_ts"]).astype(np.int64),
+                           kind="stable")
+        fts = np.asarray(g["first_ts"]).astype(np.int64)[order]
+        lts = np.asarray(g["last_ts"]).astype(np.int64)[order]
+        ns = np.asarray(g["n_sessions"]).astype(np.int64)[order]
+        fp = g["first_path"].to_pylist()
+        lp = g["last_path"].to_pylist()
+        fp = [fp[i] for i in order]
+        lp = [lp[i] for i in order]
+        closed: dict[str, int] = {}
+        carry: str | None = None
+        prev_last = None
+        for i in range(len(fts)):
+            if carry is not None and fts[i] - prev_last <= gap_us:
+                merged = _extend(carry, fp[i])
+                if ns[i] == 1:
+                    carry = merged
+                else:
+                    closed[merged] = closed.get(merged, 0) + 1
+                    carry = lp[i]
+            else:
+                if carry is not None:
+                    closed[carry] = closed.get(carry, 0) + 1
+                if ns[i] == 1:
+                    carry = fp[i]
+                else:
+                    closed[fp[i]] = closed.get(fp[i], 0) + 1
+                    carry = lp[i]
+            prev_last = lts[i]
+        if carry is not None:
+            closed[carry] = closed.get(carry, 0) + 1
+        return pa.table({
+            "path": pa.array(list(closed.keys()), pa.string()),
+            "n": pa.array(list(closed.values()), pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        p = t["path"]
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        da = pc.dictionary_encode(p)
+        gi = np.asarray(da.indices, dtype=np.int64)
+        n = np.asarray(t["n"]).astype(np.int64)
+        tot = np.zeros(len(da.dictionary), np.int64)
+        np.add.at(tot, gi, n)
+        return pa.table({"path": da.dictionary, "n": pa.array(tot)})
+
+    stage1 = (base.map_batches(add_ub, batch_format="pyarrow")
+              .groupby("ub").map_groups(block_partial, batch_format="pyarrow")
+              ).materialize()
+
+    def only_paths(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["role"], 0))
+        return pa.table({"path": f["path"], "n": f["n"]})
+
+    def only_summaries(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["role"], 1))
+
+    boundary = (stage1.map_batches(only_summaries, batch_format="pyarrow")
+                .groupby("user_id")
+                .map_groups(user_merge, batch_format="pyarrow"))
+    local = stage1.map_batches(only_paths, batch_format="pyarrow")
+
+    parts = collect_table(
+        local.union(boundary)
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([("path", pa.string()), ("n", pa.int64())]),
+    )
+    out = combine(parts) if parts.num_rows else parts
+    return out.rename_columns(["path", "n_sessions"])

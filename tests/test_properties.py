@@ -995,6 +995,57 @@ def test_triangle_counts_matches_bruteforce(ray_session, raw_edges):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                          st.integers(0, 3)),
+                min_size=1, max_size=60),
+       st.integers(2, 9), st.integers(3, 20), st.integers(1, 4))
+def test_session_paths_matches_python_reference(ray_session, rows, gap,
+                                                block, k):
+    """The block-sharded session-path mining (interior paths close locally,
+    boundary sessions stitch via capped-prefix concatenation) equals plain
+    per-user sessionization + first-k path counting for ANY event multiset,
+    gap, block size and k — including equal timestamps (event_id
+    tie-break) and sessions spanning many blocks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import session_paths
+
+    scale = 1_000_000
+    types = ["a", "b", "cc", "d"]
+    ev = [(u, off * scale + 10 * block * scale, types[ti], i)
+          for i, (u, off, ti) in enumerate(rows)]
+    events = rd.from_arrow(pa.table({
+        "event_id": pa.array([e[3] for e in ev], pa.int64()),
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+        "event_type": pa.array([e[2] for e in ev], pa.string()),
+    })).repartition(3)
+    got_t = session_paths(events, gap_us=gap * scale, k=k,
+                          block_us=block * scale)
+    got = dict(zip(got_t["path"].to_pylist(),
+                   got_t["n_sessions"].to_pylist()))
+
+    want: dict[str, int] = {}
+    by_user: dict[int, list] = {}
+    for u, t, ty, eid in ev:
+        by_user.setdefault(u, []).append((t, eid, ty))
+    for seq in by_user.values():
+        seq.sort()
+        sessions: list[list[str]] = []
+        prev_t = None
+        for t, _, ty in seq:
+            if prev_t is None or t - prev_t > gap * scale:
+                sessions.append([])
+            sessions[-1].append(ty)
+            prev_t = t
+        for s in sessions:
+            p = ">".join(s[:k])
+            want[p] = want.get(p, 0) + 1
+    assert got == want
+
+
 def _h_index(values):
     """max h such that at least h of ``values`` are >= h."""
     vs = sorted(values, reverse=True)
