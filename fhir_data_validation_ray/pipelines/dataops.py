@@ -2240,6 +2240,28 @@ def q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+def q_benford(sf_dir: str):
+    """Leading-digit (Benford) audit of the event value column per event
+    type (``stats.benford_digits``) — the numeric-forgery / unit-bug dial
+    in the table-audit family."""
+    import ray.data as rd
+
+    from ..stages.stats import benford_digits
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+    return benford_digits(events, "value", "event_type")
+
+
+BENFORD_SQL = """
+SELECT event_type,
+       substr(cast(cast(floor(value) AS BIGINT) AS VARCHAR), 1, 1)::BIGINT
+         AS digit,
+       count(*)::BIGINT AS n
+FROM events WHERE value >= 1 GROUP BY 1, 2
+"""
+
+
 SESSION_PATH_K = 3
 
 
@@ -2627,6 +2649,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_distinct_by_type": q_distinct_by_type,
         "w_sessionize": q_sessionize,
         "w_session_paths": q_session_paths,
+        "a_benford": q_benford,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
@@ -4570,6 +4593,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_distinct_by_type": DISTINCT_BY_TYPE_SQL,
         "w_sessionize": SESSIONIZE_SQL,
         "w_session_paths": SESSION_PATHS_SQL,
+        "a_benford": BENFORD_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,
