@@ -98,7 +98,7 @@ _QUERY_PRIORITY = [
     "a_fd_violations", "a_contingency", "d_triangles", "d_cdc_chunks",
     "c_rank_fusion",
     "d_dup_rate", "a_source_overlap", "w_props_rollup", "d_kcore",
-    "w_session_paths", "a_benford",
+    "w_session_paths", "a_benford", "d_novel_grams", "w_conversion_lag",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops
     "v_reference_join", "v_primitive_datetime", "v_question_answer",

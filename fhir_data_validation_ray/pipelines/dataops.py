@@ -2240,6 +2240,65 @@ def q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+def q_conversion_lag(sf_dir: str):
+    """Exact quantiles of first-view -> first-purchase lag in seconds
+    (``windows.conversion_lag_quantiles``) — funnel latency, not just
+    funnel depth."""
+    from ..stages.windows import conversion_lag_quantiles
+
+    return conversion_lag_quantiles(_events(sf_dir))
+
+
+CONVERSION_LAG_SQL = """
+WITH f AS (SELECT user_id,
+             min(epoch_us(ts)) FILTER (event_type = 'view') AS fv,
+             min(epoch_us(ts)) FILTER (event_type = 'purchase') AS fp
+           FROM events GROUP BY 1),
+l AS (SELECT (fp - fv) // 1000000 AS v FROM f
+      WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv),
+c AS (SELECT v, count(*)::BIGINT AS cnt FROM l GROUP BY 1),
+s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT count(*)::BIGINT AS n FROM l)
+SELECT 'lag' AS col, t.n AS n,
+  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.25 * t.n), 1))::BIGINT
+    AS p25,
+  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.50 * t.n), 1))::BIGINT
+    AS p50,
+  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.75 * t.n), 1))::BIGINT
+    AS p75,
+  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.95 * t.n), 1))::BIGINT
+    AS p95
+FROM t
+"""
+
+
+NOVEL_N = 2
+
+
+def q_novel_grams(sf_dir: str):
+    """Per-doc n-gram novelty vs all lower-doc_id docs
+    (``dedup.novel_gram_counts``) — the first-occurrence curriculum /
+    template-spam dial."""
+    from ..stages.dedup import novel_gram_counts
+
+    return novel_gram_counts(_docs(sf_dir), n=NOVEL_N)
+
+
+NOVEL_GRAMS_SQL = """
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+      FROM w),
+m AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1)
+SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+       count(*) FILTER (m.fd = g.doc_id)::BIGINT AS n_novel
+FROM g JOIN m USING (gram) GROUP BY 1
+"""
+
+
 def q_benford(sf_dir: str):
     """Leading-digit (Benford) audit of the event value column per event
     type (``stats.benford_digits``) — the numeric-forgery / unit-bug dial
@@ -2650,6 +2709,8 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_sessionize": q_sessionize,
         "w_session_paths": q_session_paths,
         "a_benford": q_benford,
+        "d_novel_grams": q_novel_grams,
+        "w_conversion_lag": q_conversion_lag,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
@@ -4594,6 +4655,8 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_sessionize": SESSIONIZE_SQL,
         "w_session_paths": SESSION_PATHS_SQL,
         "a_benford": BENFORD_SQL,
+        "d_novel_grams": NOVEL_GRAMS_SQL,
+        "w_conversion_lag": CONVERSION_LAG_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,

@@ -3123,3 +3123,68 @@ def cdc_chunk_dedup(docs, *, min_docs: int = 2, column: str = "text",
         .groupby("dbucket").map_groups(final, batch_format="pyarrow")
         .select_columns(["doc_id", "n_chunks", "n_dup_chunks"])
     )
+
+
+def novel_gram_counts(docs, *, n: int = 2, column: str = "text",
+                      num_buckets: int = 256,
+                      batch_size: int | None = None):
+    """Per-document n-gram novelty: how many of a doc's DISTINCT n-grams
+    appear in NO lower-doc_id document (first-occurrence attribution) —
+    the self-repetition / curriculum signal that separates template spam
+    (novelty collapses to ~0) from genuinely new text, per doc rather than
+    per source (``textops.distinct_ngrams`` is the per-source roll-up).
+
+    Plan: per-batch per-(doc, gram)-distinct rows (``_join_pair_rows`` —
+    the exchange carries distinct pairs, never occurrences); a gram lives
+    wholly in its hash bucket, so one gram-bucket groupby resolves each
+    gram's min doc_id and pre-aggregates per-doc (n_grams, n_novel)
+    partials; a doc-bucket groupby sums them. Gram STRINGS ride the
+    exchange (hash buckets only route), so hash collisions cannot merge
+    distinct grams.
+
+    Returns Dataset[doc_id, n_grams, n_novel]; docs with fewer than ``n``
+    words have no grams and are absent, like the SQL join."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        parent, grams, n_pos, n_docs = _gram_strings(t, n, column)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        rows = _join_pair_rows(parent, np.zeros(len(parent), np.int64),
+                               grams, ids, num_buckets=num_buckets,
+                               doc_shard=_JOIN_DOC_SHARD, with_starts=False)
+        return rows.drop_columns(["dshard", "tf"])
+
+    def gram_fold(g: pa.Table) -> pa.Table:
+        u = g["unit"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        da = pc.dictionary_encode(u)
+        gi = np.asarray(da.indices, dtype=np.int64)
+        doc = np.asarray(g["doc_id"]).astype(np.int64)
+        mind = np.full(len(da.dictionary), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mind, gi, doc)
+        novel = doc == mind[gi]
+        ud, inv = np.unique(doc, return_inverse=True)
+        ng = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        nn = np.zeros(len(ud), np.int64)
+        np.add.at(nn, inv[novel], 1)
+        return pa.table({
+            "bucket": pa.array(_intmix(ud, num_buckets).astype(np.int32)),
+            "doc_id": pa.array(ud),
+            "n_grams": pa.array(ng),
+            "n_novel": pa.array(nn),
+        })
+
+    def doc_fold(g: pa.Table) -> pa.Table:
+        doc = np.asarray(g["doc_id"]).astype(np.int64)
+        ud, inv = np.unique(doc, return_inverse=True)
+        ng = np.zeros(len(ud), np.int64)
+        nn = np.zeros(len(ud), np.int64)
+        np.add.at(ng, inv, np.asarray(g["n_grams"]).astype(np.int64))
+        np.add.at(nn, inv, np.asarray(g["n_novel"]).astype(np.int64))
+        return pa.table({"doc_id": pa.array(ud), "n_grams": pa.array(ng),
+                         "n_novel": pa.array(nn)})
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size)
+            .groupby("bucket").map_groups(gram_fold, batch_format="pyarrow")
+            .groupby("bucket").map_groups(doc_fold, batch_format="pyarrow"))

@@ -1544,3 +1544,64 @@ def session_paths(events, *, gap_us: int = 30 * 60 * 1_000_000,
     )
     out = combine(parts) if parts.num_rows else parts
     return out.rename_columns(["path", "n_sessions"])
+
+
+def conversion_lag_quantiles(events, *, from_type: str = "view",
+                             to_type: str = "purchase",
+                             unit_us: int = 1_000_000,
+                             num_buckets: int = 64):
+    """Exact quantiles of the per-user conversion lag: first ``to_type``
+    timestamp minus first ``from_type`` timestamp (non-negative lags only
+    — a purchase observed before any view is attribution noise), in
+    ``unit_us`` units — the funnel-latency companion to ``funnel_levels``
+    (how LONG conversion takes, not how many convert).
+
+    Scale shape: per-batch min-ts partials per (user, which-anchor) bound
+    the exchange at 2 rows per user per batch; one user-bucket groupby
+    resolves global firsts and emits one integer lag per converting user;
+    the exact-quantile value-count fold (``stats.exact_int_quantiles``)
+    finishes — state bounded by the lag cardinality in units, never user
+    count.
+
+    Returns a one-row pyarrow Table (col, n, p25, p50, p75, p95)."""
+    from .stats import exact_int_quantiles
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = t["event_type"]
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        is_a = np.asarray(pc.equal(ty, from_type)).astype(bool)
+        is_b = np.asarray(pc.equal(ty, to_type)).astype(bool)
+        keep = is_a | is_b
+        u = np.asarray(t["user_id"]).astype(np.int64)[keep]
+        ts = _ts_np(t)[keep]
+        r = is_b[keep].astype(np.int64)
+        key = u * 2 + r
+        uk, inv = np.unique(key, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, ts)
+        return pa.table({
+            "bucket": pa.array(
+                ((uk // 2) % num_buckets).astype(np.int32)),
+            "key": pa.array(uk),
+            "ts_min": pa.array(mn),
+        })
+
+    def lag_fold(g: pa.Table) -> pa.Table:
+        key = np.asarray(g["key"]).astype(np.int64)
+        ts = np.asarray(g["ts_min"]).astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, ts)
+        # converting users: key 2u (first from_type) and 2u+1 (first
+        # to_type) adjacent in the sorted unique keys
+        both = (uk[:-1] % 2 == 0) & (uk[1:] == uk[:-1] + 1) \
+            if len(uk) > 1 else np.zeros(0, bool)
+        lag = mn[1:][both] - mn[:-1][both]
+        lag = lag[lag >= 0] // unit_us
+        return pa.table({"lag": pa.array(lag.astype(np.int64))})
+
+    lags = (events.select_columns(["user_id", "ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(lag_fold, batch_format="pyarrow"))
+    return exact_int_quantiles(lags, "lag")

@@ -1046,6 +1046,81 @@ def test_session_paths_matches_python_reference(ray_session, rows, gap,
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "dd"]),
+                         max_size=8),
+                min_size=1, max_size=12))
+def test_novel_grams_matches_python_reference(ray_session, doc_words):
+    """Distributed first-occurrence bigram novelty (gram-bucket min fold +
+    doc-bucket sum) equals plain per-doc set arithmetic for arbitrary
+    corpora — repeated grams inside a doc, ties broken by min doc_id,
+    gram-less short docs absent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import novel_gram_counts
+
+    texts = [" ".join(w) for w in doc_words]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+           for r in novel_gram_counts(docs, n=2, num_buckets=4).take_all()}
+
+    first: dict[tuple, int] = {}
+    gsets = []
+    for i, w in enumerate(doc_words):
+        w = [x for x in w if x]
+        gs = {(w[j], w[j + 1]) for j in range(len(w) - 1)}
+        gsets.append(gs)
+        for g in gs:
+            first.setdefault(g, i)
+    want = {i: (len(gs), sum(1 for g in gs if first[g] == i))
+            for i, gs in enumerate(gsets) if gs}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100),
+                          st.sampled_from(["view", "purchase", "x"])),
+                min_size=1, max_size=40))
+def test_conversion_lag_matches_python_reference(ray_session, rows):
+    """The (user, anchor) min-ts fold + adjacent-key pairing equals plain
+    per-user first-event arithmetic, and the exact-quantile finish matches
+    the ceil-rank rule, for arbitrary event multisets."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import (
+        conversion_lag_quantiles,
+    )
+
+    scale = 1_000_000
+    events = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * scale for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(3)
+    got = conversion_lag_quantiles(events, num_buckets=4).to_pydict()
+
+    fv: dict[int, int] = {}
+    fp: dict[int, int] = {}
+    for u, t, ty in rows:
+        if ty == "view":
+            fv[u] = min(fv.get(u, t), t)
+        elif ty == "purchase":
+            fp[u] = min(fp.get(u, t), t)
+    lags = sorted(fp[u] - fv[u] for u in fv if u in fp and fp[u] >= fv[u])
+    assert got["n"] == [len(lags)]
+    for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                    (0.95, "p95")):
+        want = lags[max(math.ceil(q * len(lags)), 1) - 1] if lags else 0
+        assert got[name] == [want], (q, lags, got)
+
+
 def _h_index(values):
     """max h such that at least h of ``values`` are >= h."""
     vs = sorted(values, reverse=True)
