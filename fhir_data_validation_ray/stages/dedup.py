@@ -3188,3 +3188,218 @@ def novel_gram_counts(docs, *, n: int = 2, column: str = "text",
                              batch_size=batch_size)
             .groupby("bucket").map_groups(gram_fold, batch_format="pyarrow")
             .groupby("bucket").map_groups(doc_fold, batch_format="pyarrow"))
+
+
+# ------------------------------- longest repeated substring (suffix classes)
+_LRS_POS_CAP = 1 << 20  # max words per doc in the packed global position
+
+
+def longest_repeated_substring(docs, *, column: str = "text",
+                               num_buckets: int = 256,
+                               batch_size: int | None = None):
+    """Corpus-wide longest repeated WORD-substring via distributed
+    prefix doubling — the core subroutine of suffix-array exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): the length of the longest word sequence occurring at
+    >= 2 positions anywhere in the corpus (across or within docs), plus
+    how many positions carry a duplicated substring of that length.
+
+    Plan (equality-class prefix doubling — classes, not lexicographic
+    ranks, since only duplicate DETECTION is needed, never suffix order):
+    stage 0 assigns width-1 classes (class id = min global packed position
+    per word) in one word-bucket exchange; each doubling round pairs
+    (class(i), class(i + w)) inside a per-DOC group (the pair is always
+    intra-doc, so the shift is a local gather, no cross-doc exchange) and
+    resolves width-2w classes as min-position per key in a key-bucket
+    groupby, with a one-row-per-class dup indicator folded in (the
+    dedup_clusters convergence pattern) so the stop check is a cheap
+    ``sum`` scan of the materialized round, never a third exchange.
+    Doubling stops at the first width with no duplicate — O(log LRS)
+    rounds — then a driver binary search pins the exact length, each probe
+    one (class(i), class(i + k - w)) counting exchange over the last
+    dup-bearing class table (the sparse-table two-power trick). Positions
+    whose window overruns the doc keep the unique class = own position, so
+    they can never merge (class ids are min member positions; classes
+    partition positions, hence ids are collision-free).
+
+    Returns a one-row pyarrow Table (lrs_words, n_occurrences):
+    n_occurrences = positions whose lrs-word window is shared with at
+    least one other position; (0, 0) when no word repeats."""
+    from ..functions.collect import collect_table
+    from .textops import _word_lists
+
+    def word_rows(t: pa.Table) -> pa.Table:
+        texts = t[column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words, counts, _ = _word_lists(texts)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(counts) and int(counts.max()) >= _LRS_POS_CAP:
+            raise ValueError("longest_repeated_substring: doc exceeds "
+                             f"{_LRS_POS_CAP} words")
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 42)):
+            raise ValueError("longest_repeated_substring: doc_id out of "
+                             "packed-position range")
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        widx = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        pos = ids[parent] * _LRS_POS_CAP + widx
+        wu = words.to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "bucket": pa.array(
+                (hash_str(wu) % np.uint64(num_buckets)).astype(np.int32)),
+            "word": words,
+            "pos": pa.array(pos),
+        })
+
+    def word_fold(g: pa.Table) -> pa.Table:
+        w = g["word"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        da = pc.dictionary_encode(w)
+        gi = np.asarray(da.indices, dtype=np.int64)
+        pos = np.asarray(g["pos"]).astype(np.int64)
+        mn = np.full(len(da.dictionary), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, gi, pos)
+        return pa.table({
+            "doc": pa.array(pos // _LRS_POS_CAP),
+            "pos": pa.array(pos),
+            "cls": pa.array(mn[gi]),
+            "dup": pa.array(np.zeros(len(pos), np.int8)),
+        })
+
+    def _doc_sorted(g: pa.Table):
+        pos = np.asarray(g["pos"]).astype(np.int64)
+        cls = np.asarray(g["cls"]).astype(np.int64)
+        order = np.argsort(pos)
+        return pos[order], cls[order]
+
+    def pair_keys(w: int):
+        def f(g: pa.Table) -> pa.Table:
+            pos, cls = _doc_sorted(g)
+            n = len(pos)
+            k1 = cls
+            k2 = -pos - 1  # window overrun: unique, never merges
+            if n > w:
+                k2 = k2.copy()
+                k2[:n - w] = cls[w:]
+            full = (np.arange(n, dtype=np.int64) + 2 * w) <= n
+            kb = _intmix(k1 * np.int64(0x9E3779B1) + k2, num_buckets)
+            return pa.table({
+                "kbucket": pa.array(kb.astype(np.int32)),
+                "k1": pa.array(k1), "k2": pa.array(k2),
+                "pos": pa.array(pos),
+                "full": pa.array(full.astype(np.int8)),
+            })
+        return f
+
+    def cls_fold(g: pa.Table) -> pa.Table:
+        k1 = np.asarray(g["k1"]).astype(np.int64)
+        k2 = np.asarray(g["k2"]).astype(np.int64)
+        pos = np.asarray(g["pos"]).astype(np.int64)
+        full = np.asarray(g["full"]).astype(np.int64)
+        order = np.lexsort((pos, k2, k1))
+        k1, k2, pos, full = k1[order], k2[order], pos[order], full[order]
+        first = np.ones(len(k1), dtype=bool)
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        gid = np.cumsum(first) - 1
+        ngroups = int(gid[-1]) + 1 if len(gid) else 0
+        cls = pos[np.flatnonzero(first)]  # min pos per key (pos-sorted)
+        nfull = np.zeros(ngroups, np.int64)
+        np.add.at(nfull, gid, full)
+        dup = np.zeros(len(k1), np.int8)
+        dup[np.flatnonzero(first)] = (nfull >= 2).astype(np.int8)
+        return pa.table({
+            "doc": pa.array(pos // _LRS_POS_CAP),
+            "pos": pa.array(pos),
+            "cls": pa.array(cls[gid]),
+            "dup": pa.array(dup),
+        })
+
+    def doubled(rows, w: int):
+        out = (rows.groupby("doc")
+               .map_groups(pair_keys(w), batch_format="pyarrow")
+               .groupby("kbucket")
+               .map_groups(cls_fold, batch_format="pyarrow")).materialize()
+        ndup = out.sum("dup") or 0
+        return out, int(ndup)
+
+    def probe_keys(w0: int, k: int):
+        def f(g: pa.Table) -> pa.Table:
+            pos, cls = _doc_sorted(g)
+            n = len(pos)
+            m = n - k
+            if m < 0:
+                m = -1
+            k1 = cls[:m + 1]
+            k2 = cls[k - w0:k - w0 + m + 1]
+            key = np.stack([k1, k2])
+            uk, cnt = np.unique(key, axis=1, return_counts=True)
+            kb = _intmix(uk[0] * np.int64(0x9E3779B1) + uk[1], num_buckets)
+            return pa.table({
+                "kbucket": pa.array(kb.astype(np.int32)),
+                "k1": pa.array(uk[0]), "k2": pa.array(uk[1]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            })
+        return f
+
+    def probe_fold(g: pa.Table) -> pa.Table:
+        k1 = np.asarray(g["k1"]).astype(np.int64)
+        k2 = np.asarray(g["k2"]).astype(np.int64)
+        cnt = np.asarray(g["cnt"]).astype(np.int64)
+        order = np.lexsort((k2, k1))
+        k1, k2, cnt = k1[order], k2[order], cnt[order]
+        first = np.ones(len(k1), dtype=bool)
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        gid = np.cumsum(first) - 1
+        tot = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+        np.add.at(tot, gid, cnt)
+        dup = tot >= 2
+        return pa.table({
+            "n_classes": pa.array([int(dup.sum())], pa.int64()),
+            "n_pos": pa.array([int(tot[dup].sum())], pa.int64()),
+        })
+
+    def probe(rows, w0: int, k: int) -> tuple[int, int]:
+        parts = collect_table(
+            rows.groupby("doc")
+            .map_groups(probe_keys(w0, k), batch_format="pyarrow")
+            .groupby("kbucket")
+            .map_groups(probe_fold, batch_format="pyarrow"),
+            empty_schema=pa.schema([("n_classes", pa.int64()),
+                                    ("n_pos", pa.int64())]),
+        )
+        if not parts.num_rows:
+            return 0, 0
+        return (int(np.asarray(parts["n_classes"]).sum()),
+                int(np.asarray(parts["n_pos"]).sum()))
+
+    rows = (docs.map_batches(word_rows, batch_format="pyarrow",
+                             batch_size=batch_size)
+            .groupby("bucket")
+            .map_groups(word_fold, batch_format="pyarrow")).materialize()
+
+    def _out(lrs: int, nocc: int) -> pa.Table:
+        return pa.table({"lrs_words": pa.array([lrs], pa.int64()),
+                         "n_occurrences": pa.array([nocc], pa.int64())})
+
+    ncls, npos = probe(rows, 1, 1)
+    if ncls == 0:
+        return _out(0, 0)
+    cur, w = rows, 1
+    while True:
+        nxt, ndup = doubled(cur, w)
+        if ndup == 0:
+            break
+        cur, w = nxt, 2 * w
+    lo, hi = w, 2 * w  # duplicate exists at lo, none at hi
+    while lo + 1 < hi:
+        mid = (lo + hi) // 2
+        ncls, _ = probe(cur, w, mid)
+        if ncls > 0:
+            lo = mid
+        else:
+            hi = mid
+    _, nocc = probe(cur, w, lo)
+    return _out(lo, nocc)

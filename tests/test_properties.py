@@ -1082,6 +1082,44 @@ def test_novel_grams_matches_python_reference(ray_session, doc_words):
 
 
 @settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "ab", "c"]),
+                         max_size=10),
+                min_size=1, max_size=10))
+def test_lrs_matches_python_reference(ray_session, doc_words):
+    """Distributed prefix-doubling longest-repeated-substring (equality
+    classes + binary-search probes) equals brute-force substring counting
+    for arbitrary corpora — within-doc overlaps, cross-doc repeats,
+    all-unique corpora (lrs 0), whole-doc duplicates."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import (
+        longest_repeated_substring,
+    )
+
+    texts = [" ".join(w) for w in doc_words]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    got = longest_repeated_substring(docs, num_buckets=4).to_pydict()
+
+    counts: dict[tuple, int] = {}
+    for w in doc_words:
+        w = [x for x in w if x]
+        for i in range(len(w)):
+            for j in range(i + 1, len(w) + 1):
+                t = tuple(w[i:j])
+                counts[t] = counts.get(t, 0) + 1
+    dup_lens = [len(t) for t, c in counts.items() if c >= 2]
+    lrs = max(dup_lens, default=0)
+    nocc = sum(c for t, c in counts.items()
+               if len(t) == lrs and c >= 2) if lrs else 0
+    assert got["lrs_words"] == [lrs]
+    assert got["n_occurrences"] == [nocc]
+
+
+@settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100),
                           st.sampled_from(["view", "purchase", "x"])),
                 min_size=1, max_size=40))
