@@ -92,7 +92,10 @@ _QUERY_PRIORITY = [
     # -- (3b) continuation-session additions, parity-green, first in line
     #    for round-5 window slots (most novel oracle families first: the
     #    integer-exact ADC ANN ranking, the FNV negative-sampling join,
-    #    the per-subspace Lloyd chain)
+    #    the per-subspace Lloyd chain; the r4e batch at the group tail —
+    #    d_lrs (prefix-doubling suffix classes) and d_kcore (h-index CTE
+    #    chain) bring the two newest oracle families and should rotate in
+    #    first among them)
     "s_pq_topk", "t_neg_samples", "s_pq_codes", "s_hard_negatives",
     "d_edit_distance", "d_delta_dedup", "w_upsert_latest",
     "a_fd_violations", "a_contingency", "d_triangles", "d_cdc_chunks",

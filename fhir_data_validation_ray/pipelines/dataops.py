@@ -2308,14 +2308,14 @@ c AS (SELECT v, count(*)::BIGINT AS cnt FROM l GROUP BY 1),
 s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
 t AS (SELECT count(*)::BIGINT AS n FROM l)
 SELECT 'lag' AS col, t.n AS n,
-  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.25 * t.n), 1))::BIGINT
-    AS p25,
-  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.50 * t.n), 1))::BIGINT
-    AS p50,
-  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.75 * t.n), 1))::BIGINT
-    AS p75,
-  (SELECT min(v) FROM s WHERE cum >= greatest(ceil(0.95 * t.n), 1))::BIGINT
-    AS p95
+  coalesce((SELECT min(v) FROM s
+            WHERE cum >= greatest(ceil(0.25 * t.n), 1)), 0)::BIGINT AS p25,
+  coalesce((SELECT min(v) FROM s
+            WHERE cum >= greatest(ceil(0.50 * t.n), 1)), 0)::BIGINT AS p50,
+  coalesce((SELECT min(v) FROM s
+            WHERE cum >= greatest(ceil(0.75 * t.n), 1)), 0)::BIGINT AS p75,
+  coalesce((SELECT min(v) FROM s
+            WHERE cum >= greatest(ceil(0.95 * t.n), 1)), 0)::BIGINT AS p95
 FROM t
 """
 
@@ -2365,7 +2365,9 @@ SELECT event_type,
        substr(cast(cast(floor(value) AS BIGINT) AS VARCHAR), 1, 1)::BIGINT
          AS digit,
        count(*)::BIGINT AS n
-FROM events WHERE value >= 1 GROUP BY 1, 2
+FROM events
+WHERE value >= 1 AND value < 9223372036854775808 AND isfinite(value)
+GROUP BY 1, 2
 """
 
 

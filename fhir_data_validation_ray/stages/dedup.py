@@ -2236,6 +2236,18 @@ def kcore_from_pairs(edges, *, iters: int = 3, num_buckets: int = 64):
 
     def degrees(g: pa.Table) -> pa.Table:
         s = np.asarray(g["src"]).astype(np.int64)
+        # precondition: DISTINCT undirected edges — a duplicate pair would
+        # inflate degrees AND double-route neighbor values, silently
+        # corrupting every h-index downstream; all copies of a half-edge
+        # land in this src bucket, so the check is complete (the
+        # triangle_counts_from_pairs guard, same failure class)
+        d = np.asarray(g["dst"]).astype(np.int64)
+        order = np.lexsort((d, s))
+        if len(s) > 1 and bool(np.any((s[order][1:] == s[order][:-1])
+                                      & (d[order][1:] == d[order][:-1]))):
+            raise ValueError(
+                "kcore_from_pairs expects distinct canonical pairs — "
+                "found duplicate edges")
         us, cnt = np.unique(s, return_counts=True)
         return pa.table({"node": pa.array(us),
                          "c": pa.array(cnt.astype(np.int64))})
@@ -3245,10 +3257,14 @@ def longest_repeated_substring(docs, *, column: str = "text",
         np.cumsum(counts[:-1], out=starts[1:])
         widx = np.arange(len(parent), dtype=np.int64) - starts[parent]
         pos = ids[parent] * _LRS_POS_CAP + widx
-        wu = words.to_numpy(zero_copy_only=False).astype("U")
+        # hash the per-batch DICTIONARY, gather per occurrence (the winnow
+        # lesson: never run string kernels on the occurrence stream)
+        da = pc.dictionary_encode(words)
+        du = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        db = (hash_str(du) % np.uint64(num_buckets)).astype(np.int32)
+        gi = np.asarray(da.indices, dtype=np.int64)
         return pa.table({
-            "bucket": pa.array(
-                (hash_str(wu) % np.uint64(num_buckets)).astype(np.int32)),
+            "bucket": pa.array(db[gi]),
             "word": words,
             "pos": pa.array(pos),
         })
@@ -3266,7 +3282,6 @@ def longest_repeated_substring(docs, *, column: str = "text",
             "doc": pa.array(pos // _LRS_POS_CAP),
             "pos": pa.array(pos),
             "cls": pa.array(mn[gi]),
-            "dup": pa.array(np.zeros(len(pos), np.int8)),
         })
 
     def _doc_sorted(g: pa.Table):

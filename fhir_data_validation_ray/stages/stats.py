@@ -1084,19 +1084,26 @@ def benford_digits(ds, col: str, group_col: str):
         if isinstance(ga, pa.ChunkedArray):
             ga = ga.combine_chunks()
         gd = pc.dictionary_encode(ga)
-        gi = np.asarray(gd.indices).astype(np.int64)
-        mask = v >= 1.0
+        # nulls get their own group code, as SQL GROUP BY keeps them
+        # (the contingency() pattern); a null dictionary index would
+        # otherwise wrap to INT64_MIN and corrupt the bincount
+        gi = np.asarray(pc.fill_null(gd.indices, -1)).astype(np.int64)
+        ng = len(gd.dictionary) + 1
+        gi = np.where(gi < 0, ng - 1, gi)
+        # digits exist only for finite values in [1, 2^63); anything else
+        # (NaN, inf, negatives, overflow) is excluded like SQL's WHERE
+        mask = (v >= 1.0) & (v < float(1 << 63)) & np.isfinite(v)
         iv = np.floor(v[mask]).astype(np.int64)
         while True:
             big = iv >= 10
             if not big.any():
                 break
             iv[big] //= 10
-        ng = len(gd.dictionary)
         counts = np.bincount(gi[mask] * 9 + (iv - 1), minlength=ng * 9)
         nz = np.flatnonzero(counts)
+        labels = gd.dictionary.cast(pa.string()).to_pylist() + [None]
         return pa.table({
-            group_col: gd.dictionary.take(pa.array(nz // 9)),
+            group_col: pa.array([labels[i] for i in nz // 9], pa.string()),
             "digit": pa.array((nz % 9 + 1).astype(np.int64)),
             "n": pa.array(counts[nz].astype(np.int64)),
         })
@@ -1106,15 +1113,17 @@ def benford_digits(ds, col: str, group_col: str):
         if isinstance(ga, pa.ChunkedArray):
             ga = ga.combine_chunks()
         gd = pc.dictionary_encode(ga)
-        gi = np.asarray(gd.indices).astype(np.int64)
+        gi = np.asarray(pc.fill_null(gd.indices, -1)).astype(np.int64)
+        ng = len(gd.dictionary) + 1
+        gi = np.where(gi < 0, ng - 1, gi)
         d = np.asarray(t["digit"]).astype(np.int64)
         n = np.asarray(t["n"]).astype(np.int64)
-        ng = len(gd.dictionary)
         tot = np.zeros(ng * 9, np.int64)
         np.add.at(tot, gi * 9 + (d - 1), n)
         nz = np.flatnonzero(tot)
+        labels = gd.dictionary.cast(pa.string()).to_pylist() + [None]
         return pa.table({
-            group_col: gd.dictionary.take(pa.array(nz // 9)),
+            group_col: pa.array([labels[i] for i in nz // 9], pa.string()),
             "digit": pa.array((nz % 9 + 1).astype(np.int64)),
             "n": pa.array(tot[nz]),
         })

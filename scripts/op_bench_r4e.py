@@ -77,21 +77,22 @@ def main() -> None:
         session_paths,
     )
 
-    # synthetic 1M-edge graph (the triangle-bench unit): ring + chords
-    def edges_1m():
-        def mk(t: pa.Table) -> pa.Table:
-            d = np.asarray(t["doc_id"]).astype(np.int64)
-            a = np.concatenate([d, d])
-            b = np.concatenate([(d + 1) % len(d), (d * 7 + 3) % len(d)])
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            keep = lo != hi
-            return pa.table({"doc_a": pa.array(lo[keep]),
-                             "doc_b": pa.array(hi[keep])})
-        return (docs_n(REPS, ("doc_id",)).map_batches(
-            mk, batch_format="pyarrow"))
+    # synthetic graph over the GLOBAL id space (ring + chords, canonical,
+    # deduplicated — kcore_from_pairs raises on duplicate edges)
+    def edges_ring(n_nodes: int):
+        d = np.arange(n_nodes, dtype=np.int64)
+        a = np.concatenate([d, d])
+        b = np.concatenate([(d + 1) % n_nodes, (d * 7 + 3) % n_nodes])
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        key = np.unique(lo[keep] * n_nodes + hi[keep])
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array(key // n_nodes),
+            "doc_b": pa.array(key % n_nodes),
+        })).repartition(64)
 
-    run("kcore_pairs_1m_edges", lambda: kcore_from_pairs(
-        edges_1m(), iters=3).materialize())
+    run("kcore_pairs_2m_edges", lambda: kcore_from_pairs(
+        edges_ring(1_000_000), iters=3).materialize())
     run("session_paths_2m", lambda: session_paths(events_2m()))
     run("benford_2m", lambda: benford_digits(
         rd.read_parquet([f"{SF}/events.parquet"] * max(REPS // 10, 1),

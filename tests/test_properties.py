@@ -1159,6 +1159,23 @@ def test_conversion_lag_matches_python_reference(ray_session, rows):
         assert got[name] == [want], (q, lags, got)
 
 
+def test_kcore_duplicate_edges_raise(ray_session):
+    """Duplicate input edges would silently inflate degrees AND h-indexes
+    — the guard must fail loudly (triangle_counts_from_pairs precedent)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import kcore_from_pairs
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 1, 2], pa.int64()),
+        "doc_b": pa.array([2, 2, 3], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="duplicate"):
+        kcore_from_pairs(pairs, iters=1, num_buckets=2).take_all()
+
+
 def _h_index(values):
     """max h such that at least h of ``values`` are >= h."""
     vs = sorted(values, reverse=True)
