@@ -36,7 +36,7 @@ def entry() -> Any:
 # outside any single window (every one still runs in the repo's
 # identical-protocol parity suite at sf0.001 each pytest session, and the
 # full sweep ran green at sf0.01 under the driver protocol this round —
-# 156/156 at the time, later additions driven green individually), so order =
+# latest full run 181/181, zero failures), so order =
 # correctness-signal priority. Round-4 rotation (VERDICT r3 "Next round" #1):
 # (1) the 27 oracle-bearing queries that have NEVER had a driver CORRECTNESS
 #     row across r01-r03 (all late-round-3 additions);
