@@ -2288,6 +2288,36 @@ FROM m
 """
 
 
+DUP_PROFILE_KS = (1, 2, 3, 4, 8, 16, 32)
+
+
+def q_dup_profile(sf_dir: str):
+    """Duplication spectrum over window lengths
+    (``dedup.duplication_profile``) — the boilerplate-granularity curve
+    that sizes ExactSubstr-style dedup; k=3 exercises the non-power
+    two-power probe."""
+    from ..stages.dedup import duplication_profile
+
+    return duplication_profile(_docs(sf_dir), DUP_PROFILE_KS)
+
+
+def _dup_profile_sql() -> str:
+    parts = []
+    for k in DUP_PROFILE_KS:
+        parts.append(f"""
+SELECT {k}::BIGINT AS k,
+       count(*) FILTER (c >= 2)::BIGINT AS n_dup_windows,
+       coalesce(sum(c) FILTER (c >= 2), 0)::BIGINT AS n_dup_positions
+FROM (SELECT count(*) AS c
+      FROM (SELECT array_to_string(w[i:i+{k - 1}], ' ') AS gr
+            FROM (SELECT w, unnest(range(1, len(w) - {k} + 2)) AS i
+                  FROM (SELECT list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents)))
+      GROUP BY gr)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_conversion_lag(sf_dir: str):
     """Exact quantiles of first-view -> first-purchase lag in seconds
     (``windows.conversion_lag_quantiles``) — funnel latency, not just
@@ -2762,6 +2792,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_novel_grams": q_novel_grams,
         "w_conversion_lag": q_conversion_lag,
         "d_lrs": q_lrs,
+        "d_dup_profile": q_dup_profile,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
@@ -4709,6 +4740,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_novel_grams": NOVEL_GRAMS_SQL,
         "w_conversion_lag": CONVERSION_LAG_SQL,
         "d_lrs": LRS_SQL,
+        "d_dup_profile": _dup_profile_sql(),
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,

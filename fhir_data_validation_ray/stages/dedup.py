@@ -3206,38 +3206,12 @@ def novel_gram_counts(docs, *, n: int = 2, column: str = "text",
 _LRS_POS_CAP = 1 << 20  # max words per doc in the packed global position
 
 
-def longest_repeated_substring(docs, *, column: str = "text",
-                               num_buckets: int = 256,
-                               batch_size: int | None = None):
-    """Corpus-wide longest repeated WORD-substring via distributed
-    prefix doubling — the core subroutine of suffix-array exact-substring
-    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
-    Models Better"): the length of the longest word sequence occurring at
-    >= 2 positions anywhere in the corpus (across or within docs), plus
-    how many positions carry a duplicated substring of that length.
 
-    Plan (equality-class prefix doubling — classes, not lexicographic
-    ranks, since only duplicate DETECTION is needed, never suffix order):
-    stage 0 assigns width-1 classes (class id = min global packed position
-    per word) in one word-bucket exchange; each doubling round pairs
-    (class(i), class(i + w)) inside a per-DOC group (the pair is always
-    intra-doc, so the shift is a local gather, no cross-doc exchange) and
-    resolves width-2w classes as min-position per key in a key-bucket
-    groupby, with a one-row-per-class dup indicator folded in (the
-    dedup_clusters convergence pattern) so the stop check is a cheap
-    ``sum`` scan of the materialized round, never a third exchange.
-    Doubling stops at the first width with no duplicate — O(log LRS)
-    rounds — then a driver binary search pins the exact length, each probe
-    one (class(i), class(i + k - w)) counting exchange over the last
-    dup-bearing class table (the sparse-table two-power trick). Positions
-    whose window overruns the doc keep the unique class = own position, so
-    they can never merge (class ids are min member positions; classes
-    partition positions, hence ids are collision-free).
-
-    Returns a one-row pyarrow Table (lrs_words, n_occurrences):
-    n_occurrences = positions whose lrs-word window is shared with at
-    least one other position; (0, 0) when no word repeats."""
-    from ..functions.collect import collect_table
+def _lrs_class_rows(docs, column: str, num_buckets: int,
+                    batch_size: int | None):
+    """Stage 0 of the prefix-doubling family: width-1 suffix-equality
+    classes (class id = min global packed position per word) in one
+    word-bucket exchange. Returns a materialized Dataset[doc, pos, cls]."""
     from .textops import _word_lists
 
     def word_rows(t: pa.Table) -> pa.Table:
@@ -3247,10 +3221,10 @@ def longest_repeated_substring(docs, *, column: str = "text",
         words, counts, _ = _word_lists(texts)
         ids = np.asarray(t["doc_id"]).astype(np.int64)
         if len(counts) and int(counts.max()) >= _LRS_POS_CAP:
-            raise ValueError("longest_repeated_substring: doc exceeds "
+            raise ValueError("prefix doubling: doc exceeds "
                              f"{_LRS_POS_CAP} words")
         if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 42)):
-            raise ValueError("longest_repeated_substring: doc_id out of "
+            raise ValueError("prefix doubling: doc_id out of "
                              "packed-position range")
         parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         starts = np.zeros(len(counts), np.int64)
@@ -3284,30 +3258,45 @@ def longest_repeated_substring(docs, *, column: str = "text",
             "cls": pa.array(mn[gi]),
         })
 
-    def _doc_sorted(g: pa.Table):
-        pos = np.asarray(g["pos"]).astype(np.int64)
-        cls = np.asarray(g["cls"]).astype(np.int64)
-        order = np.argsort(pos)
-        return pos[order], cls[order]
+    return (docs.map_batches(word_rows, batch_format="pyarrow",
+                             batch_size=batch_size)
+            .groupby("bucket")
+            .map_groups(word_fold, batch_format="pyarrow")).materialize()
 
-    def pair_keys(w: int):
-        def f(g: pa.Table) -> pa.Table:
-            pos, cls = _doc_sorted(g)
-            n = len(pos)
-            k1 = cls
-            k2 = -pos - 1  # window overrun: unique, never merges
-            if n > w:
-                k2 = k2.copy()
-                k2[:n - w] = cls[w:]
-            full = (np.arange(n, dtype=np.int64) + 2 * w) <= n
-            kb = _intmix(k1 * np.int64(0x9E3779B1) + k2, num_buckets)
-            return pa.table({
-                "kbucket": pa.array(kb.astype(np.int32)),
-                "k1": pa.array(k1), "k2": pa.array(k2),
-                "pos": pa.array(pos),
-                "full": pa.array(full.astype(np.int8)),
-            })
-        return f
+
+def _lrs_doc_sorted(g: pa.Table):
+    pos = np.asarray(g["pos"]).astype(np.int64)
+    cls = np.asarray(g["cls"]).astype(np.int64)
+    order = np.argsort(pos)
+    return pos[order], cls[order]
+
+
+def _lrs_doubled(rows, w: int, num_buckets: int):
+    """One prefix-doubling round: width-w classes -> width-2w classes.
+    The (class(i), class(i+w)) pair is intra-doc, so the shift is a local
+    gather in a per-doc group; class resolution (min position per key) and
+    the one-row-per-class dup indicator ride one key-bucket groupby; the
+    stop check is a cheap ``sum`` scan of the materialized round (the
+    dedup_clusters convergence pattern). Returns (rows_2w, n_dup_classes);
+    positions whose 2w-window overruns the doc keep the unique class = own
+    position, so they never merge."""
+
+    def pair_keys(g: pa.Table) -> pa.Table:
+        pos, cls = _lrs_doc_sorted(g)
+        n = len(pos)
+        k1 = cls
+        k2 = -pos - 1  # window overrun: unique, never merges
+        if n > w:
+            k2 = k2.copy()
+            k2[:n - w] = cls[w:]
+        full = (np.arange(n, dtype=np.int64) + 2 * w) <= n
+        kb = _intmix(k1 * np.int64(0x9E3779B1) + k2, num_buckets)
+        return pa.table({
+            "kbucket": pa.array(kb.astype(np.int32)),
+            "k1": pa.array(k1), "k2": pa.array(k2),
+            "pos": pa.array(pos),
+            "full": pa.array(full.astype(np.int8)),
+        })
 
     def cls_fold(g: pa.Table) -> pa.Table:
         k1 = np.asarray(g["k1"]).astype(np.int64)
@@ -3332,32 +3321,37 @@ def longest_repeated_substring(docs, *, column: str = "text",
             "dup": pa.array(dup),
         })
 
-    def doubled(rows, w: int):
-        out = (rows.groupby("doc")
-               .map_groups(pair_keys(w), batch_format="pyarrow")
-               .groupby("kbucket")
-               .map_groups(cls_fold, batch_format="pyarrow")).materialize()
-        ndup = out.sum("dup") or 0
-        return out, int(ndup)
+    out = (rows.groupby("doc")
+           .map_groups(pair_keys, batch_format="pyarrow")
+           .groupby("kbucket")
+           .map_groups(cls_fold, batch_format="pyarrow")).materialize()
+    ndup = out.sum("dup") or 0
+    return out, int(ndup)
 
-    def probe_keys(w0: int, k: int):
-        def f(g: pa.Table) -> pa.Table:
-            pos, cls = _doc_sorted(g)
-            n = len(pos)
-            m = n - k
-            if m < 0:
-                m = -1
-            k1 = cls[:m + 1]
-            k2 = cls[k - w0:k - w0 + m + 1]
-            key = np.stack([k1, k2])
-            uk, cnt = np.unique(key, axis=1, return_counts=True)
-            kb = _intmix(uk[0] * np.int64(0x9E3779B1) + uk[1], num_buckets)
-            return pa.table({
-                "kbucket": pa.array(kb.astype(np.int32)),
-                "k1": pa.array(uk[0]), "k2": pa.array(uk[1]),
-                "cnt": pa.array(cnt.astype(np.int64)),
-            })
-        return f
+
+def _lrs_probe(rows, w0: int, k: int, num_buckets: int) -> tuple[int, int]:
+    """Duplicate count at exact window length k over width-w0 class rows
+    (w0 <= k < 2*w0, the sparse-table two-power trick): key(i) =
+    (class(i), class(i + k - w0)) for every i with i + k <= doc length.
+    Returns (n_dup_classes, n_dup_positions)."""
+    from ..functions.collect import collect_table
+
+    def probe_keys(g: pa.Table) -> pa.Table:
+        pos, cls = _lrs_doc_sorted(g)
+        n = len(pos)
+        m = n - k
+        if m < 0:
+            m = -1
+        k1 = cls[:m + 1]
+        k2 = cls[k - w0:k - w0 + m + 1]
+        key = np.stack([k1, k2])
+        uk, cnt = np.unique(key, axis=1, return_counts=True)
+        kb = _intmix(uk[0] * np.int64(0x9E3779B1) + uk[1], num_buckets)
+        return pa.table({
+            "kbucket": pa.array(kb.astype(np.int32)),
+            "k1": pa.array(uk[0]), "k2": pa.array(uk[1]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
 
     def probe_fold(g: pa.Table) -> pa.Table:
         k1 = np.asarray(g["k1"]).astype(np.int64)
@@ -3376,45 +3370,109 @@ def longest_repeated_substring(docs, *, column: str = "text",
             "n_pos": pa.array([int(tot[dup].sum())], pa.int64()),
         })
 
-    def probe(rows, w0: int, k: int) -> tuple[int, int]:
-        parts = collect_table(
-            rows.groupby("doc")
-            .map_groups(probe_keys(w0, k), batch_format="pyarrow")
-            .groupby("kbucket")
-            .map_groups(probe_fold, batch_format="pyarrow"),
-            empty_schema=pa.schema([("n_classes", pa.int64()),
-                                    ("n_pos", pa.int64())]),
-        )
-        if not parts.num_rows:
-            return 0, 0
-        return (int(np.asarray(parts["n_classes"]).sum()),
-                int(np.asarray(parts["n_pos"]).sum()))
+    parts = collect_table(
+        rows.groupby("doc")
+        .map_groups(probe_keys, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(probe_fold, batch_format="pyarrow"),
+        empty_schema=pa.schema([("n_classes", pa.int64()),
+                                ("n_pos", pa.int64())]),
+    )
+    if not parts.num_rows:
+        return 0, 0
+    return (int(np.asarray(parts["n_classes"]).sum()),
+            int(np.asarray(parts["n_pos"]).sum()))
 
-    rows = (docs.map_batches(word_rows, batch_format="pyarrow",
-                             batch_size=batch_size)
-            .groupby("bucket")
-            .map_groups(word_fold, batch_format="pyarrow")).materialize()
+
+def longest_repeated_substring(docs, *, column: str = "text",
+                               num_buckets: int = 256,
+                               batch_size: int | None = None):
+    """Corpus-wide longest repeated WORD-substring via distributed
+    prefix doubling — the core subroutine of suffix-array exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): the length of the longest word sequence occurring at
+    >= 2 positions anywhere in the corpus (across or within docs), plus
+    how many positions carry a duplicated substring of that length.
+
+    Plan (equality-class prefix doubling — classes, not lexicographic
+    ranks, since only duplicate DETECTION is needed, never suffix order):
+    ``_lrs_class_rows`` width-1 classes; ``_lrs_doubled`` rounds until the
+    first width with no duplicate — O(log LRS) rounds — then a driver
+    binary search pins the exact length, each probe one ``_lrs_probe``
+    counting exchange over the last dup-bearing class table.
+
+    Returns a one-row pyarrow Table (lrs_words, n_occurrences):
+    n_occurrences = positions whose lrs-word window is shared with at
+    least one other position; (0, 0) when no word repeats."""
+    rows = _lrs_class_rows(docs, column, num_buckets, batch_size)
 
     def _out(lrs: int, nocc: int) -> pa.Table:
         return pa.table({"lrs_words": pa.array([lrs], pa.int64()),
                          "n_occurrences": pa.array([nocc], pa.int64())})
 
-    ncls, npos = probe(rows, 1, 1)
+    ncls, _ = _lrs_probe(rows, 1, 1, num_buckets)
     if ncls == 0:
         return _out(0, 0)
     cur, w = rows, 1
     while True:
-        nxt, ndup = doubled(cur, w)
+        nxt, ndup = _lrs_doubled(cur, w, num_buckets)
         if ndup == 0:
             break
         cur, w = nxt, 2 * w
     lo, hi = w, 2 * w  # duplicate exists at lo, none at hi
     while lo + 1 < hi:
         mid = (lo + hi) // 2
-        ncls, _ = probe(cur, w, mid)
+        ncls, _ = _lrs_probe(cur, w, mid, num_buckets)
         if ncls > 0:
             lo = mid
         else:
             hi = mid
-    _, nocc = probe(cur, w, lo)
+    _, nocc = _lrs_probe(cur, w, lo, num_buckets)
     return _out(lo, nocc)
+
+
+def duplication_profile(docs, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+                        *, column: str = "text", num_buckets: int = 256,
+                        batch_size: int | None = None):
+    """Duplication spectrum: for each window length k, how many positions
+    sit inside a word k-window that occurs >= 2 times anywhere in the
+    corpus, and how many distinct duplicated k-windows there are — the
+    "how much boilerplate at which granularity" curve that sizes
+    ExactSubstr-style dedup before running it (a corpus whose dup mass
+    persists at k=32 has template spans worth stripping; one that decays
+    by k=4 only shares vocabulary).
+
+    Same machinery as ``longest_repeated_substring``: one stage-0 class
+    exchange, doubling rounds up to the largest power of two needed (or
+    the first duplicate-free width — every longer k is then exactly 0),
+    one probe exchange per requested k via the two-power trick.
+
+    Returns a pyarrow Table (k, n_dup_windows, n_dup_positions) sorted by
+    k."""
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive window lengths")
+    rows = _lrs_class_rows(docs, column, num_buckets, batch_size)
+    tables = {1: rows}
+    w = 1
+    dup_floor = None  # first width with zero duplicates
+    while 2 * w <= ks[-1]:
+        nxt, ndup = _lrs_doubled(tables[w], w, num_buckets)
+        w *= 2
+        tables[w] = nxt
+        if ndup == 0:
+            dup_floor = w
+            break
+    out_k, out_c, out_p = [], [], []
+    for k in ks:
+        if dup_floor is not None and k >= dup_floor:
+            ncls = npos = 0
+        else:
+            w0 = 1 << (k.bit_length() - 1)  # largest power of two <= k
+            ncls, npos = _lrs_probe(tables[w0], w0, k, num_buckets)
+        out_k.append(k)
+        out_c.append(ncls)
+        out_p.append(npos)
+    return pa.table({"k": pa.array(out_k, pa.int64()),
+                     "n_dup_windows": pa.array(out_c, pa.int64()),
+                     "n_dup_positions": pa.array(out_p, pa.int64())})

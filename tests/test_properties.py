@@ -1120,6 +1120,42 @@ def test_lrs_matches_python_reference(ray_session, doc_words):
 
 
 @settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "ab", "c"]),
+                         max_size=10),
+                min_size=1, max_size=10))
+def test_dup_profile_matches_python_reference(ray_session, doc_words):
+    """Per-k duplicate-window counts from the shared doubling tables +
+    two-power probes equal brute-force window counting, including
+    non-power k and k past the duplicate-free width (exact zeros)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.dedup import duplication_profile
+
+    ks = (1, 2, 3, 5, 8)
+    texts = [" ".join(w) for w in doc_words]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    got = duplication_profile(docs, ks, num_buckets=4).to_pydict()
+
+    rows = []
+    for k in ks:
+        counts: dict[tuple, int] = {}
+        for w in doc_words:
+            w = [x for x in w if x]
+            for i in range(len(w) - k + 1):
+                t = tuple(w[i:i + k])
+                counts[t] = counts.get(t, 0) + 1
+        dups = {t: c for t, c in counts.items() if c >= 2}
+        rows.append((k, len(dups), sum(dups.values())))
+    assert got == {"k": [r[0] for r in rows],
+                   "n_dup_windows": [r[1] for r in rows],
+                   "n_dup_positions": [r[2] for r in rows]}
+
+
+@settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100),
                           st.sampled_from(["view", "purchase", "x"])),
                 min_size=1, max_size=40))
