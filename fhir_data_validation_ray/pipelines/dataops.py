@@ -2288,6 +2288,36 @@ FROM m
 """
 
 
+def q_cusum(sf_dir: str):
+    """Integer CUSUM rate-shift alarms per event type over tumbling
+    windows (``windows.cusum_alarms``) — closed-form prefix-min CUSUM,
+    no recursion on either side."""
+    from ..stages.windows import cusum_alarms
+
+    return cusum_alarms(_events(sf_dir))
+
+
+CUSUM_SQL = """
+WITH c AS (SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type,
+             ((sum(n) + count(*) - 1) // count(*))::BIGINT AS k
+      FROM c GROUP BY 1),
+p AS (SELECT c.event_type, window_id, n, m.k,
+             sum(n - m.k) OVER (PARTITION BY c.event_type
+                                ORDER BY window_id) AS p
+      FROM c JOIN m USING (event_type)),
+q AS (SELECT event_type, window_id, n, k, p,
+             min(p) OVER (PARTITION BY event_type ORDER BY window_id) AS rm
+      FROM p)
+SELECT event_type, window_id, n, (p - least(rm, 0))::BIGINT AS s,
+       (CASE WHEN p - least(rm, 0) >= 3 * k THEN 1 ELSE 0 END)::BIGINT
+         AS alarm
+FROM q
+"""
+
+
 DUP_PROFILE_KS = (1, 2, 3, 4, 8, 16, 32)
 
 
@@ -2793,6 +2823,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "w_conversion_lag": q_conversion_lag,
         "d_lrs": q_lrs,
         "d_dup_profile": q_dup_profile,
+        "w_cusum": q_cusum,
         "w_asof_prev_purchase": q_asof_prev_purchase,
         "w_range_join": q_range_join,
         "a_kind_drift": q_kind_drift,
@@ -4741,6 +4772,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "w_conversion_lag": CONVERSION_LAG_SQL,
         "d_lrs": LRS_SQL,
         "d_dup_profile": _dup_profile_sql(),
+        "w_cusum": CUSUM_SQL,
         "w_asof_prev_purchase": ASOF_SQL,
         "w_range_join": RANGE_JOIN_SQL,
         "a_stats_nchars": STATS_NCHARS_SQL,

@@ -1605,3 +1605,47 @@ def conversion_lag_quantiles(events, *, from_type: str = "view",
             .map_batches(partial, batch_format="pyarrow")
             .groupby("bucket").map_groups(lag_fold, batch_format="pyarrow"))
     return exact_int_quantiles(lags, "lag")
+
+
+def cusum_alarms(events, *, window_us: int = US_PER_HOUR, h_mult: int = 3):
+    """Integer CUSUM change-point detection per event type over tumbling
+    windows — the rate-shift / incident dial on an event stream: with
+    per-present-window drift allowance k = ceil(mean count), the CUSUM
+    statistic S_t = max(0, S_{t-1} + n_t - k) rises only under sustained
+    above-mean rates and alarms at S_t >= h_mult * k.
+
+    No recursion anywhere: S_t has the closed form P_t - min(0, running
+    min of P) with P = cumsum(n - k), so both the engine (one vectorized
+    pass per type group) and the oracle (two window functions) are
+    integer-exact. The exchange is the LOW-cardinality
+    ``tumbling_window_counts`` fold (windows x types, never events); the
+    per-type series group is bounded by the window count. Windows with
+    zero events are absent from the series (documented: gaps are skipped,
+    matching the counts-derived oracle).
+
+    Returns Dataset[event_type, window_id, n, s, alarm]."""
+
+    counts = tumbling_window_counts(events, window_us=window_us)
+
+    def per_type(g: pa.Table) -> pa.Table:
+        w = np.asarray(g["window_id"]).astype(np.int64)
+        n = np.asarray(g["n"]).astype(np.int64)
+        order = np.argsort(w)
+        w, n = w[order], n[order]
+        total, nw = int(n.sum()), len(n)
+        k = -(-total // nw)  # ceil mean per present window
+        p = np.cumsum(n - k)
+        s = p - np.minimum(np.minimum.accumulate(p), 0)
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "event_type": pa.array([et[0].as_py()] * nw, pa.string()),
+            "window_id": pa.array(w),
+            "n": pa.array(n),
+            "s": pa.array(s),
+            "alarm": pa.array((s >= h_mult * k).astype(np.int64)),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        per_type, batch_format="pyarrow")

@@ -1195,6 +1195,24 @@ def test_conversion_lag_matches_python_reference(ray_session, rows):
         assert got[name] == [want], (q, lags, got)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 20), min_size=1, max_size=50),
+       st.integers(1, 5))
+def test_cusum_closed_form_matches_recursion(ns, k):
+    """The vectorized CUSUM closed form (P - min(0, running min of P))
+    equals the defining recursion S_t = max(0, S_{t-1} + n_t - k) for any
+    count series — the identity both the engine and the SQL oracle rest
+    on."""
+    n = np.array(ns, dtype=np.int64)
+    p = np.cumsum(n - k)
+    closed = p - np.minimum(np.minimum.accumulate(p), 0)
+    s, ref = 0, []
+    for x in ns:
+        s = max(0, s + x - k)
+        ref.append(s)
+    assert closed.tolist() == ref
+
+
 def test_kcore_duplicate_edges_raise(ray_session):
     """Duplicate input edges would silently inflate degrees AND h-indexes
     — the guard must fail loudly (triangle_counts_from_pairs precedent)."""
