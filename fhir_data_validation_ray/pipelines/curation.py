@@ -691,3 +691,102 @@ def rank_fusion(docs, *, batch_size: int | None = None):
         return pa.table(out)
 
     return sig.map_batches(fuse, batch_format="pyarrow")
+
+
+def pareto_frontier(docs, *, batch_size: int | None = None) -> pa.Table:
+    """Distributed skyline (Pareto frontier) over two integer quality
+    objectives — the "no-threshold" curation view: instead of picking
+    cutoffs for length vs. vocabulary diversity, report every POINT not
+    dominated on both axes at once (Börzsönyi et al., "The Skyline
+    Operator", ICDE 2001). x = non-empty whitespace word count, y =
+    diversity = (1000 * distinct words) // words; zero-word docs are
+    excluded (no diversity is defined for them).
+
+    Dominance is maximizing on both axes: point a is dominated iff some
+    point b has b.x >= a.x and b.y >= a.y and b != a. Output is the set
+    of frontier POINTS with multiplicity (n_docs), not doc ids — with a
+    replicated corpus every copy of a frontier doc lands on the same
+    point, so the result stays bounded by distinct-point cardinality.
+
+    Scale shape — the skyline merge is ASSOCIATIVE (the frontier of a
+    union is the frontier of the locally-dominated-pruned union), so:
+    per-batch map computes distinct points + counts and prunes everything
+    locally dominated (any point dominated in one batch is dominated
+    globally, and a globally-frontier point survives every local prune,
+    so summed surviving counts are exact); a groupby on x combines the
+    per-x column (only max-y per x can survive, counts summed where y
+    equals the per-x max); the final prefix-max sweep runs on the
+    O(distinct x) driver-side table — the same cardinality bound as
+    ``stats._value_count_fold``. No sort, no corpus-sized exchange.
+
+    Returns a pyarrow Table (n_words, diversity, n_docs), x-ascending."""
+    from ..functions.collect import collect_table
+
+    def _local_frontier(x: np.ndarray, y: np.ndarray,
+                        c: np.ndarray) -> tuple[np.ndarray, ...]:
+        # per-x max y (lower y at equal x is dominated); then keep points
+        # whose y strictly exceeds every y at strictly larger x
+        order = np.lexsort((-y, -x))
+        x, y, c = x[order], y[order], c[order]
+        first = np.ones(len(x), bool)
+        first[1:] = x[1:] != x[:-1]
+        x, y, c = x[first], y[first], c[first]
+        keep = np.ones(len(x), bool)
+        if len(x) > 1:
+            keep[1:] = y[1:] > np.maximum.accumulate(y)[:-1]
+        return x[keep], y[keep], c[keep]
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts.fill_null(""), " ")
+        flat = pc.list_flatten(parts)
+        nword_all = pc.list_value_length(parts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), nword_all)
+        da = pc.dictionary_encode(flat)
+        code = np.asarray(da.indices).astype(np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, "")).astype(bool)
+        doc_idx, code = doc_idx[nonempty], code[nonempty]
+        nw = np.zeros(len(t), np.int64)
+        nd = np.zeros(len(t), np.int64)
+        if len(doc_idx):
+            np.add.at(nw, doc_idx, 1)
+            pair = np.unique(doc_idx * np.int64(len(da.dictionary) + 1) + code)
+            np.add.at(nd, pair // np.int64(len(da.dictionary) + 1), 1)
+        pos = nw > 0
+        nw, nd = nw[pos], nd[pos]
+        div = (1000 * nd) // np.maximum(nw, 1)
+        pts, cnt = np.unique(nw * np.int64(1 << 32) + div, return_counts=True)
+        x, y, c = _local_frontier(
+            pts >> np.int64(32), pts & np.int64((1 << 32) - 1),
+            cnt.astype(np.int64))
+        return pa.table({"n_words": pa.array(x), "diversity": pa.array(y),
+                         "n_docs": pa.array(c)})
+
+    def per_x(g: pa.Table) -> pa.Table:
+        y = np.asarray(g["diversity"]).astype(np.int64)
+        c = np.asarray(g["n_docs"]).astype(np.int64)
+        ymax = int(y.max())
+        return pa.table({
+            "n_words": g["n_words"][:1],
+            "diversity": pa.array([ymax], pa.int64()),
+            "n_docs": pa.array([int(c[y == ymax].sum())], pa.int64()),
+        })
+
+    folded = collect_table(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("n_words").map_groups(per_x, batch_format="pyarrow"),
+        empty_schema=pa.schema([("n_words", pa.int64()),
+                                ("diversity", pa.int64()),
+                                ("n_docs", pa.int64())]))
+    x = np.asarray(folded["n_words"]).astype(np.int64)
+    y = np.asarray(folded["diversity"]).astype(np.int64)
+    c = np.asarray(folded["n_docs"]).astype(np.int64)
+    x, y, c = _local_frontier(x, y, c)
+    order = np.argsort(x)
+    return pa.table({"n_words": pa.array(x[order]),
+                     "diversity": pa.array(y[order]),
+                     "n_docs": pa.array(c[order])})

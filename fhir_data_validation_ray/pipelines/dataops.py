@@ -1654,6 +1654,33 @@ def q_rank_fusion(sf_dir: str):
     return rank_fusion(_docs(sf_dir))
 
 
+def q_pareto(sf_dir: str):
+    """Distributed skyline over (word count, vocabulary diversity): every
+    point not dominated on both axes, with multiplicity — threshold-free
+    curation frontier (associative local-prune merge, no sort)."""
+    from .curation import pareto_frontier
+
+    return pareto_frontier(_docs(sf_dir))
+
+
+PARETO_SQL = """
+WITH f AS (SELECT len(list_filter(string_split(text, ' '),
+                                  w -> w <> ''))::BIGINT AS nw,
+                  len(list_distinct(list_filter(string_split(text, ' '),
+                                                w -> w <> '')))::BIGINT AS nd
+           FROM documents),
+p AS (SELECT nw AS n_words, (1000 * nd) // nw AS diversity
+      FROM f WHERE nw > 0),
+d AS (SELECT n_words, diversity, count(*)::BIGINT AS n_docs
+      FROM p GROUP BY 1, 2)
+SELECT n_words, diversity, n_docs FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.n_words >= a.n_words AND b.diversity >= a.diversity
+    AND (b.n_words > a.n_words OR b.diversity > a.diversity))
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -2858,6 +2885,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_triangles": q_triangles,
         "d_cdc_chunks": q_cdc_chunks,
         "c_rank_fusion": q_rank_fusion,
+        "c_pareto": q_pareto,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -4797,6 +4825,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_triangles": TRIANGLES_SQL.format(ngram_ctes=_NGRAM_CTES),
         "d_cdc_chunks": CDC_CHUNK_SQL,
         "c_rank_fusion": RANK_FUSION_SQL,
+        "c_pareto": PARETO_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

@@ -1337,3 +1337,39 @@ def test_cdc_chunks_match_scalar_reference(texts):
     for did, ch in got:
         rebuilt[did] = rebuilt.get(did, "") + ch
     assert rebuilt == {i: s for i, s in enumerate(texts) if s}
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", max_size=12), min_size=1,
+                max_size=20),
+       st.integers(1, 4))
+def test_pareto_frontier_matches_bruteforce(ray_session, texts, blocks):
+    """pareto_frontier (local-prune partials + per-x groupby + driver
+    sweep) equals the O(n^2) dominance definition for arbitrary corpora
+    and block splits — the associative-merge claim, including all-space
+    and empty docs (excluded on both sides) and duplicate points
+    (multiplicity summed)."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.pipelines.curation import pareto_frontier
+
+    pts: dict = {}
+    for s in texts:
+        ws = [w for w in s.split(" ") if w != ""]
+        if not ws:
+            continue
+        p = (len(ws), 1000 * len(set(ws)) // len(ws))
+        pts[p] = pts.get(p, 0) + 1
+    want = sorted(
+        (x, y, c) for (x, y), c in pts.items()
+        if not any((bx >= x and by >= y and (bx, by) != (x, y))
+                   for (bx, by) in pts))
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(blocks)
+    out = pareto_frontier(ds, batch_size=3)
+    got = list(zip(out["n_words"].to_pylist(), out["diversity"].to_pylist(),
+                   out["n_docs"].to_pylist()))
+    assert got == want
