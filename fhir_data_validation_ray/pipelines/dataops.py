@@ -1681,6 +1681,56 @@ WHERE NOT EXISTS (
 """
 
 
+# inclusion-dependency candidate columns: every integer key column of the
+# TPC-H-ish star schema. The ORACLE is generated from this same list, so
+# engine and SQL can never disagree on the candidate set.
+IND_CANDIDATES = [
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"), ("customer", "c_custkey"),
+    ("customer", "c_nationkey"), ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"), ("part", "p_partkey"),
+    ("orders", "o_orderkey"), ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+]
+
+
+def q_ind_discovery(sf_dir: str):
+    """Inclusion-dependency (FK-candidate) discovery across every integer
+    key column of the star schema — one shared value-bucketed exchange,
+    per-bucket Gram matrix, no per-pair passes."""
+    import ray.data as rd
+
+    from ..stages.stats import ind_discovery
+
+    cols = [(f"{t}.{c}",
+             rd.read_parquet(f"{sf_dir}/{t}.parquet", columns=[c]), c)
+            for t, c in IND_CANDIDATES]
+    return ind_discovery(cols)
+
+
+def _ind_discovery_sql() -> str:
+    ctes = ",\n".join(
+        f"c{i} AS (SELECT DISTINCT {c}::BIGINT AS v FROM {t} "
+        f"WHERE {c} IS NOT NULL)"
+        for i, (t, c) in enumerate(IND_CANDIDATES))
+    pairs = []
+    for i, (ti, ci) in enumerate(IND_CANDIDATES):
+        for j, (tj, cj) in enumerate(IND_CANDIDATES):
+            if i == j or ti == tj:
+                continue
+            pairs.append(
+                f"SELECT '{ti}.{ci}' AS lhs, '{tj}.{cj}' AS rhs,\n"
+                f"  (SELECT count(*) FROM c{i})::BIGINT AS n_lhs,\n"
+                f"  (SELECT count(*) FROM c{i} WHERE v IN "
+                f"(SELECT v FROM c{j}))::BIGINT AS n_overlap")
+    body = "\nUNION ALL\n".join(pairs)
+    return (f"WITH {ctes},\np AS (\n{body}\n)\n"
+            "SELECT lhs, rhs, n_lhs, n_overlap,\n"
+            "  (CASE WHEN n_overlap = n_lhs THEN 1 ELSE 0 END)::BIGINT"
+            " AS included\nFROM p")
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -2886,6 +2936,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_cdc_chunks": q_cdc_chunks,
         "c_rank_fusion": q_rank_fusion,
         "c_pareto": q_pareto,
+        "d_ind_discovery": q_ind_discovery,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -4826,6 +4877,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_cdc_chunks": CDC_CHUNK_SQL,
         "c_rank_fusion": RANK_FUSION_SQL,
         "c_pareto": PARETO_SQL,
+        "d_ind_discovery": _ind_discovery_sql(),
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

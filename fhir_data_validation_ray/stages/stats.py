@@ -1135,3 +1135,94 @@ def benford_digits(ds, col: str, group_col: str):
                                 ("digit", pa.int64()), ("n", pa.int64())]),
     )
     return combine(parts) if parts.num_rows else parts
+
+
+def ind_discovery(columns, *, num_buckets: int = 64,
+                  batch_size: int | None = None) -> pa.Table:
+    """Inclusion-dependency discovery (the foreign-key-candidate profiling
+    primitive, the cross-TABLE sibling of ``fd_violations``): for every
+    directed pair of candidate integer columns from DIFFERENT tables,
+    report |distinct(lhs)|, |distinct(lhs) ∩ distinct(rhs)| and whether
+    lhs ⊆ rhs holds — lhs ⊆ rhs with high overlap is a FK candidate.
+
+    ``columns``: list of (name, dataset, column) — each dataset already
+    pruned to its one integer column.
+
+    Scale shape: C candidate columns share ONE value-bucketed exchange —
+    each column's batches emit batch-distinct values tagged with the
+    column id (pre-deduped, so the exchange carries per-batch distinct
+    values, never rows); each bucket group builds an (n_values, C) 0/1
+    membership matrix and emits the CxC Gram matrix M.T @ M (diagonal =
+    per-column distinct-in-bucket, off-diagonal = pairwise overlap); a
+    pair-id groupby sums the per-bucket C^2 partials, and the driver
+    assembles the <= C^2-row result. No broadcast, no per-pair passes:
+    one read of each column regardless of pair count. C <= 63 enforced
+    (bitmask-free here, but keeps the group fold's matmul bounded).
+
+    Returns a pyarrow Table (lhs, rhs, n_lhs, n_overlap, included),
+    cross-table directed pairs only, sorted by (lhs, rhs)."""
+    import ray.data  # noqa: F401  (Dataset.union)
+
+    C = len(columns)
+    if C > 63:
+        raise ValueError(f"ind_discovery: {C} candidate columns > 63")
+    names = [n for n, _, _ in columns]
+    tables = [n.split(".", 1)[0] for n in names]
+
+    def make_partial(col_id: int, col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            a = t[col]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            v = np.unique(np.asarray(a.drop_null()).astype(np.int64))
+            return pa.table({
+                "bucket": pa.array(v % np.int64(num_buckets)),
+                "value": pa.array(v),
+                "col_id": pa.array(np.full(len(v), col_id, np.int64)),
+            })
+        return partial
+
+    tagged = None
+    for i, (_, ds, col) in enumerate(columns):
+        part = ds.map_batches(make_partial(i, col), batch_format="pyarrow",
+                              batch_size=batch_size)
+        tagged = part if tagged is None else tagged.union(part)
+
+    def gram(g: pa.Table) -> pa.Table:
+        v = np.asarray(g["value"]).astype(np.int64)
+        c = np.asarray(g["col_id"]).astype(np.int64)
+        _, inv = np.unique(v, return_inverse=True)
+        m = np.zeros((int(inv.max()) + 1, C), np.int64)
+        m[inv, c] = 1
+        gm = m.T @ m
+        lhs, rhs = np.divmod(np.arange(C * C, dtype=np.int64), C)
+        return pa.table({
+            "pair_id": pa.array(lhs * C + rhs),
+            "n": pa.array(gm.reshape(-1)),
+        })
+
+    folded = collect_table(
+        tagged.groupby("bucket").map_groups(gram, batch_format="pyarrow")
+        .groupby("pair_id").sum("n"),
+        empty_schema=pa.schema([("pair_id", pa.int64()),
+                                ("sum(n)", pa.int64())]))
+    acc = np.zeros(C * C, np.int64)
+    if folded.num_rows:
+        acc[np.asarray(folded["pair_id"]).astype(np.int64)] = \
+            np.asarray(folded["sum(n)"]).astype(np.int64)
+    out = {"lhs": [], "rhs": [], "n_lhs": [], "n_overlap": [], "included": []}
+    for i in range(C):
+        for j in range(C):
+            if i == j or tables[i] == tables[j]:
+                continue
+            n_lhs, n_ov = int(acc[i * C + i]), int(acc[i * C + j])
+            out["lhs"].append(names[i])
+            out["rhs"].append(names[j])
+            out["n_lhs"].append(n_lhs)
+            out["n_overlap"].append(n_ov)
+            out["included"].append(1 if n_ov == n_lhs else 0)
+    tbl = pa.table({k: pa.array(v, pa.string() if k in ("lhs", "rhs")
+                                else pa.int64()) for k, v in out.items()})
+    order = pc.sort_indices(tbl, sort_keys=[("lhs", "ascending"),
+                                            ("rhs", "ascending")])
+    return tbl.take(order)

@@ -1373,3 +1373,31 @@ def test_pareto_frontier_matches_bruteforce(ray_session, texts, blocks):
     got = list(zip(out["n_words"].to_pylist(), out["diversity"].to_pylist(),
                    out["n_docs"].to_pylist()))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.integers(-8, 8), min_size=0, max_size=12),
+                min_size=2, max_size=4),
+       st.integers(1, 3))
+def test_ind_discovery_matches_set_reference(ray_session, cols, blocks):
+    """ind_discovery (shared value-bucketed exchange + per-bucket Gram
+    matrix) equals plain set containment for arbitrary small columns —
+    negative values, empty columns, duplicate values, any block split."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import ind_discovery
+
+    inputs = []
+    for i, vals in enumerate(cols):
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        inputs.append((f"t{i}.v", ds.repartition(blocks), "v"))
+    got = ind_discovery(inputs, num_buckets=4).to_pandas()
+
+    sets = [set(v) for v in cols]
+    for _, row in got.iterrows():
+        i = int(row["lhs"][1:-2])
+        j = int(row["rhs"][1:-2])
+        assert row["n_lhs"] == len(sets[i])
+        assert row["n_overlap"] == len(sets[i] & sets[j])
+        assert row["included"] == (1 if sets[i] <= sets[j] else 0)
+    assert len(got) == len(cols) * (len(cols) - 1)
