@@ -1731,6 +1731,28 @@ def _ind_discovery_sql() -> str:
             " AS included\nFROM p")
 
 
+def q_rollup(sf_dir: str):
+    """Two-level ROLLUP over (source, lang): doc counts + char sums at the
+    finest, per-source and grand levels from one finest-level fold."""
+    import ray.data as rd
+
+    from ..stages.stats import rollup_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang", "n_chars"])
+    return rollup_counts(ds, "source", "lang", "n_chars")
+
+
+ROLLUP_SQL = """
+WITH d AS (SELECT coalesce(source, '*') AS s, coalesce(lang, '*') AS l,
+                  coalesce(n_chars, 0) AS v FROM documents)
+SELECT coalesce(s, '*') AS source, coalesce(l, '*') AS lang,
+       (GROUPING(s) + GROUPING(l))::BIGINT AS lvl,
+       count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_val
+FROM d GROUP BY ROLLUP(s, l)
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -2937,6 +2959,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_rank_fusion": q_rank_fusion,
         "c_pareto": q_pareto,
         "d_ind_discovery": q_ind_discovery,
+        "a_rollup": q_rollup,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -4878,6 +4901,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_rank_fusion": RANK_FUSION_SQL,
         "c_pareto": PARETO_SQL,
         "d_ind_discovery": _ind_discovery_sql(),
+        "a_rollup": ROLLUP_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

@@ -1226,3 +1226,87 @@ def ind_discovery(columns, *, num_buckets: int = 64,
     order = pc.sort_indices(tbl, sort_keys=[("lhs", "ascending"),
                                             ("rhs", "ascending")])
     return tbl.take(order)
+
+
+def rollup_counts(ds, a: str, b: str, val: str) -> pa.Table:
+    """Two-level ROLLUP aggregate — (a, b), (a), and grand-total counts +
+    measure sums from ONE finest-level fold (the OLAP cube primitive; at
+    100 TB the coarser levels must derive from the finest partials, never
+    from extra corpus passes). Null dimension values fold into '*' BEFORE
+    grouping on both sides (the oracle coalesces pre-GROUP BY, so engine
+    and SQL agree by construction); the ``lvl`` column (0 finest, 1 per-a,
+    2 grand) disambiguates rollup rows from literal '*' values.
+
+    Per-batch partials are bounded by distinct (a, b) pairs per batch, a
+    per-task combine level keeps the driver fold O(cardinality), and the
+    rollup derivation is a vectorized pass over the finest table.
+
+    Returns a pyarrow Table (a, b, lvl, n, sum_val)."""
+    from ..functions.collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        av = t[a].combine_chunks() if isinstance(t[a], pa.ChunkedArray) else t[a]
+        bv = t[b].combine_chunks() if isinstance(t[b], pa.ChunkedArray) else t[b]
+        av = pc.fill_null(av.cast(pa.string()), "*")
+        bv = pc.fill_null(bv.cast(pa.string()), "*")
+        v = np.asarray(pc.fill_null(t[val], 0)).astype(np.int64)
+        ad, bd = pc.dictionary_encode(av), pc.dictionary_encode(bv)
+        ai = np.asarray(ad.indices).astype(np.int64)
+        bi = np.asarray(bd.indices).astype(np.int64)
+        nb = len(bd.dictionary)
+        code = ai * nb + bi
+        n = np.bincount(code)
+        s = np.zeros(len(n), np.int64)
+        np.add.at(s, code, v)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            a: pc.take(ad.dictionary.cast(pa.string()), pa.array(nz // nb)),
+            b: pc.take(bd.dictionary.cast(pa.string()), pa.array(nz % nb)),
+            "n": pa.array(n[nz].astype(np.int64)),
+            "sum_val": pa.array(s[nz]),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        key = np.char.add(np.char.add(
+            np.asarray(t[a]).astype("U"), "\x1f"),
+            np.asarray(t[b]).astype("U"))
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, np.asarray(t["n"]).astype(np.int64))
+        np.add.at(s, inv, np.asarray(t["sum_val"]).astype(np.int64))
+        parts = np.char.partition(uk, "\x1f")
+        return pa.table({
+            a: pa.array(parts[:, 0]), b: pa.array(parts[:, 2]),
+            "n": pa.array(n), "sum_val": pa.array(s),
+        })
+
+    finest = collect_table(
+        ds.select_columns([a, b, val])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64),
+        empty_schema=pa.schema([(a, pa.string()), (b, pa.string()),
+                                ("n", pa.int64()), ("sum_val", pa.int64())]))
+    if finest.num_rows:
+        finest = combine(finest)
+    av = np.asarray(finest[a]).astype("U")
+    bv = np.asarray(finest[b]).astype("U")
+    n = np.asarray(finest["n"]).astype(np.int64)
+    s = np.asarray(finest["sum_val"]).astype(np.int64)
+    ua, ainv = np.unique(av, return_inverse=True)
+    n1 = np.zeros(len(ua), np.int64)
+    s1 = np.zeros(len(ua), np.int64)
+    np.add.at(n1, ainv, n)
+    np.add.at(s1, ainv, s)
+    out_a = np.concatenate([av, ua, ["*"]])
+    out_b = np.concatenate([bv, np.full(len(ua), "*"), ["*"]])
+    out_l = np.concatenate([np.zeros(len(av), np.int64),
+                            np.ones(len(ua), np.int64), [2]])
+    out_n = np.concatenate([n, n1, [n.sum()]])
+    out_s = np.concatenate([s, s1, [s.sum()]])
+    tbl = pa.table({a: pa.array(out_a), b: pa.array(out_b),
+                    "lvl": pa.array(out_l), "n": pa.array(out_n),
+                    "sum_val": pa.array(out_s)})
+    order = pc.sort_indices(tbl, sort_keys=[
+        ("lvl", "ascending"), (a, "ascending"), (b, "ascending")])
+    return tbl.take(order)
