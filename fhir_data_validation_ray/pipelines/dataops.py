@@ -1753,6 +1753,28 @@ FROM d GROUP BY ROLLUP(s, l)
 """
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over (event_type, hour-window) quasi-identifier
+    combos: per threshold k, combos and rows below k occurrences."""
+    from ..stages.windows import k_anonymity_audit
+
+    return k_anonymity_audit(_events(sf_dir))
+
+
+K_ANONYMITY_SQL = """
+WITH g AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+k AS (SELECT unnest([2, 5, 10])::BIGINT AS k)
+SELECT k.k,
+       coalesce(count(*) FILTER (WHERE g.n < k.k), 0)::BIGINT
+         AS groups_below,
+       coalesce(sum(g.n) FILTER (WHERE g.n < k.k), 0)::BIGINT
+         AS rows_below
+FROM k CROSS JOIN g GROUP BY k.k
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -2960,6 +2982,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_pareto": q_pareto,
         "d_ind_discovery": q_ind_discovery,
         "a_rollup": q_rollup,
+        "a_k_anonymity": q_k_anonymity,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -4902,6 +4925,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_pareto": PARETO_SQL,
         "d_ind_discovery": _ind_discovery_sql(),
         "a_rollup": ROLLUP_SQL,
+        "a_k_anonymity": K_ANONYMITY_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

@@ -1649,3 +1649,39 @@ def cusum_alarms(events, *, window_us: int = US_PER_HOUR, h_mult: int = 3):
 
     return counts.groupby("event_type").map_groups(
         per_type, batch_format="pyarrow")
+
+
+def k_anonymity_audit(events, *, window_us: int = US_PER_HOUR,
+                      ks: tuple[int, ...] = (2, 5, 10)):
+    """k-anonymity audit over the (event_type, hour-window) quasi-identifier
+    combination — the re-identification-risk dial on an event stream: a
+    combo observed on fewer than k rows isolates its users; the audit
+    reports, per threshold k, how many combos and how many underlying rows
+    sit below it (Sweeney 2002 semantics at combo granularity).
+
+    Rides the LOW-cardinality ``tumbling_window_counts`` fold (windows x
+    types, never events); each counts batch emits one partial row per k
+    and a k-groupby sums them — O(|ks|) result, O(1) driver state.
+
+    Returns Dataset[k, groups_below, rows_below]."""
+    counts = tumbling_window_counts(events, window_us=window_us)
+    ks_arr = np.asarray(sorted(ks), np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"]).astype(np.int64)
+        below = n[:, None] < ks_arr[None, :]
+        return pa.table({
+            "k": pa.array(ks_arr),
+            "groups_below": pa.array(below.sum(axis=0).astype(np.int64)),
+            "rows_below": pa.array((n[:, None] * below).sum(axis=0)
+                                   .astype(np.int64)),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["k"],
+                         "groups_below": t["sum(groups_below)"],
+                         "rows_below": t["sum(rows_below)"]})
+
+    return (counts.map_batches(partial, batch_format="pyarrow")
+            .groupby("k").sum(["groups_below", "rows_below"])
+            .map_batches(rename, batch_format="pyarrow"))
