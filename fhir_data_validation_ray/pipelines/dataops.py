@@ -1775,6 +1775,34 @@ FROM k CROSS JOIN g GROUP BY k.k
 """
 
 
+def q_kn_counts(sf_dir: str):
+    """Kneser-Ney continuation counts for the top-30 words: total count +
+    distinct left/right neighbors from one dual-keyed bigram exchange."""
+    from ..stages.textops import kn_continuation_counts
+
+    return kn_continuation_counts(_docs(sf_dir))
+
+
+KN_COUNTS_SQL = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS ws FROM documents),
+u AS (SELECT unnest(ws) AS word FROM w),
+cnt AS (SELECT word, count(*)::BIGINT AS n FROM u GROUP BY word),
+b AS (SELECT ws[i] AS prev, ws[i + 1] AS word
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+lft AS (SELECT word, count(DISTINCT prev)::BIGINT AS n_left
+        FROM b GROUP BY word),
+rgt AS (SELECT prev AS word, count(DISTINCT word)::BIGINT AS n_right
+        FROM b GROUP BY prev),
+j AS (SELECT cnt.word, cnt.n,
+             coalesce(lft.n_left, 0)::BIGINT AS n_left,
+             coalesce(rgt.n_right, 0)::BIGINT AS n_right
+      FROM cnt LEFT JOIN lft USING (word) LEFT JOIN rgt USING (word)),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, word ASC) AS rn FROM j)
+SELECT word, n, n_left, n_right, rn::BIGINT AS rank FROM r WHERE rn <= 30
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -2983,6 +3011,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "d_ind_discovery": q_ind_discovery,
         "a_rollup": q_rollup,
         "a_k_anonymity": q_k_anonymity,
+        "t_kn_counts": q_kn_counts,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -4926,6 +4955,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "d_ind_discovery": _ind_discovery_sql(),
         "a_rollup": ROLLUP_SQL,
         "a_k_anonymity": K_ANONYMITY_SQL,
+        "t_kn_counts": KN_COUNTS_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

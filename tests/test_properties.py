@@ -1401,3 +1401,43 @@ def test_ind_discovery_matches_set_reference(ray_session, cols, blocks):
         assert row["n_overlap"] == len(sets[i] & sets[j])
         assert row["included"] == (1 if sets[i] <= sets[j] else 0)
     assert len(got) == len(cols) * (len(cols) - 1)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", max_size=14), min_size=1,
+                max_size=16),
+       st.integers(1, 4))
+def test_kn_counts_matches_python_reference(ray_session, texts, blocks):
+    """kn_continuation_counts (dual-keyed bigram exchange, fd_violations
+    sharding, cross-batch pair dedup) equals the plain per-word
+    count/set reference for arbitrary corpora and block splits."""
+    from collections import Counter, defaultdict
+
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import (
+        kn_continuation_counts,
+    )
+
+    cnt: Counter = Counter()
+    lefts: dict = defaultdict(set)
+    rights: dict = defaultdict(set)
+    for s in texts:
+        ws = [w for w in s.split(" ") if w != ""]
+        cnt.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            lefts[b].add(a)
+            rights[a].add(b)
+    want = sorted(((w, n, len(lefts[w]), len(rights[w]))
+                   for w, n in cnt.items()),
+                  key=lambda r: (-r[1], r[0]))[:30]
+    want = [(w, n, l, r, i + 1) for i, (w, n, l, r) in enumerate(want)]
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(blocks)
+    got = [(r["word"], r["n"], r["n_left"], r["n_right"], r["rank"])
+           for r in kn_continuation_counts(
+               ds, num_buckets=4, batch_size=3).take_all()]
+    assert got == want
