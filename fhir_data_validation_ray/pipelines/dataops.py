@@ -1803,6 +1803,104 @@ SELECT word, n, n_left, n_right, rn::BIGINT AS rank FROM r WHERE rn <= 30
 """
 
 
+def q_simpson(sf_dir: str):
+    """Per-source Simpson lexical-concentration profile: total words,
+    vocab size and the integer repeat-probability numerator Σ n(n−1)."""
+    import ray.data as rd
+
+    from ..stages.textops import simpson_diversity
+
+    return simpson_diversity(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
+SIMPSON_SQL = """
+WITH u AS (SELECT source, unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS word
+           FROM documents),
+c AS (SELECT source, word, count(*)::BIGINT AS n FROM u GROUP BY 1, 2)
+SELECT source, sum(n)::BIGINT AS n_words,
+       count(*)::BIGINT AS distinct_words,
+       sum(n * (n - 1))::BIGINT AS simpson_num
+FROM c GROUP BY source
+"""
+
+
+def q_keyness(sf_dir: str):
+    """Distinctive-vocabulary contrast between the two lexicographically
+    smallest sources: cross-scaled rate-difference scores, top-10/side."""
+    import ray.data as rd
+
+    from ..stages.textops import keyness_terms
+
+    return keyness_terms(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
+KEYNESS_SQL = """
+WITH u0 AS (SELECT source, unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS word
+            FROM documents),
+-- the pair = two smallest sources WITH at least one word (u0 drops
+-- wordless sources), matching the engine's totals-fold selection
+s AS (SELECT DISTINCT source FROM u0 ORDER BY source LIMIT 2),
+ab AS (SELECT min(source) AS a, max(source) AS b FROM s),
+u AS (SELECT source, word FROM u0
+      WHERE source IN (SELECT source FROM s)),
+c AS (SELECT word,
+             sum(CASE WHEN source = (SELECT a FROM ab)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN source = (SELECT b FROM ab)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      FROM u GROUP BY word),
+t AS (SELECT (SELECT sum(n_a) FROM c) AS na_tot,
+             (SELECT sum(n_b) FROM c) AS nb_tot),
+sc AS (SELECT word, n_a, n_b,
+              (n_a * (SELECT nb_tot FROM t)
+               - n_b * (SELECT na_tot FROM t))::BIGINT AS score FROM c),
+ra AS (SELECT 'a' AS side, word, n_a, n_b, score,
+              row_number() OVER (ORDER BY score DESC, word ASC) AS rn
+       FROM sc),
+rb AS (SELECT 'b' AS side, word, n_a, n_b, score,
+              row_number() OVER (ORDER BY score ASC, word ASC) AS rn
+       FROM sc)
+SELECT side, word, n_a, n_b, score, rn::BIGINT AS rank
+FROM ra WHERE rn <= 10
+UNION ALL
+SELECT side, word, n_a, n_b, score, rn::BIGINT AS rank
+FROM rb WHERE rn <= 10
+"""
+
+
+def q_autocorr(sf_dir: str):
+    """Integer lag-k autocovariance numerators of per-type hourly window
+    counts (periodicity dial; division-free so the oracle is bitwise)."""
+    from ..stages.windows import autocorr_windows
+
+    return autocorr_windows(_events(sf_dir))
+
+
+AUTOCORR_SQL = """
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS w,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+l AS (SELECT unnest([1, 2, 24])::BIGINT AS lag),
+p AS (SELECT x.event_type, l.lag, x.n AS nx, y.n AS ny
+      FROM l CROSS JOIN c x
+      JOIN c y ON y.event_type = x.event_type AND y.w = x.w + l.lag),
+t AS (SELECT DISTINCT event_type FROM c),
+base AS (SELECT event_type, lag FROM t CROSS JOIN l),
+agg AS (SELECT event_type, lag, count(*)::BIGINT AS n_pairs,
+               (count(*) * sum(nx * ny)
+                - sum(nx) * sum(ny))::BIGINT AS num
+        FROM p GROUP BY 1, 2)
+SELECT base.event_type, base.lag,
+       coalesce(agg.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(agg.num, 0)::BIGINT AS num
+FROM base LEFT JOIN agg USING (event_type, lag)
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -3012,6 +3110,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_rollup": q_rollup,
         "a_k_anonymity": q_k_anonymity,
         "t_kn_counts": q_kn_counts,
+        "t_simpson": q_simpson,
+        "t_keyness": q_keyness,
+        "w_autocorr": q_autocorr,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -4956,6 +5057,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_rollup": ROLLUP_SQL,
         "a_k_anonymity": K_ANONYMITY_SQL,
         "t_kn_counts": KN_COUNTS_SQL,
+        "t_simpson": SIMPSON_SQL,
+        "t_keyness": KEYNESS_SQL,
+        "w_autocorr": AUTOCORR_SQL,
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

@@ -2636,3 +2636,241 @@ def kn_continuation_counts(docs, k: int = 30, *, num_buckets: int = 64,
             if cand.num_rows else np.empty(0, np.int64)),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     }))
+
+
+def simpson_diversity(docs, *, num_buckets: int = 64,
+                      batch_size: int | None = None):
+    """Per-source lexical-concentration profile — the integer core of the
+    Simpson / Herfindahl diversity index (the corpus-mix dial next to the
+    entropy curves a curation report wants, kept log-free so the oracle is
+    bitwise): per source, total word occurrences ``n_words``, vocabulary
+    size ``distinct_words``, and ``simpson_num`` = Σ_w n_w·(n_w−1) — the
+    numerator of the repeat-probability n_w(n_w−1)/N(N−1); higher means
+    occurrences concentrate in fewer words. int64-exact while every
+    per-(source, word) count stays below ~3e9 (beyond that the square
+    overflows — shard sources before this audit at that scale).
+
+    Scale shape: per-batch pre-aggregated (source, word) counts travel
+    keyed by hash(word) % B, so each bucket group holds EVERY count of its
+    words (per-(source, word) totals are exact in-group) at ≤ vocab/B ×
+    sources rows; groups emit per-source partial (N, D, Σn(n−1)) triples
+    and a final low-cardinality source groupby sums them. Tokens never
+    ship; the exchange is batch-distinct (source, word) rows.
+
+    Returns Dataset[source, n_words, distinct_words, simpson_num]."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        parts = pc.split_pattern(texts.fill_null(""), " ")
+        flat = pc.list_flatten(parts)
+        nword = pc.list_value_length(parts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), nword)
+        da = pc.dictionary_encode(flat)
+        code = np.asarray(da.indices).astype(np.int64)
+        words = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        sd = pc.dictionary_encode(src)
+        si = np.asarray(sd.indices).astype(np.int64)[doc_idx]
+        keep = np.asarray(pc.not_equal(flat, "")).astype(bool)
+        si, code = si[keep], code[keep]
+        key = si * np.int64(len(words)) + code
+        uk, cnt = np.unique(key, return_counts=True)
+        wc = (uk % np.int64(len(words))).astype(np.int64)
+        sc = (uk // np.int64(len(words))).astype(np.int64)
+        snames = sd.dictionary.cast(pa.string())
+        h = hash_str(words) % np.uint64(num_buckets)
+        return pa.table({
+            "bucket": pa.array(h[wc].astype(np.int64)),
+            "source": pc.take(snames, pa.array(sc)),
+            "word": pa.array(words[wc], pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        w = np.asarray(g["word"]).astype("U")
+        n = np.asarray(g["n"]).astype(np.int64)
+        sd = pc.dictionary_encode(src)
+        si = np.asarray(sd.indices).astype(np.int64)
+        uw, winv = np.unique(w, return_inverse=True)
+        uk, inv = np.unique(si * np.int64(len(uw)) + winv,
+                            return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, n)
+        usrc = (uk // np.int64(len(uw))).astype(np.int64)
+        ns = len(sd.dictionary)
+        N = np.zeros(ns, np.int64)
+        D = np.zeros(ns, np.int64)
+        S = np.zeros(ns, np.int64)
+        np.add.at(N, usrc, tot)
+        np.add.at(D, usrc, 1)
+        np.add.at(S, usrc, tot * (tot - 1))
+        return pa.table({
+            "source": sd.dictionary.cast(pa.string()),
+            "n_words": pa.array(N),
+            "distinct_words": pa.array(D),
+            "simpson_num": pa.array(S),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "n_words": t["sum(n_words)"],
+            "distinct_words": t["sum(distinct_words)"],
+            "simpson_num": t["sum(simpson_num)"],
+        })
+
+    return (docs.select_columns(["source", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .groupby("bucket").map_groups(bucket_fold,
+                                          batch_format="pyarrow")
+            .groupby("source").sum(["n_words", "distinct_words",
+                                    "simpson_num"])
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def keyness_terms(docs, k: int = 10, *, num_buckets: int = 64,
+                  batch_size: int | None = None):
+    """Distinctive-vocabulary ranking between the two lexicographically
+    smallest sources — the log-free core of a keyness / G-test keyword
+    contrast (which words characterize feed A vs feed B): per word,
+    ``score`` = n_a·N_b − n_b·N_a (the cross-scaled rate difference —
+    positive means the word is relatively A-leaning), with the top-k
+    A-leaning (score DESC) and top-k B-leaning (score ASC) words reported
+    per side. int64-exact while n·N stays below 2^63 (shard sources
+    first past ~1e9×1e9 occurrence products).
+
+    Scale shape: ONE tokenize pass materialized as pre-aggregated
+    (bucket, source, word, n) partials; a low-cardinality source fold
+    gives the two totals N_a/N_b (picking the pair deterministically);
+    the word-hash-bucketed groupby then owns every count of its words, so
+    per-word (n_a, n_b) and scores are exact in-group and each bucket
+    emits only its local top-k per side — the driver merges B×2k
+    candidate rows. Tokens never ship.
+
+    Returns Dataset[side, word, n_a, n_b, score, rank] ('a' rows rank by
+    score DESC, 'b' rows by score ASC; ties word ASC)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        parts = pc.split_pattern(texts.fill_null(""), " ")
+        flat = pc.list_flatten(parts)
+        nword = pc.list_value_length(parts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), nword)
+        da = pc.dictionary_encode(flat)
+        code = np.asarray(da.indices).astype(np.int64)
+        words = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        sd = pc.dictionary_encode(src)
+        si = np.asarray(sd.indices).astype(np.int64)[doc_idx]
+        keep = np.asarray(pc.not_equal(flat, "")).astype(bool)
+        si, code = si[keep], code[keep]
+        key = si * np.int64(len(words)) + code
+        uk, cnt = np.unique(key, return_counts=True)
+        wc = (uk % np.int64(len(words))).astype(np.int64)
+        sc = (uk // np.int64(len(words))).astype(np.int64)
+        h = hash_str(words) % np.uint64(num_buckets)
+        return pa.table({
+            "bucket": pa.array(h[wc].astype(np.int64)),
+            "source": pc.take(sd.dictionary.cast(pa.string()),
+                              pa.array(sc)),
+            "word": pa.array(words[wc], pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    partials = (docs.select_columns(["source", "text"])
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size).materialize())
+
+    totals_tbl = collect_table(
+        partials.groupby("source").sum("n"),
+        empty_schema=pa.schema([("source", pa.string()),
+                                ("sum(n)", pa.int64())]))
+    srcs = sorted(totals_tbl["source"].to_pylist())[:2]
+    if len(srcs) < 2:
+        return rd.from_arrow(pa.table({
+            "side": pa.array([], pa.string()),
+            "word": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+    a_name, b_name = srcs[0], srcs[1]
+    tot = dict(zip(totals_tbl["source"].to_pylist(),
+                   (int(v) for v in totals_tbl["sum(n)"].to_pylist())))
+    pair_ref = ray.put((a_name, b_name, tot[a_name], tot[b_name]))
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        an, bn, n_a_tot, n_b_tot = ray.get(pair_ref)
+        src = np.asarray(g["source"]).astype("U")
+        w = np.asarray(g["word"]).astype("U")
+        n = np.asarray(g["n"]).astype(np.int64)
+        in_pair = (src == an) | (src == bn)
+        src, w, n = src[in_pair], w[in_pair], n[in_pair]
+        uw, winv = np.unique(w, return_inverse=True)
+        n_a = np.zeros(len(uw), np.int64)
+        n_b = np.zeros(len(uw), np.int64)
+        is_a = src == an
+        np.add.at(n_a, winv[is_a], n[is_a])
+        np.add.at(n_b, winv[~is_a], n[~is_a])
+        score = n_a * np.int64(n_b_tot) - n_b * np.int64(n_a_tot)
+        out = []
+        for side, order in (("a", np.lexsort((uw, -score))[:k]),
+                            ("b", np.lexsort((uw, score))[:k])):
+            out.append(pa.table({
+                "side": pa.array([side] * len(order), pa.string()),
+                "word": pa.array(uw[order], pa.string()),
+                "n_a": pa.array(n_a[order]),
+                "n_b": pa.array(n_b[order]),
+                "score": pa.array(score[order]),
+            }))
+        return pa.concat_tables(out)
+
+    cand = collect_table(
+        partials.groupby("bucket").map_groups(bucket_topk,
+                                              batch_format="pyarrow"),
+        empty_schema=pa.schema([
+            ("side", pa.string()), ("word", pa.string()),
+            ("n_a", pa.int64()), ("n_b", pa.int64()),
+            ("score", pa.int64())]))
+    side = (np.asarray(cand["side"]).astype("U")
+            if cand.num_rows else np.empty(0, "U1"))
+    w = (np.asarray(cand["word"]).astype("U")
+         if cand.num_rows else np.empty(0, "U1"))
+    n_a = (np.asarray(cand["n_a"]).astype(np.int64)
+           if cand.num_rows else np.empty(0, np.int64))
+    n_b = (np.asarray(cand["n_b"]).astype(np.int64)
+           if cand.num_rows else np.empty(0, np.int64))
+    sc = (np.asarray(cand["score"]).astype(np.int64)
+          if cand.num_rows else np.empty(0, np.int64))
+    out = []
+    for s, sgn in (("a", -1), ("b", 1)):
+        m = side == s
+        order = np.flatnonzero(m)[np.lexsort((w[m], sgn * sc[m]))][:k]
+        out.append(pa.table({
+            "side": pa.array([s] * len(order), pa.string()),
+            "word": pa.array(w[order], pa.string()),
+            "n_a": pa.array(n_a[order]),
+            "n_b": pa.array(n_b[order]),
+            "score": pa.array(sc[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64)),
+        }))
+    return rd.from_arrow(pa.concat_tables(out))

@@ -1685,3 +1685,56 @@ def k_anonymity_audit(events, *, window_us: int = US_PER_HOUR,
     return (counts.map_batches(partial, batch_format="pyarrow")
             .groupby("k").sum(["groups_below", "rows_below"])
             .map_batches(rename, batch_format="pyarrow"))
+
+
+def autocorr_windows(events, *, window_us: int = US_PER_HOUR,
+                     lags: tuple[int, ...] = (1, 2, 24)):
+    """Integer lag-k autocovariance numerators of the per-type tumbling
+    window-count series — the periodicity / burst-cycle dial (a daily
+    cycle shows as a positive lag-24 numerator on hourly windows): for
+    each event type and lag k, over the P aligned pairs (t, t+k) BOTH
+    present in the counts series,
+    ``num`` = P·Σ n_t·n_{t+k} − (Σ n_t)·(Σ n_{t+k}) — the cross-scaled
+    covariance numerator, sign-exact and division-free, so the oracle is
+    bitwise. Absent (zero-event) windows are skipped, matching the
+    counts-derived series on both sides (the ``cusum_alarms`` gap
+    semantics).
+
+    Rides the LOW-cardinality ``tumbling_window_counts`` fold; each
+    bounded type group sorts its own series once and matches t+k by
+    searchsorted for all lags — O(|series|·|lags|) per type, no
+    corpus-sized state anywhere.
+
+    Returns Dataset[event_type, lag, n_pairs, num]."""
+    counts = tumbling_window_counts(events, window_us=window_us)
+    lags_arr = tuple(int(x) for x in lags)
+
+    def per_type(g: pa.Table) -> pa.Table:
+        w = np.asarray(g["window_id"]).astype(np.int64)
+        n = np.asarray(g["n"]).astype(np.int64)
+        order = np.argsort(w)
+        w, n = w[order], n[order]
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        rows_lag, rows_p, rows_num = [], [], []
+        for k in lags_arr:
+            pos = np.searchsorted(w, w + k)
+            ok = (pos < len(w))
+            ok[ok] &= w[pos[ok]] == (w + k)[ok]
+            x, y = n[ok], n[pos[ok]]
+            p = int(ok.sum())
+            rows_lag.append(k)
+            rows_p.append(p)
+            rows_num.append(int(p * int((x * y).sum())
+                                - int(x.sum()) * int(y.sum())))
+        return pa.table({
+            "event_type": pa.array([et[0].as_py()] * len(lags_arr),
+                                   pa.string()),
+            "lag": pa.array(np.asarray(rows_lag, np.int64)),
+            "n_pairs": pa.array(np.asarray(rows_p, np.int64)),
+            "num": pa.array(np.asarray(rows_num, np.int64)),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        per_type, batch_format="pyarrow")

@@ -1441,3 +1441,52 @@ def test_kn_counts_matches_python_reference(ray_session, texts, blocks):
            for r in kn_continuation_counts(
                ds, num_buckets=4, batch_size=3).take_all()]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                          st.text(alphabet="ab ", max_size=12)),
+                min_size=1, max_size=16),
+       st.integers(1, 3))
+def test_keyness_matches_python_reference(ray_session, rows, blocks):
+    """keyness_terms (materialized one-pass partials, totals broadcast,
+    bucket-local top-k) equals the plain two-source contrast reference —
+    including corpora with <2 sources (empty result) and words unique to
+    either side."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import keyness_terms
+
+    srcs = sorted({s for s, text in rows
+                   if any(w != "" for w in text.split(" "))})[:2]
+    want = []
+    if len(srcs) == 2:
+        a, b = srcs
+        ca: Counter = Counter()
+        cb: Counter = Counter()
+        for s, text in rows:
+            ws = [w for w in text.split(" ") if w != ""]
+            if s == a:
+                ca.update(ws)
+            elif s == b:
+                cb.update(ws)
+        na_tot, nb_tot = sum(ca.values()), sum(cb.values())
+        vocab = sorted(set(ca) | set(cb))
+        scored = [(w, ca[w], cb[w], ca[w] * nb_tot - cb[w] * na_tot)
+                  for w in vocab]
+        for side, key in (("a", lambda r: (-r[3], r[0])),
+                          ("b", lambda r: (r[3], r[0]))):
+            for i, (w, x, y, sc) in enumerate(sorted(scored, key=key)[:10]):
+                want.append((side, w, x, y, sc, i + 1))
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1] for r in rows]),
+    })).repartition(blocks)
+    got = [(r["side"], r["word"], r["n_a"], r["n_b"], r["score"], r["rank"])
+           for r in keyness_terms(ds, num_buckets=4,
+                                  batch_size=3).take_all()]
+    assert sorted(got) == sorted(want)
