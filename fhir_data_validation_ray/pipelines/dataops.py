@@ -3118,6 +3118,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_simpson": q_simpson,
         "t_keyness": q_keyness,
         "w_autocorr": q_autocorr,
+        "d_lpa": q_lpa,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -3652,6 +3653,40 @@ def _kcore_sql() -> str:
             f"FROM nb{t} GROUP BY 1)")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS doc_id, c AS core FROM k{KCORE_ITERS}")
+
+
+def q_lpa(sf_dir: str):
+    """Deterministic majority-vote label-propagation communities over the
+    near-dup pair graph (``dedup.lpa_dup``) — keeps weakly-bridged
+    template families apart where min-label CC merges them."""
+    from ..stages.dedup import lpa_dup
+
+    return lpa_dup(_docs(sf_dir), n=JACCARD_N,
+                   threshold=JACCARD_THRESHOLD)
+
+
+def _lpa_sql() -> str:
+    """lpa_dup mirror: same half-edge table; l0 = own id; per round,
+    neighbor-label counts then argmax via row_number (c DESC, lbl ASC) —
+    bitwise-equal to the engine's synchronous majority rounds."""
+    from ..stages.dedup import LPA_ITERS
+
+    ctes = [_NGRAM_CTES]
+    ctes.append("he AS (SELECT doc_a AS src, doc_b AS dst FROM edges "
+                "UNION ALL SELECT doc_b, doc_a FROM edges)")
+    ctes.append("l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM he)")
+    for t in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"c{t} AS (SELECT he.dst AS node, l.lbl AS lbl, "
+            f"count(*)::BIGINT AS c "
+            f"FROM he JOIN l{t - 1} l ON l.node = he.src GROUP BY 1, 2)")
+        ctes.append(
+            f"r{t} AS (SELECT node, lbl, row_number() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn "
+            f"FROM c{t})")
+        ctes.append(f"l{t} AS (SELECT node, lbl FROM r{t} WHERE rn = 1)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, lbl AS label FROM l{LPA_ITERS}")
 
 
 CONTAINMENT_THRESHOLD = 0.9
@@ -5065,6 +5100,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_simpson": SIMPSON_SQL,
         "t_keyness": KEYNESS_SQL,
         "w_autocorr": AUTOCORR_SQL,
+        "d_lpa": _lpa_sql(),
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

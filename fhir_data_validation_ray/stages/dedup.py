@@ -3476,3 +3476,115 @@ def duplication_profile(docs, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
     return pa.table({"k": pa.array(out_k, pa.int64()),
                      "n_dup_windows": pa.array(out_c, pa.int64()),
                      "n_dup_positions": pa.array(out_p, pa.int64())})
+
+
+LPA_ITERS = 4
+
+
+def lpa_dup(docs, *, iters: int = LPA_ITERS, n: int = 2,
+            threshold: float = 0.8, num_buckets: int = 64):
+    """Majority-vote label-propagation communities over the near-dup pair
+    graph (Raghavan et al. 2007, made DETERMINISTIC: synchronous rounds,
+    fixed iteration count, ties broken toward the smallest label) — the
+    community structure complement to ``dedup_clusters``: min-label CC
+    merges everything reachable, LPA keeps weakly-bridged template
+    families apart because a node adopts the label most COMMON among its
+    neighbors, not the smallest one it can reach.
+
+    Every step is integer/order-exact, so a generated per-round SQL CTE
+    chain (count + row_number) mirrors the run bitwise whether or not the
+    labeling has converged. Labels start as the node's own doc_id; graph
+    nodes only (every node has >= 1 neighbor, so every round's majority is
+    defined and the label table stays complete).
+
+    Plan shape (the pagerank_dup skeleton): half-edges materialize ONCE;
+    per round, a src-bucket groupby meets label rows with half-edges
+    (role-tagged membership-meets-payload) and emits PRE-AGGREGATED
+    (dst, label, cnt) partials; a dst-bucket groupby folds the counts and
+    takes the per-node argmax (cnt DESC, label ASC). Driver holds nothing
+    graph-sized.
+
+    Returns Dataset[doc_id, label]."""
+    edges = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+
+    def halves(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"]).astype(np.int64)
+        b = np.asarray(t["doc_b"]).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "bucket": pa.array(_intmix(src, num_buckets).astype(np.int32)),
+            "role": pa.array(np.zeros(len(src), np.int8)),
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+        })
+
+    half = edges.map_batches(halves, batch_format="pyarrow").materialize()
+
+    def init_labels(g: pa.Table) -> pa.Table:
+        s = np.unique(np.asarray(g["src"]).astype(np.int64))
+        return pa.table({"node": pa.array(s), "lbl": pa.array(s)})
+
+    labels = (half.groupby("bucket")
+              .map_groups(init_labels, batch_format="pyarrow").materialize())
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"]).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(_intmix(node, num_buckets).astype(np.int32)),
+            "role": pa.array(np.ones(len(node), np.int8)),
+            "src": pa.array(node),
+            "dst": pa.array(np.asarray(t["lbl"]).astype(np.int64)),
+        })
+
+    def meet(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["role"]).astype(np.int64)
+        src = np.asarray(g["src"]).astype(np.int64)
+        dst = np.asarray(g["dst"]).astype(np.int64)
+        ln, lv = src[role == 1], dst[role == 1]
+        order = np.argsort(ln)
+        ln, lv = ln[order], lv[order]
+        es, ed = src[role == 0], dst[role == 0]
+        lbl = lv[np.searchsorted(ln, es)]  # every edge src has a label row
+        # pre-aggregate (dst, lbl) counts before the exchange
+        pair = np.stack([ed, lbl], axis=1)
+        upair, cnt = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(
+                _intmix(upair[:, 0], num_buckets).astype(np.int32)),
+            "node": pa.array(upair[:, 0]),
+            "lbl": pa.array(upair[:, 1]),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    def majority(g: pa.Table) -> pa.Table:
+        node = np.asarray(g["node"]).astype(np.int64)
+        lbl = np.asarray(g["lbl"]).astype(np.int64)
+        c = np.asarray(g["c"]).astype(np.int64)
+        pair = np.stack([node, lbl], axis=1)
+        upair, inv = np.unique(pair, axis=0, return_inverse=True)
+        tot = np.zeros(len(upair), np.int64)
+        np.add.at(tot, inv, c)
+        un, ul = upair[:, 0], upair[:, 1]
+        order = np.lexsort((ul, -tot, un))
+        first = np.ones(len(order), bool)
+        sn = un[order]
+        if len(sn) > 1:
+            first[1:] = sn[1:] != sn[:-1]
+        pick = order[first]
+        return pa.table({"node": pa.array(un[pick]),
+                         "lbl": pa.array(ul[pick])})
+
+    for _ in range(iters):
+        tagged = half.union(
+            labels.map_batches(label_rows, batch_format="pyarrow"))
+        counts = (tagged.groupby("bucket")
+                  .map_groups(meet, batch_format="pyarrow"))
+        labels = (counts.groupby("bucket")
+                  .map_groups(majority, batch_format="pyarrow")
+                  ).materialize()
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "label": t["lbl"]})
+
+    return labels.map_batches(out, batch_format="pyarrow")
