@@ -3119,6 +3119,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "t_keyness": q_keyness,
         "w_autocorr": q_autocorr,
         "d_lpa": q_lpa,
+        "c_temperature_mix": q_temperature_mix,
         "d_dedup_clusters": q_dedup_clusters,
         "d_cluster_sizes": q_cluster_sizes,
         "d_decontaminate": q_decontaminate,
@@ -3952,6 +3953,49 @@ a AS (SELECT *, sum(fl) OVER () AS fl_sum,
              row_number() OVER (ORDER BY rem DESC, source, lang) AS rr
       FROM f)
 SELECT source, lang, n_docs, n_tokens,
+  CASE WHEN tot = 0 THEN 0
+       ELSE fl + CASE WHEN rr <= {b} - fl_sum THEN 1 ELSE 0 END
+  END::BIGINT AS quota
+FROM a
+"""
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled (α = 0.5) mixture quotas: weight = isqrt of
+    group tokens, largest-remainder allocation — the rebalancing sampler
+    table (``textops.temperature_mix``)."""
+    import ray.data as rd
+
+    from ..stages.textops import temperature_mix
+
+    return temperature_mix(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "lang"]))
+
+
+def _temperature_mix_sql() -> str:
+    b = 1_000_000
+    return f"""
+WITH g AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT
+         AS n_tokens
+  FROM documents GROUP BY 1, 2),
+w0 AS (SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS s0 FROM g),
+w AS (SELECT source, lang, n_docs, n_tokens,
+             (s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens
+                    THEN 1 ELSE 0 END)
+                 - (CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END))::BIGINT
+             AS weight
+      FROM w0),
+t AS (SELECT *, sum(weight) OVER () AS tot FROM w),
+f AS (SELECT *, ({b} * weight) // nullif(tot, 0) AS fl,
+             ({b} * weight) % nullif(tot, 0) AS rem
+      FROM t),
+a AS (SELECT *, sum(fl) OVER () AS fl_sum,
+             row_number() OVER (ORDER BY rem DESC, source, lang) AS rr
+      FROM f)
+SELECT source, lang, n_docs, n_tokens, weight,
   CASE WHEN tot = 0 THEN 0
        ELSE fl + CASE WHEN rr <= {b} - fl_sum THEN 1 ELSE 0 END
   END::BIGINT AS quota
@@ -5101,6 +5145,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "t_keyness": KEYNESS_SQL,
         "w_autocorr": AUTOCORR_SQL,
         "d_lpa": _lpa_sql(),
+        "c_temperature_mix": _temperature_mix_sql(),
         "d_dedup_clusters": DEDUP_CLUSTERS_SQL,
         "d_cluster_sizes": CLUSTER_SIZES_SQL,
         "d_decontaminate": DECONTAMINATE_SQL_TEMPLATE

@@ -2874,3 +2874,52 @@ def keyness_terms(docs, k: int = 10, *, num_buckets: int = 64,
                                        dtype=np.int64)),
         }))
     return rd.from_arrow(pa.concat_tables(out))
+
+
+def temperature_mix(docs, *, budget: int = 1_000_000,
+                    batch_size: int | None = None):
+    """Temperature-scaled domain-mixture quotas (the multilingual /
+    multi-domain rebalancing sampler: α = 0.5, so a group's sampling
+    weight is √n_tokens — big sources are damped, small ones boosted;
+    cf. the temperature-based mixing of multilingual pretraining) —
+    exact integers throughout: weight = isqrt(n_tokens) (integer square
+    root, no float sqrt drift), quota = largest-remainder allocation of
+    ``budget`` ∝ weight (ties: remainder DESC, source ASC, lang ASC),
+    so quotas sum to ``budget`` whenever any weight is positive.
+
+    Reuses the ``mixture_quota`` exchange wholesale (per-batch
+    pre-aggregated group partials, one low-cardinality groupby); only
+    the G-row driver-side allocation differs. Returns
+    Dataset[source, lang, n_docs, n_tokens, weight, quota]."""
+    import math
+
+    import ray.data as rd
+
+    base = mixture_quota(docs, budget=budget, batch_size=batch_size)
+    rows = base.take_all()
+    src = np.array([r["source"] for r in rows], dtype="U") if rows else (
+        np.empty(0, "U1"))
+    lng = np.array([r["lang"] for r in rows], dtype="U") if rows else (
+        np.empty(0, "U1"))
+    nd = np.array([r["n_docs"] for r in rows], np.int64)
+    nt = np.array([r["n_tokens"] for r in rows], np.int64)
+    w = np.array([math.isqrt(int(x)) for x in nt], np.int64)
+    tot = int(w.sum())
+    if tot > 0:
+        fl = budget * w // tot
+        rem = budget * w % tot
+        quota = fl.copy()
+        short = int(budget - fl.sum())
+        order = np.lexsort((lng, src, -rem))
+        quota[order[:short]] += 1
+    else:
+        quota = np.zeros(len(w), np.int64)
+    order = np.lexsort((lng, src))
+    return rd.from_arrow(pa.table({
+        "source": pa.array(src[order], pa.string()),
+        "lang": pa.array(lng[order], pa.string()),
+        "n_docs": pa.array(nd[order]),
+        "n_tokens": pa.array(nt[order]),
+        "weight": pa.array(w[order]),
+        "quota": pa.array(quota[order]),
+    }))

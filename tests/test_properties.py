@@ -1490,3 +1490,24 @@ def test_keyness_matches_python_reference(ray_session, rows, blocks):
            for r in keyness_terms(ds, num_buckets=4,
                                   batch_size=3).take_all()]
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**52), min_size=1, max_size=40))
+def test_oracle_isqrt_correction_matches_isqrt(ns):
+    """The c_temperature_mix oracle computes integer sqrt as floor(sqrt)
+    plus a ±1 correction; verify the SQL formula equals math.isqrt for
+    arbitrary int64 token counts (float sqrt alone is off-by-one near
+    perfect squares)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT (s0 + (CASE WHEN (s0+1)*(s0+1) <= n THEN 1 ELSE 0 END)"
+        "      - (CASE WHEN s0*s0 > n THEN 1 ELSE 0 END))::BIGINT"
+        " FROM (SELECT n, CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS s0"
+        "       FROM (SELECT unnest(?::BIGINT[]) AS n))",
+        [ns]).fetchall()
+    assert [r[0] for r in got] == [math.isqrt(n) for n in ns]
