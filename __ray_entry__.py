@@ -90,7 +90,14 @@ _QUERY_PRIORITY = [
     "c_curriculum_shards", "w_distinct_by_type",
     "v_summary_full", "d_seg_dedup", "d_dup_ngrams",
     # -- (3b) continuation-session additions, parity-green, first in line
-    #    for round-5 window slots (most novel oracle families first: the
+    #    for round-5 window slots. The r4f batch (c_pareto ..
+    #    c_temperature_mix, group tail) is past the window by the same
+    #    deliberate arithmetic as above: the 50 slots are already filled
+    #    with never-driver-verified entries, so admitting these would
+    #    evict other equally-unverified ones; all are green in the
+    #    per-pytest parity suite AND in the recorded full sf0.01 sweep
+    #    (BASELINE.md round-4f, driver-protocol 192/192).
+    #    (most novel oracle families first: the
     #    integer-exact ADC ANN ranking, the FNV negative-sampling join,
     #    the per-subspace Lloyd chain; the r4e batch at the group tail —
     #    d_lrs (prefix-doubling suffix classes) and d_kcore (h-index CTE

@@ -1753,7 +1753,7 @@ WITH d AS (SELECT coalesce(source, '*') AS s, coalesce(lang, '*') AS l,
                   coalesce(n_chars, 0) AS v FROM documents)
 SELECT coalesce(s, '*') AS source, coalesce(l, '*') AS lang,
        (GROUPING(s) + GROUPING(l))::BIGINT AS lvl,
-       count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_val
+       count(*)::BIGINT AS n, coalesce(sum(v), 0)::BIGINT AS sum_val
 FROM d GROUP BY ROLLUP(s, l)
 """
 
@@ -1820,8 +1820,9 @@ def q_simpson(sf_dir: str):
 
 
 SIMPSON_SQL = """
-WITH u AS (SELECT source, unnest(list_filter(string_split(text, ' '),
-                                             x -> x <> '')) AS word
+WITH u AS (SELECT coalesce(source, '*') AS source,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS word
            FROM documents),
 c AS (SELECT source, word, count(*)::BIGINT AS n FROM u GROUP BY 1, 2)
 SELECT source, sum(n)::BIGINT AS n_words,
@@ -1843,8 +1844,9 @@ def q_keyness(sf_dir: str):
 
 
 KEYNESS_SQL = """
-WITH u0 AS (SELECT source, unnest(list_filter(string_split(text, ' '),
-                                              x -> x <> '')) AS word
+WITH u0 AS (SELECT coalesce(source, '*') AS source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
             FROM documents),
 -- the pair = two smallest sources WITH at least one word (u0 drops
 -- wordless sources), matching the engine's totals-fold selection
@@ -1870,10 +1872,10 @@ rb AS (SELECT 'b' AS side, word, n_a, n_b, score,
               row_number() OVER (ORDER BY score ASC, word ASC) AS rn
        FROM sc)
 SELECT side, word, n_a, n_b, score, rn::BIGINT AS rank
-FROM ra WHERE rn <= 10
+FROM ra WHERE rn <= 10 AND (SELECT count(*) FROM s) = 2
 UNION ALL
 SELECT side, word, n_a, n_b, score, rn::BIGINT AS rank
-FROM rb WHERE rn <= 10
+FROM rb WHERE rn <= 10 AND (SELECT count(*) FROM s) = 2
 """
 
 

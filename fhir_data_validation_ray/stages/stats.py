@@ -1289,6 +1289,8 @@ def rollup_counts(ds, a: str, b: str, val: str) -> pa.Table:
                                 ("n", pa.int64()), ("sum_val", pa.int64())]))
     if finest.num_rows:
         finest = combine(finest)
+    # empty input still yields the grand-total row (n=0, sum_val=0),
+    # matching GROUP BY ROLLUP's () grouping set with coalesce(sum, 0)
     av = np.asarray(finest[a]).astype("U")
     bv = np.asarray(finest[b]).astype("U")
     n = np.asarray(finest["n"]).astype(np.int64)

@@ -2638,6 +2638,50 @@ def kn_continuation_counts(docs, k: int = 30, *, num_buckets: int = 64,
     }))
 
 
+def _make_source_word_partial(num_buckets: int):
+    """Shared per-batch partial for the (source, word)-count exchange
+    (simpson_diversity and keyness_terms): pre-aggregated batch-distinct
+    (source, word, n) rows keyed by hash(word) % B. Null sources coalesce
+    to '*' BEFORE grouping — the rollup_counts convention, mirrored by
+    coalesce(source, '*') in both oracles — because a null-bearing
+    dictionary's indices materialize as NaN and corrupt the int64 key
+    arithmetic."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        parts = pc.split_pattern(texts.fill_null(""), " ")
+        flat = pc.list_flatten(parts)
+        nword = pc.list_value_length(parts).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), nword)
+        da = pc.dictionary_encode(flat)
+        code = np.asarray(da.indices).astype(np.int64)
+        words = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
+        sd = pc.dictionary_encode(pc.fill_null(src.cast(pa.string()), "*"))
+        si = np.asarray(sd.indices).astype(np.int64)[doc_idx]
+        keep = np.asarray(pc.not_equal(flat, "")).astype(bool)
+        si, code = si[keep], code[keep]
+        key = si * np.int64(len(words)) + code
+        uk, cnt = np.unique(key, return_counts=True)
+        wc = (uk % np.int64(len(words))).astype(np.int64)
+        sc = (uk // np.int64(len(words))).astype(np.int64)
+        snames = sd.dictionary.cast(pa.string())
+        h = hash_str(words) % np.uint64(num_buckets)
+        return pa.table({
+            "bucket": pa.array(h[wc].astype(np.int64)),
+            "source": pc.take(snames, pa.array(sc)),
+            "word": pa.array(words[wc], pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return partial
+
+
 def simpson_diversity(docs, *, num_buckets: int = 64,
                       batch_size: int | None = None):
     """Per-source lexical-concentration profile — the integer core of the
@@ -2658,38 +2702,7 @@ def simpson_diversity(docs, *, num_buckets: int = 64,
     ship; the exchange is batch-distinct (source, word) rows.
 
     Returns Dataset[source, n_words, distinct_words, simpson_num]."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        src = t["source"]
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        parts = pc.split_pattern(texts.fill_null(""), " ")
-        flat = pc.list_flatten(parts)
-        nword = pc.list_value_length(parts).fill_null(0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), nword)
-        da = pc.dictionary_encode(flat)
-        code = np.asarray(da.indices).astype(np.int64)
-        words = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
-        sd = pc.dictionary_encode(src)
-        si = np.asarray(sd.indices).astype(np.int64)[doc_idx]
-        keep = np.asarray(pc.not_equal(flat, "")).astype(bool)
-        si, code = si[keep], code[keep]
-        key = si * np.int64(len(words)) + code
-        uk, cnt = np.unique(key, return_counts=True)
-        wc = (uk % np.int64(len(words))).astype(np.int64)
-        sc = (uk // np.int64(len(words))).astype(np.int64)
-        snames = sd.dictionary.cast(pa.string())
-        h = hash_str(words) % np.uint64(num_buckets)
-        return pa.table({
-            "bucket": pa.array(h[wc].astype(np.int64)),
-            "source": pc.take(snames, pa.array(sc)),
-            "word": pa.array(words[wc], pa.string()),
-            "n": pa.array(cnt.astype(np.int64)),
-        })
+    partial = _make_source_word_partial(num_buckets)
 
     def bucket_fold(g: pa.Table) -> pa.Table:
         src = g["source"]
@@ -2763,38 +2776,7 @@ def keyness_terms(docs, k: int = 10, *, num_buckets: int = 64,
 
     from ..functions.collect import collect_table
 
-    def partial(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        src = t["source"]
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        parts = pc.split_pattern(texts.fill_null(""), " ")
-        flat = pc.list_flatten(parts)
-        nword = pc.list_value_length(parts).fill_null(0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), nword)
-        da = pc.dictionary_encode(flat)
-        code = np.asarray(da.indices).astype(np.int64)
-        words = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
-        sd = pc.dictionary_encode(src)
-        si = np.asarray(sd.indices).astype(np.int64)[doc_idx]
-        keep = np.asarray(pc.not_equal(flat, "")).astype(bool)
-        si, code = si[keep], code[keep]
-        key = si * np.int64(len(words)) + code
-        uk, cnt = np.unique(key, return_counts=True)
-        wc = (uk % np.int64(len(words))).astype(np.int64)
-        sc = (uk // np.int64(len(words))).astype(np.int64)
-        h = hash_str(words) % np.uint64(num_buckets)
-        return pa.table({
-            "bucket": pa.array(h[wc].astype(np.int64)),
-            "source": pc.take(sd.dictionary.cast(pa.string()),
-                              pa.array(sc)),
-            "word": pa.array(words[wc], pa.string()),
-            "n": pa.array(cnt.astype(np.int64)),
-        })
-
+    partial = _make_source_word_partial(num_buckets)
     partials = (docs.select_columns(["source", "text"])
                 .map_batches(partial, batch_format="pyarrow",
                              batch_size=batch_size).materialize())
