@@ -1908,6 +1908,28 @@ FROM base LEFT JOIN agg USING (event_type, lag)
 """
 
 
+def q_cube(sf_dir: str):
+    """Full GROUP BY CUBE over (source, lang): all four grouping sets
+    from the same finest-level fold as a_rollup."""
+    import ray.data as rd
+
+    from ..stages.stats import rollup_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang", "n_chars"])
+    return rollup_counts(ds, "source", "lang", "n_chars", cube=True)
+
+
+CUBE_SQL = """
+WITH d AS (SELECT coalesce(source, '*') AS s, coalesce(lang, '*') AS l,
+                  coalesce(n_chars, 0) AS v FROM documents)
+SELECT coalesce(s, '*') AS source, coalesce(l, '*') AS lang,
+       (GROUPING(s) * 2 + GROUPING(l))::BIGINT AS lvl,
+       count(*)::BIGINT AS n, coalesce(sum(v), 0)::BIGINT AS sum_val
+FROM d GROUP BY CUBE(s, l)
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -3115,6 +3137,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "c_pareto": q_pareto,
         "d_ind_discovery": q_ind_discovery,
         "a_rollup": q_rollup,
+        "a_cube": q_cube,
         "a_k_anonymity": q_k_anonymity,
         "t_kn_counts": q_kn_counts,
         "t_simpson": q_simpson,
@@ -5141,6 +5164,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "c_pareto": PARETO_SQL,
         "d_ind_discovery": _ind_discovery_sql(),
         "a_rollup": ROLLUP_SQL,
+        "a_cube": CUBE_SQL,
         "a_k_anonymity": K_ANONYMITY_SQL,
         "t_kn_counts": KN_COUNTS_SQL,
         "t_simpson": SIMPSON_SQL,

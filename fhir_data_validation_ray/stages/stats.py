@@ -1228,7 +1228,8 @@ def ind_discovery(columns, *, num_buckets: int = 64,
     return tbl.take(order)
 
 
-def rollup_counts(ds, a: str, b: str, val: str) -> pa.Table:
+def rollup_counts(ds, a: str, b: str, val: str, *,
+                  cube: bool = False) -> pa.Table:
     """Two-level ROLLUP aggregate — (a, b), (a), and grand-total counts +
     measure sums from ONE finest-level fold (the OLAP cube primitive; at
     100 TB the coarser levels must derive from the finest partials, never
@@ -1236,6 +1237,11 @@ def rollup_counts(ds, a: str, b: str, val: str) -> pa.Table:
     grouping on both sides (the oracle coalesces pre-GROUP BY, so engine
     and SQL agree by construction); the ``lvl`` column (0 finest, 1 per-a,
     2 grand) disambiguates rollup rows from literal '*' values.
+
+    ``cube=True`` adds the per-b grouping set from the SAME finest fold
+    (full GROUP BY CUBE(a, b)); levels then follow the SQL GROUPING
+    bit-pattern — 0 finest, 1 per-a (b grouped out), 2 per-b (a grouped
+    out), 3 grand.
 
     Per-batch partials are bounded by distinct (a, b) pairs per batch, a
     per-task combine level keeps the driver fold O(cardinality), and the
@@ -1300,12 +1306,26 @@ def rollup_counts(ds, a: str, b: str, val: str) -> pa.Table:
     s1 = np.zeros(len(ua), np.int64)
     np.add.at(n1, ainv, n)
     np.add.at(s1, ainv, s)
-    out_a = np.concatenate([av, ua, ["*"]])
-    out_b = np.concatenate([bv, np.full(len(ua), "*"), ["*"]])
-    out_l = np.concatenate([np.zeros(len(av), np.int64),
-                            np.ones(len(ua), np.int64), [2]])
-    out_n = np.concatenate([n, n1, [n.sum()]])
-    out_s = np.concatenate([s, s1, [s.sum()]])
+    if cube:
+        ub, binv = np.unique(bv, return_inverse=True)
+        n2 = np.zeros(len(ub), np.int64)
+        s2 = np.zeros(len(ub), np.int64)
+        np.add.at(n2, binv, n)
+        np.add.at(s2, binv, s)
+        out_a = np.concatenate([av, ua, np.full(len(ub), "*"), ["*"]])
+        out_b = np.concatenate([bv, np.full(len(ua), "*"), ub, ["*"]])
+        out_l = np.concatenate([np.zeros(len(av), np.int64),
+                                np.ones(len(ua), np.int64),
+                                np.full(len(ub), 2, np.int64), [3]])
+        out_n = np.concatenate([n, n1, n2, [n.sum()]])
+        out_s = np.concatenate([s, s1, s2, [s.sum()]])
+    else:
+        out_a = np.concatenate([av, ua, ["*"]])
+        out_b = np.concatenate([bv, np.full(len(ua), "*"), ["*"]])
+        out_l = np.concatenate([np.zeros(len(av), np.int64),
+                                np.ones(len(ua), np.int64), [2]])
+        out_n = np.concatenate([n, n1, [n.sum()]])
+        out_s = np.concatenate([s, s1, [s.sum()]])
     tbl = pa.table({a: pa.array(out_a), b: pa.array(out_b),
                     "lvl": pa.array(out_l), "n": pa.array(out_n),
                     "sum_val": pa.array(out_s)})
