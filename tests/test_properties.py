@@ -1511,3 +1511,56 @@ def test_oracle_isqrt_correction_matches_isqrt(ns):
         "       FROM (SELECT unnest(?::BIGINT[]) AS n))",
         [ns]).fetchall()
     assert [r[0] for r in got] == [math.isqrt(n) for n in ns]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["x", "y", None]),
+                          st.sampled_from(["p", "*", None]),
+                          st.integers(-5, 50)),
+                min_size=1, max_size=20),
+       st.integers(1, 3), st.booleans())
+def test_rollup_cube_matches_python_reference(ray_session, rows, blocks,
+                                              cube):
+    """rollup_counts (both modes) equals a plain grouped reference with
+    the '*' null-coalesce applied pre-grouping — exercises the null path
+    the parquet fixtures never hit, plus literal '*' values colliding
+    with the rollup marker (disambiguated by lvl)."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import rollup_counts
+
+    fin: dict = defaultdict(lambda: [0, 0])
+    for a, b, v in rows:
+        key = (a or "*", b or "*")
+        fin[key][0] += 1
+        fin[key][1] += v
+    want = []
+    for (a, b), (n, s) in fin.items():
+        want.append((a, b, 0, n, s))
+    per_a: dict = defaultdict(lambda: [0, 0])
+    per_b: dict = defaultdict(lambda: [0, 0])
+    for (a, b), (n, s) in fin.items():
+        per_a[a][0] += n
+        per_a[a][1] += s
+        per_b[b][0] += n
+        per_b[b][1] += s
+    want += [(a, "*", 1, n, s) for a, (n, s) in per_a.items()]
+    if cube:
+        want += [("*", b, 2, n, s) for b, (n, s) in per_b.items()]
+    grand_lvl = 3 if cube else 2
+    want.append(("*", "*", grand_lvl,
+                 sum(n for n, _ in fin.values()),
+                 sum(s for _, s in fin.values())))
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([r[0] for r in rows], pa.string()),
+        "b": pa.array([r[1] for r in rows], pa.string()),
+        "v": pa.array([r[2] for r in rows], pa.int64()),
+    })).repartition(blocks)
+    out = rollup_counts(ds, "a", "b", "v", cube=cube)
+    got = list(zip(out["a"].to_pylist(), out["b"].to_pylist(),
+                   out["lvl"].to_pylist(), out["n"].to_pylist(),
+                   out["sum_val"].to_pylist()))
+    assert sorted(got) == sorted(want)
