@@ -111,7 +111,7 @@ _QUERY_PRIORITY = [
     "w_session_paths", "a_benford", "d_novel_grams", "w_conversion_lag",
     "d_lrs", "d_dup_profile", "w_cusum", "c_pareto", "d_ind_discovery",
     "a_rollup", "a_k_anonymity", "t_kn_counts", "t_simpson", "t_keyness",
-    "w_autocorr", "d_lpa", "c_temperature_mix", "a_cube",
+    "w_autocorr", "d_lpa", "c_temperature_mix", "a_cube", "a_l_diversity",
     # -- (4) previously-verified flagship filler (changed least recently
     #    verified first): validation core + headline data-ops
     "v_reference_join", "v_primitive_datetime", "v_question_answer",

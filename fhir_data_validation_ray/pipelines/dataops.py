@@ -1930,6 +1930,26 @@ FROM d GROUP BY CUBE(s, l)
 """
 
 
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit over (event_type, hour-window) combos: per
+    threshold l, combos with fewer than l distinct users."""
+    from ..stages.windows import l_diversity_audit
+
+    return l_diversity_audit(_events(sf_dir))
+
+
+L_DIVERSITY_SQL = """
+WITH g AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  count(DISTINCT user_id)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+l AS (SELECT unnest([2, 5, 10])::BIGINT AS l)
+SELECT l.l,
+       coalesce(count(*) FILTER (WHERE g.n < l.l), 0)::BIGINT
+         AS combos_below
+FROM l CROSS JOIN g GROUP BY l.l
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup audit: rolling-hash cut points make
     shared passages chunk identically after positional shifts."""
@@ -3139,6 +3159,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_rollup": q_rollup,
         "a_cube": q_cube,
         "a_k_anonymity": q_k_anonymity,
+        "a_l_diversity": q_l_diversity,
         "t_kn_counts": q_kn_counts,
         "t_simpson": q_simpson,
         "t_keyness": q_keyness,
@@ -5166,6 +5187,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_rollup": ROLLUP_SQL,
         "a_cube": CUBE_SQL,
         "a_k_anonymity": K_ANONYMITY_SQL,
+        "a_l_diversity": L_DIVERSITY_SQL,
         "t_kn_counts": KN_COUNTS_SQL,
         "t_simpson": SIMPSON_SQL,
         "t_keyness": KEYNESS_SQL,

@@ -1738,3 +1738,37 @@ def autocorr_windows(events, *, window_us: int = US_PER_HOUR,
 
     return counts.groupby("event_type").map_groups(
         per_type, batch_format="pyarrow")
+
+
+def l_diversity_audit(events, *, window_us: int = US_PER_HOUR,
+                      ls: tuple[int, ...] = (2, 5, 10)):
+    """l-diversity audit over the (event_type, hour-window) quasi-identifier
+    combination — the sensitive-attribute companion to
+    ``k_anonymity_audit`` (Machanavajjhala et al. 2007 semantics at combo
+    granularity): a combo whose rows belong to fewer than l DISTINCT users
+    lets an observer who locates a target in the combo narrow them to
+    under l candidates, however many rows it holds. Per threshold l,
+    report how many combos carry fewer than l distinct users.
+
+    Rides the pre-deduplicated ``tumbling_distinct_by_type`` exchange
+    (batch-unique (window, user) pairs per type — never event rows); each
+    distinct-count batch emits one O(|ls|) partial row and an l-groupby
+    sums them. Returns Dataset[l, combos_below]."""
+    counts = tumbling_distinct_by_type(events, window_us=window_us)
+    ls_arr = np.asarray(sorted(ls), np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_distinct"]).astype(np.int64)
+        below = n[:, None] < ls_arr[None, :]
+        return pa.table({
+            "l": pa.array(ls_arr),
+            "combos_below": pa.array(below.sum(axis=0).astype(np.int64)),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"l": t["l"],
+                         "combos_below": t["sum(combos_below)"]})
+
+    return (counts.map_batches(partial, batch_format="pyarrow")
+            .groupby("l").sum("combos_below")
+            .map_batches(rename, batch_format="pyarrow"))
