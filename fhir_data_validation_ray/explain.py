@@ -224,8 +224,8 @@ def explain_violations(violations, profile_obj: dict[str, Any]):
             pc.equal(code, "REFERENCE_NOT_FOUND"),
             pc.equal(code, "REFERENCE_TYPE_MISMATCH"))))
         nf_what = pc.binary_join_element_wise(
-            pa.array([REF_NOT_FOUND_WHAT[0]] * n), path,
-            pa.array([REF_NOT_FOUND_WHAT[1]] * n), "")
+            pa.array([REF_NOT_FOUND_WHAT[0]] * n, type=pa.string()), path,
+            pa.array([REF_NOT_FOUND_WHAT[1]] * n, type=pa.string()), "")
         what = pc.if_else(m_nf, nf_what, what)
         how = pc.if_else(m_nf, pa.scalar(REF_NOT_FOUND_HOW), how)
         what = pc.if_else(m_tm, pa.scalar(REF_TYPE_WHAT), what)

@@ -505,7 +505,8 @@ def k_code_system(rule: RuleDef, fs: FlatSpans, sel: np.ndarray, sink: Violation
     da = pc.dictionary_encode(pc.take(arr, pa.array(cand)))
     code_of = np.asarray(da.indices).astype(np.int64)
     uvals = da.dictionary.to_numpy(zero_copy_only=False).astype("U")
-    parts = np.char.partition(uvals, "|")  # (n_unique, 3): before, sep, after
+    # reshape(-1, 3): empty uvals would otherwise be 1-D (r5 probe)
+    parts = np.char.partition(uvals, "|").reshape(-1, 3)
     has_sys = parts[:, 1] == "|"
     u_sys_bad = has_sys & (parts[:, 0] != expected_sys)
     ucodes = np.where(has_sys, parts[:, 2], parts[:, 0])

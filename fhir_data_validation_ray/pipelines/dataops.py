@@ -2993,46 +2993,55 @@ GROUP BY text HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
 """
 
 
+def crosslang_add_clones(t):
+    """Per-batch clone augmentation for q_crosslang_dups (module-level so
+    the 0-row-batch regression test can drive it directly — the r04 driver
+    red was an empty-selection null-type crash in here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = np.asarray(t["doc_id"]).astype(np.int64)
+    texts = t["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    langs = t["lang"]
+    if isinstance(langs, pa.ChunkedArray):
+        langs = langs.combine_chunks()
+    base = pa.table({"doc_id": pa.array(ids), "text": texts,
+                     "lang": langs})
+    m5 = ids % 5 == 0
+    keep_lang = pa.array((ids % 3 == 0)[m5])
+    sel5 = pa.array(m5)
+    a = pa.table({
+        "doc_id": pa.array(ids[m5] + CROSSLANG_CLONE_A),
+        "text": texts.filter(sel5),
+        "lang": pc.if_else(keep_lang, langs.filter(sel5),
+                           pa.scalar("xx")),
+    })
+    m10 = pa.array(ids % 10 == 0)
+    b = pa.table({
+        "doc_id": pa.array(ids[ids % 10 == 0] + CROSSLANG_CLONE_B),
+        "text": texts.filter(m10),
+        # type= is REQUIRED: on a batch with no doc_id%10==0 rows the
+        # list is empty and pyarrow would infer null, breaking the
+        # concat_tables below (r04 driver red d_crosslang_dups).
+        "lang": pa.array(["yy"] * int(np.count_nonzero(ids % 10 == 0)),
+                         type=pa.string()),
+    })
+    return pa.concat_tables([base, a, b])
+
+
 def q_crosslang_dups(sf_dir: str):
     """Exact-dup text groups declared under >= 2 langs (label-quality
     audit) over the cross-lang clone-augmented corpus."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data as rd
 
     from ..stages.dedup import crosslang_dups
 
-    def add_clones(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"]).astype(np.int64)
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        langs = t["lang"]
-        if isinstance(langs, pa.ChunkedArray):
-            langs = langs.combine_chunks()
-        base = pa.table({"doc_id": pa.array(ids), "text": texts,
-                         "lang": langs})
-        m5 = ids % 5 == 0
-        keep_lang = pa.array((ids % 3 == 0)[m5])
-        sel5 = pa.array(m5)
-        a = pa.table({
-            "doc_id": pa.array(ids[m5] + CROSSLANG_CLONE_A),
-            "text": texts.filter(sel5),
-            "lang": pc.if_else(keep_lang, langs.filter(sel5),
-                               pa.scalar("xx")),
-        })
-        m10 = pa.array(ids % 10 == 0)
-        b = pa.table({
-            "doc_id": pa.array(ids[ids % 10 == 0] + CROSSLANG_CLONE_B),
-            "text": texts.filter(m10),
-            "lang": pa.array(["yy"] * int(np.count_nonzero(ids % 10 == 0))),
-        })
-        return pa.concat_tables([base, a, b])
-
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     return crosslang_dups(
-        docs.map_batches(add_clones, batch_format="pyarrow"))
+        docs.map_batches(crosslang_add_clones, batch_format="pyarrow"))
 
 
 # late-arrival recipe: the fixture stream is perfectly ts-ordered by
@@ -4095,7 +4104,8 @@ def q_source_card(sf_dir: str):
         nz = np.zeros(len(p_src), dtype=np.int64)
         return pa.concat_tables([
             pa.table({
-                "source": pa.array(us), "lang": pa.array([""] * len(us)),
+                "source": pa.array(us),
+                "lang": pa.array([""] * len(us), type=pa.string()),
                 "role": pa.array(np.zeros(len(us), dtype=np.int64)),
                 "n_docs": pa.array(n_docs), "n_tokens": pa.array(n_tok),
                 "n_chars": pa.array(n_chars),

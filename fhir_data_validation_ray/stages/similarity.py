@@ -119,6 +119,8 @@ def cosine_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
     def local_topk(t: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:  # empty block: dim unknowable, matmul would fail
+            return _CAND_SCHEMA.empty_table()
         sims = _normalize(m) @ qm.T  # (n, nq) float64
         kk = min(k, len(ids))
         out_q, out_v, out_s = [], [], []
@@ -205,6 +207,9 @@ def cosine_pairs(embeddings, threshold: float = 0.9, *,
     def pairs(t: pa.Table) -> pa.Table:
         ids_all, m_all = ray.get(m_ref) if isinstance(m_ref, ray.ObjectRef) else m_ref
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
         sims = _normalize(m) @ m_all.T
         ii, jj = np.nonzero(sims >= threshold)
         a, b = ids[ii], ids_all[jj]
@@ -289,6 +294,9 @@ def cosine_pairs_lsh(embeddings, threshold: float = 0.9, *,
 
     def sig_rows(t: pa.Table) -> pa.Table:
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"gkey": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64())})
         mn = _normalize(m)
         rng = np.random.RandomState(seed)  # same planes in every batch
         planes = rng.standard_normal((num_reps * planes_per_rep, mn.shape[1]))
@@ -468,6 +476,10 @@ def ivf_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
     def bucketize(t: pa.Table) -> pa.Table:
         cm = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": t["embedding"]})
         assign = np.argmax(_normalize(m) @ cm.T, axis=1)
         return pa.table(
             {
@@ -559,6 +571,10 @@ def lsh_topk(embeddings, query_ids: np.ndarray, query_matrix: np.ndarray,
     def bucketize(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": t["embedding"]})
         sig = (_normalize(m) @ pl.T > 0).astype(np.uint32)
         codes = (sig << np.arange(pl.shape[0], dtype=np.uint32)).sum(axis=1)
         return pa.table(
@@ -642,6 +658,8 @@ def hard_negative_topk(embeddings, query_ids: np.ndarray,
         qids, qm, ql = (ray.get(q_ref)
                         if isinstance(q_ref, ray.ObjectRef) else q_ref)
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return _CAND_SCHEMA.empty_table()
         labels = np.asarray(t["label"]).astype(np.int64)
         sims = _normalize(m) @ qm.T  # (n, nq) float64
         out_q, out_v, out_s = [], [], []
@@ -706,6 +724,10 @@ def pq_train_encode(embeddings, *, dim: int, m: int = 4, k: int = 8,
 
     def quantize(t: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(t)
+        if len(ids) == 0:  # dim unknowable from an empty variable-list block
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             **{f"q{j}": pa.array([], pa.int64())
+                                for j in range(dim)}})
         if mat.shape[1] != dim:
             raise ValueError(f"expected dim {dim}, got {mat.shape[1]}")
         q = np.floor(mat * scale).astype(np.int64)

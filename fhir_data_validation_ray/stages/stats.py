@@ -1038,12 +1038,15 @@ def contingency(ds, x: str, y: str, *, batch_size: int | None = None):
     def keyed(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
+        # type= is REQUIRED on the 0-row batch (null-type inference class)
         gx = _pc.coalesce(_pc.binary_join_element_wise(
-            pa.array(["T"] * t.num_rows), t[x].cast(pa.string()), ""),
-            pa.array(["N"] * t.num_rows))
+            pa.array(["T"] * t.num_rows, type=pa.string()),
+            t[x].cast(pa.string()), ""),
+            pa.array(["N"] * t.num_rows, type=pa.string()))
         gy = _pc.coalesce(_pc.binary_join_element_wise(
-            pa.array(["T"] * t.num_rows), t[y].cast(pa.string()), ""),
-            pa.array(["N"] * t.num_rows))
+            pa.array(["T"] * t.num_rows, type=pa.string()),
+            t[y].cast(pa.string()), ""),
+            pa.array(["N"] * t.num_rows, type=pa.string()))
         return t.append_column("gx", gx).append_column("gy", gy)
 
     cells = (
@@ -1281,7 +1284,8 @@ def rollup_counts(ds, a: str, b: str, val: str, *,
         s = np.zeros(len(uk), np.int64)
         np.add.at(n, inv, np.asarray(t["n"]).astype(np.int64))
         np.add.at(s, inv, np.asarray(t["sum_val"]).astype(np.int64))
-        parts = np.char.partition(uk, "\x1f")
+        # reshape(-1, 3): empty uk would otherwise be 1-D (r5 probe)
+        parts = np.char.partition(uk, "\x1f").reshape(-1, 3)
         return pa.table({
             a: pa.array(parts[:, 0]), b: pa.array(parts[:, 2]),
             "n": pa.array(n), "sum_val": pa.array(s),

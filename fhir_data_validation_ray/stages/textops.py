@@ -1893,7 +1893,9 @@ def lang_confusion(docs, *, batch_size: int | None = None):
         keys, n = keys[order], n[order]
         uk, start = np.unique(keys, return_index=True)
         totals = np.add.reduceat(n, start) if len(n) else np.empty(0, np.int64)
-        parts = np.char.partition(uk, "|")
+        # reshape: np.char.partition on an EMPTY array returns shape
+        # (0,), not (0, 3) — 0-row batches would IndexError (r5 probe)
+        parts = np.char.partition(uk, "|").reshape(-1, 3)
         return pa.table({
             "lang": pa.array(parts[:, 0].tolist(), pa.string()),
             "pred_lang": pa.array(parts[:, 2].tolist(), pa.string()),

@@ -848,7 +848,8 @@ def transition_counts(events, *, block_us: int = US_PER_HOUR):
     def _pair_rows(tf: np.ndarray, tt: np.ndarray) -> pa.Table:
         keys = np.char.add(np.char.add(tf, "|"), tt)
         uk, cnt = np.unique(keys, return_counts=True)
-        parts = np.char.partition(uk, "|")
+        # reshape(-1, 3): empty uk would otherwise be 1-D (r5 probe)
+        parts = np.char.partition(uk, "|").reshape(-1, 3)
         return pa.table({
             "role": pa.array(np.zeros(len(uk), np.int8)),
             "user_id": pa.array(np.zeros(len(uk), np.int64)),
@@ -904,7 +905,8 @@ def transition_counts(events, *, block_us: int = US_PER_HOUR):
         keys, n = keys[order], n[order]
         uk, start = np.unique(keys, return_index=True)
         tot = np.add.reduceat(n, start) if len(n) else np.empty(0, np.int64)
-        parts = np.char.partition(uk, "|")
+        # reshape(-1, 3): empty uk would otherwise be 1-D (r5 probe)
+        parts = np.char.partition(uk, "|").reshape(-1, 3)
         return pa.table({
             "type_from": pa.array(parts[:, 0].tolist(), pa.string()),
             "type_to": pa.array(parts[:, 2].tolist(), pa.string()),

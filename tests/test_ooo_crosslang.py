@@ -79,3 +79,46 @@ def test_crosslang_same_lang_groups_excluded(ray_session):
     # lang row excluded from BOTH counts -> 2 docs 2 langs
     assert [(r["group_id"], r["n_docs"], r["n_langs"]) for r in got] == [
         (2, 2, 2), (4, 2, 2)]
+
+
+def test_crosslang_add_clones_empty_and_tiny_batches():
+    """r04 driver red: a batch with no doc_id%10==0 rows made pa.array
+    infer the null type and concat_tables raised ArrowInvalid. Drive the
+    (now module-level) UDF directly on 0-row / 1-row / no-selection
+    batches — schemas must be identical across all of them."""
+    from fhir_data_validation_ray.pipelines.dataops import crosslang_add_clones
+
+    def docs(ids, texts, langs):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        })
+
+    full = crosslang_add_clones(docs([10, 3], ["t a", "t b"], ["en", "fr"]))
+    empty = crosslang_add_clones(docs([], [], []))
+    # doc_id 3: no %5, no %10 selection -> both clone sub-tables empty
+    nosel = crosslang_add_clones(docs([3], ["t c"], ["de"]))
+    one = crosslang_add_clones(docs([10], ["t d"], ["zh"]))
+    assert empty.schema == full.schema == nosel.schema == one.schema
+    assert empty.num_rows == 0 and nosel.num_rows == 1
+    assert one.num_rows == 3  # base + %5 clone + %10 clone
+    assert one["lang"].to_pylist() == ["zh", "xx", "yy"]
+
+
+def test_contingency_keyed_zero_row_batch(ray_session):
+    """stats.contingency's NULL-safe key UDF inferred null-typed 'T'/'N'
+    arrays on a 0-row batch (same class as the crosslang red)."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.stats import contingency
+
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.string()), "b": pa.array([], pa.string())}))
+    assert len(contingency(empty, "a", "b").to_pandas()) == 0
+    # and a null-bearing tiny input still routes nulls to their own group
+    tiny = rd.from_arrow(pa.table({
+        "a": pa.array(["x", None], pa.string()),
+        "b": pa.array([None, "y"], pa.string())}))
+    got = contingency(tiny, "a", "b").to_pandas()
+    assert len(got) == 2 and int(got["grand_total"].iloc[0]) == 2
