@@ -2142,6 +2142,143 @@ def q_drift_by_source(sf_dir: str):
     return drift_by_group(full, "source", snap, psi_threshold=0.25, ks_threshold=0.27)
 
 
+def q_drift_psi(sf_dir: str):
+    """Per-source n_chars drift vs the whole corpus as FIXED-POINT integers
+    (psi_fp = sum of floored x1e6 per-bin contributions; ks_fp = exact
+    integer ECDF gap) — the oracle-checkable companion to the float
+    a_drift_by_source (VERDICT r4 #3)."""
+    import ray.data as rd
+
+    from ..stages.drift import drift_fp_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    return drift_fp_by_group(ds, "n_chars", "source",
+                             lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS)
+
+
+DRIFT_PSI_SQL = f"""
+WITH vc AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+            FROM documents GROUP BY 1, 2),
+ns AS (SELECT source, sum(c)::BIGINT AS n FROM vc GROUP BY 1),
+ntot AS (SELECT sum(c)::BIGINT AS n FROM vc),
+hb AS (SELECT source,
+         least(greatest(floor((v - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS})::BIGINT, 0),
+               {HIST_BINS - 1}) AS bin,
+         sum(c)::BIGINT AS c
+       FROM vc GROUP BY 1, 2),
+gb AS (SELECT bin, sum(c)::BIGINT AS c FROM hb GROUP BY 1),
+bins AS (SELECT unnest(range(0, {HIST_BINS})) AS bin),
+pq AS (SELECT ns.source,
+         (coalesce(hb.c, 0) + 1.0) / (ns.n + {HIST_BINS}.0) AS p,
+         (coalesce(gb.c, 0) + 1.0) / ((SELECT n FROM ntot) + {HIST_BINS}.0) AS q
+       FROM ns CROSS JOIN bins
+       LEFT JOIN hb ON hb.source = ns.source AND hb.bin = bins.bin
+       LEFT JOIN gb ON gb.bin = bins.bin),
+psi AS (SELECT source,
+          sum(floor(1000000 * (p - q) * ln(p / q)))::BIGINT AS psi_fp
+        FROM pq GROUP BY 1),
+gcum AS (SELECT v, sum(sum(c)) OVER (ORDER BY v) AS cg FROM vc GROUP BY v),
+grid AS (SELECT s.source, u.v
+         FROM (SELECT DISTINCT source FROM vc) s
+         CROSS JOIN (SELECT DISTINCT v FROM vc) u),
+cum AS (SELECT grid.source, grid.v,
+          sum(coalesce(vc.c, 0))
+            OVER (PARTITION BY grid.source ORDER BY grid.v) AS cs
+        FROM grid LEFT JOIN vc ON vc.source = grid.source AND vc.v = grid.v),
+ks AS (SELECT cum.source,
+         max(abs(cum.cs::HUGEINT * (SELECT n FROM ntot)
+                 - gcum.cg::HUGEINT * ns.n)) AS num
+       FROM cum JOIN gcum ON gcum.v = cum.v
+       JOIN ns ON ns.source = cum.source
+       GROUP BY cum.source)
+SELECT ns.source AS "group", ns.n AS n, psi.psi_fp,
+       ((1000000::HUGEINT * ks.num)
+        // (ns.n::HUGEINT * (SELECT n FROM ntot)))::BIGINT AS ks_fp
+FROM ns JOIN psi USING (source) JOIN ks ON ks.source = ns.source
+"""
+
+
+def q_kind_psi(sf_dir: str):
+    """Span-kind histogram drift vs the even-FNV-half snapshot as
+    FIXED-POINT integers (per-kind counts + floored x1e6 contribution,
+    '__total__' = integer sum) — the oracle-checkable companion to the
+    float a_kind_drift."""
+    from ..functions.hashing import hash_str
+    from ..sources.readers import read_documents
+    from ..stages.drift import kind_drift_fp, kind_histogram
+    from .validate import fixture_paths
+
+    import pyarrow as pa
+
+    paths = fixture_paths(sf_dir)
+
+    def even_half(t: pa.Table) -> pa.Table:
+        h = hash_str(np.asarray(t["doc_id"]).astype("U"))
+        return t.filter(pa.array((h % np.uint64(2)) == 0))
+
+    snap_docs = read_documents(paths["docs"]).map_batches(
+        even_half, batch_format="pyarrow")
+    snap = kind_histogram(snap_docs)
+    return kind_drift_fp(read_documents(paths["docs"]), snap)
+
+
+def kind_psi_sql(paths: dict) -> str:
+    fnv = _fnv_sql("doc_id")
+    return f"""
+WITH cur AS (SELECT kind, count(*)::BIGINT AS c
+             FROM read_parquet('{paths["flat"]}') GROUP BY 1),
+snap AS (SELECT kind, count(*)::BIGINT AS c
+         FROM read_parquet('{paths["flat"]}')
+         WHERE {fnv} % 2 = 0 GROUP BY 1),
+keys AS (SELECT kind FROM cur UNION SELECT kind FROM snap),
+tot AS (SELECT (SELECT sum(c) FROM cur) AS pn,
+               (SELECT sum(c) FROM snap) AS qn,
+               (SELECT count(*) FROM keys) AS nk),
+rows_ AS (
+  SELECT keys.kind,
+         coalesce(cur.c, 0)::BIGINT AS cur_count,
+         coalesce(snap.c, 0)::BIGINT AS snap_count,
+         floor(1000000
+               * ((coalesce(cur.c, 0) + 1.0) / (tot.pn + tot.nk)
+                  - (coalesce(snap.c, 0) + 1.0) / (tot.qn + tot.nk))
+               * ln(((coalesce(cur.c, 0) + 1.0) / (tot.pn + tot.nk))
+                    / ((coalesce(snap.c, 0) + 1.0) / (tot.qn + tot.nk)))
+               )::BIGINT AS contrib_fp
+  FROM keys LEFT JOIN cur USING (kind) LEFT JOIN snap USING (kind)
+  CROSS JOIN tot)
+SELECT kind, cur_count, snap_count, contrib_fp FROM rows_
+UNION ALL
+SELECT '__total__', (SELECT sum(cur_count) FROM rows_)::BIGINT,
+       (SELECT sum(snap_count) FROM rows_)::BIGINT,
+       (SELECT sum(contrib_fp) FROM rows_)::BIGINT
+"""
+
+
+def q_profile_quantiles(sf_dir: str):
+    """EXACT p50/p95/p99 of n_chars (value-count fold) — the integer
+    companion to the t-digest a_column_profile."""
+    import ray.data as rd
+
+    from ..stages.stats import exact_int_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_int_quantiles(ds, "n_chars", qs=(0.5, 0.95, 0.99))
+
+
+PROFILE_QUANTILES_SQL = """
+WITH vc AS (SELECT n_chars AS v, count(*)::BIGINT AS c
+            FROM documents GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs FROM vc),
+n AS (SELECT sum(c)::BIGINT AS n FROM vc)
+SELECT 'n_chars' AS col, n.n AS n,
+  (SELECT min(v) FROM cum WHERE cs >= ceil(0.5 * n.n))::BIGINT AS p50,
+  (SELECT min(v) FROM cum WHERE cs >= ceil(0.95 * n.n))::BIGINT AS p95,
+  (SELECT min(v) FROM cum WHERE cs >= ceil(0.99 * n.n))::BIGINT AS p99
+FROM n
+"""
+
+
 def q_image_meta(sf_dir: str):
     from ..stages.multimodal import ImageMetaStage, media_pipeline
     from .validate import fixture_paths
@@ -3134,6 +3271,9 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_kind_drift": q_kind_drift,
         "a_kind_hist": q_kind_hist,
         "a_drift_bins": q_drift_bins,
+        "a_drift_psi": q_drift_psi,
+        "a_kind_psi": q_kind_psi,
+        "a_profile_quantiles": q_profile_quantiles,
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
         "m_frame_sample": q_frame_sample,
@@ -5143,11 +5283,13 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """SQL oracles (``sf_dir`` resolves the fixture registry / flat-span
     paths the m_* and kind-hist oracles read — it must match the sf the
     driver compares at). Remaining rows-only operators: a_kind_drift /
-    a_drift_by_source (float PSI/KS scores — their integer bin inputs are
-    oracle-checked via a_kind_hist / a_drift_bins), a_column_profile
-    (sketches), s_lsh_topk / s_ivf_topk (approximate by design, recall-
-    tested); minhash_lsh shares the exact Jaccard oracle (miss probability
-    < 1e-7 per pair at 32x4 bands, then verified exactly)."""
+    a_drift_by_source (float PSI/KS scores — now fully mirrored by the
+    FIXED-POINT oracle-checked a_kind_psi / a_drift_psi, plus the integer
+    bin inputs a_kind_hist / a_drift_bins), a_column_profile (sketches —
+    exact integer companion a_profile_quantiles), s_lsh_topk / s_ivf_topk
+    (approximate by design, recall-tested); minhash_lsh shares the exact
+    Jaccard oracle (miss probability < 1e-7 per pair at 32x4 bands, then
+    verified exactly)."""
     from . import oracle
     from .validate import fixture_paths
 
@@ -5174,6 +5316,9 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_histogram_nchars": HISTOGRAM_NCHARS_SQL,
         "a_kind_hist": oracle.fill(KIND_HIST_SQL, paths),
         "a_drift_bins": DRIFT_BINS_SQL,
+        "a_drift_psi": DRIFT_PSI_SQL,
+        "a_kind_psi": kind_psi_sql(paths),
+        "a_profile_quantiles": PROFILE_QUANTILES_SQL,
         "a_distinct_nchars": DISTINCT_NCHARS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,
         "t_language_id": LANGUAGE_ID_SQL,

@@ -247,3 +247,108 @@ def save_snapshot(snapshot: dict, path: str) -> None:
 def load_snapshot(path: str) -> dict:
     with open(path) as f:
         return json.load(f)
+
+
+# ------------------------------------------------------- fixed-point lane
+# The float PSI/KS queries above are rows-only by design; these companions
+# emit the SAME drift evidence as oracle-comparable integers
+# (VERDICT r4 "Next round" #3):
+# - PSI: the per-bin contribution (p-q)*ln(p/q) is ONE float product per
+#   bin, floored to scale=1e6 fixed point BEFORE summation — the integer
+#   sum is order-independent, so engine and SQL agree bit-for-bit as long
+#   as both sides' libm ln agrees on identical doubles (same machine,
+#   both resolve to the platform libm; validated by the parity suite).
+# - KS: exact two-sample ECDF gap over the value grid computed entirely in
+#   integers: |cs*N - cg*n| / (n*N) -> (scale*num) // den with Python ints
+#   (no float, no overflow at any corpus size).
+
+DRIFT_FP_SCALE = 1_000_000
+
+
+def _psi_fp(cur: np.ndarray, ref: np.ndarray, scale: int) -> int:
+    """Sum of per-bin floored fixed-point PSI contributions (Laplace
+    smoothing, matching ``psi`` above)."""
+    p = (cur + 1.0) / (cur.sum() + len(cur))
+    q = (ref + 1.0) / (ref.sum() + len(ref))
+    return int(np.floor(scale * (p - q) * np.log(p / q)).astype(np.int64).sum())
+
+
+def drift_fp_by_group(ds, col: str, group_col: str, *, lo: int, hi: int,
+                      nbins: int, scale: int = DRIFT_FP_SCALE):
+    """Per-group drift of an integer column vs the WHOLE corpus as the
+    reference, as fixed-point integers — the oracle-checkable companion of
+    ``drift_by_group``. ONE distributed (group, value)-count fold
+    (``stats.group_value_counts``: bounded by group x distinct-value
+    cardinality) feeds both scores driver-side:
+
+    - ``psi_fp``: fixed-bin PSI (same lo/hi/nbins convention as
+      ``stats.histogram_by_group``) vs the global histogram.
+    - ``ks_fp``: EXACT two-sample KS vs the global ECDF, integer-exact.
+
+    Returns a pyarrow Table (group, n, psi_fp, ks_fp) sorted by group."""
+    import pyarrow as pa
+
+    from .stats import group_value_counts
+
+    gs, vs, cs = group_value_counts(ds, col, group_col)
+    uv = np.unique(vs)
+    # global per-value counts on the uv grid
+    gl = np.zeros(len(uv), np.int64)
+    np.add.at(gl, np.searchsorted(uv, vs), cs)
+    n_total = int(gl.sum())
+    w = (hi - lo) / nbins
+    bins_of_v = np.clip(((uv - lo) // int(w)).astype(np.int64), 0, nbins - 1)
+    ref_hist = np.zeros(nbins, np.float64)
+    np.add.at(ref_hist, bins_of_v, gl.astype(np.float64))
+    cg = np.cumsum(gl.astype(object))  # Python ints: overflow-free
+    out_g, out_n, out_psi, out_ks = [], [], [], []
+    starts = np.concatenate([[0], np.nonzero(gs[1:] != gs[:-1])[0] + 1]) \
+        if len(gs) else np.zeros(0, np.int64)
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(gs)
+        pos = np.searchsorted(uv, vs[s:e])
+        cur_counts = np.zeros(len(uv), np.int64)
+        cur_counts[pos] = cs[s:e]
+        n_g = int(cur_counts.sum())
+        cur_hist = np.zeros(nbins, np.float64)
+        np.add.at(cur_hist, bins_of_v, cur_counts.astype(np.float64))
+        cgrp = np.cumsum(cur_counts.astype(object))
+        num = max(abs(int(a) * n_total - int(b) * n_g)
+                  for a, b in zip(cgrp, cg)) if len(uv) else 0
+        out_g.append(str(gs[s]))
+        out_n.append(n_g)
+        out_psi.append(_psi_fp(cur_hist, ref_hist, scale))
+        out_ks.append((scale * num) // max(n_g * n_total, 1))
+    return pa.table({
+        "group": pa.array(out_g, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "psi_fp": pa.array(out_psi, pa.int64()),
+        "ks_fp": pa.array(out_ks, pa.int64()),
+    })
+
+
+def kind_drift_fp(docs, snapshot_hist: dict[str, int], *,
+                  scale: int = DRIFT_FP_SCALE):
+    """Fixed-point span-kind histogram drift — the oracle-checkable
+    companion of ``kind_drift``: per-kind integer counts + the floored
+    fixed-point PSI contribution, plus a ``__total__`` row whose
+    ``contrib_fp`` is the (order-independent) integer sum. Key universe =
+    union of both sides' kinds, Laplace-smoothed like ``psi``."""
+    import pyarrow as pa
+
+    cur = kind_histogram(docs)
+    keys = sorted(set(snapshot_hist) | set(cur))
+    p = np.array([cur.get(k, 0) for k in keys], dtype=np.float64)
+    q = np.array([snapshot_hist.get(k, 0) for k in keys], dtype=np.float64)
+    ps = (p + 1.0) / (p.sum() + len(p))
+    qs = (q + 1.0) / (q.sum() + len(q))
+    contrib = np.floor(scale * (ps - qs) * np.log(ps / qs)).astype(np.int64)
+    return pa.table({
+        "kind": pa.array(keys + ["__total__"], pa.string()),
+        "cur_count": pa.array(
+            [int(x) for x in p] + [int(p.sum())], pa.int64()),
+        "snap_count": pa.array(
+            [int(x) for x in q] + [int(q.sum())], pa.int64()),
+        "contrib_fp": pa.array(
+            list(contrib) + [int(contrib.sum())], pa.int64()),
+    })

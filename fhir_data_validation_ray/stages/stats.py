@@ -454,21 +454,13 @@ def mad_outliers(ds, col: str, *, id_col: str = "doc_id", k: int = 2):
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
-def percentile_rank_by_group(ds, col: str, group_col: str, *,
-                             id_col: str = "doc_id"):
-    """EXACT percentile rank of ``col`` WITHIN each ``group_col`` value —
-    the per-domain score normalization of a keep-top-X%-per-source gate
-    (a global threshold would empty rare domains whose score scale sits
-    lower). Integer outputs mirror ``percentile_rank``: ``n_smaller`` =
-    rows in the SAME group with a strictly smaller value, ``pct_ppm`` =
-    ``n_smaller * 1e6 // (n_group - 1)``.
-
-    Scale shape: one distributed (group, value)-count fold — per-batch
-    lexsort boundary counts, a per-task combine, a driver fold bounded by
-    the (group × distinct-value) cardinality (the same stated assumption
-    as ``percentile_rank``) — the per-group CDFs broadcast once via
-    ``ray.put``, then a stateless searchsorted probe per batch."""
-    import ray
+def group_value_counts(ds, col: str, group_col: str):
+    """Distributed EXACT (group, value) counts of an integer column keyed by
+    a string group — per-batch lexsort boundary-count partials, a per-task
+    combine level, a driver fold bounded by the (group x distinct-value)
+    cardinality. The shared fold under ``percentile_rank_by_group`` and the
+    fixed-point drift scores. Returns (groups, values, counts) numpy arrays
+    sorted by (group, value)."""
 
     def _pair_counts(g: np.ndarray, v: np.ndarray, c: np.ndarray):
         """Sum counts ``c`` over distinct (g, v) pairs (g string, v int)."""
@@ -513,15 +505,35 @@ def percentile_rank_by_group(ds, col: str, group_col: str, *,
         empty_schema=pa.schema(
             [("g", pa.string()), ("v", pa.int64()), ("cnt", pa.int64())]),
     )
+    if not parts.num_rows:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, dtype="U1"), z, z
+    gcol = parts["g"]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    return _pair_counts(
+        np.asarray(gcol).astype("U"),
+        np.asarray(parts["v"]).astype(np.int64),
+        np.asarray(parts["cnt"]).astype(np.int64))
+
+
+def percentile_rank_by_group(ds, col: str, group_col: str, *,
+                             id_col: str = "doc_id"):
+    """EXACT percentile rank of ``col`` WITHIN each ``group_col`` value —
+    the per-domain score normalization of a keep-top-X%-per-source gate
+    (a global threshold would empty rare domains whose score scale sits
+    lower). Integer outputs mirror ``percentile_rank``: ``n_smaller`` =
+    rows in the SAME group with a strictly smaller value, ``pct_ppm`` =
+    ``n_smaller * 1e6 // (n_group - 1)``.
+
+    Scale shape: the shared ``group_value_counts`` fold, per-group CDFs
+    broadcast once via ``ray.put``, then a stateless searchsorted probe
+    per batch."""
+    import ray
+
+    gs, vs, cs = group_value_counts(ds, col, group_col)
     cdfs: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
-    if parts.num_rows:
-        gcol = parts["g"]
-        if isinstance(gcol, pa.ChunkedArray):
-            gcol = gcol.combine_chunks()
-        gs, vs, cs = _pair_counts(
-            np.asarray(gcol).astype("U"),
-            np.asarray(parts["v"]).astype(np.int64),
-            np.asarray(parts["cnt"]).astype(np.int64))
+    if len(gs):
         starts = np.concatenate([[0], np.nonzero(gs[1:] != gs[:-1])[0] + 1])
         for i, s in enumerate(starts):
             e = starts[i + 1] if i + 1 < len(starts) else len(gs)
@@ -529,6 +541,14 @@ def percentile_rank_by_group(ds, col: str, group_col: str, *,
                 [[np.int64(0)], np.cumsum(cs[s:e])[:-1]]).astype(np.int64)
             cdfs[str(gs[s])] = (vs[s:e], cum_excl, int(cs[s:e].sum()))
     cdf_ref = ray.put(cdfs)
+
+    def _cols(t: pa.Table):
+        gcol = t[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        g = np.asarray(gcol).astype("U")
+        v = np.asarray(t[col]).astype(np.int64)
+        return g, v
 
     def probe(t: pa.Table) -> pa.Table:
         lut = ray.get(cdf_ref)
