@@ -367,3 +367,42 @@ def restrict_profile(obj: dict, rule_ids) -> dict:
     keep = set(rule_ids)
     out["rules"] = [r for r in out.get("rules", []) or [] if r["id"] in keep]
     return out
+
+
+def terminology_review_profile() -> dict:
+    """Authoring profile for the concept-level terminology advisory sweep
+    (``RuleAdvisoryService.cs:27-240`` analogue) — exercises all five
+    advisory codes: CODE_NOT_FOUND (T1's 'XX', T3's 'draft'),
+    CODESYSTEM_NOT_FOUND (T2), DISPLAY_MISMATCH (T4), DUPLICATE_CODE
+    (language 'EN' declared twice), MISSING_DISPLAY (language 'TA')."""
+    return {
+        "version": "1.0",
+        "codeSystems": [
+            {"url": "https://example.org/cs/language",
+             "concept": [{"code": "EN", "display": "English"},
+                         {"code": "MS", "display": "Malay"},
+                         {"code": "TA"},
+                         {"code": "EN", "display": "English (duplicate)"}]},
+            {"url": "https://example.org/cs/status",
+             "concept": [{"code": "final", "display": "Final"},
+                         {"code": "amended", "display": "Amended"}]},
+        ],
+        "rules": [
+            {"id": "T1", "type": "CodeSystem", "kind": "Coding",
+             "fieldPath": "text",
+             "params": {"system": "https://example.org/cs/language",
+                        "codes": ["EN", "XX"]}},
+            {"id": "T2", "type": "CodeSystem", "kind": "Coding",
+             "fieldPath": "text",
+             "params": {"system": "https://example.org/cs/missing"}},
+            {"id": "T3", "type": "AllowedValues", "kind": "Observation",
+             "fieldPath": "text",
+             "params": {"system": "https://example.org/cs/status",
+                        "values": ["final", "draft"]}},
+            {"id": "T4", "type": "FixedValue", "kind": "Observation",
+             "fieldPath": "text",
+             "params": {"system": "https://example.org/cs/status",
+                        "value": {"code": "amended",
+                                  "display": "Amended!"}}},
+        ],
+    }

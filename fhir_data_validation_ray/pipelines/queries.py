@@ -929,6 +929,18 @@ def _rule_coverage_query(sf_dir: str):
     return rule_coverage(sf_dir, default_profile())
 
 
+def _terminology_query(sf_dir: str):
+    """Concept-level terminology advisories (``RuleAdvisoryService.cs:
+    27-240`` analogue) over the terminology-review authoring profile —
+    metadata-only and corpus-independent (``sf_dir`` is the driver
+    contract; authoring rule sets are KBs, driver-side by design)."""
+    from ..terminology import terminology_advisories
+    from .profiles import terminology_review_profile
+
+    del sf_dir
+    return terminology_advisories(terminology_review_profile())
+
+
 def _registry_orphans_query(sf_dir: str):
     """Registry rows no document references (reverse anti-join audit)."""
     from ..stages.reference import registry_orphans
@@ -1020,6 +1032,7 @@ def validation_queries() -> dict[str, Callable[[str], Any]]:
         "m_pack_interleaved": _pack_interleaved_query,
         "v_excerpts": _excerpts_query,
         "v_registry_orphans": _registry_orphans_query,
+        "v_terminology": _terminology_query,
     }
 
 
@@ -1070,6 +1083,11 @@ def validation_oracles(paths: dict[str, str]) -> dict[str, str]:
             {r["id"]: r["type"] for r in default_profile()["rules"]}),
         "m_pack_interleaved": _pack_interleaved_sql(),
     }
+    from ..terminology import terminology_fixture_paths, terminology_sql
+    from .profiles import terminology_review_profile
+
+    o["v_terminology"] = terminology_sql(
+        terminology_fixture_paths(terminology_review_profile()))
     full = dict(paths)
     full.setdefault("dup", paths["docs"].replace("docs_spans.parquet", "docs_dup.parquet"))
     return {k: oracle.fill(sql, full) for k, sql in o.items()}

@@ -606,3 +606,121 @@ def test_jsonl_ingest_quarantine(ray_session, tmp_path):
     bad = [r for r in rows_out if r["error"] == INVALID_JSON]
     assert len(bad) == 2
     assert {r["raw"] for r in bad} == {"not json at all", '{"truncated": '}
+
+
+# ------------------------------------------------- terminology advisories
+def _adv_rows(profile):
+    from fhir_data_validation_ray.terminology import terminology_advisories
+
+    return terminology_advisories(profile).to_pylist()
+
+
+def test_terminology_clean_profile_no_advisories():
+    p = {
+        "codeSystems": [{"url": "u1", "concept": [
+            {"code": "a", "display": "A"}, {"code": "b", "display": "B"}]}],
+        "rules": [{"id": "R", "type": "CodeSystem", "fieldPath": "text",
+                   "params": {"system": "u1", "codes": ["a", "b"]}}],
+    }
+    assert _adv_rows(p) == []
+
+
+def test_terminology_code_not_found_all_rule_shapes():
+    p = {
+        "codeSystems": [{"url": "u1", "concept": [
+            {"code": "a", "display": "A"}]}],
+        "rules": [
+            {"id": "R1", "type": "CodeSystem", "fieldPath": "text",
+             "params": {"system": "u1", "codes": ["a", "zz"]}},
+            {"id": "R2", "type": "AllowedValues", "fieldPath": "text",
+             "params": {"system": "u1", "values": ["a", "yy"]}},
+            {"id": "R3", "type": "FixedValue", "fieldPath": "text",
+             "params": {"system": "u1", "value": "xx"}},
+            # no system declared -> never checked (plain value-set rule)
+            {"id": "R4", "type": "AllowedValues", "fieldPath": "text",
+             "params": {"values": ["unrelated"]}},
+        ],
+    }
+    nf = [(r["rule_id"], r["code"]) for r in _adv_rows(p)
+          if r["advisory_code"] == "CODE_NOT_FOUND"]
+    assert nf == [("R1", "zz"), ("R2", "yy"), ("R3", "xx")]
+
+
+def test_terminology_display_mismatch_and_first_declaration_wins():
+    p = {
+        "codeSystems": [{"url": "u1", "concept": [
+            {"code": "a", "display": "First"},
+            {"code": "a", "display": "Second"}]}],
+        "rules": [
+            # matches the FIRST declaration -> no mismatch
+            {"id": "R1", "type": "FixedValue", "fieldPath": "text",
+             "params": {"system": "u1",
+                        "value": {"code": "a", "display": "First"}}},
+            # differs from the first declaration -> mismatch
+            {"id": "R2", "type": "FixedValue", "fieldPath": "text",
+             "params": {"system": "u1",
+                        "value": {"code": "a", "display": "Second"}}},
+        ],
+    }
+    rows = _adv_rows(p)
+    mm = [r["rule_id"] for r in rows
+          if r["advisory_code"] == "DISPLAY_MISMATCH"]
+    assert mm == ["R2"]
+    # the duplicate declaration itself is flagged once
+    assert [r["code"] for r in rows
+            if r["advisory_code"] == "DUPLICATE_CODE"] == ["a"]
+
+
+def test_terminology_codesystem_not_found_once_per_rule():
+    p = {
+        "codeSystems": [],
+        "rules": [{"id": "R1", "type": "CodeSystem", "fieldPath": "text",
+                   "params": {"system": "nowhere", "codes": ["a", "b"]}}],
+    }
+    rows = _adv_rows(p)
+    assert [r["advisory_code"] for r in rows] == ["CODESYSTEM_NOT_FOUND"]
+    assert rows[0]["severity"] == "error" and rows[0]["rule_id"] == "R1"
+
+
+def test_terminology_missing_display_blank_counts():
+    p = {
+        "codeSystems": [{"url": "u1", "concept": [
+            "bare",                       # bare-string spelling: no display
+            {"code": "w", "display": "  "},   # whitespace-only
+            {"code": "ok", "display": "OK"}]}],
+        "rules": [],
+    }
+    md = sorted(r["code"] for r in _adv_rows(p)
+                if r["advisory_code"] == "MISSING_DISPLAY")
+    assert md == ["bare", "w"]
+
+
+def test_terminology_fixture_sql_matches_engine(tmp_path):
+    """The materialized-relation oracle replays the engine sweep exactly
+    (the v_terminology driver pair, checked here end-to-end)."""
+    import duckdb
+
+    from fhir_data_validation_ray.pipelines.profiles import (
+        terminology_review_profile,
+    )
+    from fhir_data_validation_ray.terminology import (
+        terminology_advisories,
+        terminology_fixture_paths,
+        terminology_sql,
+    )
+
+    p = terminology_review_profile()
+    mine = terminology_advisories(p).to_pandas()
+    want = duckdb.connect().execute(
+        terminology_sql(terminology_fixture_paths(p, root=str(tmp_path)))
+    ).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].fillna("")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert norm(mine).equals(norm(want))
+    # the review profile exercises every advisory code
+    assert set(mine["advisory_code"]) == {
+        "CODE_NOT_FOUND", "CODESYSTEM_NOT_FOUND", "DISPLAY_MISMATCH",
+        "DUPLICATE_CODE", "MISSING_DISPLAY"}
