@@ -4137,7 +4137,9 @@ def _mixture_sql() -> str:
     return f"""
 WITH g AS (
   SELECT source, lang, count(*)::BIGINT AS n_docs,
-         sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT
+         -- coalesce: all-NULL-text groups count 0 tokens (ADVICE r4)
+         coalesce(sum(len(list_filter(string_split(text, ' '),
+                                      w -> w <> ''))), 0)::BIGINT
          AS n_tokens
   FROM documents GROUP BY 1, 2),
 t AS (SELECT *, sum(n_tokens) OVER () AS tot FROM g),
@@ -4173,7 +4175,10 @@ def _temperature_mix_sql() -> str:
     return f"""
 WITH g AS (
   SELECT source, lang, count(*)::BIGINT AS n_docs,
-         sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT
+         -- coalesce: an all-NULL-text group must count 0 tokens like the
+         -- engine's partial fold, not NULL (ADVICE r4)
+         coalesce(sum(len(list_filter(string_split(text, ' '),
+                                      w -> w <> ''))), 0)::BIGINT
          AS n_tokens
   FROM documents GROUP BY 1, 2),
 w0 AS (SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS s0 FROM g),

@@ -40,6 +40,24 @@ def _ts_np(t: pa.Table) -> np.ndarray:
     return pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
 
 
+def _codes_with_null_group(arr: pa.Array) -> tuple[np.ndarray, list]:
+    """Dictionary-encode a string column routing NULLs to their OWN group
+    (name None) — null indices materialize as float NaN and a bare
+    astype(int64) turns them into garbage keys (the
+    ``tumbling_distinct_by_type`` convention, shared per ADVICE r4).
+    Returns (int64 codes, dictionary names incl. trailing None if any)."""
+    da = pc.dictionary_encode(arr)
+    idx = da.indices.to_numpy(zero_copy_only=False)
+    names = da.dictionary.to_pylist()
+    if idx.dtype.kind == "f":  # nulls present
+        nullm = idx != idx
+        codes = np.where(nullm, len(names), idx).astype(np.int64)
+        names = names + [None]
+    else:
+        codes = idx.astype(np.int64)
+    return codes, names
+
+
 def tumbling_window_counts(events, *, window_us: int = US_PER_HOUR):
     """Tumbling-window event counts by type: window_id = floor(epoch_us / w).
     Per-batch partial counts -> one LOW-cardinality groupby merge (windows x
@@ -51,9 +69,7 @@ def tumbling_window_counts(events, *, window_us: int = US_PER_HOUR):
         et = t["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        da = pc.dictionary_encode(et)
-        codes = np.asarray(da.indices).astype(np.int64)
-        names = da.dictionary.to_pylist()
+        codes, names = _codes_with_null_group(et)
         uw, wi = np.unique(win, return_inverse=True)
         key = wi * len(names) + codes
         counts = np.bincount(key, minlength=len(uw) * len(names))
@@ -70,10 +86,9 @@ def tumbling_window_counts(events, *, window_us: int = US_PER_HOUR):
         et = g["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        da = pc.dictionary_encode(et)
-        codes = np.asarray(da.indices).astype(np.int64)
-        names = da.dictionary.to_pylist()
-        total = np.bincount(codes, weights=np.asarray(g["n"])).astype(np.int64)
+        codes, names = _codes_with_null_group(et)
+        total = np.bincount(codes, weights=np.asarray(g["n"]),
+                            minlength=len(names)).astype(np.int64)
         wid = int(g["window_id"][0].as_py())
         return pa.table(
             {
@@ -147,9 +162,7 @@ def hopping_window_counts(events, *, window_us: int = US_PER_HOUR,
         et = t["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        da = pc.dictionary_encode(et)
-        codes = np.asarray(da.indices).astype(np.int64)
-        names = da.dictionary.to_pylist()
+        codes, names = _codes_with_null_group(et)
         base = ts // hop_us
         win = np.concatenate([base - j for j in range(k)])
         code_r = np.tile(codes, k)
@@ -171,10 +184,9 @@ def hopping_window_counts(events, *, window_us: int = US_PER_HOUR,
         et = g["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        da = pc.dictionary_encode(et)
-        codes = np.asarray(da.indices).astype(np.int64)
-        names = da.dictionary.to_pylist()
-        total = np.bincount(codes, weights=np.asarray(g["n"])).astype(np.int64)
+        codes, names = _codes_with_null_group(et)
+        total = np.bincount(codes, weights=np.asarray(g["n"]),
+                            minlength=len(names)).astype(np.int64)
         wid = int(g["window_id"][0].as_py())
         return pa.table(
             {

@@ -122,3 +122,34 @@ def test_contingency_keyed_zero_row_batch(ray_session):
         "b": pa.array([None, "y"], pa.string())}))
     got = contingency(tiny, "a", "b").to_pandas()
     assert len(got) == 2 and int(got["grand_total"].iloc[0]) == 2
+
+
+def test_window_counts_route_null_event_type(ray_session):
+    """NULL event_type must form its own group in all three tumbling/
+    hopping count folds (SQL GROUP BY semantics), not NaN-corrupt the
+    dictionary codes (ADVICE r4)."""
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.windows import (
+        US_PER_HOUR,
+        hopping_window_counts,
+        tumbling_window_counts,
+    )
+
+    h = US_PER_HOUR
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([h, h + 1, h + 2, 2 * h], pa.int64()),
+        "event_type": pa.array(["click", None, None, "view"], pa.string()),
+    })
+    ev = rd.from_arrow(tbl).repartition(2)
+
+    got = tumbling_window_counts(ev).take_all()
+    by = {(r["window_id"], r["event_type"]): r["n"] for r in got}
+    assert by[(1, "click")] == 1 and by[(1, None)] == 2
+    assert by[(2, "view")] == 1 and len(by) == 3
+
+    hop = hopping_window_counts(ev, window_us=h, hop_us=h // 2).take_all()
+    null_total = sum(r["n"] for r in hop if r["event_type"] is None)
+    assert null_total == 4  # each of the 2 null events lands in 2 windows
