@@ -109,6 +109,15 @@ def review_rule(rule: dict[str, Any]) -> ReviewResult:
                                   "ruleType": rtype,
                                   "fieldPath": rule.get("fieldPath",
                                                         "(not set)")}))
+        # BLOCKED: inline catalog entries must satisfy the per-answer-type
+        # contract (QuestionValidator.cs:14-260; validator below)
+        if isinstance(params.get("questions"), list):
+            for code, errs in validate_question_catalog(
+                    params["questions"]).items():
+                r.add(ReviewIssue("QUESTION_CATALOG_INVALID", BLOCKED,
+                                  r.rule_id, {
+                                      "questionCode": code,
+                                      "errors": errs}))
         # WARNING: provided errorCode is ignored at runtime (:221-245)
         if str(rule.get("errorCode", "") or "").strip():
             r.add(ReviewIssue("QUESTIONANSWER_ERROR_CODE_IGNORED", WARNING,
@@ -306,3 +315,110 @@ def review_summary(results: list[ReviewResult]) -> dict[str, Any]:
         "warnings": [r.rule_id for r in results if r.status == WARNING],
         "issues": sum(len(r.issues) for r in results),
     }
+
+
+# ---------------------------------------------- question-catalog validator
+_QUESTION_TYPES = ("boolean", "integer", "decimal", "code", "string",
+                   "quantity")
+
+
+def _has_num(q: dict[str, Any]) -> bool:
+    return q.get("min") is not None or q.get("max") is not None
+
+
+def validate_question(q: dict[str, Any]) -> list[str]:
+    """Per-answer-type question-catalog lint — the analogue of the
+    reference's ``Validation/Questions/QuestionValidator.cs:14-260``
+    (each answer type's required/forbidden constraint fields), mapped onto
+    this engine's inline question shape (``profiles.QA_QUESTIONS``:
+    code/type/min/max/allowed/pattern/unit/maxLength/multiValue/binding).
+    Returns error strings (empty = valid)."""
+    errors: list[str] = []
+    if not str(q.get("code", "") or "").strip():
+        errors.append("Code is required")
+    qtype = str(q.get("type", "") or "")
+    if qtype not in _QUESTION_TYPES:
+        errors.append(f"Unknown answer type '{qtype}'")
+        return errors
+    has_allowed = q.get("allowed") is not None
+    has_unit = q.get("unit") is not None
+    has_pattern = str(q.get("pattern", "") or "") != ""
+    if qtype == "code":
+        if not q.get("allowed"):
+            errors.append("Code questions must have a value set ('allowed')")
+        if has_unit:
+            errors.append("Code questions cannot have Unit")
+        if _has_num(q):
+            errors.append("Code questions cannot have numeric constraints "
+                          "(min/max)")
+    elif qtype == "quantity":
+        if not str(q.get("unit", "") or "").strip():
+            errors.append("Quantity questions must have Unit")
+        if has_allowed:
+            errors.append("Quantity questions cannot have a value set")
+        if has_pattern or q.get("maxLength") is not None:
+            errors.append("Quantity questions cannot have string "
+                          "constraints (maxLength/pattern)")
+    elif qtype in ("integer", "decimal"):
+        if has_unit:
+            errors.append(f"{qtype.capitalize()} questions cannot have Unit")
+        if has_allowed:
+            errors.append(f"{qtype.capitalize()} questions cannot have a "
+                          f"value set")
+        if has_pattern or q.get("maxLength") is not None:
+            errors.append(f"{qtype.capitalize()} questions cannot have "
+                          f"string constraints (maxLength/pattern)")
+        if qtype == "integer":
+            for bound in ("min", "max"):
+                v = q.get(bound)
+                if v is not None and float(v) != int(float(v)):
+                    errors.append(f"Integer questions must have whole "
+                                  f"number {bound} value")
+    elif qtype == "string":
+        if has_unit:
+            errors.append("String questions cannot have Unit")
+        if has_allowed:
+            errors.append("String questions cannot have a value set")
+        if _has_num(q):
+            errors.append("String questions cannot have numeric "
+                          "constraints (min/max)")
+        if has_pattern:
+            import re
+
+            try:
+                re.compile(q["pattern"])
+            except re.error:
+                errors.append("Regex pattern is invalid")
+        ml = q.get("maxLength")
+        if ml is not None and int(ml) <= 0:
+            errors.append("MaxLength must be positive")
+    elif qtype == "boolean":
+        if has_unit:
+            errors.append("Boolean questions cannot have Unit")
+        if has_allowed:
+            errors.append("Boolean questions cannot have a value set")
+        if _has_num(q):
+            errors.append("Boolean questions cannot have numeric "
+                          "constraints (min/max)")
+    # min > max applies to every numeric-capable type
+    mn, mx = q.get("min"), q.get("max")
+    if mn is not None and mx is not None and float(mn) > float(mx):
+        errors.append("Min cannot be greater than Max")
+    return errors
+
+
+def validate_question_catalog(questions: list[dict[str, Any]]
+                              ) -> dict[str, list[str]]:
+    """Catalog sweep: question code -> error list (only invalid entries);
+    duplicate codes are themselves an error on every duplicate."""
+    out: dict[str, list[str]] = {}
+    seen: dict[str, int] = {}
+    for i, q in enumerate(questions):
+        code = str(q.get("code", "") or f"#{i}")
+        errs = validate_question(q)
+        if code in seen:
+            errs = errs + [f"Duplicate question code '{code}'"]
+        seen[code] = i
+        if errs:
+            out[code] = errs
+    return out

@@ -724,3 +724,70 @@ def test_terminology_fixture_sql_matches_engine(tmp_path):
     assert set(mine["advisory_code"]) == {
         "CODE_NOT_FOUND", "CODESYSTEM_NOT_FOUND", "DISPLAY_MISMATCH",
         "DUPLICATE_CODE", "MISSING_DISPLAY"}
+
+
+# ------------------------------------------- question-catalog validator
+def test_question_catalog_default_profile_is_clean():
+    from fhir_data_validation_ray.governance import validate_question_catalog
+    from fhir_data_validation_ray.pipelines.profiles import QA_QUESTIONS
+
+    assert validate_question_catalog(QA_QUESTIONS) == {}
+
+
+@pytest.mark.parametrize("q,frag", [
+    ({"code": "", "type": "boolean"}, "Code is required"),
+    ({"code": "Q", "type": "mystery"}, "Unknown answer type"),
+    ({"code": "Q", "type": "code"}, "must have a value set"),
+    ({"code": "Q", "type": "code", "allowed": ["a"], "unit": "mg"},
+     "cannot have Unit"),
+    ({"code": "Q", "type": "code", "allowed": ["a"], "min": 1},
+     "numeric constraints"),
+    ({"code": "Q", "type": "quantity"}, "must have Unit"),
+    ({"code": "Q", "type": "quantity", "unit": "mg", "allowed": ["a"]},
+     "cannot have a value set"),
+    ({"code": "Q", "type": "quantity", "unit": "mg", "pattern": "x"},
+     "string constraints"),
+    ({"code": "Q", "type": "quantity", "unit": "mg", "min": 5, "max": 1},
+     "Min cannot be greater than Max"),
+    ({"code": "Q", "type": "integer", "min": 1.5}, "whole number min"),
+    ({"code": "Q", "type": "integer", "unit": "kg"}, "cannot have Unit"),
+    ({"code": "Q", "type": "decimal", "maxLength": 4},
+     "string constraints"),
+    ({"code": "Q", "type": "string", "min": 0}, "numeric constraints"),
+    ({"code": "Q", "type": "string", "pattern": "("}, "Regex pattern"),
+    ({"code": "Q", "type": "string", "maxLength": 0},
+     "MaxLength must be positive"),
+    ({"code": "Q", "type": "boolean", "allowed": ["true"]},
+     "cannot have a value set"),
+])
+def test_question_validator_per_type_contract(q, frag):
+    from fhir_data_validation_ray.governance import validate_question
+
+    errs = validate_question(q)
+    assert any(frag in e for e in errs), (q, errs)
+
+
+def test_question_catalog_duplicates_flagged():
+    from fhir_data_validation_ray.governance import validate_question_catalog
+
+    got = validate_question_catalog([
+        {"code": "Q1", "type": "boolean"},
+        {"code": "Q1", "type": "boolean"},
+    ])
+    assert "Duplicate question code 'Q1'" in got["Q1"]
+
+
+def test_review_blocks_invalid_inline_catalog():
+    from fhir_data_validation_ray.governance import BLOCKED, review_rule
+
+    res = review_rule({
+        "id": "RQ", "type": "QuestionAnswer", "kind": "Question",
+        "fieldPath": "text",
+        "params": {"questions": [
+            {"code": "Q1", "type": "boolean"},              # fine
+            {"code": "Q2", "type": "code"},                  # missing set
+        ]},
+    })
+    assert res.status == BLOCKED
+    bad = [i for i in res.issues if i.code == "QUESTION_CATALOG_INVALID"]
+    assert len(bad) == 1 and bad[0].facts["questionCode"] == "Q2"
