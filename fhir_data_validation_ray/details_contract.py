@@ -123,3 +123,29 @@ def validate_details(error_code: str, details: str | None) -> list[str]:
         return [f"keys {{{', '.join(sorted(keys))}}} not canonical for "
                 f"{error_code}; expected one of: {want}"]
     return []
+
+
+def enforce_details_contract(violations):
+    """Debug-lane passthrough stage: every batch of the violations stream
+    is checked against the canonical schema and the FIRST offending row
+    raises (the reference's throw-in-Development behavior,
+    ``ValidationErrorDetailsValidator.cs:108-118``). Diagnostic lane only
+    — standard/full runs skip it (the kernels' literal-dict call sites
+    are already shape-frozen; this catches drift the moment a dev run
+    sees it). Per-row JSON parsing is the cost, which is why it is gated
+    to debug mode."""
+    import pyarrow as pa
+
+    def check(t: pa.Table) -> pa.Table:
+        codes = t["error_code"].to_pylist()
+        dets = t["details"].to_pylist() if "details" in t.column_names \
+            else [None] * t.num_rows
+        for code, det in zip(codes, dets):
+            problems = validate_details(code, det)
+            if problems:
+                raise RuntimeError(
+                    f"details contract violation for {code!r}: "
+                    f"{problems[0]} (payload: {det!r})")
+        return t
+
+    return violations.map_batches(check, batch_format="pyarrow")

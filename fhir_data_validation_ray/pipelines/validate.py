@@ -67,6 +67,12 @@ def run_validation(
         # separate column-pruned scan: the uniqueness pass never decodes spans
         ids_only = read_documents(paths["docs"], columns=["doc_id"])
         violations = violations.union(uniqueness_violations(ids_only))
+    if validation_mode == "debug" and emit_details:
+        # reference dev behavior: details payloads are schema-checked at
+        # emission and violations throw (details_contract.py)
+        from ..details_contract import enforce_details_contract
+
+        violations = enforce_details_contract(violations)
     return violations
 
 

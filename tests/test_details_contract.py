@@ -120,3 +120,26 @@ def test_multi_variant_codes_accept_each_variant():
         assert validate_details("INVALID_ANSWER_VALUE", payload) == []
     assert validate_details("INVALID_ANSWER_VALUE",
                             json.dumps({"question": "q"}))
+
+
+def test_debug_mode_enforces_contract_in_pipeline(ray_session):
+    """run_validation(validation_mode='debug') threads the violations
+    stream through enforce_details_contract — a clean profile passes,
+    and a poisoned payload raises from inside the pipeline."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.details_contract import (
+        enforce_details_contract,
+    )
+    from fhir_data_validation_ray.pipelines.validate import run_validation
+
+    out = run_validation(SF, validation_mode="debug")
+    assert out.count() > 0  # clean contract: the debug gate passes
+
+    poisoned = rd.from_arrow(pa.table({
+        "error_code": pa.array(["PATTERN_MISMATCH"], pa.string()),
+        "details": pa.array(['{"wrong": 1}'], pa.string()),
+    }))
+    with pytest.raises(Exception, match="details contract violation"):
+        enforce_details_contract(poisoned).count()
