@@ -69,9 +69,8 @@ def _should_wrap(fn) -> bool:
     if isinstance(fn, EmptyBatchProbe):
         return False
     mod = getattr(fn, "__module__", "") or ""
-    return mod.split(".")[0] in [p.split(".")[0]
-                                 for p in _PROBED_MODULE_PREFIXES] or any(
-        mod.startswith(p) for p in _PROBED_MODULE_PREFIXES)
+    return any(mod == p or mod.startswith(p + ".")
+               for p in _PROBED_MODULE_PREFIXES)
 
 
 def install():

@@ -326,6 +326,16 @@ def _has_num(q: dict[str, Any]) -> bool:
     return q.get("min") is not None or q.get("max") is not None
 
 
+def _as_float(v: Any) -> float | None:
+    """float(v) or None — the validator must FLAG malformed numeric
+    authoring input (min: "abc"), never crash on it (the _as_int
+    convention above)."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
 def validate_question(q: dict[str, Any]) -> list[str]:
     """Per-answer-type question-catalog lint — the analogue of the
     reference's ``Validation/Questions/QuestionValidator.cs:14-260``
@@ -371,7 +381,13 @@ def validate_question(q: dict[str, Any]) -> list[str]:
         if qtype == "integer":
             for bound in ("min", "max"):
                 v = q.get(bound)
-                if v is not None and float(v) != int(float(v)):
+                if v is None:
+                    continue
+                fv = _as_float(v)
+                if fv is None:
+                    errors.append(f"Integer questions must have numeric "
+                                  f"{bound} value")
+                elif fv != int(fv):
                     errors.append(f"Integer questions must have whole "
                                   f"number {bound} value")
     elif qtype == "string":
@@ -390,8 +406,10 @@ def validate_question(q: dict[str, Any]) -> list[str]:
             except re.error:
                 errors.append("Regex pattern is invalid")
         ml = q.get("maxLength")
-        if ml is not None and int(ml) <= 0:
-            errors.append("MaxLength must be positive")
+        if ml is not None:
+            mlf = _as_float(ml)
+            if mlf is None or mlf <= 0:
+                errors.append("MaxLength must be positive")
     elif qtype == "boolean":
         if has_unit:
             errors.append("Boolean questions cannot have Unit")
@@ -400,9 +418,14 @@ def validate_question(q: dict[str, Any]) -> list[str]:
         if _has_num(q):
             errors.append("Boolean questions cannot have numeric "
                           "constraints (min/max)")
-    # min > max applies to every numeric-capable type
+    # min > max applies to every numeric-capable type; non-numeric bounds
+    # are flagged, not crashed on
     mn, mx = q.get("min"), q.get("max")
-    if mn is not None and mx is not None and float(mn) > float(mx):
+    for bound, v in (("min", mn), ("max", mx)):
+        if v is not None and _as_float(v) is None:
+            errors.append(f"{bound} must be numeric")
+    mnf, mxf = _as_float(mn), _as_float(mx)
+    if mnf is not None and mxf is not None and mnf > mxf:
         errors.append("Min cannot be greater than Max")
     return errors
 
@@ -420,5 +443,8 @@ def validate_question_catalog(questions: list[dict[str, Any]]
             errs = errs + [f"Duplicate question code '{code}'"]
         seen[code] = i
         if errs:
-            out[code] = errs
+            # MERGE with any earlier occurrence's errors — reassignment
+            # would silently drop the first entry's problems when a later
+            # duplicate is cleaner (review r5 finding)
+            out[code] = out.get(code, []) + errs
     return out

@@ -2203,24 +2203,14 @@ def q_kind_psi(sf_dir: str):
     """Span-kind histogram drift vs the even-FNV-half snapshot as
     FIXED-POINT integers (per-kind counts + floored x1e6 contribution,
     '__total__' = integer sum) — the oracle-checkable companion to the
-    float a_kind_drift."""
-    from ..functions.hashing import hash_str
+    float a_kind_drift. ONE corpus pass computes both histograms."""
     from ..sources.readers import read_documents
-    from ..stages.drift import kind_drift_fp, kind_histogram
+    from ..stages.drift import kind_drift_fp_from_hists, kind_histogram_with_half
     from .validate import fixture_paths
 
-    import pyarrow as pa
-
     paths = fixture_paths(sf_dir)
-
-    def even_half(t: pa.Table) -> pa.Table:
-        h = hash_str(np.asarray(t["doc_id"]).astype("U"))
-        return t.filter(pa.array((h % np.uint64(2)) == 0))
-
-    snap_docs = read_documents(paths["docs"]).map_batches(
-        even_half, batch_format="pyarrow")
-    snap = kind_histogram(snap_docs)
-    return kind_drift_fp(read_documents(paths["docs"]), snap)
+    cur, snap = kind_histogram_with_half(read_documents(paths["docs"]))
+    return kind_drift_fp_from_hists(cur, snap)
 
 
 def kind_psi_sql(paths: dict) -> str:

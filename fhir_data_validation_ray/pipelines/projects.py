@@ -172,20 +172,25 @@ class ProjectStore:
     # -------------------------------------------------------------- samples
     def save_sample(self, project_id: str, name: str, table) -> str:
         """Attach a named sample corpus (pyarrow Table in the driver input
-        shape) as parquet; returns its path. Overwrites by name."""
+        shape) as parquet; returns its path. Overwrites by name. DRAFT
+        projects only — the published-immutability boundary covers samples
+        too (review r5 finding)."""
         import pyarrow.parquet as pq
 
-        if self.get(project_id) is None:
-            raise KeyError(f"project {project_id!r} not found")
         if not _SLUG_RE.match(name):
             raise ValueError(f"sample name {name!r} must be a slug")
         path = os.path.join(self._pdir(project_id), "samples",
                             f"{name}.parquet")
-        pq.write_table(table, path + ".tmp")
-        os.replace(path + ".tmp", path)
 
         def record():
             obj = self.get(project_id)
+            if obj is None:
+                raise KeyError(f"project {project_id!r} not found")
+            if obj["published"]:
+                raise ValueError(
+                    f"project {project_id!r} is published and immutable")
+            pq.write_table(table, path + ".tmp")
+            os.replace(path + ".tmp", path)
             if name not in obj["samples"]:
                 obj["samples"].append(name)
                 obj["samples"].sort()

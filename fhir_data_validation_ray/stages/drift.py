@@ -211,6 +211,48 @@ def kind_histogram(docs) -> dict[str, int]:
     return out
 
 
+def kind_histogram_with_half(docs) -> tuple[dict[str, int], dict[str, int]]:
+    """ONE streaming pass computing both the full span-kind histogram and
+    the even-FNV-doc-half snapshot histogram (each batch hashes doc_id
+    once and emits per-kind (count, count_even) partials) — q_kind_psi's
+    fold; the two-scan shape it replaces read the corpus twice (review r5
+    finding). Returns (current, snapshot_half)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_str
+
+    def partial(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        even_doc = (hash_str(np.asarray(t["doc_id"]).astype("U"))
+                    % np.uint64(2) == 0)
+        counts_per_doc = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        even_span = np.repeat(even_doc, counts_per_doc)
+        kinds = pc.list_flatten(spans).field("kind")
+        da = pc.dictionary_encode(kinds)
+        idx = np.asarray(da.indices)
+        n = len(da.dictionary)
+        cur = np.bincount(idx, minlength=n)
+        snap = np.bincount(idx[even_span], minlength=n)
+        return pa.table({
+            "kind": da.dictionary.cast("string"),
+            "count": pa.array(cur.astype(np.int64)),
+            "count_even": pa.array(snap.astype(np.int64)),
+        })
+
+    parts = collect_table(docs.map_batches(partial, batch_format="pyarrow"))
+    cur: dict[str, int] = {}
+    snap: dict[str, int] = {}
+    for row in parts.to_pylist():
+        cur[row["kind"]] = cur.get(row["kind"], 0) + row["count"]
+        if row["count_even"]:
+            snap[row["kind"]] = snap.get(row["kind"], 0) + row["count_even"]
+    return cur, snap
+
+
 def kind_drift(docs, snapshot_hist: dict[str, int], *, psi_threshold: float = 0.2):
     """PSI between the corpus's span-kind histogram and a snapshot histogram
     (north_star: span-kind histograms vs a reference snapshot). Returns
@@ -296,8 +338,12 @@ def drift_fp_by_group(ds, col: str, group_col: str, *, lo: int, hi: int,
     gl = np.zeros(len(uv), np.int64)
     np.add.at(gl, np.searchsorted(uv, vs), cs)
     n_total = int(gl.sum())
+    # FLOAT width + np.floor: the stats.histogram / DRIFT_PSI_SQL
+    # convention — integer-truncated width diverges whenever (hi-lo)/nbins
+    # is not integral and div-zeroes when hi-lo < nbins (review r5 finding)
     w = (hi - lo) / nbins
-    bins_of_v = np.clip(((uv - lo) // int(w)).astype(np.int64), 0, nbins - 1)
+    bins_of_v = np.clip(np.floor((uv - lo) / w).astype(np.int64),
+                        0, nbins - 1)
     ref_hist = np.zeros(nbins, np.float64)
     np.add.at(ref_hist, bins_of_v, gl.astype(np.float64))
     cg = np.cumsum(gl.astype(object))  # Python ints: overflow-free
@@ -334,9 +380,17 @@ def kind_drift_fp(docs, snapshot_hist: dict[str, int], *,
     fixed-point PSI contribution, plus a ``__total__`` row whose
     ``contrib_fp`` is the (order-independent) integer sum. Key universe =
     union of both sides' kinds, Laplace-smoothed like ``psi``."""
+    return kind_drift_fp_from_hists(kind_histogram(docs), snapshot_hist,
+                                    scale=scale)
+
+
+def kind_drift_fp_from_hists(cur: dict[str, int],
+                             snapshot_hist: dict[str, int], *,
+                             scale: int = DRIFT_FP_SCALE):
+    """``kind_drift_fp`` over already-folded histograms (the one-pass
+    ``kind_histogram_with_half`` feed)."""
     import pyarrow as pa
 
-    cur = kind_histogram(docs)
     keys = sorted(set(snapshot_hist) | set(cur))
     p = np.array([cur.get(k, 0) for k in keys], dtype=np.float64)
     q = np.array([snapshot_hist.get(k, 0) for k in keys], dtype=np.float64)

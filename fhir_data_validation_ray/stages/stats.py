@@ -454,6 +454,16 @@ def mad_outliers(ds, col: str, *, id_col: str = "doc_id", k: int = 2):
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def _group_cols(t: pa.Table, col: str, group_col: str):
+    """(group U-strings, int64 values) of one batch — shared by the
+    (group, value) fold and its broadcast probes."""
+    gcol = t[group_col]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    return (np.asarray(gcol).astype("U"),
+            np.asarray(t[col]).astype(np.int64))
+
+
 def group_value_counts(ds, col: str, group_col: str):
     """Distributed EXACT (group, value) counts of an integer column keyed by
     a string group — per-batch lexsort boundary-count partials, a per-task
@@ -474,16 +484,8 @@ def group_value_counts(ds, col: str, group_col: str):
         sums = np.add.reduceat(cs, idx)
         return gs[idx], vs[idx], sums.astype(np.int64)
 
-    def _cols(t: pa.Table):
-        gcol = t[group_col]
-        if isinstance(gcol, pa.ChunkedArray):
-            gcol = gcol.combine_chunks()
-        g = np.asarray(gcol).astype("U")
-        v = np.asarray(t[col]).astype(np.int64)
-        return g, v
-
     def partial(t: pa.Table) -> pa.Table:
-        g, v = _cols(t)
+        g, v = _group_cols(t, col, group_col)
         gs, vs, cs = _pair_counts(g, v, np.ones(len(v), np.int64))
         return pa.table({"g": pa.array(gs), "v": pa.array(vs),
                          "cnt": pa.array(cs)})
@@ -542,17 +544,9 @@ def percentile_rank_by_group(ds, col: str, group_col: str, *,
             cdfs[str(gs[s])] = (vs[s:e], cum_excl, int(cs[s:e].sum()))
     cdf_ref = ray.put(cdfs)
 
-    def _cols(t: pa.Table):
-        gcol = t[group_col]
-        if isinstance(gcol, pa.ChunkedArray):
-            gcol = gcol.combine_chunks()
-        g = np.asarray(gcol).astype("U")
-        v = np.asarray(t[col]).astype(np.int64)
-        return g, v
-
     def probe(t: pa.Table) -> pa.Table:
         lut = ray.get(cdf_ref)
-        g, v = _cols(t)
+        g, v = _group_cols(t, col, group_col)
         smaller = np.zeros(len(v), np.int64)
         ppm = np.zeros(len(v), np.int64)
         for grp in np.unique(g):

@@ -157,31 +157,45 @@ def terminology_advisories(profile: dict[str, Any]) -> pa.Table:
 
 
 # ------------------------------------------------------- oracle fixture
+# bump whenever referenced_codes / profile_concepts / the parquet layout
+# changes — the cache key must reflect CODE as well as profile content
+# (the GENERATOR_VERSION convention; review r5 finding)
+TERMINOLOGY_FIXTURE_VERSION = 2
+
+
 def terminology_fixture_paths(profile: dict[str, Any],
                               root: str = "/tmp/graft_fixtures") -> dict:
     """Materialize the advisory inputs as parquet (``constraints`` =
     referenced codes incl. system-level rows, ``concepts`` = flattened
-    concept rows) so the DuckDB oracle replays the same anti-joins.
-    Content-addressed by profile hash; idempotent."""
+    concept rows, each with an explicit declaration-ordinal ``rn`` so SQL
+    ordering is deterministic) so the DuckDB oracle replays the same
+    anti-joins. Content-addressed by (version, profile) hash;
+    idempotent."""
     import pyarrow.parquet as pq
 
     key = hashlib.sha256(
-        json.dumps(profile, sort_keys=True).encode()).hexdigest()[:12]
+        f"v{TERMINOLOGY_FIXTURE_VERSION}\x1f".encode()
+        + json.dumps(profile, sort_keys=True).encode()).hexdigest()[:12]
     d = os.path.join(root, f"terminology-{key}")
     cpath = os.path.join(d, "constraints.parquet")
     kpath = os.path.join(d, "concepts.parquet")
     if not (os.path.exists(cpath) and os.path.exists(kpath)):
         os.makedirs(d, exist_ok=True)
         refs = referenced_codes(profile.get("rules", []) or [])
+        for i, r in enumerate(refs):
+            r["rn"] = i
         pq.write_table(pa.Table.from_pylist(refs, schema=pa.schema([
             ("rule_id", pa.string()), ("system", pa.string()),
-            ("code", pa.string()), ("display", pa.string())])),
+            ("code", pa.string()), ("display", pa.string()),
+            ("rn", pa.int64())])),
             cpath + ".tmp")
         os.replace(cpath + ".tmp", cpath)
-        pq.write_table(pa.Table.from_pylist(
-            profile_concepts(profile), schema=pa.schema([
-                ("system", pa.string()), ("code", pa.string()),
-                ("display", pa.string())])),
+        cons = profile_concepts(profile)
+        for i, c in enumerate(cons):
+            c["rn"] = i
+        pq.write_table(pa.Table.from_pylist(cons, schema=pa.schema([
+            ("system", pa.string()), ("code", pa.string()),
+            ("display", pa.string()), ("rn", pa.int64())])),
             kpath + ".tmp")
         os.replace(kpath + ".tmp", kpath)
     return {"constraints": cpath, "concepts": kpath}
@@ -194,10 +208,12 @@ def terminology_sql(paths: dict) -> str:
     return f"""
 WITH con AS (SELECT * FROM read_parquet('{paths["constraints"]}')),
 k AS (SELECT system, code, display,
+             -- rn is the EXPLICIT declaration ordinal written into the
+             -- fixture (row_number() OVER () on a parallel parquet scan
+             -- is ordering-unspecified; review r5 finding)
              row_number() OVER (PARTITION BY system, code
                                 ORDER BY rn) AS dup_rank
-      FROM (SELECT *, row_number() OVER () AS rn
-            FROM read_parquet('{paths["concepts"]}'))),
+      FROM read_parquet('{paths["concepts"]}')),
 k1 AS (SELECT system, code, display FROM k WHERE dup_rank = 1),
 systems AS (SELECT DISTINCT system FROM k)
 SELECT 'CODESYSTEM_NOT_FOUND' AS advisory_code, 'error' AS severity,

@@ -791,3 +791,42 @@ def test_review_blocks_invalid_inline_catalog():
     assert res.status == BLOCKED
     bad = [i for i in res.issues if i.code == "QUESTION_CATALOG_INVALID"]
     assert len(bad) == 1 and bad[0].facts["questionCode"] == "Q2"
+
+
+def test_question_validator_flags_non_numeric_bounds_without_crashing():
+    """Review r5: malformed numeric authoring input must produce errors,
+    not ValueError (the report-don't-throw contract)."""
+    from fhir_data_validation_ray.governance import (
+        BLOCKED,
+        review_rule,
+        validate_question,
+    )
+
+    errs = validate_question({"code": "Q", "type": "integer", "min": "abc"})
+    assert any("numeric" in e for e in errs)
+    errs = validate_question({"code": "Q", "type": "quantity",
+                              "unit": "mg", "min": "x", "max": 3})
+    assert any("min must be numeric" in e for e in errs)
+    errs = validate_question({"code": "Q", "type": "string",
+                              "maxLength": "big"})
+    assert "MaxLength must be positive" in errs
+    # and the review gate reviews instead of crashing
+    res = review_rule({"id": "R", "type": "QuestionAnswer",
+                       "fieldPath": "text",
+                       "params": {"questions": [
+                           {"code": "Q", "type": "integer",
+                            "min": "abc"}]}})
+    assert res.status == BLOCKED
+
+
+def test_question_catalog_duplicate_keeps_first_entrys_errors():
+    """Review r5: a later duplicate must MERGE, not overwrite, the
+    earlier occurrence's error list."""
+    from fhir_data_validation_ray.governance import validate_question_catalog
+
+    got = validate_question_catalog([
+        {"code": "Q", "type": "nope"},      # invalid type
+        {"code": "Q", "type": "boolean"},   # clean duplicate
+    ])
+    assert any("Unknown answer type" in e for e in got["Q"])
+    assert any("Duplicate question code" in e for e in got["Q"])

@@ -102,3 +102,17 @@ def test_publish_runs_compile_and_governance_gates(tmp_path):
     # review=False skips the governance gate but not the compile gate
     s.publish(blocked["id"], "blocked-core", review=False)
     assert s.get_published_by_slug("blocked-core") is not None
+
+
+def test_published_projects_reject_sample_mutation(tmp_path):
+    """Review r5: save_sample honors the immutability boundary too."""
+    s = _store(tmp_path)
+    p = s.create("frozen", profile=_profile())
+    docs = make_docs([("d1", [("Patient", "x", "", 0)])])
+    s.save_sample(p["id"], "before", docs)
+    s.publish(p["id"], "frozen-core")
+    with pytest.raises(ValueError):
+        s.save_sample(p["id"], "after", docs)
+    assert s.get(p["id"])["samples"] == ["before"]
+    with pytest.raises(KeyError):
+        s.save_sample("missing", "x", docs)

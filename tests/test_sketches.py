@@ -216,3 +216,51 @@ def test_kll_column_quantiles_matches_exact(ray_session):
     # 500 docs, k=200 -> the sketch is near-exact at this scale
     assert abs(prof["quantiles"]["0.5"] - exact[0]) <= max(10, 0.05 * exact[0])
     assert abs(prof["quantiles"]["0.95"] - exact[1]) <= max(10, 0.05 * exact[1])
+
+
+def test_drift_fp_non_integral_bin_width(ray_session):
+    """Review r5: binning must use the FLOAT width (np.floor((v-lo)/w)),
+    matching stats.histogram and the SQL oracle — integer-truncated width
+    diverges for non-integral (hi-lo)/nbins and div-zeroes for
+    hi-lo < nbins."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.drift import drift_fp_by_group
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 100, size=400)
+    srcs = np.where(np.arange(400) % 2 == 0, "a", "b")
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(srcs.astype("U").tolist(), pa.string()),
+        "n_chars": pa.array(vals, pa.int64())}))
+    # lo=0, hi=100, nbins=3 -> w = 33.33...: the truncated-width bug puts
+    # v=66 in bin 2 while floor(66/33.33)=1
+    got = drift_fp_by_group(ds, "n_chars", "source", lo=0, hi=100, nbins=3)
+    con = duckdb.connect()
+    con.register("t", pa.table({
+        "source": pa.array(srcs.astype("U").tolist(), pa.string()),
+        "v": pa.array(vals, pa.int64())}))
+    want = con.execute(f"""
+WITH vc AS (SELECT source, v, count(*)::BIGINT AS c FROM t GROUP BY 1,2),
+ns AS (SELECT source, sum(c)::BIGINT AS n FROM vc GROUP BY 1),
+ntot AS (SELECT sum(c)::BIGINT AS n FROM vc),
+hb AS (SELECT source,
+         least(greatest(floor((v - 0) / {100 / 3})::BIGINT, 0), 2) AS bin,
+         sum(c)::BIGINT AS c FROM vc GROUP BY 1, 2),
+gb AS (SELECT bin, sum(c)::BIGINT AS c FROM hb GROUP BY 1),
+bins AS (SELECT unnest(range(0, 3)) AS bin),
+pq AS (SELECT ns.source,
+         (coalesce(hb.c, 0) + 1.0) / (ns.n + 3.0) AS p,
+         (coalesce(gb.c, 0) + 1.0) / ((SELECT n FROM ntot) + 3.0) AS q
+       FROM ns CROSS JOIN bins
+       LEFT JOIN hb ON hb.source = ns.source AND hb.bin = bins.bin
+       LEFT JOIN gb ON gb.bin = bins.bin)
+SELECT source, sum(floor(1000000 * (p - q) * ln(p / q)))::BIGINT AS psi_fp
+FROM pq GROUP BY 1 ORDER BY 1""").df()
+    by = {g: p for g, p in zip(got["group"].to_pylist(),
+                               got["psi_fp"].to_pylist())}
+    for _, row in want.iterrows():
+        assert by[row["source"]] == int(row["psi_fp"])
