@@ -3211,7 +3211,17 @@ def _lrs_class_rows(docs, column: str, num_buckets: int,
                     batch_size: int | None):
     """Stage 0 of the prefix-doubling family: width-1 suffix-equality
     classes (class id = min global packed position per word) in one
-    word-bucket exchange. Returns a materialized Dataset[doc, pos, cls]."""
+    word-bucket exchange. Returns a materialized
+    Dataset[doc, pos, cls, dlen] already SINGLETON-PRUNED: a position
+    whose word occurs once in the corpus can never participate in a
+    duplicated window of ANY length (the width-w window is a prefix of
+    every longer one), so it is dropped here and every later round's
+    exchange shrinks with it — an EXACT optimization (round-5; the
+    hypothesis brute-force suites pin exactness). Partner lookups in
+    later rounds treat pruned positions as unique-sentinel classes, which
+    is precisely what their singleton classes would have produced.
+    ``dlen`` (doc word count) rides along because pruning breaks the
+    index-arithmetic the window-fit checks used to rely on."""
     from .textops import _word_lists
 
     def word_rows(t: pa.Table) -> pa.Table:
@@ -3241,6 +3251,7 @@ def _lrs_class_rows(docs, column: str, num_buckets: int,
             "bucket": pa.array(db[gi]),
             "word": words,
             "pos": pa.array(pos),
+            "dlen": pa.array(counts[parent].astype(np.int32)),
         })
 
     def word_fold(g: pa.Table) -> pa.Table:
@@ -3252,10 +3263,13 @@ def _lrs_class_rows(docs, column: str, num_buckets: int,
         pos = np.asarray(g["pos"]).astype(np.int64)
         mn = np.full(len(da.dictionary), np.iinfo(np.int64).max, np.int64)
         np.minimum.at(mn, gi, pos)
+        sizes = np.bincount(gi, minlength=len(da.dictionary))
+        keep = sizes[gi] >= 2  # singleton prune (exact, see docstring)
         return pa.table({
-            "doc": pa.array(pos // _LRS_POS_CAP),
-            "pos": pa.array(pos),
-            "cls": pa.array(mn[gi]),
+            "doc": pa.array(pos[keep] // _LRS_POS_CAP),
+            "pos": pa.array(pos[keep]),
+            "cls": pa.array(mn[gi][keep]),
+            "dlen": pa.array(np.asarray(g["dlen"]).astype(np.int32)[keep]),
         })
 
     return (docs.map_batches(word_rows, batch_format="pyarrow",
@@ -3267,8 +3281,22 @@ def _lrs_class_rows(docs, column: str, num_buckets: int,
 def _lrs_doc_sorted(g: pa.Table):
     pos = np.asarray(g["pos"]).astype(np.int64)
     cls = np.asarray(g["cls"]).astype(np.int64)
+    dlen = np.asarray(g["dlen"]).astype(np.int64)
     order = np.argsort(pos)
-    return pos[order], cls[order]
+    return pos[order], cls[order], dlen[order]
+
+
+def _lrs_partner(pos: np.ndarray, cls: np.ndarray, shift: int) -> np.ndarray:
+    """Class of position ``pos + shift`` within one doc-sorted group, with
+    the unique sentinel (-pos-1) where the partner is absent — absent
+    means either window overrun OR a singleton-pruned position; both
+    correctly yield a never-merging key component."""
+    n = len(pos)
+    tgt = pos + shift
+    j = np.searchsorted(pos, tgt)
+    jc = np.minimum(j, n - 1) if n else j
+    hit = (j < n) & (pos[jc] == tgt) if n else np.zeros(0, bool)
+    return np.where(hit, cls[jc] if n else 0, -pos - 1)
 
 
 def _lrs_doubled(rows, w: int, num_buckets: int):
@@ -3282,19 +3310,16 @@ def _lrs_doubled(rows, w: int, num_buckets: int):
     position, so they never merge."""
 
     def pair_keys(g: pa.Table) -> pa.Table:
-        pos, cls = _lrs_doc_sorted(g)
-        n = len(pos)
+        pos, cls, dlen = _lrs_doc_sorted(g)
         k1 = cls
-        k2 = -pos - 1  # window overrun: unique, never merges
-        if n > w:
-            k2 = k2.copy()
-            k2[:n - w] = cls[w:]
-        full = (np.arange(n, dtype=np.int64) + 2 * w) <= n
+        k2 = _lrs_partner(pos, cls, w)
+        full = (pos % _LRS_POS_CAP) + 2 * w <= dlen
         kb = _intmix(k1 * np.int64(0x9E3779B1) + k2, num_buckets)
         return pa.table({
             "kbucket": pa.array(kb.astype(np.int32)),
             "k1": pa.array(k1), "k2": pa.array(k2),
             "pos": pa.array(pos),
+            "dlen": pa.array(dlen.astype(np.int32)),
             "full": pa.array(full.astype(np.int8)),
         })
 
@@ -3302,9 +3327,11 @@ def _lrs_doubled(rows, w: int, num_buckets: int):
         k1 = np.asarray(g["k1"]).astype(np.int64)
         k2 = np.asarray(g["k2"]).astype(np.int64)
         pos = np.asarray(g["pos"]).astype(np.int64)
+        dlen = np.asarray(g["dlen"]).astype(np.int32)
         full = np.asarray(g["full"]).astype(np.int64)
         order = np.lexsort((pos, k2, k1))
         k1, k2, pos, full = k1[order], k2[order], pos[order], full[order]
+        dlen = dlen[order]
         first = np.ones(len(k1), dtype=bool)
         first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
         gid = np.cumsum(first) - 1
@@ -3314,11 +3341,18 @@ def _lrs_doubled(rows, w: int, num_buckets: int):
         np.add.at(nfull, gid, full)
         dup = np.zeros(len(k1), np.int8)
         dup[np.flatnonzero(first)] = (nfull >= 2).astype(np.int8)
+        # singleton prune: a key-group of size 1 is a unique 2w-window —
+        # its position can never join a longer duplicate (prefix argument,
+        # _lrs_class_rows docstring). Dropping it here shrinks every later
+        # round; the dup indicator rows (nfull>=2 => size>=2) all survive.
+        sizes = np.bincount(gid, minlength=ngroups)
+        keep = sizes[gid] >= 2
         return pa.table({
-            "doc": pa.array(pos // _LRS_POS_CAP),
-            "pos": pa.array(pos),
-            "cls": pa.array(cls[gid]),
-            "dup": pa.array(dup),
+            "doc": pa.array(pos[keep] // _LRS_POS_CAP),
+            "pos": pa.array(pos[keep]),
+            "cls": pa.array(cls[gid][keep]),
+            "dlen": pa.array(dlen[keep]),
+            "dup": pa.array(dup[keep]),
         })
 
     out = (rows.groupby("doc")
@@ -3337,13 +3371,10 @@ def _lrs_probe(rows, w0: int, k: int, num_buckets: int) -> tuple[int, int]:
     from ..functions.collect import collect_table
 
     def probe_keys(g: pa.Table) -> pa.Table:
-        pos, cls = _lrs_doc_sorted(g)
-        n = len(pos)
-        m = n - k
-        if m < 0:
-            m = -1
-        k1 = cls[:m + 1]
-        k2 = cls[k - w0:k - w0 + m + 1]
+        pos, cls, dlen = _lrs_doc_sorted(g)
+        fit = (pos % _LRS_POS_CAP) + k <= dlen  # k-window inside the doc
+        k1 = cls[fit]
+        k2 = _lrs_partner(pos, cls, k - w0)[fit]
         key = np.stack([k1, k2])
         uk, cnt = np.unique(key, axis=1, return_counts=True)
         kb = _intmix(uk[0] * np.int64(0x9E3779B1) + uk[1], num_buckets)
