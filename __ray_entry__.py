@@ -68,7 +68,13 @@ _QUERY_PRIORITY = [
     "d_lrs", "d_dup_profile", "w_cusum", "c_pareto", "d_ind_discovery",
     "a_rollup", "a_k_anonymity", "t_kn_counts", "t_simpson", "t_keyness",
     "w_autocorr", "d_lpa", "c_temperature_mix", "a_cube", "a_l_diversity",
-    # -- window arithmetic: 1 + 4 + 45 = 50 slots exactly. Everything
+    # -- window arithmetic: 1 + 4 + 45 = 50 slots exactly. Late-r5
+    #    oracle-bearing additions (t_char_entropy) land first PAST the
+    #    window — admitting them would evict never-driver-verified
+    #    entries; they are parity-suite- and full-sweep-covered
+    #    (199/199 + their own sf0.01 drives recorded in BASELINE.md).
+    "t_char_entropy",
+    # -- Everything
     #    below is PAST the window — each already has a green driver row
     #    from r01-r04 AND re-verifies in the sf0.001 parity suite every
     #    pytest session. d_seg_dedup / d_dup_ngrams lead the filler (their

@@ -2245,6 +2245,31 @@ SELECT '__total__', (SELECT sum(cur_count) FROM rows_)::BIGINT,
 """
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc fixed-point order-0 character entropy (the gibberish /
+    boilerplate quality pre-filter) — floored per-symbol contributions,
+    integer sum, bitwise oracle."""
+    import ray.data as rd
+
+    from ..stages.textops import char_entropy
+
+    return char_entropy(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                        columns=["doc_id", "text"]))
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (SELECT doc_id, unicode(substr(text, i, 1)) AS cp
+            FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+            WHERE text IS NOT NULL AND length(text) > 0),
+cc AS (SELECT doc_id, cp, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cc GROUP BY 1)
+SELECT cc.doc_id, n.n AS n_chars_counted,
+       sum(floor(-1000000 * (cc.c / n.n) * log2(cc.c / n.n)))::BIGINT
+         AS entropy_fp
+FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id, n.n
+"""
+
+
 def q_profile_quantiles(sf_dir: str):
     """EXACT p50/p95/p99 of n_chars (value-count fold) — the integer
     companion to the t-digest a_column_profile."""
@@ -3264,6 +3289,7 @@ def dataops_queries() -> dict[str, Callable[[str], Any]]:
         "a_drift_psi": q_drift_psi,
         "a_kind_psi": q_kind_psi,
         "a_profile_quantiles": q_profile_quantiles,
+        "t_char_entropy": q_char_entropy,
         "m_image_meta": q_image_meta,
         "m_audio_meta": q_audio_meta,
         "m_frame_sample": q_frame_sample,
@@ -5314,6 +5340,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_drift_psi": DRIFT_PSI_SQL,
         "a_kind_psi": kind_psi_sql(paths),
         "a_profile_quantiles": PROFILE_QUANTILES_SQL,
+        "t_char_entropy": CHAR_ENTROPY_SQL,
         "a_distinct_nchars": DISTINCT_NCHARS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,
         "t_language_id": LANGUAGE_ID_SQL,

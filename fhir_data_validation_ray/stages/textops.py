@@ -2907,3 +2907,62 @@ def temperature_mix(docs, *, budget: int = 1_000_000,
         "weight": pa.array(w[order]),
         "quota": pa.array(quota[order]),
     }))
+
+
+def char_entropy(docs, *, scale: int = 1_000_000,
+                 batch_size: int | None = None):
+    """Per-document order-0 character (codepoint) entropy in FIXED POINT —
+    the classic gibberish/boilerplate quality signal (low entropy =
+    repetitive template text, high = random noise; a standard pre-filter
+    next to the Gopher ratio rules).
+
+    ``entropy_fp`` = Σ_symbols floor(-scale · p · log2 p) with
+    p = count/len — per-symbol contributions floored BEFORE the integer
+    sum (the a_drift_psi convention), so the result is order-independent
+    and bitwise oracle-comparable while log2 stays the only float.
+
+    Plan shape: a stateless per-batch map, no shuffle. Per batch the text
+    column converts once to a numpy U array and views as UCS-4 codepoints
+    ((n, W) uint32 — the same per-batch conversion cost as the other
+    textops kernels; NUL-bearing corpora are out of contract, the
+    documented printable-corpus assumption), per-(doc, codepoint) counts
+    come from one np.unique over packed keys. Docs with no characters are
+    skipped (the SQL mirror's WHERE length(text) > 0).
+
+    Returns Dataset[doc_id, n_chars_counted, entropy_fp]."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        u = texts.to_numpy(zero_copy_only=False)
+        valid = np.array([x is not None for x in u], dtype=bool)
+        su = u[valid].astype("U")
+        n = len(su)
+        if n == 0 or su.dtype.itemsize == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars_counted": pa.array([], pa.int64()),
+                "entropy_fp": pa.array([], pa.int64())})
+        W = su.dtype.itemsize // 4
+        cp = su.view(np.uint32).reshape(n, W)
+        docx, colx = np.nonzero(cp)  # 0 = padding (printable contract)
+        key = docx.astype(np.int64) * np.int64(0x110000) + cp[docx, colx]
+        uk, cnt = np.unique(key, return_counts=True)
+        d = (uk // np.int64(0x110000)).astype(np.int64)
+        lens = np.zeros(n, np.int64)
+        np.add.at(lens, d, cnt)
+        p = cnt / lens[d]
+        contrib = np.floor(-float(scale) * p * np.log2(p)).astype(np.int64)
+        ent = np.zeros(n, np.int64)
+        np.add.at(ent, d, contrib)
+        nz = np.flatnonzero(lens > 0)
+        return pa.table({
+            "doc_id": pa.array(ids[valid][nz]),
+            "n_chars_counted": pa.array(lens[nz]),
+            "entropy_fp": pa.array(ent[nz]),
+        })
+
+    return docs.map_batches(partial, batch_format="pyarrow",
+                            batch_size=batch_size)

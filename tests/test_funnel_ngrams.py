@@ -95,3 +95,28 @@ def test_distinct_ngrams_no_cross_doc_adjacency(ray_session):
     assert len(rows) == 1
     # "b c" must NOT exist: 2 bigrams total ("a b", "c d"), both distinct
     assert rows[0]["distinct_grams"] == 2 and rows[0]["total_grams"] == 2
+
+
+def test_char_entropy_semantics(ray_session):
+    """Repeated-single-char doc = exactly 0; uniform distinct chars =
+    floor-sum of -p log2 p; ordering low(repetitive) < high(diverse);
+    empty/null text skipped."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.textops import char_entropy
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["aaaaaaaa", "abcdefgh", "aabb", "", None],
+                         pa.string()),
+    }))
+    got = {r["doc_id"]: r for r in char_entropy(docs).take_all()}
+    assert set(got) == {1, 2, 3}  # empty + null skipped
+    assert got[1]["entropy_fp"] == 0 and got[1]["n_chars_counted"] == 8
+    # 8 uniform symbols: entropy = 3 bits -> 8 contributions of
+    # floor(-1e6 * (1/8) * -3) = 375000 each
+    assert got[2]["entropy_fp"] == 3_000_000
+    # 2 symbols at p=0.5: 2 * floor(1e6 * 0.5) = 1_000_000
+    assert got[3]["entropy_fp"] == 1_000_000
+    assert got[1]["entropy_fp"] < got[3]["entropy_fp"] < got[2]["entropy_fp"]
