@@ -58,22 +58,22 @@ _QUERY_PRIORITY = [
     # -- (2) never driver-verified, oracle-bearing (all 45)
     "w_burst_windows", "v_registry_orphans", "d_cluster_sizes",
     "c_gopher_funnel", "c_coverage_bands", "d_chunk_dedup", "a_source_card",
-    "c_curriculum_shards", "w_distinct_by_type", "v_summary_full",
+    "c_curriculum_shards", "w_distinct_by_type",
     "s_pq_topk", "t_neg_samples", "s_pq_codes", "s_hard_negatives",
     "d_edit_distance", "d_delta_dedup", "w_upsert_latest",
     "a_fd_violations", "a_contingency", "d_triangles", "d_cdc_chunks",
-    "c_rank_fusion",
+    "c_rank_fusion", "t_char_entropy",
     "d_dup_rate", "a_source_overlap", "w_props_rollup", "d_kcore",
     "w_session_paths", "a_benford", "d_novel_grams", "w_conversion_lag",
     "d_lrs", "d_dup_profile", "w_cusum", "c_pareto", "d_ind_discovery",
     "a_rollup", "a_k_anonymity", "t_kn_counts", "t_simpson", "t_keyness",
     "w_autocorr", "d_lpa", "c_temperature_mix", "a_cube", "a_l_diversity",
-    # -- window arithmetic: 1 + 4 + 45 = 50 slots exactly. Late-r5
-    #    oracle-bearing additions (t_char_entropy) land first PAST the
-    #    window — admitting them would evict never-driver-verified
-    #    entries; they are parity-suite- and full-sweep-covered
-    #    (199/199 + their own sf0.01 drives recorded in BASELINE.md).
-    "t_char_entropy",
+    # -- window arithmetic: 1 + 5 + 44 = 50 slots exactly (the r3 rule:
+    #    every NEW oracle-bearing query sits inside the window —
+    #    t_char_entropy took the slot of v_summary_full, whose full-mode
+    #    layer union is driver-covered by the r04-green v_tiered_summary,
+    #    the same conscious sacrifice r4 documented).
+    "v_summary_full",
     # -- Everything
     #    below is PAST the window — each already has a green driver row
     #    from r01-r04 AND re-verifies in the sf0.001 parity suite every

@@ -2257,15 +2257,21 @@ def q_char_entropy(sf_dir: str):
                                         columns=["doc_id", "text"]))
 
 
-CHAR_ENTROPY_SQL = """
+def _char_entropy_sql() -> str:
+    # scale constant generated from the SAME engine constant (the explain
+    # template-interpolation convention) so a scale change cannot silently
+    # desynchronize the oracle
+    from ..stages.textops import CHAR_ENTROPY_SCALE
+
+    return f"""
 WITH ch AS (SELECT doc_id, unicode(substr(text, i, 1)) AS cp
             FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
             WHERE text IS NOT NULL AND length(text) > 0),
 cc AS (SELECT doc_id, cp, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
 n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cc GROUP BY 1)
 SELECT cc.doc_id, n.n AS n_chars_counted,
-       sum(floor(-1000000 * (cc.c / n.n) * log2(cc.c / n.n)))::BIGINT
-         AS entropy_fp
+       sum(floor(-{CHAR_ENTROPY_SCALE} * (cc.c / n.n)
+                 * log2(cc.c / n.n)))::BIGINT AS entropy_fp
 FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id, n.n
 """
 
@@ -5340,7 +5346,7 @@ def dataops_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "a_drift_psi": DRIFT_PSI_SQL,
         "a_kind_psi": kind_psi_sql(paths),
         "a_profile_quantiles": PROFILE_QUANTILES_SQL,
-        "t_char_entropy": CHAR_ENTROPY_SQL,
+        "t_char_entropy": _char_entropy_sql(),
         "a_distinct_nchars": DISTINCT_NCHARS_SQL,
         "t_text_features": TEXT_FEATURES_SQL,
         "t_language_id": LANGUAGE_ID_SQL,

@@ -3305,9 +3305,11 @@ def _lrs_doubled(rows, w: int, num_buckets: int):
     gather in a per-doc group; class resolution (min position per key) and
     the one-row-per-class dup indicator ride one key-bucket groupby; the
     stop check is a cheap ``sum`` scan of the materialized round (the
-    dedup_clusters convergence pattern). Returns (rows_2w, n_dup_classes);
-    positions whose 2w-window overruns the doc keep the unique class = own
-    position, so they never merge."""
+    dedup_clusters convergence pattern). Returns (rows_2w, n_dup_classes).
+    Overrun positions (2w-window past the doc end) get a unique sentinel
+    key and are therefore PRUNED with every other singleton key-group —
+    rows_2w holds only positions inside duplicated full-or-overrunless
+    2w-windows (see ``_lrs_class_rows`` for the exactness argument)."""
 
     def pair_keys(g: pa.Table) -> pa.Table:
         pos, cls, dlen = _lrs_doc_sorted(g)

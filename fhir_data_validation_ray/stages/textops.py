@@ -2909,7 +2909,10 @@ def temperature_mix(docs, *, budget: int = 1_000_000,
     }))
 
 
-def char_entropy(docs, *, scale: int = 1_000_000,
+CHAR_ENTROPY_SCALE = 1_000_000  # shared with the SQL oracle (dataops)
+
+
+def char_entropy(docs, *, scale: int = CHAR_ENTROPY_SCALE,
                  batch_size: int | None = None):
     """Per-document order-0 character (codepoint) entropy in FIXED POINT —
     the classic gibberish/boilerplate quality signal (low entropy =
