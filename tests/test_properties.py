@@ -1618,3 +1618,40 @@ def test_lrs_sampled_lane_equivalence_and_template_detection(ray_session):
                zip(sp["n_dup_positions"], ep["n_dup_positions"]))
     assert duplication_profile(docs, ks, num_buckets=8,
                                sample_docs=1).to_pydict() == ep
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=0, max_value=40)),
+                min_size=1, max_size=60))
+def test_drift_fp_ks_matches_bruteforce(ray_session, rows):
+    """ks_fp is the EXACT two-sample ECDF gap (group vs whole corpus) in
+    pure integers: floor(1e6 * max_v |c_g(<=v)*N - c_all(<=v)*n_g|
+    / (n_g*N)) — pinned against a brute-force Python reference with
+    Fraction arithmetic."""
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhir_data_validation_ray.stages.drift import drift_fp_by_group
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([g for g, _ in rows], pa.string()),
+        "n_chars": pa.array([v for _, v in rows], pa.int64()),
+    })).repartition(3)
+    got = drift_fp_by_group(ds, "n_chars", "source", lo=0, hi=41, nbins=5)
+    by = {g: k for g, k in zip(got["group"].to_pylist(),
+                               got["ks_fp"].to_pylist())}
+    vals = sorted({v for _, v in rows})
+    N = len(rows)
+    for grp in {g for g, _ in rows}:
+        gv = [v for g, v in rows if g == grp]
+        n_g = len(gv)
+        best = Fraction(0)
+        for v in vals:
+            cg = sum(1 for x in gv if x <= v)
+            ca = sum(1 for _, x in rows if x <= v)
+            best = max(best, abs(Fraction(cg, n_g) - Fraction(ca, N)))
+        want = (1_000_000 * best.numerator) // best.denominator
+        assert by[grp] == want, (grp, by[grp], want, rows)
